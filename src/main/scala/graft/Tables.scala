@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Each scale-factor directory holds one parquet file per table. Reads go
+  * through `spark.read.parquet` so Catalyst gets full pushdown/pruning on
+  * the scan — at cluster scale these would be partitioned directories and
+  * the same code holds.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read it as a raw nanos long instead. Use `eventsTs`
+      // for a proper TimestampType column.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with `ts` as a microsecond-precision TimestampType column
+    * (truncated from nanos), plus the raw `ts_ns` long. */
+  def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    apply(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+  }
+
+  /** Register every table as a temp view (for the SQL surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

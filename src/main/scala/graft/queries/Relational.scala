@@ -1,0 +1,442 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The relational operator surface (SURVEY.md §2.2 gap table), expressed
+  * Spark-first: declarative DataFrame programs that Catalyst compiles to
+  * pushed-down scans, hash/sort aggregates, broadcast/shuffled joins,
+  * window operators and TakeOrderedAndProject — nothing hand-scheduled.
+  *
+  * Scale notes (100 TB thinking):
+  *   - dimension tables (region/nation/customer at low SF) are joined with
+  *     an explicit `broadcast()` hint where they would stay small at scale;
+  *   - fact-fact joins key on the natural join columns so the shuffle is
+  *     a single hash exchange per side;
+  *   - aggregates are expressed with `groupBy().agg()` so Spark performs
+  *     partial (map-side) aggregation automatically;
+  *   - every scan projects only needed columns → parquet column pruning.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val defs: Map[String, Q] = Map(
+
+    // ------------------------------------------------------------------
+    // Aggregation: hash agg with partial+final, multiple agg functions.
+    // TPC-H Q1 shape. (SURVEY §2.2 "Aggregations")
+    // ------------------------------------------------------------------
+    "q01_pricing_summary" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)      AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4)      AS avg_qty,
+               round(avg(l_discount), 4)      AS avg_disc,
+               count(*)                       AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------------------------
+    // Projection + filter: both predicates and the 4-column projection
+    // reach the parquet scan (PushedFilters / ReadSchema).
+    // ------------------------------------------------------------------
+    "q02_filter_pushdown" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.filter(col("l_quantity") < 5 && col("l_shipdate") >= lit("2000-01-01"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_quantity"), 2).as("qty"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               round(l_quantity, 2) AS qty,
+               strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        FROM lineitem
+        WHERE l_quantity < 5 AND l_shipdate >= TIMESTAMP '2000-01-01'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ------------------------------------------------------------------
+    // Multi-way join: fact-fact shuffle join (orders⋈lineitem) plus
+    // broadcast dims (customer at this SF would shuffle at 100 TB — keyed
+    // equi-join lets AQE pick; nation is broadcast explicitly).
+    // ------------------------------------------------------------------
+    "q03_join_revenue_by_nation" -> Q(
+      fn = (s, dir) => {
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"))
+      },
+      oracle = Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey  = o_orderkey
+        JOIN customer ON o_custkey   = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name""")),
+
+    // ------------------------------------------------------------------
+    // Broadcast equi-join + agg on the dim attribute.
+    // ------------------------------------------------------------------
+    "q04_broadcast_join_segments" -> Q(
+      fn = (s, dir) => {
+        val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        val ord = t(s, dir, "orders").select("o_custkey", "o_totalprice")
+        ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total"),
+            round(avg(col("o_totalprice")), 4).as("avg_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      oracle = Some("""
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ------------------------------------------------------------------
+    // Left-semi join (EXISTS).
+    // ------------------------------------------------------------------
+    "q05_semi_join" -> Q(
+      fn = (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val big = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 400000).select("o_custkey")
+        cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // Left-anti join (NOT EXISTS).
+    // ------------------------------------------------------------------
+    "q06_anti_join" -> Q(
+      fn = (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val big = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000).select("o_custkey")
+        cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // Window functions: row_number / rank / lag over a per-key window.
+    // Deterministic: the ORDER BY key (o_orderdate, o_orderkey) is unique.
+    // ------------------------------------------------------------------
+    "q07_window_rank" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = t(s, dir, "orders")
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        ord
+          .withColumn("rn", row_number().over(w))
+          .withColumn("prev_price",
+            round(lag(col("o_totalprice"), 1).over(w), 2))
+          .withColumn("running_total",
+            round(sum(col("o_totalprice"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("rn"),
+            col("prev_price"), col("running_total"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS INTEGER) AS rn,
+               round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+               round(sum(o_totalprice) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rn""")),
+
+    // ------------------------------------------------------------------
+    // Top-k: orderBy+limit → Catalyst TakeOrderedAndProject (no full sort
+    // materialization; per-partition heaps + driver merge at scale).
+    // ------------------------------------------------------------------
+    "q08_topk_orders" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice"), 2).as("price"))
+          .orderBy(col("price").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders
+        ORDER BY price DESC, o_orderkey
+        LIMIT 10""")),
+
+    // ------------------------------------------------------------------
+    // Set ops: UNION (distinct), INTERSECT, EXCEPT.
+    // ------------------------------------------------------------------
+    "q09_union" -> Q(
+      fn = (s, dir) => {
+        val a = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+        val b = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey").as("custkey"))
+        a.union(b).distinct().orderBy("custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+        ORDER BY custkey""")),
+
+    "q10_intersect" -> Q(
+      fn = (s, dir) => {
+        val a = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey").as("custkey"))
+        val b = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 350000)
+          .select(col("o_custkey").as("custkey"))
+        a.intersect(b).orderBy("custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 350000
+        ORDER BY custkey""")),
+
+    "q11_except" -> Q(
+      fn = (s, dir) => {
+        val a = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "HOUSEHOLD")
+          .select(col("c_custkey").as("custkey"))
+        val b = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey").as("custkey"))
+        a.except(b).orderBy("custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        ORDER BY custkey""")),
+
+    // ------------------------------------------------------------------
+    // Distinct aggregation (expand + two-phase agg under the hood).
+    // ------------------------------------------------------------------
+    "q12_distinct_agg" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_cust"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderstatus"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_cust,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // ROLLUP / CUBE grouping sets.
+    // ------------------------------------------------------------------
+    "q13_rollup" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            col("n"), col("total"))
+          .orderBy(col("status"), col("prio"))
+      },
+      oracle = Some("""
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status, prio""")),
+
+    "q14_cube" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            col("n"))
+          .orderBy(col("status"), col("prio"))
+      },
+      oracle = Some("""
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, prio""")),
+
+    // ------------------------------------------------------------------
+    // Scalar functions: string ops (all codegen'd built-ins).
+    // ------------------------------------------------------------------
+    "q15_string_funcs" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            length(col("p_name")).cast("long").as("name_len"),
+            substring(col("p_type"), 1, 6).as("type6"),
+            regexp_replace(col("p_brand"), "#", "-").as("brand_dash"),
+            concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+          .orderBy(col("p_partkey"))
+      },
+      oracle = Some("""
+        SELECT p_partkey,
+               upper(p_name) AS uname,
+               length(p_name) AS name_len,
+               substr(p_type, 1, 6) AS type6,
+               replace(p_brand, '#', '-') AS brand_dash,
+               concat(p_brand, ':', p_type) AS brand_type
+        FROM part
+        ORDER BY p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // Scalar functions: date parts.
+    // ------------------------------------------------------------------
+    "q16_date_funcs" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            dayofmonth(col("o_orderdate")).cast("long").as("d"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey,
+               year(o_orderdate)  AS y,
+               month(o_orderdate) AS m,
+               day(o_orderdate)   AS d,
+               strftime(o_orderdate, '%Y-%m') AS ym
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Scalar functions: CASE / math.
+    // ------------------------------------------------------------------
+    "q17_case_math" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            when(col("l_quantity") < 10, "low")
+              .when(col("l_quantity") < 30, "mid")
+              .otherwise("high").as("band"),
+            round(abs(col("l_extendedprice") - 5000.0), 2).as("dist"),
+            floor(col("l_quantity") / 7).cast("long").as("q7"),
+            (col("l_linenumber") % 3).cast("long").as("ln_mod"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity < 10 THEN 'low'
+                    WHEN l_quantity < 30 THEN 'mid'
+                    ELSE 'high' END AS band,
+               round(abs(l_extendedprice - 5000.0), 2) AS dist,
+               CAST(floor(l_quantity / 7) AS BIGINT) AS q7,
+               CAST(l_linenumber % 3 AS BIGINT) AS ln_mod
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ------------------------------------------------------------------
+    // Events aggregate (no timestamp column → safe regardless of the
+    // parquet NANOS logical type).
+    // ------------------------------------------------------------------
+    "q18_events_agg" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("sum_value"),
+            round(avg(col("value")), 4).as("avg_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value,
+               round(avg(value), 4) AS avg_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
+  )
+}
