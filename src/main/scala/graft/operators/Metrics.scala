@@ -1,0 +1,36 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.util.AccumulatorV2
+
+/** Named per-job counters. The reference keeps a per-task map merged by
+  * summation on the driver (/root/reference/metric/metrics.go:13-17);
+  * a single map-valued AccumulatorV2 gives the same merge semantics
+  * without pre-declaring metric names.
+  */
+final class MetricsAccumulator
+    extends AccumulatorV2[(String, Long), Map[String, Long]] {
+
+  private val counts = mutable.HashMap.empty[String, Long]
+
+  override def isZero: Boolean = synchronized(counts.isEmpty)
+
+  override def copy(): MetricsAccumulator = synchronized {
+    val c = new MetricsAccumulator
+    c.counts ++= counts
+    c
+  }
+
+  override def reset(): Unit = synchronized(counts.clear())
+
+  override def add(v: (String, Long)): Unit = synchronized {
+    counts.update(v._1, counts.getOrElse(v._1, 0L) + v._2)
+  }
+
+  override def merge(
+      other: AccumulatorV2[(String, Long), Map[String, Long]]): Unit =
+    other.value.foreach { case (k, v) => add((k, v)) }
+
+  override def value: Map[String, Long] = synchronized(counts.toMap)
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** R2/R3 — detached job control (reference running_job.go): the action
+  * runs on a background thread under a Spark job group; `abort()` maps
+  * to `cancelJobGroup`, and any code in this process can look the job
+  * up by id via `RunningJob.fetch` (the reference needs etcd for this;
+  * in-process registry here — SURVEY §3.2 documents the divergence).
+  */
+final class RunningJob private (
+    val jobId: String,
+    spark: SparkSession,
+    acc: MetricsAccumulator,
+    future: Future[Seq[KV]]) {
+
+  @volatile private var aborted = false
+
+  def isDone: Boolean = future.isCompleted
+
+  def status: String =
+    if (!future.isCompleted) "running"
+    else future.value.get match {
+      case Success(_) => "succeeded"
+      case Failure(_) if aborted => "aborted"
+      case Failure(_) => "failed"
+    }
+
+  /** Block until completion; throws the job's failure (first task
+    * failure fails the job — reference semantics, though Spark retried
+    * first). */
+  def waitForResult(timeout: Duration = Duration.Inf): Seq[KV] =
+    Await.result(future, timeout)
+
+  def waitForCompletion(timeout: Duration = Duration.Inf): Try[Seq[KV]] = {
+    Try(Await.ready(future, timeout))
+    future.value.getOrElse(Failure(new java.util.concurrent.TimeoutException))
+  }
+
+  /** Abort: cancels every Spark job tagged with this job group
+    * (reference running_job.go:120-143). */
+  def abort(): Unit = {
+    aborted = true
+    spark.sparkContext.cancelJobGroup(jobId)
+  }
+
+  def metrics: Map[String, Long] = acc.value
+}
+
+object RunningJob {
+  private val registry = new ConcurrentHashMap[String, RunningJob]()
+
+  private implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-background-job")
+      t.setDaemon(true)
+      t
+    }))
+
+  private[operators] def start(
+      jobId: String,
+      spark: SparkSession,
+      ds: Dataset[KV],
+      acc: MetricsAccumulator): RunningJob = {
+    val future = Future {
+      spark.sparkContext.setJobGroup(jobId, s"graft job $jobId",
+        interruptOnCancel = true)
+      try ds.collect().toSeq
+      finally spark.sparkContext.clearJobGroup()
+    }
+    val job = new RunningJob(jobId, spark, acc, future)
+    registry.put(jobId, job)
+    job
+  }
+
+  /** R3 — FetchDetachedJobStatus equivalent (in-process). */
+  def fetch(jobId: String): Option[RunningJob] = Option(registry.get(jobId))
+
+  /** R3 — AbortDetachedJob equivalent. */
+  def abort(jobId: String): Boolean =
+    fetch(jobId).exists { j => j.abort(); true }
+}

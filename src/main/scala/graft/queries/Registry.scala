@@ -20,5 +20,5 @@ final case class Q(
 object Registry {
   /** All query groups, merged for SparkEntry. */
   def allQueries: Map[String, Q] =
-    Relational.defs
+    Relational.defs ++ Pipelines.defs
 }
