@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenization,
+  * shingling, quality metrics, fingerprinting, language-ID. All pure
+  * Column expressions (codegen'd built-ins) — portable to a DuckDB
+  * oracle and UDF-free at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (documents are single-space joined). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Type-token ratio — vocabulary richness quality signal. */
+  def typeTokenRatio(text: Column, decimals: Int = 4): Column =
+    round(distinctTokenCount(text).cast("double") / tokenCount(text), decimals)
+
+  /** Mean token length, derived without a second pass: for single-space
+    * joined text, non-space chars = length - (tokens - 1). */
+  def avgTokenLen(text: Column, decimals: Int = 4): Column =
+    round((length(text) - (tokenCount(text) - 1)).cast("double")
+      / tokenCount(text), decimals)
+
+  /** Ratio of punctuation chars (quality signal; 0 for clean corpora). */
+  def punctRatio(text: Column, decimals: Int = 4): Column =
+    round((length(text) - length(translate(text, ".,!?;:'\"()-", "")))
+      .cast("double") / length(text), decimals)
+
+  /** Ratio of tokens drawn from a stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String], decimals: Int = 4)
+      : Column = {
+    val hits = size(filter(tokens(text),
+      t => t.isInCollection(stopwords))).cast("double")
+    round(hits / tokenCount(text), decimals)
+  }
+
+  /** Word n-gram shingles, distinct, space-joined — the unit for
+    * Jaccard/MinHash dedup. Empty array when the doc is shorter than n. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Character n-gram shingles (language-agnostic; for CJK etc.). */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(0), length(text) - n),
+        i => text.substr(i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Document fingerprint: md5 of ascii-normalized text. Exact-dedup
+    * key; identical in DuckDB (`md5(regexp_replace(lower(..)))`). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+
+  // -------------------------------------------------------------- langid
+
+  /** Marker terms per language: high-frequency function words (latin
+    * scripts, matched with word boundaries) or characters (CJK, matched
+    * as substrings). Public linguistic knowledge, deliberately small so
+    * the scoring expression stays portable SQL.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to "),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht "),
+    "es" -> Seq(" el ", " los ", " que ", " es ", " y "),
+    "fr" -> Seq(" le ", " les ", " est ", " dans ", " je "),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Occurrences of `pat` in text (substring count via the replace
+    * trick — literal replace, no regex engine differences). */
+  private def occurrences(padded: Column, pat: String): Column =
+    ((length(padded) - length(replace(padded, lit(pat), lit(""))))
+      / pat.length).cast("long")
+
+  /** Marker-count score for one language. */
+  def langScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    langMarkers.toMap.apply(lang)
+      .map(m => occurrences(padded, m))
+      .reduce(_ + _)
+  }
+
+  /** N-gram-heuristic language ID: argmax of marker scores with a fixed
+    * tie-break (list order, 'en' first); "und" (undetermined) when no
+    * marker hits at all. */
+  def langId(text: Column): Column = {
+    // array_max over struct(score, priority, lang) compares fieldwise →
+    // highest score, then earliest list position.
+    val scored = array(langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      struct(
+        langScore(text, lang).as("score"),
+        lit(langMarkers.size - i).as("prio"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+}

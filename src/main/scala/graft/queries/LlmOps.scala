@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.functions.{TextFunctions => T}
+
+/** The LLM-training-data operator surface: dedup families, similarity
+  * search, text analysis, multimodal plumbing — each driven through the
+  * oracle gate where the semantics are SQL-expressible (DuckDB list
+  * comprehensions cover shingling; inner products verified bit-exact
+  * against Spark's double fold). Approximate variants (LSH/IVF/SimHash)
+  * whose hash spaces aren't portable SQL are exercised as rows-only
+  * queries plus recall assertions in ScalaTest.
+  */
+object LlmOps {
+
+  val defs: Map[String, Q] = Map(
+
+    // ---------------------------------------------------------- dedup
+    "q22_dedup_exact" -> Q(
+      fn = (s, dir) => {
+        Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
+          .orderBy("keep_id")
+          .select("fp", "keep_id", "n_copies")
+      },
+      oracle = Some("""
+        SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY keep_id""")),
+
+    "q23_dedup_ngram_jaccard" -> Q(
+      fn = (s, dir) => {
+        Dedup.ngramJaccardPairs(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, partitionCol = Some("lang"))
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id, lang,
+                 list_distinct([array_to_string(string_split(text,' ')[i+1:i+3],' ')
+                                for i in range(len(string_split(text,' '))-2)]) AS sh
+          FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                     (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3) AS jaccard
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3) >= 0.5
+        ORDER BY a_id, b_id""")),
+
+    // Same oracle as q23: the LSH pass must recover every pair the
+    // exact algorithm finds (planted near-dups sit at J≥0.95, where
+    // 8 bands × 4 rows has miss probability ~1e-7 — and the run is
+    // deterministic, so local green ⇒ driver green).
+    "q24_dedup_minhash_lsh" -> Q(
+      fn = (s, dir) => {
+        Dedup.minhashLshPairs(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, numHashes = 32, bands = 8,
+          partitionCol = Some("lang"))
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id, lang,
+                 list_distinct([array_to_string(string_split(text,' ')[i+1:i+3],' ')
+                                for i in range(len(string_split(text,' '))-2)]) AS sh
+          FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                     (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3) AS jaccard
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3) >= 0.5
+        ORDER BY a_id, b_id""")),
+
+    // SimHash hash space isn't portable SQL → rows-only here; recall of
+    // the planted near-dup pairs is asserted in DedupSpec.
+    "q25_dedup_simhash" -> Q(
+      fn = (s, dir) => {
+        Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+          .orderBy("a_id", "b_id")
+      }),
+
+    "q26_dedup_embedding" -> Q(
+      fn = (s, dir) => {
+        Dedup.embeddingCosinePairs(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45)
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_inner_product(a.v,b.v) /
+                     (sqrt(list_inner_product(a.v,a.v)) *
+                      sqrt(list_inner_product(b.v,b.v))), 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.v,b.v) /
+                    (sqrt(list_inner_product(a.v,a.v)) *
+                     sqrt(list_inner_product(b.v,b.v))), 4) >= 0.45
+        ORDER BY a_id, b_id""")),
+
+    // ----------------------------------------------------- similarity
+    "q27_sim_topk_brute" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some("""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv
+                   FROM embeddings WHERE vec_id < 20),
+             c AS (SELECT vec_id cid, embedding::DOUBLE[] cv FROM embeddings),
+             sc AS (
+               SELECT qid, cid,
+                      list_inner_product(qv,cv) /
+                      (sqrt(list_inner_product(qv,qv)) *
+                       sqrt(list_inner_product(cv,cv))) AS c
+               FROM q CROSS JOIN c WHERE qid != cid),
+             ranked AS (
+               SELECT qid, cid, c,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY c DESC, cid) AS rk
+               FROM sc)
+        SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank,
+               cid AS neighbor_id, round(c, 4) AS cosine
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank""")),
+
+    // Approximate ANN (hyperplane LSH): hash space not portable →
+    // rows-only; recall vs brute force asserted in SimilaritySpec.
+    "q28_sim_topk_lsh" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.lshTopK(
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          emb, "vec_id", "embedding",
+          k = 5, dim = 64, nBits = 6, probes = 2)
+          .orderBy("query_id", "rank")
+      }),
+
+    "q29_sim_topk_ivf" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          emb, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
+    // ------------------------------------------------- text analysis
+    "q30_text_quality" -> Q(
+      fn = (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        d.select(
+          col("doc_id"),
+          T.tokenCount(col("text")).as("n_tokens"),
+          T.distinctTokenCount(col("text")).as("n_distinct"),
+          T.typeTokenRatio(col("text")).as("ttr"),
+          T.avgTokenLen(col("text")).as("avg_token_len"),
+          T.punctRatio(col("text")).as("punct_ratio"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS ttr,
+               round((length(text) - (len(toks) - 1))::DOUBLE / len(toks), 4)
+                 AS avg_token_len,
+               round((length(text) -
+                      length(translate(text, '.,!?;:''"()-', '')))::DOUBLE
+                     / length(text), 4) AS punct_ratio
+        FROM t ORDER BY doc_id""")),
+
+    "q31_text_langid" -> Q(
+      fn = (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(LangIdOracle.sql)),
+
+    "q32_token_stats" -> Q(
+      fn = (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        d.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(T.tokenCount(col("text"))).as("total_tokens"),
+            round(avg(T.tokenCount(col("text"))), 2).as("avg_tokens"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+               round(avg(len(string_split(text,' '))), 2) AS avg_tokens,
+               count(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // -------------------------------------------------- multimodal
+    // Real typed plumbing (binary payload + header-parse feature
+    // extraction through Multimodal.extractFeatures); the payload is a
+    // deterministic fake (12-byte header + text bytes) so the oracle
+    // can reproduce every derived field.
+    "q33_multimodal_features" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        import Multimodal.MediaItem
+        val items = Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            when(col("doc_id") % 3 === 0, "image")
+              .when(col("doc_id") % 3 === 1, "audio")
+              .otherwise("video").as("kind"),
+            col("text"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .map { case (id, kind, text, nChars) =>
+            MediaItem(id, kind, Multimodal.DecoderStub.encode(
+              (nChars % 1024).toInt, (id % 768).toInt, (id % 30).toInt,
+              text.getBytes("UTF-8")))
+          }
+        Multimodal.extractFeatures(items)
+          .select(col("media_id"), col("kind"), col("byte_len"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"))
+          .orderBy("media_id")
+      },
+      oracle = Some("""
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               octet_length(encode(text)) + 12 AS byte_len,
+               n_chars % 1024 AS width,
+               doc_id % 768 AS height,
+               doc_id % 30 AS n_frames
+        FROM documents ORDER BY media_id""")),
+
+    "q34_multimodal_frames" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        import Multimodal.MediaItem
+        val items = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .map { case (id, text, nChars) =>
+            MediaItem(id, "video", Multimodal.DecoderStub.encode(
+              (nChars % 1024).toInt, (id % 768).toInt, (id % 30).toInt,
+              text.getBytes("UTF-8")))
+          }
+        Multimodal.sampleFrames(items, everyN = 5)
+          .select(col("media_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+          .orderBy("media_id", "frame_idx")
+      },
+      oracle = Some("""
+        SELECT doc_id AS media_id,
+               unnest(range(0, doc_id % 30, 5)) AS frame_idx,
+               n_chars % 1024 AS width,
+               doc_id % 768 AS height
+        FROM documents
+        WHERE doc_id % 3 = 2 AND doc_id % 30 > 0
+        ORDER BY media_id, frame_idx"""))
+  )
+}
+
+/** The langid scoring expressed as portable SQL — generated from the
+  * same marker table the Column implementation uses, so the two can
+  * never drift apart. */
+object LangIdOracle {
+  val sql: String = {
+    val scores = T.langMarkers.map { case (lang, markers) =>
+      val terms = markers.map { m =>
+        val esc = m.replace("'", "''")
+        s"CAST((length(p) - length(replace(p, '$esc', ''))) / ${m.length} AS BIGINT)"
+      }.mkString(" + ")
+      s"$terms AS s_$lang"
+    }.mkString(",\n               ")
+    val langs = T.langMarkers.map(_._1)
+    val gr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = $gr THEN '$l'").mkString("\n                    ")
+    s"""
+        WITH p0 AS (
+          SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+             sc AS (
+          SELECT doc_id,
+               $scores
+          FROM p0)
+        SELECT doc_id,
+               CASE WHEN $gr = 0 THEN 'und'
+                    $cases
+                    END AS lang_pred
+        FROM sc ORDER BY doc_id"""
+  }
+}

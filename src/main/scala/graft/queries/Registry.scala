@@ -20,5 +20,5 @@ final case class Q(
 object Registry {
   /** All query groups, merged for SparkEntry. */
   def allQueries: Map[String, Q] =
-    Relational.defs ++ Pipelines.defs
+    Relational.defs ++ Pipelines.defs ++ LlmOps.defs ++ Advanced.defs
 }

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface: the streaming generalization of the
+  * dataflow API (SURVEY §2.2 — the reference is batch-only; its
+  * `Reduce` contract generalizes to `flatMapGroupsWithState`).
+  *
+  * Everything here is incremental-friendly: watermarks bound state,
+  * windowed aggs use Spark's streaming hash aggregation, and the
+  * sessionizer keeps one small state object per key. At scale, state
+  * lives in the state store (RocksDB-backed on a real cluster), keyed
+  * by the same hash partitioning as a batch groupBy.
+  */
+object Streaming {
+
+  /** Tumbling/sliding window counts + sums with late-data handling:
+    * the direct streaming analogue of `groupBy(window(...))`. */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String,
+      slideDuration: Option[String] = None,
+      watermark: String = "10 minutes"): DataFrame = {
+    val win = slideDuration match {
+      case Some(s) => window(col(tsCol), windowDuration, s)
+      case None => window(col(tsCol), windowDuration)
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(win.as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(
+        col("win.start").as("window_start"),
+        col("win.end").as("window_end"),
+        col(keyCol), col("n"), col("total"))
+  }
+
+  // ------------------------------------------------------- sessionize
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class Session(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long,
+      total_value: Double)
+  final case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — arbitrary
+    * per-key state with timeout-driven emission, the streaming form of
+    * the reference's per-key Reducer (emit at end-of-input becomes emit
+    * at session timeout). */
+  /** @param idleFlush when true (production default), idle sessions are
+    *   flushed via processing-time timeouts; tests that drive the query
+    *   with `processAllAvailable` use false — with a continuous trigger,
+    *   pending timeouts keep the micro-batch loop busy and
+    *   `processAllAvailable` never settles. Gap-closure emission works
+    *   either way. */
+  def sessionize(
+      events: Dataset[Event],
+      gapMillis: Long,
+      idleFlush: Boolean = true): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMillis =>
+            cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            out ::= Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      if (state.hasTimedOut) {
+        val s = state.get
+        out ::= Session(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.n, s.total)
+        state.remove()
+      } else cur.foreach { s =>
+        state.update(s)
+        if (idleFlush) state.setTimeoutDuration(gapMillis)
+      }
+      out.reverseIterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (idleFlush) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Batch-mode sessionization with identical semantics (windows over
+    * lag-gap cumulative sums) — lets batch tests and the oracle gate
+    * validate what the streaming path computes. */
+  def sessionizeBatch(
+      events: DataFrame, userCol: String, tsCol: String, valueCol: String,
+      gapMillis: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    events
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          (unix_millis(col(tsCol)) - unix_millis(col("prev_ts"))) > gapMillis)
+          .cast("int"))
+      .withColumn("session_no",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_no"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("total_value"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+
+  import TextFunctions._
+
+  private def one(textVal: String, c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(textVal).toDF("text").select(c).collect()(0).get(0)
+  }
+
+  test("token metrics on a known sentence") {
+    val s = "the quick brown fox jumps over the lazy dog"
+    assert(one(s, tokenCount(col("text"))) === 9L)
+    assert(one(s, distinctTokenCount(col("text"))) === 8L) // 'the' twice
+    // 35 non-space chars / 9 tokens, rounded to 4 decimals
+    assert(one(s, avgTokenLen(col("text"))) === 3.8889)
+  }
+
+  test("word shingles: count, distinctness, short-doc guard") {
+    val sh = one("a b c d e", wordShingles(col("text"), 3))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(sh === Seq("a b c", "b c d", "c d e"))
+    val empty = one("a b", wordShingles(col("text"), 3))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(empty.isEmpty)
+  }
+
+  test("char shingles") {
+    val sh = one("abcd", charShingles(col("text"), 2))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(sh === Seq("ab", "bc", "cd"))
+  }
+
+  test("fingerprint is case/punctuation-insensitive") {
+    assert(one("Hello, World!", fingerprint(col("text")))
+      === one("hello world", fingerprint(col("text"))))
+    assert(one("hello world", fingerprint(col("text")))
+      !== one("hello there", fingerprint(col("text"))))
+  }
+
+  test("langId on real-language samples") {
+    assert(one("the cat is on the mat and the dog is here",
+      langId(col("text"))) === "en")
+    assert(one("le chat est dans la maison et je suis dans le jardin",
+      langId(col("text"))) === "fr")
+    assert(one("el perro es grande y los gatos son pequeños es verdad",
+      langId(col("text"))) === "es")
+    assert(one("der hund ist gross und die katze ist nicht klein",
+      langId(col("text"))) === "de")
+    assert(one("我是一个学生，我的老师是中国人。", langId(col("text"))) === "zh")
+    assert(one("xyzzy plugh", langId(col("text"))) === "und")
+  }
+
+  test("simhash: similar token sets → small hamming distance") {
+    val a = HashFunctions.simhash64("the quick brown fox jumps over the lazy dog tonight again".split(' '))
+    val b = HashFunctions.simhash64("the quick brown fox jumps over the lazy cat tonight again".split(' '))
+    val c = HashFunctions.simhash64("completely different words appear in this unrelated sentence here now".split(' '))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, b) < ham(a, c))
+    assert(ham(a, a) === 0)
+  }
+
+  test("stopword ratio") {
+    val r = one("the cat and the dog", stopwordRatio(col("text"), Seq("the", "and")))
+    assert(r === 0.6)
+  }
+}

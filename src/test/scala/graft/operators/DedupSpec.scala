@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup operator semantics on controlled fixtures plus the planted
+  * near-dup families in the synthetic documents table. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+
+  // The synthetic corpus plants near-dup pairs at J≥0.95 (verified via
+  // the DuckDB probe in tools/check.py development); exact n-gram
+  // Jaccard is the ground truth the sketch variants must recover.
+  private lazy val exactPairs: Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8,
+      partitionCol = Some("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup: identical normalized text collapses") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),   // same after normalization
+      (3L, "different doc")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    assert(out.length === 2)
+    val dupRow = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupRow.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("ngram jaccard finds the planted near-dup families") {
+    assert(exactPairs.nonEmpty, "synthetic corpus should contain near-dups")
+    // all planted pairs are high-similarity: re-running at 0.5 must be
+    // a superset of the 0.8 pairs
+    val loose = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+      Some("lang")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(loose))
+  }
+
+  test("minhash LSH recovers every exact near-dup pair") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.8, numHashes = 32, bands = 8, partitionCol = Some("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exactPairs) // verify step kills false positives,
+                               // banding at J≥0.95 misses ~nothing
+  }
+
+  test("simhash equals brute-force hamming≤3 pair set (pigeonhole recall)") {
+    import graft.functions.HashFunctions
+    val sigs = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> HashFunctions.simhash64(r.getString(1).split(' ')))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === brute)
+  }
+
+  test("embedding cosine pairs: symmetric threshold behavior") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),  // cos ≈ 0.995
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 0.9)
+      .collect()
+    assert(out.length === 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) === (1L, 2L))
+  }
+
+  test("maxDocFreq prunes hyper-frequent shingles from candidates") {
+    import spark.implicits._
+    // "common common common" shingle appears in every doc → with a cap
+    // of 2 it generates no candidates; the near-identical pair is still
+    // found through its rarer shingles
+    val df = Seq(
+      (1L, "common common common alpha beta gamma delta"),
+      (2L, "common common common alpha beta gamma epsilon"),
+      (3L, "common common common zeta eta theta iota"),
+      (4L, "totally unrelated text about nothing at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.3,
+      maxDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import Streaming._
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedAgg: tumbling window counts via memory sink") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(
+      Event(1L, ts(1), 1.0), Event(1L, ts(2), 2.0),
+      Event(2L, ts(7), 3.0), Event(1L, ts(8), 4.0))
+    val agg = windowedAgg(ms.toDF(), "ts", "user_id", "value",
+      windowDuration = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, n, total FROM win_out ORDER BY window_start, user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 3.0)))
+  }
+
+  test("sessionize: gap closure emits completed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = sessionize(ms.toDS(), gapMillis = 10 * 60 * 1000L,
+        idleFlush = false)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // session 1: minutes 1,2,3 — closed by the minute-30 event
+    ms.addData(Event(1L, ts(1), 1.0), Event(1L, ts(2), 1.0), Event(1L, ts(3), 1.0))
+    q.processAllAvailable()
+    ms.addData(Event(1L, ts(30), 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.sql(
+      "SELECT user_id, n_events, total_value FROM sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sessions.toSeq === Seq((1L, 3L, 3.0)))
+  }
+
+  test("sessionizeBatch matches hand-computed sessions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts(1), 1.0), (1L, ts(5), 2.0),   // session 1 (gap 4 min)
+      (1L, ts(40), 3.0),                    // session 2
+      (2L, ts(2), 4.0))                     // session 1 of user 2
+      .toDF("user_id", "ts", "value")
+    val out = Streaming.sessionizeBatch(df, "user_id", "ts", "value",
+      gapMillis = 10 * 60 * 1000L)
+      .select("user_id", "session_no", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 4.0)))
+  }
+}
