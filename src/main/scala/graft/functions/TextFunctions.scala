@@ -42,15 +42,13 @@ object TextFunctions {
   }
 
   /** Word n-gram shingles, distinct, space-joined — the unit for
-    * Jaccard/MinHash dedup. Empty array when the doc is shorter than n. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * Jaccard/MinHash dedup. Empty array when the doc is shorter than n.
+    * Native single-pass kernel (graft.plans.WordShinglesExpr): the HOF
+    * formulation (`transform(sequence, i => concat_ws(slice(split(text),
+    * ...)))`) re-evaluates the full split per element — O(len²) per doc
+    * of interpreted eval, which dominated the dedup benchmarks. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.plans.SketchExpressions.wordShingles(text, n)
 
   /** Character n-gram shingles (language-agnostic; for CJK etc.). */
   def charShingles(text: Column, n: Int): Column =

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions => V}
+import graft.plans.{DotProduct, SketchExpressions => SK}
 
 /** Approximate-nearest-neighbor search over embedding columns.
   *
@@ -29,11 +30,15 @@ object Similarity {
       k: Int): DataFrame = {
     val q = queries.select(col(qIdCol).as("query_id"),
       V.toDouble(col(qVecCol)).as("qv"))
-    val c = corpus.select(col(cIdCol).as("neighbor_id"),
-      V.toDouble(col(cVecCol)).as("cv"))
+      .withColumn("qn", sqrt(DotProduct(col("qv"), col("qv"))))
+    val c = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(cIdCol).as("neighbor_id"), V.toDouble(col(cVecCol)).as("cv"))
+      .withColumn("cn", sqrt(DotProduct(col("cv"), col("cv"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", V.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        DotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -51,12 +56,13 @@ object Similarity {
   def lshTopK(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, cIdCol: String, cVecCol: String,
-      k: Int, dim: Int, nBits: Int = 8, probes: Int = 2,
+      k: Int, nBits: Int = 8, probes: Int = 2,
       seed: Long = 42L): DataFrame = {
     val bucketOf = (v: org.apache.spark.sql.Column) =>
-      V.bitsToBucket(V.hyperplaneBits(v, dim, nBits, seed))
-    val c = corpus.select(col(cIdCol).as("neighbor_id"),
-      V.toDouble(col(cVecCol)).as("cv"))
+      SK.hyperplaneBucket(v, nBits, seed)
+    val c = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(cIdCol).as("neighbor_id"), V.toDouble(col(cVecCol)).as("cv"))
       .withColumn("bucket", bucketOf(col("cv")))
     val q0 = queries.select(col(qIdCol).as("query_id"),
       V.toDouble(col(qVecCol)).as("qv"))
@@ -69,7 +75,10 @@ object Similarity {
       explode(probeBuckets).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", V.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        DotProduct(col("qv"), col("cv")) /
+          (sqrt(DotProduct(col("qv"), col("qv"))) *
+           sqrt(DotProduct(col("cv"), col("cv")))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -89,58 +98,41 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, cIdCol: String, cVecCol: String,
       k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    val c = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(cIdCol).as("neighbor_id"), V.toDouble(col(cVecCol)).as("cv"))
 
-    val c = corpus.select(col(cIdCol).as("neighbor_id"),
-      V.toDouble(col(cVecCol)).as("cv"))
+    // seed centroids: deterministic sample (lowest ids); the "model" is
+    // nCells × dim doubles — driver-side by design, like any trained model
+    val seeds: Array[Array[Double]] = c.orderBy("neighbor_id")
+      .limit(nCells).collect().map(_.getSeq[Double](1).toArray)
+    val dim = seeds.head.length
 
-    // seed centroids: deterministic sample (lowest ids)
-    val seeds: Array[(Int, Seq[Double])] = c.orderBy("neighbor_id")
-      .limit(nCells).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1)) }
-
-    def nearestCell(centroids: Array[(Int, Seq[Double])]) = {
-      val scored = array(centroids.map { case (cid, vec) =>
-        val cvec = array(vec.map(lit): _*)
-        struct(
-          (V.dot(col("cv"), cvec) / (V.l2Norm(col("cv")) * V.l2Norm(cvec)))
-            .as("sim"),
-          lit(-cid).as("negcid"))
-      }: _*)
-      (-array_max(scored).getField("negcid")).as("cell")
-    }
-
-    // one Lloyd pass: mean of members per cell
-    val assigned0 = c.withColumn("cell", nearestCell(seeds))
-    val dim = seeds.head._2.length
-    val refined: Array[(Int, Seq[Double])] = assigned0
+    // one Lloyd refinement pass: mean of members per cell (cell id =
+    // position in the centroid array)
+    val assigned0 = c.withColumn("cell",
+      element_at(SK.nearestCells(col("cv"), seeds, 1), 1))
+    val refined: Array[Array[Double]] = assigned0
       .groupBy("cell")
       .agg(array((0 until dim).map(i => avg(col("cv").getItem(i))): _*).as("centroid"))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
 
-    val assigned = c.withColumn("cell", nearestCell(refined))
+    val assigned = c.withColumn("cell",
+      element_at(SK.nearestCells(col("cv"), refined, 1), 1))
 
-    // queries probe nProbe nearest cells
-    val qScored = queries.select(col(qIdCol).as("query_id"),
+    // queries probe the nProbe nearest cells
+    val q = queries.select(col(qIdCol).as("query_id"),
       V.toDouble(col(qVecCol)).as("qv"))
-      .withColumn("cells", array(refined.map { case (cid, vec) =>
-        val cvec = array(vec.map(lit): _*)
-        struct((V.dot(col("qv"), cvec) / (V.l2Norm(col("qv")) * V.l2Norm(cvec))).as("sim"),
-          lit(cid).as("cid"))
-      }: _*))
-      .withColumn("probed", slice(array_sort(col("cells"),
-        (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
-          .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
-        1, nProbe))
-      .select(col("query_id"), col("qv"),
-        explode(col("probed").getField("cid")).as("cell"))
+      .withColumn("qn", sqrt(DotProduct(col("qv"), col("qv"))))
+      .withColumn("cell", explode(SK.nearestCells(col("qv"), refined, nProbe)))
 
-    val scored = assigned.join(broadcast(qScored), Seq("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", V.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        DotProduct(col("qv"), col("cv")) /
+          (col("qn") * sqrt(DotProduct(col("cv"), col("cv")))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored

@@ -1,0 +1,267 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compact native kernels for the sketch operators.
+  *
+  * Why not higher-order-function Column trees: a k=32 MinHash written as
+  * 32 × `array_min(transform(...))` (or an LSH bucket as nBits ×
+  * literal-array dot products) generates thousands of lines of Java per
+  * projection — Janino + C2 compilation then dominates wall-clock and
+  * poisons the whole session's JIT code cache (measured: 30-150 s
+  * per-query stalls at sf0.1). These expressions are deliberately
+  * `CodegenFallback`: one small interpreted node whose eval is a tight
+  * Scala loop — per-row cost is the loop itself, compilation cost is
+  * zero. The surrounding plan still whole-stage-codegens.
+  */
+
+/** MinHash signature: for element hash h, the i-th permutation is
+  * g_i = h1 + i·h2 (standard double-hashing construction); output is
+  * the k per-permutation minima as array<long>.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
+      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1L) | 1L
+      var i = 0
+      var g = h1
+      while (i < k) {
+        if (g < mins(i)) mins(i) = g
+        g += h2
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** LSH band keys over a MinHash signature: the signature is cut into
+  * `bands` equal slices; each slice is folded into one 64-bit key
+  * (xxhash-chained), returned as array<long> indexed by band. Pairs
+  * sharing any (band, key) are near-dup candidates.
+  */
+case class MinHashBandKeys(child: Expression, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_keys expects array<long>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val n = sig.numElements()
+    val r = n / bands
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashLong(b.toLong, 42L)
+      var i = b * r
+      val end = i + r
+      while (i < end) {
+        h = XXH64.hashLong(sig.getLong(i), h)
+        i += 1
+      }
+      keys(b) = h
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBandKeys =
+    copy(child = c)
+  override def prettyName: String = "minhash_band_keys"
+}
+
+/** Random-hyperplane LSH bucket: sign bits of `nBits` dot products with
+  * deterministic pseudo-random planes (splitmix64 per (seed, plane,
+  * dim) — planes are generated in-loop, no literal arrays, no codegen
+  * blowup), packed into a long.
+  */
+case class HyperplaneBucket(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bucket expects array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  private def planeComponent(p: Int, d: Int): Double = {
+    val x = graft.functions.VectorFunctions.Planes
+      .splitmix64(seed + p.toLong * 1000003L + d)
+    (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nBits) {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        acc += v.getDouble(d) * planeComponent(p, d)
+        d += 1
+      }
+      bucket = bucket * 2 + (if (acc >= 0.0) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_bucket"
+}
+
+/** Nearest-centroid probe list for IVF: cosine against each centroid
+  * (the model rides inside the expression — nCells × dim doubles, tiny),
+  * returning the `nProbe` cell ids ordered by similarity desc.
+  */
+case class NearestCells(
+    child: Expression,
+    centroids: Array[Array[Double]],
+    nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells expects array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val centroidNorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val sims = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var acc = 0.0
+      var vn = 0.0
+      var d = 0
+      val n = math.min(dim, cent.length)
+      while (d < n) {
+        val x = v.getDouble(d)
+        acc += x * cent(d)
+        vn += x * x
+        d += 1
+      }
+      sims(c) = if (vn == 0.0 || centroidNorms(c) == 0.0) -2.0
+        else acc / (math.sqrt(vn) * centroidNorms(c))
+      c += 1
+    }
+    val order = sims.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+      .take(math.min(nProbe, sims.length)).map(_._2)
+    new GenericArrayData(order)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+  override def prettyName: String = "nearest_cells"
+}
+
+object SketchExpressions {
+  def minhashSig(shingles: Column, k: Int): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(shingles), k))
+
+  def minhashBandKeys(sig: Column, bands: Int): Column =
+    GraftSqlBridge.column(MinHashBandKeys(GraftSqlBridge.expression(sig), bands))
+
+  def hyperplaneBucket(vec: Column, nBits: Int, seed: Long): Column =
+    GraftSqlBridge.column(HyperplaneBucket(GraftSqlBridge.expression(vec), nBits, seed))
+
+  def nearestCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    GraftSqlBridge.column(NearestCells(GraftSqlBridge.expression(vec), centroids, nProbe))
+
+  def wordShingles(text: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShinglesExpr(GraftSqlBridge.expression(text), n))
+}
+
+/** Distinct word n-gram shingles in first-occurrence order. The HOF
+  * formulation (`transform(sequence(...), i => concat_ws(slice(split(
+  * text), ...)))`) re-evaluates the full `split` for every element —
+  * O(len²) interpreted eval per document, the dominant cost of the
+  * dedup pipeline at sf0.1. Here: one split, one pass, one set.
+  */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    // match Spark's split(text, " ") semantics (regex split, limit -1)
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var idx = 0
+      while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
+    copy(child = c)
+  override def prettyName: String = "word_shingles"
+}

@@ -142,7 +142,7 @@ object LlmOps {
         Similarity.lshTopK(
           emb.filter(col("vec_id") < 20), "vec_id", "embedding",
           emb, "vec_id", "embedding",
-          k = 5, dim = 64, nBits = 6, probes = 2)
+          k = 5, nBits = 6, probes = 2)
           .orderBy("query_id", "rank")
       }),
 

@@ -45,7 +45,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("LSH top-k: well-formed results + nonzero recall vs brute force") {
     val rows = Similarity.lshTopK(queries, "vec_id", "embedding",
-      emb, "vec_id", "embedding", k = 5, dim = 64, nBits = 4, probes = 3)
+      emb, "vec_id", "embedding", k = 5, nBits = 4, probes = 3)
       .collect()
     val lsh = rows.groupBy(_.getAs[Long]("query_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
