@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the most recent right row (by time)
+  * with the same key and right.ts ≤ left.ts.
+  *
+  * Implemented by composition (preference (a) of the custom-operator
+  * ladder — the semantics decompose exactly): tag and union both
+  * sides, one window pass per key ordered by time carries the latest
+  * right-side payload forward, then keep left rows. ONE shuffle on the
+  * key — compare a naive range join (key equi-join + per-left max
+  * over matches), which shuffles both sides AND re-scans matches
+  * quadratically within skewed keys.
+  *
+  * Times are compared at millisecond epoch granularity so the same
+  * row wins regardless of the source's ns/µs precision.
+  */
+object AsOfJoin {
+
+  /** @param left        rows to enrich
+    * @param right       rows providing the as-of payload
+    * @param keyCol      equi-key present in both sides
+    * @param leftTsCol   event-time column of `left`
+    * @param rightTsCol  event-time column of `right`
+    * @param payloadCols right-side columns to carry (emitted as
+    *                    `asof_<name>`, null when no right row precedes)
+    */
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, leftTsCol: String, rightTsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__t", unix_millis(col(leftTsCol)))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      (col(keyCol) +: col(rightTsCol) +: payloadCols.map(col)): _*)
+      .withColumn("__t", unix_millis(col(rightTsCol)))
+      .withColumn("__side", lit(0))
+
+    // align schemas for the union: left payload slots are null on the
+    // right side and vice versa
+    val lAligned = l.select(
+      col(keyCol).as("__k") +: col("__t") +: col("__side") +:
+        leftCols.filter(_ != keyCol).map(col) ++:
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+    val rAligned = r.select(
+      col(keyCol).as("__k") +: col("__t") +: col("__side") +:
+        leftCols.filter(_ != keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+
+    // right rows sort before left rows at equal ms so ties (right.ts ==
+    // left.ts) are visible to the left row — ASOF `<=` semantics
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(lAligned.union(rAligned)) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(when(col("__side") === 0, col(s"__p_$c")), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1)
+      .select(
+        col("__k").as(keyCol) +:
+          leftCols.filter(_ != keyCol).map(col) ++:
+          payloadCols.map(c => col(s"asof_$c")): _*)
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.AsOfJoin
 import graft.streaming.Streaming
 
 /** Advanced composite operators over the events stream table. */
@@ -48,6 +49,41 @@ object Advanced {
                count(*) AS n_events,
                round(sum(value), 2) AS total_value
         FROM g GROUP BY user_id, session_no
-        ORDER BY user_id, session_no"""))
+        ORDER BY user_id, session_no""")),
+
+    // As-of join: each purchase event enriched with the most recent
+    // prior (or simultaneous, at ms granularity) click of the same
+    // user. Right side deduped to one row per (user, ms) so the as-of
+    // winner is deterministic on both engines.
+    "q36_asof_join" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.eventsWithTs(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), unix_millis(col("ts")).as("cms"))
+          .agg(max(col("event_id")).as("click_id"))
+          .withColumn("cts", timestamp_millis(col("cms")))
+          .select("user_id", "cts", "click_id")
+        AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "cts",
+          payloadCols = Seq("click_id"))
+          .select(
+            col("user_id"), col("event_id"),
+            round(col("value"), 2).as("value"),
+            col("asof_click_id"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT user_id, event_id, value, epoch_ms(ts) AS pms
+          FROM events WHERE event_type = 'purchase'),
+             c AS (
+          SELECT user_id, epoch_ms(ts) AS cms, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.user_id, p.event_id, round(p.value, 2) AS value,
+               c.click_id AS asof_click_id
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.cms <= p.pms
+        ORDER BY p.user_id, p.event_id"""))
   )
 }
