@@ -1,22 +1,25 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 import graft.plans.{DotProduct, SketchExpressions => SK}
 
-/** Deduplication operators for training-data pipelines. All four
-  * families — exact, exact n-gram Jaccard, MinHash+LSH, SimHash — are
-  * pure DataFrame programs: candidate generation is an equi-join on a
-  * derived key (fingerprint / shingle / band / simhash-band), so at
-  * 100 TB each one compiles to hash-partitioned shuffles on keys whose
-  * cardinality grows with the corpus, never a cross join.
+/** Deduplication operators for training-data pipelines. All families —
+  * exact, exact n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine
+  * — are pure DataFrame programs: candidate generation is an equi-join
+  * on a derived key (fingerprint / prefix shingle / band / simhash-band
+  * / grid cell), so at 100 TB each one compiles to hash-partitioned
+  * shuffles on keys whose cardinality grows with the corpus — never a
+  * cross join, never a driver-side materialization.
   *
-  * Intersection sizes come from pair-counting over the exploded
-  * inverted index (one shuffle of (key, id) pairs + one partial-agg'd
-  * count per co-occurring pair) — shingle ARRAYS are exploded once and
-  * never carried through a join, which keeps shuffle rows narrow.
+  * Candidate generation and verification are split everywhere:
+  * candidates come from a pruned/sketched index (cheap, possibly
+  * lossy-by-contract), while Jaccard/cosine VALUES are always computed
+  * from the full data — so pruning knobs can only affect recall, never
+  * corrupt a reported similarity.
   */
 object Dedup {
 
@@ -46,41 +49,76 @@ object Dedup {
       explode(T.wordShingles(col(textCol), n)).as("shingle"))
       .select(col("id"), xxhash64(col("part"), col("shingle")).as("k"))
 
-  /** Distinct co-occurrence counts: (a_id, b_id, inter) for every pair
-    * sharing ≥1 key. The index can be pre-pruned (maxDocFreq skew
-    * guard) — hyper-frequent keys otherwise blow up a bucket
-    * quadratically at scale. */
-  private def intersectionCounts(
-      index: DataFrame, maxDocFreq: Option[Int]): DataFrame = {
-    val pruned = maxDocFreq match {
-      case Some(m) =>
-        val keep = index.groupBy("k").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= m).select("k")
-        index.join(keep, "k")
-      case None => index
+  /** Prefix-filtered candidate index (PPJoin-style, Xiao et al. /
+    * Bayardo et al. — public set-similarity-join literature): order
+    * each doc's shingles by the GLOBAL rarity order (ascending document
+    * frequency, hash as tie-break) and keep only the first
+    * `sz - ceil(threshold*sz) + 1`. Two docs with Jaccard >= threshold
+    * must share >= ceil(threshold*max(sz_a, sz_b)) shingles, so their
+    * rarity-prefixes provably intersect — candidate generation from
+    * prefixes alone is LOSSLESS while shrinking the self-joined index
+    * to its rarest keys (frequent shingles fall out of prefixes, which
+    * is exactly what caps the sum-of-df^2 pair explosion at scale).
+    *
+    * `maxDocFreq` additionally drops hyper-frequent keys from the
+    * prefix index before ranking — a skew guard for adversarial
+    * corpora. Because it only gates CANDIDATES (verification always
+    * uses the full index), it can only lose pairs whose every shared
+    * prefix shingle is hyper-frequent, never report a wrong value.
+    */
+  private def prefixIndex(
+      index: DataFrame, sizes: DataFrame, threshold: Double,
+      maxDocFreq: Option[Int]): DataFrame = {
+    val kdf = index.groupBy("k").agg(count(lit(1)).as("kdf"))
+    val guarded = maxDocFreq match {
+      case Some(m) => kdf.filter(col("kdf") <= m)
+      case None => kdf
     }
-    val a = pruned.select(col("k"), col("id").as("a_id"))
-    val b = pruned.select(col("k"), col("id").as("b_id"))
-    a.join(b, Seq("k"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
+    val w = Window.partitionBy("id").orderBy(col("kdf"), col("k"))
+    index.join(guarded, "k")
+      .join(sizes, "id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("k", "id")
   }
 
-  /** Attach set sizes and compute round(Jaccard, 3) ≥ threshold. */
-  private def jaccardFromCounts(
-      inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
-    inter
+  /** Candidate pairs from any (k, id) candidate index: equi-join on the
+    * derived key, ordered ids, deduped. */
+  private def candidatePairs(candIndex: DataFrame): DataFrame = {
+    val a = candIndex.select(col("k"), col("id").as("a_id"))
+    val b = candIndex.select(col("k"), col("id").as("b_id"))
+    a.join(b, Seq("k"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the FULL
+    * index. Per-pair work is linear in the docs' shingle counts
+    * (cands ⋈ index_a ⋈ index_b on (id, k) — no index self-join), so
+    * verification cost scales with the candidate count the sketch
+    * produced, not with corpus^2. */
+  private def verifyPairs(
+      cands: DataFrame, index: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
+    val ia = index.select(col("id").as("a_id"), col("k"))
+    val ib = index.select(col("id").as("b_id"), col("k"))
+    cands
+      .join(ia, "a_id")
+      .join(ib, Seq("b_id", "k"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
       .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
       .withColumn("jaccard", round(
         col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")), 3))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
 
-  /** Exact n-gram Jaccard near-dup pairs: inverted shingle index →
-    * co-occurrence counts → Jaccard from counts. `partitionCol` (e.g.
-    * language) confines candidates. */
+  /** Exact n-gram Jaccard near-dup pairs: rarity-prefix candidate
+    * generation (lossless, see [[prefixIndex]]) + full-index
+    * verification. `partitionCol` (e.g. language) confines candidates.
+    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
@@ -88,14 +126,17 @@ object Dedup {
       maxDocFreq: Option[Int] = None): DataFrame = {
     val index = shingleIndex(df, idCol, textCol, n, partitionCol)
     val sizes = index.groupBy("id").agg(count(lit(1)).as("sz"))
-    jaccardFromCounts(intersectionCounts(index, maxDocFreq), sizes, threshold)
+    val cands = candidatePairs(prefixIndex(index, sizes, threshold, maxDocFreq))
+    verifyPairs(cands, index, sizes, threshold)
   }
 
   /** MinHash + LSH near-dup pairs: signature → band keys → bucket join
     * for candidates → exact-Jaccard verification computed ONLY over
-    * candidate docs (the index is semi-joined down to them first).
-    * Identical output contract to `ngramJaccardPairs` when recall
-    * holds; candidate work scales with bucket sizes, not corpus².
+    * candidate pairs (per-pair joins against the full index — see
+    * [[verifyPairs]]). Identical output contract to
+    * `ngramJaccardPairs` when recall holds; candidate work scales with
+    * bucket collision counts, not corpus^2, and nothing ever touches
+    * the driver.
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -114,59 +155,26 @@ object Dedup {
       explode(SK.minhashBandKeys(col("sig"), bands)).as("bkey"),
       col("part"))
       .select(col("id"), xxhash64(col("part"), col("bkey")).as("k"))
-    val aB = bandIndex.select(col("k"), col("id").as("a_id"))
-    val bB = bandIndex.select(col("k"), col("id").as("b_id"))
-    // Candidate pairs are sketch-bounded (bucket collisions only) but
-    // feed three downstream branches. Materialize them ONCE and restart
-    // the lineage from the result: without this the signature subtree
-    // re-runs per branch AND the nested self-join plan trees blow up
-    // node count until AQE's per-stage plan processing dominates
-    // wall-clock (measured minutes of driver CPU in generateTreeString).
-    // The collect is bounded by LSH design (tune bands/rows if a corpus
-    // produces too many candidates); at petabyte scale swap for
-    // checkpoint() to durable storage — same lineage cut.
-    val rawCands = aB.join(bB, Seq("k"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val spark = df.sparkSession
-    val collected = rawCands.collect().toSeq
-    val cands = spark.createDataFrame(
-      spark.sparkContext.parallelize(collected,
-        math.max(1, collected.length / 50000)),
-      rawCands.schema)
-
-    // verify: exact Jaccard over candidate docs only
+    val cands = candidatePairs(bandIndex)
     val index = shingleIndex(df, idCol, textCol, n, partitionCol)
     val sizes = index.groupBy("id").agg(count(lit(1)).as("sz"))
-    val candDocs = cands.select(col("a_id").as("id"))
-      .union(cands.select(col("b_id").as("id"))).distinct()
-    val candIndex = index.join(candDocs, "id")
-    val inter = intersectionCounts(candIndex, maxDocFreq = None)
-      .join(cands, Seq("a_id", "b_id")) // only LSH-candidate pairs
-    jaccardFromCounts(inter, sizes, threshold)
+    verifyPairs(cands, index, sizes, threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit band bucketing
     * (full recall for hamming ≤ 3 by pigeonhole), verify with exact
-    * hamming distance. Signature computed in a tight typed kernel;
-    * bucketing/verification stay codegen'd Column ops.
+    * hamming distance. The signature is a native kernel; ids keep their
+    * source type (any orderable type works for the a < b dedup).
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val sigs = spread(df)
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, H.simhash64(text.split(' '))) }
-      .toDF("id", "simhash")
+      .select(col(idCol).as("id"), SK.simhash64(col(textCol)).as("simhash"))
     val banded = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), H.simhashBand(col("simhash"), b).as("key"))): _*))
-        .as("bk"))
-      .select(col("id"), col("simhash"),
-        xxhash64(col("bk.band"), col("bk.key")).as("k"))
+        xxhash64(lit(b), H.simhashBand(col("simhash"), b))): _*))
+        .as("k"))
     val a = banded.select(col("k"), col("id").as("a_id"), col("simhash").as("a_sim"))
     val b = banded.select(col("k"), col("id").as("b_id"), col("simhash").as("b_sim"))
     a.join(b, Seq("k"))
@@ -178,21 +186,47 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
-  /** Embedding near-dup pairs by cosine ≥ threshold. Brute force within
-    * id-ordered pairs — the exactness baseline; the self-dot is
-    * precomputed per row (bit-identical to recomputing per pair) and
-    * the pair kernel is the native fused DotProduct, so the join is
-    * FLOP-bound, not allocation-bound. Use `Similarity.lshTopK`'s
-    * bucketing for the 100 TB path. */
+  /** Embedding near-dup pairs by cosine >= threshold — EXACT, via a
+    * triangle-grid all-pairs join (the standard balanced block scheme
+    * for distributed similarity joins): rows land in group
+    * g = hash(id) mod G; every row is replicated to the G cells
+    * {(g, j) | j >= g} ∪ {(i, g) | i <= g} of the upper-triangular
+    * G×G grid, and a pair meets in EXACTLY one cell
+    * (least(g_a,g_b), greatest(g_a,g_b)). The join is a plain shuffled
+    * equi-join on the cell id: no BroadcastNestedLoopJoin, no
+    * cartesian, no driver involvement; work is spread evenly over
+    * G(G+1)/2 cells and replication is bounded at G per row.
+    *
+    * Exact low-threshold similarity join is inherently Θ(n²) pair
+    * evaluations (dense vectors admit no lossless pruning at e.g.
+    * cosine 0.45, and sketch recall there is worse than brute force) —
+    * what scales is DISTRIBUTING those pairs, which this shape does;
+    * raise `groups` with the corpus so each cell stays memory-sized.
+    * For high thresholds where approximate recall is acceptable, use
+    * `Similarity.lshTopK`'s bucketing instead. The per-pair kernel is
+    * the fused native [[DotProduct]] with per-row precomputed self-dots
+    * (bit-identical to recomputing per pair).
+    */
   def embeddingCosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, groups: Int = 8): DataFrame = {
+    val G = groups
     val base = spread(df)
       .select(col(idCol).as("id"), V.toDouble(col(vecCol)).as("v"))
       .withColumn("ss", DotProduct(col("v"), col("v")))
-    val a = base.select(col("id").as("a_id"), col("v").as("a_v"), col("ss").as("a_ss"))
-    val b = base.select(col("id").as("b_id"), col("v").as("b_v"), col("ss").as("b_ss"))
-    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("g", pmod(xxhash64(col("id")), lit(G.toLong)).cast("int"))
+    val cells = array_distinct(concat(
+      transform(sequence(col("g"), lit(G - 1)), j => col("g") * G + j),
+      transform(sequence(lit(0), col("g")), i => i * G + col("g"))))
+    val e = base.withColumn("cell", explode(cells))
+    val a = e.select(col("cell"), col("g").as("a_g"), col("id").as("a_id"),
+      col("v").as("a_v"), col("ss").as("a_ss"))
+    val b = e.select(col("cell"), col("g").as("b_g"), col("id").as("b_id"),
+      col("v").as("b_v"), col("ss").as("b_ss"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id") &&
+        col("cell") === least(col("a_g"), col("b_g")) * G +
+          greatest(col("a_g"), col("b_g")))
       .withColumn("cosine", round(
         DotProduct(col("a_v"), col("b_v")) / (sqrt(col("a_ss")) * sqrt(col("b_ss"))), 4))
       .filter(col("cosine") >= threshold)

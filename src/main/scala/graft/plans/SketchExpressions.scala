@@ -200,9 +200,38 @@ case class NearestCells(
   override def prettyName: String = "nearest_cells"
 }
 
+/** 64-bit SimHash of a document: whitespace-tokenize, per-token 64-bit
+  * hash, per-bit majority vote. Delegates to the same Scala kernel the
+  * specs use as ground truth (`HashFunctions.simhash64` over
+  * `text.split(' ')`), so the plan-side and driver-side signatures are
+  * bit-identical by construction.
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.HashFunctions.simhash64(
+      input.asInstanceOf[UTF8String].toString.split(' '))
+
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr =
+    copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
 object SketchExpressions {
   def minhashSig(shingles: Column, k: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(shingles), k))
+
+  def simhash64(text: Column): Column =
+    GraftSqlBridge.column(SimHash64Expr(GraftSqlBridge.expression(text)))
 
   def minhashBandKeys(sig: Column, bands: Int): Column =
     GraftSqlBridge.column(MinHashBandKeys(GraftSqlBridge.expression(sig), bands))

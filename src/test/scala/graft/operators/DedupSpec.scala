@@ -73,6 +73,23 @@ class DedupSpec extends SparkSpec {
     assert((out(0).getLong(0), out(0).getLong(1)) === (1L, 2L))
   }
 
+  test("embedding cosine pairs: pure equi-join plan (no nested-loop/cartesian)") {
+    val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val plan = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("minhash LSH plan has no driver-side materialization (no LogicalRDD scan)") {
+    // round 1 cut lineage via collect()+parallelize, which surfaced as a
+    // "Scan ExistingRDD" leaf; the collect-free rewrite must not.
+    val plan = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.8, partitionCol = Some("lang"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), plan.take(2000))
+  }
+
   test("maxDocFreq prunes hyper-frequent shingles from candidates") {
     import spark.implicits._
     // "common common common" shingle appears in every doc → with a cap
