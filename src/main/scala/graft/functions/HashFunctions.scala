@@ -3,38 +3,12 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Hash-sketch primitives for near-duplicate detection: MinHash
-  * signatures + LSH banding (pure Column expressions, codegen'd) and
-  * 64-bit SimHash (tight Scala kernel used via typed map — per-doc
-  * O(tokens), no shuffle).
+/** SimHash primitives for near-duplicate detection: banding/verify as
+  * codegen'd Column expressions, signature as a tight Scala kernel
+  * (shared by the plan-side `SimHash64Expr` and driver-side tests).
+  * MinHash/LSH kernels live in `graft.plans.SketchExpressions`.
   */
 object HashFunctions {
-
-  /** k-permutation MinHash signature over a shingle array: element i is
-    * min over shingles of xxhash64(i, shingle). Stays inside whole-stage
-    * codegen (xxhash64/transform/array_min are built-ins).
-    */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
-
-  /** LSH band keys: hash of each r-row slice of the signature. Docs
-    * sharing ANY band key are near-dup candidates. Returns
-    * array<struct<band:int, key:bigint>> ready to explode + group. */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(lit(b), concat_ws(",",
-          transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
-            _.cast("string")))).as("key"))
-    }: _*)
-
-  /** Estimated Jaccard from two signatures: fraction of agreeing mins. */
-  def signatureSimilarity(a: Column, b: Column): Column =
-    size(filter(zip_with(a, b, (x, y) => (x === y).cast("int")),
-      v => v === 1)).cast("double") / size(a)
 
   /** Hamming distance between two 64-bit simhashes (codegen'd). */
   def hammingDistance(a: Column, b: Column): Column =

@@ -60,6 +60,31 @@ trait ReducerFactory extends Serializable {
   def create(key: String): Reducer
 }
 
+/** T7 — the Combiner contract: associative map-side combine so the
+  * shuffle carries one accumulator per (task, key) instead of one row
+  * per input (reference /root/reference/transformations.go:209-213:
+  * MapValueToAccumulator / MergeValue / MergeAccumulator). Compiled to
+  * a typed Spark `Aggregator`, so Spark runs it as partial (map-side) +
+  * final hash aggregation with spilling — at 100 TB this is the
+  * difference between shuffling bytes-per-row and bytes-per-key.
+  *
+  * `B` can be any class serializable by Spark's closure/kryo machinery
+  * (a case class is ideal). Unlike [[Reducer]], accumulators must merge
+  * associatively; emission order is not defined.
+  */
+trait Combiner[B] extends Serializable {
+  /** Lift the first row of a (task, key) group into an accumulator
+    * (reference MapValueToAccumulator). */
+  def createAccumulator(ctx: Context, row: KV): B
+  /** Fold one more row into the accumulator (reference MergeValue). */
+  def mergeValue(ctx: Context, acc: B, row: KV): B
+  /** Merge two partial accumulators of the same key, e.g. across tasks
+    * (reference MergeAccumulator). */
+  def mergeAccumulators(a: B, b: B): B
+  /** Emit the final row for the key (runs after the final merge). */
+  def complete(ctx: Context, key: String, acc: B): KV
+}
+
 /** T4 — stage-local (partition-local!) full sort with a user comparator.
   * NOT a global sort: matches /root/reference/transformations.go:156-207;
   * Spark adds spill on top (ExternalSorter) — strict superset. */

@@ -18,32 +18,79 @@ import KV.encoder
   * scheduler applies automatically — SURVEY §2.3 #3), and partitioning
   * directives compile to explicit `repartition` exchanges.
   *
-  * Scale: no driver-side materialization anywhere; state for
-  * reduce/sort is per-partition and spills via Spark (the reference
-  * keeps both unbounded in memory — SURVEY §4.2).
+  * Scale: no driver-side materialization anywhere. `reduce`/`sort`
+  * keep per-partition state on the JVM heap — the same memory profile
+  * as the reference (SURVEY §4.2), because their contracts (streaming
+  * per-key fold with first-seen emission order; arbitrary comparator)
+  * preclude Spark's spilling operators. For spill-friendly, map-side-
+  * combined aggregation use [[combine]], which compiles to Spark's
+  * partial+final hash aggregation.
   */
 final class Pipeline private (
     val spark: SparkSession,
     ds: Dataset[KV],
     broadcasts: Map[String, Any],
-    metricsAcc: MetricsAccumulator) {
+    bcHolder: Pipeline.BcHolder,
+    metricsAcc: MetricsAccumulator,
+    workers: Option[Int],
+    slotsPerWorker: Option[Int]) {
 
   import Pipeline.TaskCtx
 
   private def next(d: Dataset[KV]): Pipeline =
-    new Pipeline(spark, d, broadcasts, metricsAcc)
+    new Pipeline(spark, d, broadcasts, bcHolder, metricsAcc,
+      workers, slotsPerWorker)
 
-  private def bc: Broadcast[Map[String, Any]] =
-    Pipeline.broadcastCache.synchronized {
-      Pipeline.broadcastCache.getOrElseUpdate(
-        (spark, broadcasts),
-        spark.sparkContext.broadcast(broadcasts))
-    }
+  // One Spark Broadcast per pipeline chain, created on first use and
+  // invalidated when `broadcast()` extends the map. Scoped to the chain
+  // (not a process-global cache) so Spark's ContextCleaner can reclaim
+  // it once the pipeline is unreferenced.
+  private def bc: Broadcast[Map[String, Any]] = bcHolder.synchronized {
+    if (bcHolder.handle == null)
+      bcHolder.handle = spark.sparkContext.broadcast(broadcasts)
+    bcHolder.handle
+  }
 
   /** C1 — register a broadcast value readable via `ctx.broadcast(key)`
     * (reference pipeline.go:51-56). */
   def broadcast(key: String, value: Any): Pipeline =
-    new Pipeline(spark, ds, broadcasts + (key -> value), metricsAcc)
+    new Pipeline(spark, ds, broadcasts + (key -> value),
+      new Pipeline.BcHolder, metricsAcc, workers, slotsPerWorker)
+
+  // ------------------------------------------------------------------ C3
+  // The reference sizes a stage's task slots as nodes × executors-per-
+  // node (pipeline.go:116-124, MaxNodes / ExecutorsPerNode). Spark has
+  // no per-stage node placement from its SQL API (documented divergence
+  // — SURVEY §2.1 C3/C4), so both compile to ONE number: the partition
+  // count used by subsequent partitioning operators (groupByKey /
+  // shuffle / groupByKnownKeys). Narrow stages (map/filter/…) inherit
+  // their parent's partitioning, exactly like the reference's
+  // PreservePartitioner stages; an explicit count passed to an operator
+  // still wins over these defaults.
+
+  /** C3 — WithWorkerCount (reference pipeline.go:116-119): subsequent
+    * partitioning steps target `n × concurrencyPerWorker` partitions
+    * (concurrency defaults to 1 task slot per worker). */
+  def withWorkerCount(n: Int): Pipeline = {
+    require(n > 0, "worker count must be positive")
+    new Pipeline(spark, ds, broadcasts, bcHolder, metricsAcc,
+      Some(n), slotsPerWorker)
+  }
+
+  /** C3 — WithConcurrencyPerWorker (reference pipeline.go:121-124):
+    * task slots per worker; multiplies [[withWorkerCount]] (worker
+    * count defaults to 1 if unset). */
+  def withConcurrencyPerWorker(n: Int): Pipeline = {
+    require(n > 0, "concurrency must be positive")
+    new Pipeline(spark, ds, broadcasts, bcHolder, metricsAcc,
+      workers, Some(n))
+  }
+
+  /** Partition count implied by C3 directives; None = Spark decides
+    * (spark.sql.shuffle.partitions / AQE). */
+  private def stageSlots: Option[Int] =
+    if (workers.isEmpty && slotsPerWorker.isEmpty) None
+    else Some(workers.getOrElse(1) * slotsPerWorker.getOrElse(1))
 
   // ---------------------------------------------------------------- T1–T7
 
@@ -91,6 +138,43 @@ final class Pipeline private (
     })
   }
 
+  /** T7 — map-side combine (the reference's Combiner contract,
+    * transformations.go:209-213) compiled to a typed Spark
+    * `Aggregator`: Spark plans it as partial (map-side) + final hash
+    * aggregation, so the shuffle carries one accumulator per
+    * (task, key) instead of one row per input — no prior
+    * `groupByKey()` needed, and aggregation state spills via Spark.
+    * Accumulators are kryo-serialized between the partial and final
+    * stages (the reference marshals its accumulators the same way).
+    */
+  def combine[B](cb: Combiner[B])(implicit ct: scala.reflect.ClassTag[B]): Pipeline = {
+    import org.apache.spark.sql.{Encoders, expressions}
+    val (bh, macc) = (bc, metricsAcc)
+    val agg = new expressions.Aggregator[KV, B, B] {
+      @transient private lazy val ctx = new TaskCtx(bh, macc)
+      def zero: B = null.asInstanceOf[B]
+      def reduce(acc: B, row: KV): B = {
+        ctx.currentKey = row.key
+        if (acc == null) cb.createAccumulator(ctx, row)
+        else cb.mergeValue(ctx, acc, row)
+      }
+      def merge(x: B, y: B): B =
+        if (x == null) y else if (y == null) x
+        else cb.mergeAccumulators(x, y)
+      def finish(acc: B): B = acc
+      def bufferEncoder: org.apache.spark.sql.Encoder[B] = Encoders.kryo[B]
+      def outputEncoder: org.apache.spark.sql.Encoder[B] = Encoders.kryo[B]
+    }
+    val combined = ds.groupByKey(_.key)(Encoders.STRING).agg(agg.toColumn)
+    next(combined.mapPartitions { it =>
+      val ctx = new TaskCtx(bh, macc)
+      it.map { case (key, acc) =>
+        ctx.currentKey = key
+        cb.complete(ctx, key, acc)
+      }
+    })
+  }
+
   /** T4 — partition-local sort with a user comparator (NOT global;
     * use after groupByKey() for per-key total order). */
   def sort(s: Sorter): Pipeline =
@@ -114,8 +198,12 @@ final class Pipeline private (
   // ---------------------------------------------------------------- P1–P5
 
   /** P1 — hash-partition by key so the next stage sees every row of a
-    * key in one task (reference pipeline.go:91-94). */
-  def groupByKey(): Pipeline = next(ds.repartition(col("key")))
+    * key in one task (reference pipeline.go:91-94). Partition count:
+    * explicit `numPartitions` > C3 directives > Spark's default. */
+  def groupByKey(): Pipeline = stageSlots match {
+    case Some(n) => groupByKey(n)
+    case None => next(ds.repartition(col("key")))
+  }
 
   def groupByKey(numPartitions: Int): Pipeline =
     next(ds.repartition(numPartitions, col("key")))
@@ -138,8 +226,14 @@ final class Pipeline private (
   }
 
   /** P3 — round-robin redistribution, key-oblivious
-    * (reference partitions/partitioner.go:110-127). */
-  def shuffle(): Pipeline = next(ds.repartition(ds.rdd.getNumPartitions))
+    * (reference partitions/partitioner.go:110-127). Count: C3
+    * directives if set, else the plan's current partition count (read
+    * off the physical plan — `ds.rdd` would force a fresh
+    * deserializing RDD lineage just to ask). */
+  def shuffle(): Pipeline = {
+    val n = stageSlots.getOrElse(ds.queryExecution.toRdd.getNumPartitions)
+    next(ds.repartition(n))
+  }
 
   /** P4 — set partition count for the next stage. */
   def repartition(n: Int): Pipeline = next(ds.repartition(n))
@@ -179,9 +273,11 @@ object Pipeline {
     * reference's batched channels; carries no semantics. */
   val BatchSize = 256
 
-  // One spark Broadcast per distinct broadcast-map per session.
-  private val broadcastCache =
-    mutable.HashMap.empty[(SparkSession, Map[String, Any]), Broadcast[Map[String, Any]]]
+  /** Lazily-created Broadcast handle shared along one pipeline chain
+    * (fresh holder whenever `broadcast()` changes the map). */
+  private[operators] final class BcHolder {
+    var handle: Broadcast[Map[String, Any]] = null
+  }
 
   /** S1 — source from in-memory rows (reference lrmr.go:12-14). */
   def parallelize(spark: SparkSession, data: Seq[KV]): Pipeline =
@@ -204,11 +300,11 @@ object Pipeline {
   /** S3 — pluggable feeder: any Dataset[KV] (or DataFrame via
     * fromDataFrame) is a source. */
   def fromDataset(ds: Dataset[KV]): Pipeline =
-    new Pipeline(ds.sparkSession, ds, Map.empty, {
+    new Pipeline(ds.sparkSession, ds, Map.empty, new BcHolder, {
       val acc = new MetricsAccumulator
       ds.sparkSession.sparkContext.register(acc, "graft.pipeline.metrics")
       acc
-    })
+    }, None, None)
 
   /** Bridge from the relational surface: key = stringified keyExpr,
     * value = UTF-8 of valueExpr. */

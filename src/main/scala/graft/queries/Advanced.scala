@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 import graft.streaming.Streaming
 
 /** Advanced composite operators over the events stream table. */
@@ -84,6 +84,122 @@ object Advanced {
                c.click_id AS asof_click_id
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND c.cms <= p.pms
-        ORDER BY p.user_id, p.event_id"""))
+        ORDER BY p.user_id, p.event_id""")),
+
+    // Tumbling-window aggregation — the BATCH evaluation of the exact
+    // expression Streaming.windowedAgg runs incrementally (groupBy
+    // window(ts, '1 hour')); Spark windows align to epoch-hour
+    // boundaries, which the oracle reproduces with integral epoch-ms
+    // arithmetic (sub-ms ns→µs truncation can't move an hour bucket).
+    "q38_windowed_agg" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.eventsWithTs(s, dir)
+        Streaming.windowedAgg(ev, "ts", "event_type", "value", "1 hour")
+          .select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"),
+            col("n"),
+            round(col("total"), 2).as("total"))
+          .orderBy("win_start", "event_type")
+      },
+      oracle = Some("""
+        SELECT strftime(make_timestamp(((epoch_ms(ts) // 3600000) * 3600000) * 1000),
+                        '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY win_start, event_type""")),
+
+    // Sink surface (SURVEY §2.2 "Sinks"): aggregate → parquet sink →
+    // re-scan → csv sink (header) → re-scan with explicit schema. The
+    // gate compares the twice-round-tripped result against the oracle,
+    // so both writers and both readers must preserve values and types.
+    "q39_sink_roundtrip" -> Q(
+      fn = (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sink_${math.abs(dir.hashCode)}"
+        val agg = Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+        agg.write.mode("overwrite").parquet(s"$base/parquet")
+        val fromParquet = s.read.parquet(s"$base/parquet")
+        fromParquet.write.mode("overwrite")
+          .option("header", "true").csv(s"$base/csv")
+        s.read.schema(fromParquet.schema).option("header", "true")
+          .csv(s"$base/csv")
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // Range join via interval bucketing (RangeJoin.pointInInterval):
+    // clicks landing in the 10 minutes before each purchase, counted
+    // per purchase. A non-equi BETWEEN that Spark would otherwise plan
+    // as a nested-loop join becomes an equi-join on time bins. All
+    // time arithmetic in whole epoch-ms on both sides.
+    "q40_range_join" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.eventsWithTs(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), unix_millis(col("ts")).as("pms"))
+          .withColumn("lo", col("pms") - 600000L)
+          .withColumn("hi", col("pms") - 1L)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), unix_millis(col("ts")).as("cms"))
+        val matched = RangeJoin.pointInInterval(
+          clicks, purchases, "cms", "lo", "hi", binWidth = 600000L)
+          .groupBy("p_id").agg(count(lit(1)).as("n_clicks"))
+        purchases.select("p_id")
+          .join(matched, Seq("p_id"), "left")
+          .select(col("p_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+          .orderBy("p_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT event_id AS p_id, epoch_ms(ts) AS pms
+          FROM events WHERE event_type = 'purchase'),
+             c AS (
+          SELECT epoch_ms(ts) AS cms
+          FROM events WHERE event_type = 'click')
+        SELECT p.p_id, CAST(count(c.cms) AS BIGINT) AS n_clicks
+        FROM p LEFT JOIN c
+          ON c.cms >= p.pms - 600000 AND c.cms <= p.pms - 1
+        GROUP BY p.p_id
+        ORDER BY p.p_id""")),
+
+    // Salted skew join (SkewJoin.salted): events are heavily skewed on
+    // event_type (5 hot keys), the per-type profile is too small to
+    // shuffle sensibly but the demo forgoes broadcast — salting spreads
+    // each hot key over 8 (key, salt) partitions. Result is identical
+    // to the unsalted join by construction.
+    "q42_skew_join" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val profile = ev.groupBy(col("event_type"))
+          .agg(avg(col("value")).as("type_avg"))
+        SkewJoin.salted(ev, profile, "event_type",
+          salts = 8, saltBy = col("event_id"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(col("value") > col("type_avg"), 1)).as("n_above"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH prof AS (
+          SELECT event_type, avg(value) AS type_avg
+          FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               count(*) AS n,
+               CAST(count(CASE WHEN e.value > p.type_avg THEN 1 END) AS BIGINT)
+                 AS n_above
+        FROM events e JOIN prof p ON e.event_type = p.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type"""))
   )
 }

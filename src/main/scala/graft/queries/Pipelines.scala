@@ -13,6 +13,10 @@ import graft.operators._
   */
 object Pipelines {
 
+  /** Accumulator for the q37 combine — one long per (task, key).
+    * (Public: kryo-encoded accumulators must be public classes.) */
+  final case class CountAcc(n: Long)
+
   val defs: Map[String, Q] = Map(
 
     // T3+P1 — groupByKey + per-key count reduce (the reference's
@@ -105,6 +109,32 @@ object Pipelines {
         SELECT event_type AS key,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM events WHERE event_type IN ('click', 'purchase')
-        GROUP BY event_type ORDER BY key"""))
+        GROUP BY event_type ORDER BY key""")),
+
+    // T7 — Combiner: same result as q19's groupByKey+reduce, but via
+    // map-side combine (partial+final hash agg — the shuffle carries
+    // one accumulator per task×key instead of one row per event).
+    "q37_pipeline_combine" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val events = Tables(s, dir, "events")
+        val counted = Pipeline
+          .fromDataFrame(events, "event_type", "event_id")
+          .combine(new Combiner[CountAcc] {
+            def createAccumulator(ctx: Context, row: KV): CountAcc = CountAcc(1L)
+            def mergeValue(ctx: Context, acc: CountAcc, row: KV): CountAcc =
+              CountAcc(acc.n + 1)
+            def mergeAccumulators(a: CountAcc, b: CountAcc): CountAcc =
+              CountAcc(a.n + b.n)
+            def complete(ctx: Context, key: String, acc: CountAcc): KV =
+              KV.of(key, acc.n)
+          })
+          .dataset
+        counted.map(kv => (kv.key, kv.valueLong)).toDF("key", "cnt")
+          .orderBy("key")
+      },
+      oracle = Some("""
+        SELECT event_type AS key, count(*) AS cnt
+        FROM events GROUP BY event_type ORDER BY key"""))
   )
 }

@@ -340,6 +340,38 @@ object Relational {
         ORDER BY status, prio""")),
 
     // ------------------------------------------------------------------
+    // Explicit GROUPING SETS (beyond rollup/cube): the two 1-D
+    // marginals plus the 2-D cells, Expand + single hash agg.
+    // ------------------------------------------------------------------
+    "q41_grouping_sets" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "orders")
+          .groupingSets(
+            Seq(
+              Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")),
+              Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            col("n"), col("total"))
+          .orderBy(col("status"), col("prio"))
+      },
+      oracle = Some("""
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        ORDER BY status, prio""")),
+
+    // ------------------------------------------------------------------
     // Scalar functions: string ops (all codegen'd built-ins).
     // ------------------------------------------------------------------
     "q15_string_funcs" -> Q(

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink facade (SURVEY §2.2 "Scans/sources" / "Sinks") — the
+  * columnar complement to the parity-mode `Pipeline.fromLocalFile`
+  * (which, like the reference, emits one row per file path and leaves
+  * decoding to the user; /root/reference/lrmr.go:17-19).
+  *
+  * Contracts chosen for the 100 TB case:
+  *   - csv/json REQUIRE a schema: schema inference reads the data an
+  *     extra time and can silently widen types between runs — never
+  *     acceptable on a large lake. Parquet carries its own schema.
+  *   - binary payloads come through Spark's `binaryFile` source as one
+  *     (path, modificationTime, length, content) row per file — the
+  *     input shape of the multimodal operators.
+  *   - writes go through [[writePartitioned]]: hive-style partition
+  *     directories give every downstream reader free partition pruning.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** One row per file: (path, modificationTime, length, content:binary).
+    * `pathGlobFilter` narrows by file name (e.g. "*.png"). */
+  def binaryFiles(spark: SparkSession, path: String,
+      pathGlobFilter: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlobFilter)
+      .load(path)
+
+  /** Partitioned columnar sink: `partitionBy` columns become directory
+    * keys (pruned for free by any later scan's partition filters). */
+  def writePartitioned(df: DataFrame, path: String, format: String,
+      partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format(format)
+    val wp = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    val wh = if (format == "csv") wp.option("header", "true") else wp
+    wh.save(path)
+  }
+}

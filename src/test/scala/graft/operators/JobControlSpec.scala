@@ -1,0 +1,103 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.concurrent.duration._
+
+import graft.SparkSpec
+
+/** Job-control fixtures ported from the reference's integration tests:
+  * abort of a running detached job
+  * (/root/reference/test/abort_detached_job_test.go,
+  * running_job.go:120-143), caller-side cancellation propagation
+  * (/root/reference/test/context_cancel_test.go), and three
+  * simultaneous jobs (/root/reference/test/concurrent_run_test.go:20-56).
+  * Local-mode executors share the JVM, so a static flag can observe
+  * "tasks actually started" before aborting.
+  */
+class JobControlSpec extends SparkSpec {
+
+  import JobControlSpec._
+
+  private def slowPipeline(id: String): RunningJob =
+    Pipeline.parallelize(spark, KV.fromInts(1 to 400: _*))
+      .repartition(4)
+      .map(new Mapper {
+        def map(ctx: Context, rows: Seq[KV]): Seq[KV] = {
+          taskStarted.set(true)
+          Thread.sleep(200) // 400 rows / 4 partitions / 256 batch → many sleeps
+          rows
+        }
+      })
+      .runInBackground(id)
+
+  private def awaitStarted(): Unit = {
+    val deadline = System.nanoTime() + 30.seconds.toNanos
+    while (!taskStarted.get && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(taskStarted.get, "job never started running tasks")
+  }
+
+  test("Abort stops a running job; status becomes aborted") {
+    taskStarted.set(false)
+    val job = slowPipeline("graft-abort-direct")
+    awaitStarted()
+    job.abort()
+    val outcome = job.waitForCompletion(2.minutes)
+    assert(outcome.isFailure)
+    assert(job.status === "aborted")
+  }
+
+  test("Detached abort: fetch by id from the registry and abort") {
+    taskStarted.set(false)
+    val job = slowPipeline("graft-abort-detached")
+    awaitStarted()
+    // a different caller, holding only the job id (the reference goes
+    // through etcd; here the in-process registry)
+    assert(RunningJob.abort("graft-abort-detached"))
+    val outcome = job.waitForCompletion(2.minutes)
+    assert(outcome.isFailure)
+    assert(RunningJob.fetch("graft-abort-detached").get.status === "aborted")
+    assert(!RunningJob.abort("graft-no-such-job"))
+  }
+
+  test("Caller cancellation propagates: timed-out waiter aborts the job") {
+    taskStarted.set(false)
+    val job = slowPipeline("graft-cancel-propagation")
+    awaitStarted()
+    // the reference cancels the caller's context; the analogue is a
+    // bounded wait whose expiry triggers abort
+    val timedOut = job.waitForCompletion(100.millis)
+    assert(timedOut.isFailure)
+    assert(job.status === "running")
+    job.abort()
+    job.waitForCompletion(2.minutes)
+    assert(job.status === "aborted")
+  }
+
+  test("Three concurrent jobs all complete with correct results") {
+    val jobs = (1 to 3).map { i =>
+      i -> Pipeline.parallelize(spark, KV.fromInts(1 to (100 * i): _*))
+        .groupByKey()
+        .reduce(new ReducerFactory {
+          def create(key: String): Reducer = new Reducer {
+            private var sum = 0L
+            def reduce(ctx: Context, row: KV): Unit = sum += row.valueLong
+            def complete(ctx: Context): Option[KV] =
+              Some(KV.of(ctx.partitionKey, sum))
+          }
+        })
+        .runInBackground(s"graft-concurrent-$i")
+    }
+    jobs.foreach { case (i, job) =>
+      val rows = job.waitForResult(2.minutes)
+      val n = 100L * i
+      assert(rows.map(_.valueLong).sum === n * (n + 1) / 2, s"job $i")
+      assert(job.status === "succeeded")
+    }
+  }
+}
+
+object JobControlSpec {
+  /** Set by mapper tasks; local-mode executors share this JVM. */
+  val taskStarted = new AtomicBoolean(false)
+}

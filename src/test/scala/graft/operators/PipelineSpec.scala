@@ -109,6 +109,26 @@ class PipelineSpec extends SparkSpec {
     assert(result.metrics("droppedRows") === 3L)
   }
 
+  // S2 — FromLocalFile: one row per file path, decode downstream
+  // (reference lrmr.go:17-19, input.go:11-22)
+  test("FromLocalFile: one row per file, value = path, decode is user-land") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-s2")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("sub"))
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "1,2,3")
+    java.nio.file.Files.writeString(sub.resolve("b.txt"), "4,5")
+    val rows = Pipeline.fromLocalFile(spark, dir.toString)
+      .flatMap(new FlatMapper {
+        def flatMap(ctx: Context, rows: Seq[KV]): Seq[KV] = rows.flatMap { kv =>
+          val text = new String(
+            java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(kv.valueString)), "UTF-8")
+          text.split(',').map(v => KV.of(kv.key, v.toLong))
+        }
+      })
+      .runAndCollect().collect()
+    assert(rows.map(_.valueLong).sorted === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   // C1 — Broadcast through context (reference test/broadcast.go:15-26);
   // struct-field flavor = plain closure capture, also exercised.
   test("Broadcast: context and closure-captured values") {
@@ -178,6 +198,84 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.valueLong).sum === 40L)
   }
 
+  import PipelineSpec.Acc
+
+  private val countSumCombiner = new Combiner[Acc] {
+    def createAccumulator(ctx: Context, row: KV): Acc = Acc(1L, row.valueLong)
+    def mergeValue(ctx: Context, acc: Acc, row: KV): Acc =
+      Acc(acc.n + 1, acc.sum + row.valueLong)
+    def mergeAccumulators(a: Acc, b: Acc): Acc = Acc(a.n + b.n, a.sum + b.sum)
+    def complete(ctx: Context, key: String, acc: Acc): KV =
+      KV.of(key, s"${acc.n}:${acc.sum}")
+  }
+
+  // T7 — Combiner (reference transformations.go:209-213): one global
+  // row per key with NO explicit groupByKey — combine owns the shuffle.
+  test("Combine: map-side combine matches groupByKey+reduce semantics") {
+    val input = (1 to 1000).map(i => KV.of(s"k${i % 3}", i.toLong))
+    val rows = Pipeline.parallelize(spark, input)
+      .repartition(4)
+      .combine(countSumCombiner)
+      .runAndCollect().collect()
+    val byKey = rows.map(kv => kv.key -> kv.valueString).toMap
+    val expect = (1 to 1000).groupBy(i => s"k${i % 3}")
+      .map { case (k, is) => k -> s"${is.size}:${is.map(_.toLong).sum}" }
+    assert(byKey === expect)
+  }
+
+  test("Combine: shuffle carries accumulators, not input rows") {
+    import java.util.concurrent.atomic.AtomicLong
+    val records = new AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def measure(f: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      records.set(0)
+      try {
+        f
+        // listener events are async; wait until the count settles
+        var prev = -1L
+        var tries = 0
+        while (records.get != prev && tries < 50) {
+          prev = records.get; Thread.sleep(100); tries += 1
+        }
+        records.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // parallelize starts at defaultParallelism partitions; measure just
+    // the aggregation shuffle of each variant
+    val input = (1 to 10000).map(i => KV.of(s"k${i % 5}", i.toLong))
+    val naive = measure {
+      Pipeline.parallelize(spark, input)
+        .groupByKey().reduce(countReducer()).runAndCollect().collect()
+    }
+    val combined = measure {
+      Pipeline.parallelize(spark, input)
+        .combine(countSumCombiner).runAndCollect().collect()
+    }
+    // naive shuffles all 10000 rows; combine shuffles ≤ tasks × 5 keys
+    assert(naive >= 10000L, s"naive=$naive")
+    assert(combined < naive / 10, s"combined=$combined naive=$naive")
+  }
+
+  // C3 — WithWorkerCount / WithConcurrencyPerWorker → partition counts
+  // (reference pipeline.go:116-124; divergence documented in scaladoc).
+  test("withWorkerCount × withConcurrencyPerWorker sizes the next shuffle") {
+    val p = Pipeline.parallelize(spark, KV.fromInts(1 to 100: _*))
+      .withWorkerCount(3).withConcurrencyPerWorker(2)
+    assert(p.groupByKey().dataset.rdd.getNumPartitions === 6)
+    assert(p.shuffle().dataset.rdd.getNumPartitions === 6)
+    val w = Pipeline.parallelize(spark, KV.fromInts(1 to 100: _*))
+      .withWorkerCount(5)
+    assert(w.groupByKey().dataset.rdd.getNumPartitions === 5)
+    // explicit count still wins over the directive
+    assert(w.groupByKey(2).dataset.rdd.getNumPartitions === 2)
+  }
+
   // R2/R3 — background run, status registry, failure surfacing
   test("RunInBackground: wait + status + fetch by id") {
     val job = Pipeline.parallelize(spark, KV.fromInts(1 to 100: _*))
@@ -202,4 +300,9 @@ class PipelineSpec extends SparkSpec {
     assert(outcome.isFailure)
     assert(job.status === "failed")
   }
+}
+
+object PipelineSpec {
+  /** Public: kryo-encoded accumulators must be public classes. */
+  final case class Acc(n: Long, sum: Long)
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+
+  test("pointInInterval matches the naive BETWEEN join, incl. negatives") {
+    import spark.implicits._
+    val points = Seq(-25L, -10L, -1L, 0L, 3L, 7L, 10L, 99L, 100L, 101L)
+      .toDF("p").withColumn("p_id", monotonically_increasing_id())
+    val intervals = Seq(
+      (1L, -30L, -20L), (2L, -5L, 5L), (3L, 0L, 10L),
+      (4L, 90L, 100L), (5L, 200L, 300L))
+      .toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi",
+      binWidth = 7L)
+      .select("iv_id", "p").as[(Long, Long)].collect().toSet
+    val want = (for {
+      p <- Seq(-25L, -10L, -1L, 0L, 3L, 7L, 10L, 99L, 100L, 101L)
+      (iv, lo, hi) <- Seq((1L, -30L, -20L), (2L, -5L, 5L), (3L, 0L, 10L),
+        (4L, 90L, 100L), (5L, 200L, 300L))
+      if p >= lo && p <= hi
+    } yield (iv, p)).toSet
+    assert(got === want)
+  }
+
+  test("range join plans as an equi-join, not a nested loop") {
+    import spark.implicits._
+    val points = (1L to 100L).toDF("p")
+    val intervals = (1L to 50L).map(i => (i, i * 10, i * 10 + 9))
+      .toDF("iv_id", "lo", "hi")
+    val plan = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi",
+      binWidth = 10L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("equiKeys confine matches to the same key") {
+    import spark.implicits._
+    val points = Seq(("u1", 5L), ("u2", 5L)).toDF("user", "p")
+    val intervals = Seq(("u1", 0L, 10L)).toDF("user", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi",
+      binWidth = 10L, equiKeys = Seq("user"))
+      .select("user").as[String].collect().toSeq
+    assert(got === Seq("u1"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+
+  private lazy val docs =
+    graft.Tables(spark, sf("sf0.001"), "documents").cache()
+  private lazy val base =
+    Files.createTempDirectory("graft-sources").toString
+
+  test("partitioned parquet sink round-trips and prunes partitions") {
+    Sources.writePartitioned(docs, s"$base/docs_parquet", "parquet",
+      partitionBy = Seq("lang"))
+    val back = Sources.parquet(spark, s"$base/docs_parquet")
+    assert(back.count() === docs.count())
+    val pruned = back.filter(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    assert(pruned.count() ===
+      docs.filter(col("lang") === "en").count())
+  }
+
+  test("csv sink + schema-required csv source round-trip values") {
+    val slim = docs.select("doc_id", "lang", "n_chars")
+    Sources.writePartitioned(slim, s"$base/docs_csv", "csv")
+    val back = Sources.csv(spark, s"$base/docs_csv", slim.schema)
+    assert(back.orderBy("doc_id").collect().toSeq ===
+      slim.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("json sink + schema-required json source round-trip values") {
+    val slim = docs.select("doc_id", "source", "n_chars")
+    Sources.writePartitioned(slim, s"$base/docs_json", "json")
+    val back = Sources.json(spark, s"$base/docs_json", slim.schema)
+    assert(back.orderBy("doc_id").collect().toSeq ===
+      slim.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("binaryFiles lists files with lengths and content") {
+    val slim = docs.select("doc_id", "lang")
+    Sources.writePartitioned(slim, s"$base/docs_bin_src", "csv")
+    val files = Sources.binaryFiles(spark, s"$base/docs_bin_src", "*.csv")
+    val rows = files.select("path", "length", "content").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("length") ===
+        r.getAs[Array[Byte]]("content").length.toLong)
+    }
+  }
+}
