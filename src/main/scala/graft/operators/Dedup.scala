@@ -186,6 +186,51 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Winnowing-fingerprint near-dup pairs (rolling-hash document
+    * fingerprinting — see [[graft.plans.WinnowingFingerprint]]): each
+    * doc is sketched to its winnowed k-gram hash set; pairs sharing
+    * fingerprints are scored by containment overlap
+    * |A∩B| / min(|A|,|B|). Position-independent (catches copied
+    * passages, not just whole-document near-dups) and, by the
+    * winnowing guarantee, never misses a shared run of
+    * >= w + k - 1 characters. Same inverted-index equi-join shape as
+    * the other dedup families; `maxDocFreq` prunes boilerplate
+    * fingerprints shared by more than that many docs (recall-only
+    * knob: scores are computed from the full sketch).
+    */
+  def winnowingPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 8, minOverlap: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val fp = spread(df).select(
+      col(idCol).as("id"),
+      explode(SK.winnowFingerprint(col(textCol), k, w)).as("k"))
+    val sizes = fp.groupBy("id").agg(count(lit(1)).as("sz"))
+    val candIndex = maxDocFreq match {
+      case Some(m) =>
+        val keep = fp.groupBy("k").agg(count(lit(1)).as("kdf"))
+          .filter(col("kdf") <= m).select("k")
+        fp.join(keep, "k")
+      case None => fp
+    }
+    val shared = candIndex.select(col("k"), col("id").as("a_id"))
+      .join(candIndex.select(col("k"), col("id").as("b_id")), Seq("k"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_cand"))
+      .select("a_id", "b_id")
+    val ia = fp.select(col("id").as("a_id"), col("k"))
+    val ib = fp.select(col("id").as("b_id"), col("k"))
+    shared
+      .join(ia, "a_id").join(ib, Seq("b_id", "k"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .withColumn("overlap", round(
+        col("n_shared").cast("double") / least(col("a_sz"), col("b_sz")), 3))
+      .filter(col("overlap") >= minOverlap)
+      .select("a_id", "b_id", "overlap")
+  }
+
   /** Embedding near-dup pairs by cosine >= threshold — EXACT, via a
     * triangle-grid all-pairs join (the standard balanced block scheme
     * for distributed similarity joins): rows land in group

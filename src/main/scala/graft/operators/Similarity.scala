@@ -106,15 +106,23 @@ object Similarity {
     // nCells × dim doubles — driver-side by design, like any trained model
     val seeds: Array[Array[Double]] = c.orderBy("neighbor_id")
       .limit(nCells).collect().map(_.getSeq[Double](1).toArray)
-    val dim = seeds.head.length
 
     // one Lloyd refinement pass: mean of members per cell (cell id =
-    // position in the centroid array)
+    // position in the centroid array). Per-dimension means go through
+    // posexplode + one hash agg on (cell, pos) — the plan stays a
+    // handful of expressions at ANY dim (building `dim` avg() columns
+    // instead blows up analysis/codegen at embedding dims like 1536),
+    // and the agg is partial+final so the exploded rows never shuffle
+    // raw.
     val assigned0 = c.withColumn("cell",
       element_at(SK.nearestCells(col("cv"), seeds, 1), 1))
     val refined: Array[Array[Double]] = assigned0
+      .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
       .groupBy("cell")
-      .agg(array((0 until dim).map(i => avg(col("cv").getItem(i))): _*).as("centroid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
       .collect()
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)

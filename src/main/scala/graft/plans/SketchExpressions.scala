@@ -226,9 +226,88 @@ case class SimHash64Expr(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03
+  * — the MOSS algorithm): hash every k-gram of the character stream
+  * with a rolling hash, slide a window of `w` consecutive k-gram
+  * hashes, and select each window's minimum (rightmost on ties).
+  * Output: the distinct selected hashes as array<long>.
+  *
+  * Guarantee: any substring match of length >= w + k - 1 between two
+  * documents yields at least one shared fingerprint, while the expected
+  * density of selected hashes is 2/(w+1) — a tunable, position-
+  * independent sketch for plagiarism/near-dup detection at corpus
+  * scale (the downstream join is the same inverted-index equi-join as
+  * the other dedup families).
+  */
+case class WinnowingFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0, "k and w must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprint expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    // polynomial rolling hash over chars, finalized through splitmix64
+    // so window minima are uniformly distributed
+    val B = 1000003L
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    val grams = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    grams(0) = graft.functions.VectorFunctions.Planes.splitmix64(h)
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      grams(i) = graft.functions.VectorFunctions.Planes.splitmix64(h)
+      i += 1
+    }
+    val selected = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n <= w) {
+      // shorter than one window: select the global min (rightmost tie)
+      var best = 0
+      var j = 1
+      while (j < n) { if (grams(j) <= grams(best)) best = j; j += 1 }
+      selected.add(grams(best))
+    } else {
+      var start = 0
+      while (start + w <= n) {
+        var best = start
+        var j = start + 1
+        while (j < start + w) { if (grams(j) <= grams(best)) best = j; j += 1 }
+        selected.add(grams(best))
+        start += 1
+      }
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowingFingerprint =
+    copy(child = c)
+  override def prettyName: String = "winnow_fingerprint"
+}
+
 object SketchExpressions {
   def minhashSig(shingles: Column, k: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(shingles), k))
+
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(
+      WinnowingFingerprint(GraftSqlBridge.expression(text), k, w))
 
   def simhash64(text: Column): Column =
     GraftSqlBridge.column(SimHash64Expr(GraftSqlBridge.expression(text)))

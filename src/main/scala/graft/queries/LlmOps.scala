@@ -86,6 +86,15 @@ object LlmOps {
           .orderBy("a_id", "b_id")
       }),
 
+    // Winnowing hash space isn't portable SQL → rows-only; the
+    // winnowing guarantee + overlap semantics are asserted in DedupSpec.
+    "q43_dedup_winnowing" -> Q(
+      fn = (s, dir) => {
+        Dedup.winnowingPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          k = 8, w = 8, minOverlap = 0.5)
+          .orderBy("a_id", "b_id")
+      }),
+
     "q26_dedup_embedding" -> Q(
       fn = (s, dir) => {
         Dedup.embeddingCosinePairs(

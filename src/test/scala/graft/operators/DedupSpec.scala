@@ -90,6 +90,39 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("ExistingRDD"), plan.take(2000))
   }
 
+  test("winnowing: shared run of >= w+k-1 chars yields a shared fingerprint") {
+    import spark.implicits._
+    import graft.plans.{SketchExpressions => SK}
+    val (k, w) = (8, 8)
+    val common = "the quick brown fox jumps over the lazy dog near the river bank"
+    assert(common.length >= w + k - 1)
+    val df = Seq(
+      (1L, s"PREFIX AAAA $common SUFFIX BBBB"),
+      (2L, s"zz different lead-in text $common and a different tail entirely"),
+      (3L, "no overlap with the others whatsoever, totally distinct content"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      SK.winnowFingerprint(col("text"), k, w).as("fp"))
+      .as[(Long, Seq[Long])].collect().map { case (id, f) => id -> f.toSet }
+      .toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "winnowing guarantee violated")
+    // density: far fewer fingerprints than k-grams (expected 2/(w+1))
+    assert(fps(1L).size < (s"PREFIX AAAA $common SUFFIX BBBB".length - k + 1) / 2)
+  }
+
+  test("winnowing pairs: identical docs overlap 1.0, distinct docs absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "completely different content with no phrases in common here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowingPairs(df, "doc_id", "text", k = 8, w = 8,
+      minOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("maxDocFreq prunes hyper-frequent shingles from candidates") {
     import spark.implicits._
     // "common common common" shingle appears in every doc → with a cap

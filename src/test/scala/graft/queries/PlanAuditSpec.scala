@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Physical-plan contracts for the headline queries: the properties
+  * that make them survive a 100x scale-up are asserted here so a
+  * regression (lost pushdown, a join degrading to nested-loop, top-k
+  * materializing a global sort) fails CI instead of a cluster.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame = {
+    val df = Registry.allQueries(name).fn(spark, sf("sf0.001"))
+    df.collect() // materialize so AQE settles on the final plan
+    df
+  }
+  private def plan(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("q02: predicates and projection reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p.take(1500))
+    assert(p.contains("LessThan(l_quantity"), p.take(1500))
+    // column pruning: the scan must not read money columns the query
+    // never touches
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"), "scan reads unused columns")
+  }
+
+  test("q01: aggregation is partial (map-side) + final") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q03/q04: dimension joins broadcast; no cartesian anywhere") {
+    val p3 = plan("q03_join_revenue_by_nation")
+    assert(p3.contains("BroadcastHashJoin"), p3.take(1500))
+    assert(!p3.contains("CartesianProduct") &&
+      !p3.contains("BroadcastNestedLoopJoin"), p3.take(1500))
+    val p4 = plan("q04_broadcast_join_segments")
+    assert(p4.contains("BroadcastHashJoin"), p4.take(1500))
+  }
+
+  test("q08: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q08_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q36: as-of join is window-based — no range/nested-loop join") {
+    val p = plan("q36_asof_join")
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q23/q40: similarity + range joins stay equi-join shaped") {
+    for (name <- Seq("q23_dedup_ngram_jaccard", "q40_range_join")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$name: ${p.take(1500)}")
+    }
+  }
+}
