@@ -33,6 +33,21 @@ object TextFunctions {
     round((length(text) - length(translate(text, ".,!?;:'\"()-", "")))
       .cast("double") / length(text), decimals)
 
+  /** BPE-style subword-ish tokenization: letter runs, digit runs, and
+    * punctuation runs as separate tokens (the pre-tokenization split
+    * every BPE vocabulary applies before merges — so this count tracks
+    * real tokenizer budgets far better than whitespace counting on
+    * punctuation-heavy or code-mixed text). The pattern is plain
+    * character classes, portable across regex engines (oracle uses the
+    * identical string). */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column =
+    size(bpeishTokens(text)).cast("long")
+
   /** Ratio of tokens drawn from a stopword list. */
   def stopwordRatio(text: Column, stopwords: Seq[String], decimals: Int = 4)
       : Column = {

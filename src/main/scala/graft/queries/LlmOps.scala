@@ -218,6 +218,31 @@ object LlmOps {
                count(DISTINCT source) AS n_sources
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // BPE-ish token budgeting per language: regex pre-tokenization
+    // (letter/digit/punct runs) vs whitespace counts — the ratio is the
+    // "tokenizer inflation" quality signal.
+    "q44_bpeish_tokens" -> Q(
+      fn = (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        d.groupBy(col("lang"))
+          .agg(
+            sum(T.bpeishTokenCount(col("text"))).as("bpeish_tokens"),
+            sum(T.tokenCount(col("text"))).as("ws_tokens"),
+            round(sum(T.bpeishTokenCount(col("text"))).cast("double") /
+              sum(T.tokenCount(col("text"))), 4).as("inflation"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        SELECT lang,
+               CAST(sum(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))) AS BIGINT)
+                 AS bpeish_tokens,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+               round(sum(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')))::DOUBLE /
+                 sum(len(string_split(text, ' '))), 4) AS inflation
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // -------------------------------------------------- multimodal
     // Real typed plumbing (binary payload + header-parse feature
     // extraction through Multimodal.extractFeatures); the payload is a

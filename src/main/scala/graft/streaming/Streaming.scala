@@ -40,6 +40,15 @@ object Streaming {
         col(keyCol), col("n"), col("total"))
   }
 
+  /** Stream-static enrichment: join a stream against a static
+    * dimension (broadcast — the dim is re-resolved per micro-batch, so
+    * slowly-changing dims pick up updates on file sources). The
+    * workhorse shape for attaching profiles/metadata to an event
+    * stream without stateful streaming joins. */
+  def enrich(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   // ------------------------------------------------------- sessionize
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

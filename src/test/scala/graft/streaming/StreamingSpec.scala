@@ -31,6 +31,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 3.0)))
   }
 
+  test("windowedAgg: watermark finalizes windows and drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val agg = windowedAgg(ms.toDF(), "ts", "user_id", "value",
+      windowDuration = "5 minutes", watermark = "5 minutes")
+    // append mode: a window row is emitted only once the watermark
+    // passes its end — i.e. results are FINAL, late rows can't mutate them
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    ms.addData(Event(1L, ts(1), 1.0), Event(1L, ts(2), 2.0))
+    q.processAllAvailable()
+    ms.addData(Event(1L, ts(30), 9.0)) // advances watermark to 10:25
+    q.processAllAvailable()
+    ms.addData(Event(1L, ts(3), 100.0)) // 10:03 < watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT n, total FROM wm_out ORDER BY window_start")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the 10:00-10:05 window finalized with the two on-time rows only;
+    // the 10:30 window is still open (watermark < its end), not emitted
+    assert(rows.toSeq === Seq((2L, 3.0)))
+  }
+
+  test("stream-static enrichment join (broadcast dim)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[Event]
+    val q = Streaming.enrich(ms.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    ms.addData(Event(1L, ts(1), 1.0), Event(2L, ts(2), 2.0),
+      Event(3L, ts(3), 3.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, tier FROM enrich_out ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1L, "gold"), (2L, "silver"), (3L, null)))
+  }
+
   test("sessionize: gap closure emits completed sessions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
