@@ -26,12 +26,21 @@ object AsOfJoin {
     * @param leftTsCol   event-time column of `left`
     * @param rightTsCol  event-time column of `right`
     * @param payloadCols right-side columns to carry (emitted as
-    *                    `asof_<name>`, null when no right row precedes)
+    *                    `asof_<name>`, null when no right row matches)
+    * @param direction   "backward" (default): most recent right row
+    *                    with right.ts <= left.ts; "forward": earliest
+    *                    right row with right.ts >= left.ts
+    * @param toleranceMs optional maximum |left.ts - right.ts| in ms —
+    *                    matches further away are nulled out
     */
   def asOf(
       left: DataFrame, right: DataFrame,
       keyCol: String, leftTsCol: String, rightTsCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      direction: String = "backward",
+      toleranceMs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns
     val l = left
       .withColumn("__t", unix_millis(col(leftTsCol)))
@@ -52,16 +61,29 @@ object AsOfJoin {
         leftCols.filter(_ != keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
         payloadCols.map(c => col(c).as(s"__p_$c")): _*)
 
-    // right rows sort before left rows at equal ms so ties (right.ts ==
-    // left.ts) are visible to the left row — ASOF `<=` semantics
+    // traversal order: time asc for backward, desc for forward; right
+    // rows sort before left rows at equal ms so ties (right.ts ==
+    // left.ts) are visible to the left row — ASOF `<=`/`>=` semantics
+    val timeOrder =
+      if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(lAligned.union(rAligned)) { (df, c) =>
+    val carried0 = payloadCols.foldLeft(lAligned.union(rAligned)) { (df, c) =>
       df.withColumn(s"asof_$c",
         last(when(col("__side") === 0, col(s"__p_$c")), ignoreNulls = true).over(w))
     }
-    carried
+    val carried = carried0.withColumn("__asof_t",
+      last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+    val gated = toleranceMs match {
+      case Some(tol) =>
+        payloadCols.foldLeft(carried) { (df, c) =>
+          df.withColumn(s"asof_$c",
+            when(abs(col("__t") - col("__asof_t")) <= tol, col(s"asof_$c")))
+        }
+      case None => carried
+    }
+    gated
       .filter(col("__side") === 1)
       .select(
         col("__k").as(keyCol) +:
