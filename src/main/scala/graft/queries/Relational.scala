@@ -469,6 +469,67 @@ object Relational {
                count(DISTINCT user_id) AS n_users
         FROM events
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // Scalar functions: JSON build + path extraction. Both engines
+    // construct the identical JSON string, then extract typed values by
+    // JSONPath (SURVEY §2.2 "Scalar functions ... json").
+    // ------------------------------------------------------------------
+    "q45_json_funcs" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "nation")
+          .select(col("n_nationkey"),
+            concat(lit("{\"key\":"), col("n_nationkey"),
+              lit(",\"name\":\""), col("n_name"),
+              lit("\",\"region\":"), col("n_regionkey"), lit("}")).as("j"))
+          .select(
+            col("n_nationkey"),
+            col("j"),
+            get_json_object(col("j"), "$.name").as("name_out"),
+            get_json_object(col("j"), "$.region").cast("long").as("region_out"))
+          .orderBy(col("n_nationkey"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT n_nationkey,
+                 '{"key":' || n_nationkey || ',"name":"' || n_name ||
+                 '","region":' || n_regionkey || '}' AS j
+          FROM nation)
+        SELECT n_nationkey, j,
+               json_extract_string(j, '$.name') AS name_out,
+               CAST(json_extract_string(j, '$.region') AS BIGINT) AS region_out
+        FROM b
+        ORDER BY n_nationkey""")),
+
+    // ------------------------------------------------------------------
+    // Scalar functions: array ops over tokenized text (SURVEY §2.2
+    // "Scalar functions ... array").
+    // ------------------------------------------------------------------
+    "q46_array_funcs" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "part")
+          .select(col("p_partkey"), split(col("p_name"), " ").as("toks"))
+          .select(
+            col("p_partkey"),
+            size(col("toks")).cast("long").as("n_toks"),
+            array_join(array_sort(col("toks")), "|").as("sorted_toks"),
+            element_at(col("toks"), 1).as("first_tok"),
+            element_at(col("toks"), -1).as("last_tok"),
+            array_contains(col("toks"), "green").cast("long").as("has_green"),
+            array_join(slice(col("toks"), 1, 2), " ").as("first_two"))
+          .orderBy(col("p_partkey"))
+      },
+      oracle = Some("""
+        WITH b AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+        SELECT p_partkey,
+               CAST(len(toks) AS BIGINT) AS n_toks,
+               array_to_string(list_sort(toks), '|') AS sorted_toks,
+               toks[1] AS first_tok,
+               toks[-1] AS last_tok,
+               CAST(list_contains(toks, 'green') AS BIGINT) AS has_green,
+               array_to_string(toks[1:2], ' ') AS first_two
+        FROM b
+        ORDER BY p_partkey"""))
   )
 }

@@ -40,6 +40,24 @@ object Streaming {
         col(keyCol), col("n"), col("total"))
   }
 
+  /** Gap-based session aggregation via Spark's built-in
+    * `session_window` — the declarative alternative to [[sessionize]]
+    * (which keeps arbitrary per-key state): same session boundaries,
+    * but limited to mergeable aggregates. Works identically on batch
+    * and streaming input; StreamingSpec cross-validates it against
+    * [[sessionizeBatch]]. */
+  def sessionWindowAgg(
+      events: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      gap: String, watermark: String = "10 minutes"): DataFrame = {
+    val base = if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    base
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
+      .select(col(keyCol), col("sw.start").as("session_start"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Stream-static enrichment: join a stream against a static
     * dimension (broadcast — the dim is re-resolved per micro-batch, so
     * slowly-changing dims pick up updates on file sources). The

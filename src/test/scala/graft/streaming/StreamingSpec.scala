@@ -93,6 +93,31 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.toSeq === Seq((1L, 3L, 3.0)))
   }
 
+  test("session_window agrees with the lag-gap sessionizer on real events") {
+    // two independent formulations of gap sessions must produce the
+    // same (user, session_start, n, total) sets over the events table.
+    // NB session_window closes a session gap AFTER the last event (an
+    // event at t extends the window to t+gap, exclusive), while the
+    // lag-gap form starts a new session when delta > gap — identical
+    // boundaries for delta != gap exactly, and the testdata has no
+    // exact-gap deltas (verified by equality here).
+    val ev = graft.Tables.eventsWithTs(spark, sf("sf0.001"))
+    val gapMs = 30 * 60 * 1000L
+    val a = Streaming.sessionWindowAgg(ev, "ts", "user_id", "value",
+      gap = "30 minutes")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+      .toSet
+    val b = Streaming.sessionizeBatch(ev, "user_id", "ts", "value", gapMs)
+      .select("user_id", "session_start", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+      .toSet
+    assert(a === b)
+  }
+
   test("sessionizeBatch matches hand-computed sessions") {
     import spark.implicits._
     val df = Seq(
