@@ -530,6 +530,35 @@ object Relational {
                CAST(list_contains(toks, 'green') AS BIGINT) AS has_green,
                array_to_string(toks[1:2], ' ') AS first_two
         FROM b
-        ORDER BY p_partkey"""))
+        ORDER BY p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // The SQL entry point: every table registered as a temp view
+    // (Tables.registerAll), query authored in ANSI SQL via spark.sql —
+    // proving a reference user can bring raw SQL, not just the
+    // DataFrame API. Same Catalyst plan as the q03-style composition.
+    // ------------------------------------------------------------------
+    "q47_sql_surface" -> Q(
+      fn = (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT r_name,
+                 CAST(count(*) AS BIGINT) AS n_suppliers,
+                 round(sum(s_acctbal), 2) AS total_bal
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name
+          ORDER BY r_name""")
+      },
+      oracle = Some("""
+        SELECT r_name,
+               count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_bal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name"""))
   )
 }

@@ -49,6 +49,41 @@ class AsOfJoinSpec extends SparkSpec {
       ("t3", None)))       // key 2's quote is before, not after
   }
 
+  test("randomized: backward/forward equal a naive per-row argmin/argmax") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val trades = Seq.tabulate(200)(i =>
+      (rnd.between(1L, 6L), ts(rnd.between(0, 60)), s"t$i"))
+    // quotes unique per (key, ts): at equal timestamps the window-carry
+    // winner among right rows is tie-broken arbitrarily (q36 dedupes
+    // for the same reason), so the fixture avoids the tie entirely
+    val quotes = rnd.shuffle(
+      for (k <- 1L to 5L; m <- 0 until 60) yield (k, m)).take(80)
+      .zipWithIndex.map { case ((k, m), i) => (k, ts(m), i.toDouble) }
+    def naive(dir: String): Set[(String, Option[Double])] =
+      trades.map { case (k, t, id) =>
+        val cands = quotes.filter { case (qk, qt, _) =>
+          qk == k && (if (dir == "backward") !qt.after(t) else !qt.before(t))
+        }
+        val best =
+          if (cands.isEmpty) None
+          else if (dir == "backward") Some(cands.maxBy(_._2.getTime)._3)
+          else Some(cands.minBy(_._2.getTime)._3)
+        (id, best)
+      }.toSet
+    for (dir <- Seq("backward", "forward")) {
+      val got = AsOfJoin.asOf(
+        trades.toDF("acct", "t_ts", "trade"),
+        quotes.toDF("acct", "q_ts", "px"),
+        "acct", "t_ts", "q_ts", Seq("px"), direction = dir)
+        .collect()
+        .map(r => (r.getAs[String]("trade"),
+          Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble)))
+        .toSet
+      assert(got === naive(dir), s"direction=$dir")
+    }
+  }
+
   test("asOf tolerance nulls out matches farther than the bound") {
     import spark.implicits._
     val trades = Seq((1L, ts(30), "t1"), (1L, ts(6), "t2"))

@@ -37,6 +37,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("randomized: equals the naive BETWEEN join for arbitrary data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val pts = Seq.fill(300)(rnd.between(-1000L, 1000L)).distinct
+      val ivs = Seq.tabulate(120) { i =>
+        val lo = rnd.between(-1100L, 1100L)
+        (i.toLong, lo, lo + rnd.between(0L, 150L))
+      }
+      val binWidth = Seq(7L, 64L, 1000L)(trial - 1)
+      val got = RangeJoin.pointInInterval(
+        pts.toDF("p"), ivs.toDF("iv_id", "lo", "hi"),
+        "p", "lo", "hi", binWidth)
+        .select("iv_id", "p").as[(Long, Long)].collect().toSet
+      val want = (for {
+        p <- pts; (iv, lo, hi) <- ivs if p >= lo && p <= hi
+      } yield (iv, p)).toSet
+      assert(got === want, s"trial $trial binWidth=$binWidth")
+    }
+  }
+
   test("equiKeys confine matches to the same key") {
     import spark.implicits._
     val points = Seq(("u1", 5L), ("u2", 5L)).toDF("user", "p")
