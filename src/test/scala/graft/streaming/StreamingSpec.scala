@@ -93,6 +93,29 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.toSeq === Seq((1L, 3L, 3.0)))
   }
 
+  test("sessionWindowAgg streaming: watermark closes gap sessions (event time)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streaming.sessionWindowAgg(ms.toDF(), "ts", "user_id", "value",
+      gap = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    // session: 10:01, 10:02 (extends to 10:12 exclusive)
+    ms.addData(Event(1L, ts(1), 1.0), Event(1L, ts(2), 2.0))
+    q.processAllAvailable()
+    // event at 10:40 → watermark 10:35 > 10:12 → session finalized;
+    // event-time semantics, no wall-clock involved
+    ms.addData(Event(1L, ts(40), 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, n_events, total_value FROM sw_out ORDER BY session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // only the closed session is emitted; the 10:40 one is still open
+    assert(rows.toSeq === Seq((1L, 2L, 3.0)))
+  }
+
   test("session_window agrees with the lag-gap sessionizer on real events") {
     // two independent formulations of gap sessions must produce the
     // same (user, session_start, n, total) sets over the events table.
