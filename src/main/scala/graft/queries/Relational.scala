@@ -559,6 +559,83 @@ object Relational {
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
-        ORDER BY r_name"""))
+        ORDER BY r_name""")),
+
+    // ------------------------------------------------------------------
+    // Exact interpolated percentiles per group (sort-based agg). Both
+    // engines use the R-7 linear-interpolation definition.
+    // ------------------------------------------------------------------
+    "q48_percentiles" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"),
+            round(expr("percentile(value, 0.99)"), 4).as("p99"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4)  AS p50,
+               round(quantile_cont(value, 0.9), 4)  AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // Second-moment statistics: stddev / variance / covariance /
+    // correlation (partial+final via merged moment sketches).
+    // ------------------------------------------------------------------
+    "q49_moment_stats" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 4).as("var_qty"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+              .as("cov_qty_price"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+              .as("corr_qty_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_quantity), 4) AS var_qty,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Pivot: one column per category (explicit value list so the plan
+    // is a single pass; the oracle spells the same thing as conditional
+    // aggregation — semantically identical).
+    // ------------------------------------------------------------------
+    "q50_pivot" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "events")
+          .withColumn("user_bucket", (col("user_id") % 4).cast("long"))
+          .groupBy(col("user_bucket"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("user_bucket"))
+      },
+      oracle = Some("""
+        SELECT CAST(user_id % 4 AS BIGINT) AS user_bucket,
+               count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+        FROM events
+        GROUP BY 1
+        ORDER BY user_bucket"""))
   )
 }
