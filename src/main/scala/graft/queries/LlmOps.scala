@@ -243,6 +243,54 @@ object LlmOps {
                  sum(len(string_split(text, ' '))), 4) AS inflation
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // Flagship composite: the full training-data cleaning pipeline in
+    // one plan — quality gate → exact dedup (keep min id per
+    // fingerprint) → near-dup removal (drop the HIGHER id of every
+    // >= 0.5-Jaccard pair among survivors, whether or not its partner
+    // was itself dropped — a deterministic, order-free rule) →
+    // per-language corpus stats. Every stage is one of the library's
+    // gated operators; the oracle replays the identical pipeline in SQL.
+    "q51_clean_corpus" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val quality = docs.filter(T.tokenCount(col("text")) >= 25)
+        val keepIds = Dedup.exact(quality, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val survivors = quality.join(keepIds, Seq("doc_id"), "left_semi")
+        val nearDupDrops = Dedup.ngramJaccardPairs(
+          survivors, "doc_id", "text", n = 3, threshold = 0.5,
+          partitionCol = Some("lang"))
+          .select(col("b_id").as("doc_id")).distinct()
+        val cleaned = survivors.join(nearDupDrops, Seq("doc_id"), "left_anti")
+        cleaned.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(T.tokenCount(col("text"))).as("total_tokens"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 25),
+        k AS (
+          SELECT min(doc_id) AS keep_id FROM q
+          GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))),
+        s AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.keep_id),
+        sh AS (
+          SELECT doc_id, lang,
+                 list_distinct([array_to_string(string_split(text,' ')[i+1:i+3],' ')
+                                for i in range(len(string_split(text,' '))-2)]) AS sh
+          FROM s),
+        drops AS (
+          SELECT DISTINCT b.doc_id
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3)
+                >= 0.5),
+        c AS (SELECT * FROM s WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM c GROUP BY lang ORDER BY lang""")),
+
     // -------------------------------------------------- multimodal
     // Real typed plumbing (binary payload + header-parse feature
     // extraction through Multimodal.extractFeatures); the payload is a
