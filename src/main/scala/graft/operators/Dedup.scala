@@ -186,6 +186,44 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Cross-corpus contamination detection: for each held-out (test)
+    * document, find training documents containing >= `threshold` of its
+    * n-gram shingles (containment = |train ∩ test| / |test|) — the
+    * train/eval-leakage check every training pipeline needs.
+    *
+    * Candidate generation is one-sided prefix filtering: containment
+    * >= t means the overlap has >= ceil(t·|test|) of the test doc's
+    * shingles, so by pigeonhole the test doc's rarity-prefix of length
+    * |test| - ceil(t·|test|) + 1 must contain at least one shared
+    * shingle — joining the FULL train index against only test PREFIXES
+    * is therefore lossless, while rare-first prefixes keep hot shingles
+    * out of the join. Verification recomputes exact containment from
+    * the full indexes, per candidate pair.
+    */
+  def crossContamination(
+      train: DataFrame, test: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      partitionCol: Option[String] = None,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val ti = shingleIndex(train, idCol, textCol, n, partitionCol)
+    val si = shingleIndex(test, idCol, textCol, n, partitionCol)
+    val testSizes = si.groupBy("id").agg(count(lit(1)).as("sz"))
+    // same prefix length formula as Jaccard: sz - ceil(t*sz) + 1
+    val testPrefix = prefixIndex(si, testSizes, threshold, maxDocFreq)
+    val cands = ti.select(col("k"), col("id").as("train_id"))
+      .join(testPrefix.select(col("k"), col("id").as("test_id")), Seq("k"))
+      .select("train_id", "test_id").distinct()
+    cands
+      .join(ti.select(col("id").as("train_id"), col("k")), "train_id")
+      .join(si.select(col("id").as("test_id"), col("k")), Seq("test_id", "k"))
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("inter"))
+      .join(testSizes.select(col("id").as("test_id"), col("sz")), "test_id")
+      .withColumn("contamination",
+        round(col("inter").cast("double") / col("sz"), 3))
+      .filter(col("contamination") >= threshold)
+      .select("train_id", "test_id", "contamination")
+  }
+
   /** Winnowing-fingerprint near-dup pairs (rolling-hash document
     * fingerprinting — see [[graft.plans.WinnowingFingerprint]]): each
     * doc is sketched to its winnowed k-gram hash set; pairs sharing

@@ -243,6 +243,35 @@ object LlmOps {
                  sum(len(string_split(text, ' '))), 4) AS inflation
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // Train/eval contamination: even-numbered sources are "training",
+    // odd are "held-out"; report held-out docs >= 50% of whose 3-gram
+    // shingles appear in some training doc.
+    "q52_contamination" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .withColumn("grp", substring(col("source"), 4, 10).cast("int") % 2)
+        Dedup.crossContamination(
+          docs.filter(col("grp") === 0), docs.filter(col("grp") === 1),
+          "doc_id", "text", n = 3, threshold = 0.5,
+          partitionCol = Some("lang"))
+          .orderBy("train_id", "test_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id, lang, CAST(substr(source, 4) AS INT) % 2 AS grp,
+                 list_distinct([array_to_string(string_split(text,' ')[i+1:i+3],' ')
+                                for i in range(len(string_split(text,' '))-2)]) AS sh
+          FROM documents),
+        tr AS (SELECT * FROM s WHERE grp = 0),
+        te AS (SELECT * FROM s WHERE grp = 1)
+        SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+               round(len(list_intersect(tr.sh, te.sh))::DOUBLE / len(te.sh), 3)
+                 AS contamination
+        FROM tr JOIN te ON tr.lang = te.lang
+        WHERE round(len(list_intersect(tr.sh, te.sh))::DOUBLE / len(te.sh), 3)
+              >= 0.5
+        ORDER BY train_id, test_id""")),
+
     // Flagship composite: the full training-data cleaning pipeline in
     // one plan — quality gate → exact dedup (keep min id per
     // fingerprint) → near-dup removal (drop the HIGHER id of every

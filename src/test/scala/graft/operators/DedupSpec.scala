@@ -90,6 +90,29 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("ExistingRDD"), plan.take(2000))
   }
 
+  test("crossContamination: containment of test shingles in train docs") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      // fully contained in train doc 1 (its shingles are a subset)
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      // half-overlaps train doc 2: shingles 1-4 of 8 shared
+      (11L, "one two three four five six unseen words entirely new"),
+      // no overlap
+      (12L, "totally disjoint content with zero shared phrases here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossContamination(train, test, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.contains((1L, 10L, 1.0)))
+    assert(!out.exists(_._2 == 12L))
+    // directionality: train ids only on the left, test ids on the right
+    assert(out.forall { case (tr, te, _) => tr <= 2L && te >= 10L })
+  }
+
   test("winnowing: shared run of >= w+k-1 chars yields a shared fingerprint") {
     import spark.implicits._
     import graft.plans.{SketchExpressions => SK}
