@@ -636,6 +636,32 @@ object Relational {
                count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
         FROM events
         GROUP BY 1
-        ORDER BY user_bucket"""))
+        ORDER BY user_bucket""")),
+
+    // ------------------------------------------------------------------
+    // Full outer join: both sides restricted to overlapping-but-
+    // different subsets so all three null patterns occur, then counted.
+    // ------------------------------------------------------------------
+    "q53_full_outer_join" -> Q(
+      fn = (s, dir) => {
+        val c = t(s, dir, "customer")
+          .filter(col("c_custkey") % 3 === 0).select("c_custkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_custkey") % 5 === 0).select("o_custkey", "o_orderkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .agg(
+            count(when(col("o_custkey").isNull, 1)).as("cust_only"),
+            count(when(col("c_custkey").isNull, 1)).as("order_only"),
+            count(when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, 1))
+              .as("matched"))
+      },
+      oracle = Some("""
+        WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0),
+             o AS (SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey % 5 = 0)
+        SELECT count(CASE WHEN o_custkey IS NULL THEN 1 END) AS cust_only,
+               count(CASE WHEN c_custkey IS NULL THEN 1 END) AS order_only,
+               count(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+                          THEN 1 END) AS matched
+        FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"""))
   )
 }
