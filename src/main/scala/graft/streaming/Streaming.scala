@@ -58,6 +58,19 @@ object Streaming {
         col("n_events"), col("total_value"))
   }
 
+  /** Streaming exact dedup on a derived fingerprint: drops rows whose
+    * fingerprint was already seen within the watermark horizon — the
+    * incremental twin of `Dedup.exact` for ingestion pipelines. State
+    * is bounded by the watermark (old fingerprints age out; a dup
+    * arriving later than `watermark` can slip through — the standard
+    * trade of bounded state for exactness-within-horizon). */
+  def dedupStream(
+      events: DataFrame, tsCol: String, fingerprintCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(fingerprintCol)
+
   /** Stream-static enrichment: join a stream against a static
     * dimension (broadcast — the dim is re-resolved per micro-batch, so
     * slowly-changing dims pick up updates on file sources). The

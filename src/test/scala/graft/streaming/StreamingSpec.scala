@@ -93,6 +93,26 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.toSeq === Seq((1L, 3L, 3.0)))
   }
 
+  test("dedupStream drops duplicate fingerprints within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    // fingerprint = value (stands in for a content hash)
+    val q = Streaming.dedupStream(ms.toDF(), "ts", "value",
+      watermark = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    ms.addData(Event(1L, ts(1), 7.0), Event(2L, ts(2), 7.0),  // dup content
+      Event(3L, ts(3), 8.0))
+    q.processAllAvailable()
+    ms.addData(Event(4L, ts(5), 7.0)) // still within watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val vals = spark.sql("SELECT value FROM dedup_out ORDER BY value")
+      .collect().map(_.getDouble(0))
+    assert(vals.toSeq === Seq(7.0, 8.0))
+  }
+
   test("sessionWindowAgg streaming: watermark closes gap sessions (event time)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
