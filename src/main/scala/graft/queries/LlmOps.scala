@@ -114,6 +114,49 @@ object LlmOps {
                      sqrt(list_inner_product(b.v,b.v))), 4) >= 0.45
         ORDER BY a_id, b_id""")),
 
+    // Int8 embedding quantization round-trip: per-vector scale, max
+    // component error, and reconstruction cosine — all recomputed
+    // identically by the oracle (same rounding, same fold).
+    "q54_embedding_quantize" -> Q(
+      fn = (s, dir) => {
+        import graft.functions.{VectorFunctions => V}
+        import graft.plans.DotProduct
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
+          .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+          .withColumn("deq", V.dequantize(V.quantizeInt8(col("v")), col("ma")))
+        e.select(
+          col("vec_id"),
+          round(col("ma"), 6).as("max_abs"),
+          round(array_max(transform(arrays_zip(col("v"), col("deq")),
+            p => abs(p.getField("v") - p.getField("deq")))), 6).as("max_err"),
+          round(DotProduct(col("v"), col("deq")) /
+            (sqrt(DotProduct(col("v"), col("v"))) *
+             sqrt(DotProduct(col("deq"), col("deq")))), 6).as("recon_cosine"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        m AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS ma
+          FROM e),
+        d AS (
+          SELECT vec_id, v, ma,
+                 list_transform(v, x -> round(x * 127 / ma) * ma / 127) AS deq
+          FROM m)
+        SELECT vec_id,
+               round(ma, 6) AS max_abs,
+               round(list_max(list_transform(v,
+                     x -> abs(x - round(x * 127 / ma) * ma / 127))), 6)
+                 AS max_err,
+               round(list_inner_product(v, deq) /
+                     (sqrt(list_inner_product(v, v)) *
+                      sqrt(list_inner_product(deq, deq))), 6) AS recon_cosine
+        FROM d
+        ORDER BY vec_id""")),
+
     // ----------------------------------------------------- similarity
     "q27_sim_topk_brute" -> Q(
       fn = (s, dir) => {
