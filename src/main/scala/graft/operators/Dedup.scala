@@ -39,15 +39,22 @@ object Dedup {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Inverted index (id, k) with k = hash of (partition, shingle).
-    * Shingles are array_distinct upstream so (id, k) is unique. */
+    * Shingles are array_distinct upstream so (id, k) is unique.
+    * `charLevel` switches to character n-grams — the tokenization for
+    * unsegmented scripts (CJK etc.), where whitespace shingling would
+    * silently index whole sentences as single shingles. */
   private def shingleIndex(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, partitionCol: Option[String]): DataFrame =
+      n: Int, partitionCol: Option[String],
+      charLevel: Boolean = false): DataFrame = {
+    val sh = if (charLevel) T.charShingles(col(textCol), n)
+      else T.wordShingles(col(textCol), n)
     spread(df).select(
       col(idCol).as("id"),
       partitionCol.map(col).getOrElse(lit("")).as("part"),
-      explode(T.wordShingles(col(textCol), n)).as("shingle"))
+      explode(sh).as("shingle"))
       .select(col("id"), xxhash64(col("part"), col("shingle")).as("k"))
+  }
 
   /** Prefix-filtered candidate index (PPJoin-style, Xiao et al. /
     * Bayardo et al. — public set-similarity-join literature): order
@@ -123,8 +130,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       partitionCol: Option[String] = None,
-      maxDocFreq: Option[Int] = None): DataFrame = {
-    val index = shingleIndex(df, idCol, textCol, n, partitionCol)
+      maxDocFreq: Option[Int] = None,
+      charLevel: Boolean = false): DataFrame = {
+    val index = shingleIndex(df, idCol, textCol, n, partitionCol, charLevel)
     val sizes = index.groupBy("id").agg(count(lit(1)).as("sz"))
     val cands = candidatePairs(prefixIndex(index, sizes, threshold, maxDocFreq))
     verifyPairs(cands, index, sizes, threshold)

@@ -86,6 +86,33 @@ object LlmOps {
           .orderBy("a_id", "b_id")
       }),
 
+    // Character-level n-gram Jaccard over the unsegmented-script slice
+    // (zh) — the tokenization CJK dedup needs; whitespace shingles
+    // would be blind to non-space-delimited boundaries. Char 5-grams,
+    // same prefix-filter + full-index-verify machinery as q23.
+    "q55_dedup_char_ngram" -> Q(
+      fn = (s, dir) => {
+        Dedup.ngramJaccardPairs(
+          Tables(s, dir, "documents").filter(col("lang") === "zh"),
+          "doc_id", "text", n = 5, threshold = 0.25, charLevel = true)
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id,
+                 list_distinct([text[i+1:i+5]
+                                for i in range(len(text)-4)]) AS sh
+          FROM documents WHERE lang = 'zh')
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                     (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3)
+                 AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3)
+              >= 0.25
+        ORDER BY a_id, b_id""")),
+
     // Winnowing hash space isn't portable SQL → rows-only; the
     // winnowing guarantee + overlap semantics are asserted in DedupSpec.
     "q43_dedup_winnowing" -> Q(
