@@ -342,6 +342,29 @@ object LlmOps {
               >= 0.5
         ORDER BY train_id, test_id""")),
 
+    // Deterministic content-stable train/test split: assignment is a
+    // pure function of md5(doc_id), so the oracle reproduces the exact
+    // membership (fixed-width lowercase hex compares in numeric order).
+    "q56_train_test_split" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        Sampling.hashSplit(Tables(s, dir, "documents"), "doc_id",
+          trainFrac = 0.8)
+          .groupBy(col("split"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(T.tokenCount(col("text"))).as("total_tokens"))
+          .orderBy("split", "lang")
+      },
+      oracle = Some("""
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                    THEN 'train' ELSE 'test' END AS split,
+               lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY split, lang""")),
+
     // Flagship composite: the full training-data cleaning pipeline in
     // one plan — quality gate → exact dedup (keep min id per
     // fingerprint) → near-dup removal (drop the HIGHER id of every

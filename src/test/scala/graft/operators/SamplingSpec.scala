@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+
+  test("hashSplit: complete, disjoint, deterministic, ~fraction") {
+    val split = Sampling.hashSplit(docs, "doc_id", trainFrac = 0.8)
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.count()
+    assert(counts.values.sum === total)               // complete
+    val frac = counts("train").toDouble / total
+    assert(frac > 0.7 && frac < 0.9, s"train frac $frac") // ~0.8 ± noise
+    // deterministic: same assignment on a re-run
+    val again = Sampling.hashSplit(docs, "doc_id", 0.8)
+      .select("doc_id", "split").collect().toSet
+    assert(split.select("doc_id", "split").collect().toSet === again)
+  }
+
+  test("hashSample is the train side of hashSplit at the same fraction") {
+    val sampleIds = Sampling.hashSample(docs, "doc_id", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val trainIds = Sampling.hashSplit(docs, "doc_id", 0.8)
+      .filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampleIds === trainIds)
+  }
+}
