@@ -639,6 +639,43 @@ object Relational {
         ORDER BY user_bucket""")),
 
     // ------------------------------------------------------------------
+    // Window frames: running total (unbounded-preceding..current) and
+    // lag over a deterministic per-customer order. Cumulative sums are
+    // a sequential fold in frame order on both engines → exact.
+    // ------------------------------------------------------------------
+    "q57_window_running" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") % 10 === 0)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice")).over(wf), 2).as("running_total"),
+            round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+              .as("prev_total"),
+            row_number().over(w).cast("long").as("seq"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_total,
+               round(coalesce(lag(o_totalprice, 1) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 0.0), 2) AS prev_total,
+               row_number() OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                 AS seq
+        FROM orders
+        WHERE o_custkey % 10 = 0
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ------------------------------------------------------------------
     // Full outer join: both sides restricted to overlapping-but-
     // different subsets so all three null patterns occur, then counted.
     // ------------------------------------------------------------------
