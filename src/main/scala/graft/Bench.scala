@@ -20,7 +20,12 @@ object Bench {
     // Warm-up: run each query shape once at sf0.001 so the measured pass
     // is steady-state (codegen compiled, JIT warm) — standard bench
     // methodology; warm-up cost is excluded from reported timings.
+    // Optional local-iteration filter: comma-separated query-name
+    // prefixes. Unset (the driver's invocation) = all queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
     ordered.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }

@@ -65,13 +65,11 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     graft.plans.SketchExpressions.wordShingles(text, n)
 
-  /** Character n-gram shingles (language-agnostic; for CJK etc.). */
+  /** Character n-gram shingles (language-agnostic; for CJK etc.).
+    * Native kernel — the HOF `substr` formulation is O(len²) on
+    * multi-byte text (see [[graft.plans.CharShinglesExpr]]). */
   def charShingles(text: Column, n: Int): Column =
-    when(length(text) >= n,
-      array_distinct(transform(
-        sequence(lit(0), length(text) - n),
-        i => text.substr(i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    graft.plans.SketchExpressions.charShingles(text, n)
 
   /** Document fingerprint: md5 of ascii-normalized text. Exact-dedup
     * key; identical in DuckDB (`md5(regexp_replace(lower(..)))`). */

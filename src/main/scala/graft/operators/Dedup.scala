@@ -67,24 +67,43 @@ object Dedup {
     * to its rarest keys (frequent shingles fall out of prefixes, which
     * is exactly what caps the sum-of-df^2 pair explosion at scale).
     *
-    * `maxDocFreq` additionally drops hyper-frequent keys from the
-    * prefix index before ranking — a skew guard for adversarial
-    * corpora. Because it only gates CANDIDATES (verification always
-    * uses the full index), it can only lose pairs whose every shared
-    * prefix shingle is hyper-frequent, never report a wrong value.
+    * `maxDocFreq` / `maxDocFreqRatio` additionally drop hyper-frequent
+    * keys from the prefix index before ranking — a skew guard for
+    * boilerplate-heavy corpora. The ratio form caps document frequency
+    * at `ceil(ratio * corpus_docs)`, so the guard scales with the
+    * corpus instead of hard-coding an absolute count (an absolute cap
+    * that preserves recall at one SF silently starts dropping true
+    * pairs at 10× the docs, where boilerplate df grows linearly). The
+    * corpus count enters the plan as a broadcast one-row aggregate —
+    * fully lazy, no driver-side action. Because either cap only gates
+    * CANDIDATES (verification always uses the full index), it can only
+    * lose pairs whose every shared prefix shingle is hyper-frequent,
+    * never report a wrong value.
+    *
+    * Per-doc sizes (`sz` = FULL pre-cap shingle count, which the
+    * prefix-length formula requires) are computed with a window count
+    * over the same `id` partitioning the ranking window uses — one
+    * exchange total, instead of a separate groupBy-and-join that
+    * re-shuffled the whole index.
     */
   private def prefixIndex(
-      index: DataFrame, sizes: DataFrame, threshold: Double,
-      maxDocFreq: Option[Int]): DataFrame = {
+      index: DataFrame, threshold: Double,
+      maxDocFreq: Option[Int],
+      maxDocFreqRatio: Option[Double] = None): DataFrame = {
     val kdf = index.groupBy("k").agg(count(lit(1)).as("kdf"))
-    val guarded = maxDocFreq match {
-      case Some(m) => kdf.filter(col("kdf") <= m)
-      case None => kdf
+    val wid = Window.partitionBy("id")
+    val sized = index.join(kdf, "k")
+      .withColumn("sz", count(lit(1)).over(wid))
+    val guarded = (maxDocFreq, maxDocFreqRatio) match {
+      case (Some(m), _) => sized.filter(col("kdf") <= m)
+      case (None, Some(r)) =>
+        val nDocs = index.agg(countDistinct(col("id")).as("n_docs"))
+        sized.crossJoin(broadcast(nDocs))
+          .filter(col("kdf") <= ceil(lit(r) * col("n_docs")))
+      case _ => sized
     }
-    val w = Window.partitionBy("id").orderBy(col("kdf"), col("k"))
-    index.join(guarded, "k")
-      .join(sizes, "id")
-      .withColumn("rn", row_number().over(w))
+    guarded
+      .withColumn("rn", row_number().over(wid.orderBy(col("kdf"), col("k"))))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("k", "id")
   }
@@ -99,23 +118,38 @@ object Dedup {
       .select("a_id", "b_id").distinct()
   }
 
+  /** Per-doc compacted shingle sets: one array row per doc instead of
+    * one row per (doc, shingle). The verify joins below ship ONE array
+    * per candidate-pair side through the shuffle instead of exploding
+    * every pair into sz_a + sz_b narrow rows and re-aggregating them —
+    * at low thresholds (where prefix filtering provably cannot prune,
+    * e.g. J >= 0.25 over boilerplate-heavy char-grams, candidates ~=
+    * all pairs) this is the difference between shuffling ~sz × |pairs|
+    * rows and shuffling |pairs| rows. (id, k) is distinct upstream so
+    * the sorted list is a set and the sorted-merge kernel
+    * [[graft.plans.SortedIntersectCount]] counts a true |A ∩ B| in
+    * O(sz_a + sz_b) per pair with zero allocation (the built-in
+    * `array_intersect` builds a hash set per evaluated pair). */
+  private def docSets(index: DataFrame): DataFrame =
+    index.groupBy("id")
+      .agg(sort_array(collect_list(col("k"))).as("ks"),
+        count(lit(1)).as("sz"))
+
   /** Exact-Jaccard verification of candidate pairs against the FULL
-    * index. Per-pair work is linear in the docs' shingle counts
-    * (cands ⋈ index_a ⋈ index_b on (id, k) — no index self-join), so
-    * verification cost scales with the candidate count the sketch
-    * produced, not with corpus^2. */
+    * index, compacted to per-doc arrays: two equi-joins on the pair
+    * ids, then one sorted-merge intersect per pair. Per-pair work is
+    * linear in the docs' shingle counts, so verification cost scales
+    * with the candidate count the sketch produced, not with corpus^2 —
+    * and no row explosion ever enters a shuffle. */
   private def verifyPairs(
-      cands: DataFrame, index: DataFrame, sizes: DataFrame,
-      threshold: Double): DataFrame = {
-    val ia = index.select(col("id").as("a_id"), col("k"))
-    val ib = index.select(col("id").as("b_id"), col("k"))
+      cands: DataFrame, index: DataFrame, threshold: Double): DataFrame = {
+    val sets = docSets(index)
     cands
-      .join(ia, "a_id")
-      .join(ib, Seq("b_id", "k"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .join(sets.select(col("id").as("a_id"), col("ks").as("a_ks"),
+        col("sz").as("a_sz")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("ks").as("b_ks"),
+        col("sz").as("b_sz")), "b_id")
+      .withColumn("inter", SK.sortedIntersectCount(col("a_ks"), col("b_ks")))
       .withColumn("jaccard", round(
         col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")), 3))
       .filter(col("jaccard") >= threshold)
@@ -125,17 +159,34 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs: rarity-prefix candidate
     * generation (lossless, see [[prefixIndex]]) + full-index
     * verification. `partitionCol` (e.g. language) confines candidates.
+    *
+    * Character n-grams repeat across documents orders of magnitude
+    * more than word shingles (same measurement that turned winnowing's
+    * df-cap on by default: the hottest char 8-gram appears in 77% of
+    * docs), so when `charLevel` is set and the caller supplies no cap,
+    * the candidate stage defaults to a RELATIVE df-cap of 15% of the
+    * corpus. On the synthetic corpus the rarest shared shingle of any
+    * true J≥0.25 pair sits at ~9–11% of corpus docs at BOTH sf0.01 and
+    * sf0.1 (the boilerplate fraction is scale-free), so 15% preserves
+    * every true pair at every measured SF while cutting the hot-key
+    * Σ df(k)² candidate-join blowup; values are verified on the full
+    * index regardless.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       partitionCol: Option[String] = None,
       maxDocFreq: Option[Int] = None,
-      charLevel: Boolean = false): DataFrame = {
+      charLevel: Boolean = false,
+      maxDocFreqRatio: Option[Double] = None): DataFrame = {
+    val ratio =
+      if (charLevel && maxDocFreq.isEmpty && maxDocFreqRatio.isEmpty)
+        Some(0.15)
+      else maxDocFreqRatio
     val index = shingleIndex(df, idCol, textCol, n, partitionCol, charLevel)
-    val sizes = index.groupBy("id").agg(count(lit(1)).as("sz"))
-    val cands = candidatePairs(prefixIndex(index, sizes, threshold, maxDocFreq))
-    verifyPairs(cands, index, sizes, threshold)
+    val cands = candidatePairs(
+      prefixIndex(index, threshold, maxDocFreq, ratio))
+    verifyPairs(cands, index, threshold)
   }
 
   /** MinHash + LSH near-dup pairs: signature → band keys → bucket join
@@ -165,8 +216,7 @@ object Dedup {
       .select(col("id"), xxhash64(col("part"), col("bkey")).as("k"))
     val cands = candidatePairs(bandIndex)
     val index = shingleIndex(df, idCol, textCol, n, partitionCol)
-    val sizes = index.groupBy("id").agg(count(lit(1)).as("sz"))
-    verifyPairs(cands, index, sizes, threshold)
+    verifyPairs(cands, index, threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit band bucketing
@@ -215,17 +265,20 @@ object Dedup {
       maxDocFreq: Option[Int] = None): DataFrame = {
     val ti = shingleIndex(train, idCol, textCol, n, partitionCol)
     val si = shingleIndex(test, idCol, textCol, n, partitionCol)
-    val testSizes = si.groupBy("id").agg(count(lit(1)).as("sz"))
     // same prefix length formula as Jaccard: sz - ceil(t*sz) + 1
-    val testPrefix = prefixIndex(si, testSizes, threshold, maxDocFreq)
+    val testPrefix = prefixIndex(si, threshold, maxDocFreq)
     val cands = ti.select(col("k"), col("id").as("train_id"))
       .join(testPrefix.select(col("k"), col("id").as("test_id")), Seq("k"))
       .select("train_id", "test_id").distinct()
+    val trainSets = docSets(ti)
+    val testSets = docSets(si)
     cands
-      .join(ti.select(col("id").as("train_id"), col("k")), "train_id")
-      .join(si.select(col("id").as("test_id"), col("k")), Seq("test_id", "k"))
-      .groupBy("train_id", "test_id").agg(count(lit(1)).as("inter"))
-      .join(testSizes.select(col("id").as("test_id"), col("sz")), "test_id")
+      .join(trainSets.select(col("id").as("train_id"),
+        col("ks").as("train_ks")), "train_id")
+      .join(testSets.select(col("id").as("test_id"),
+        col("ks").as("test_ks"), col("sz")), "test_id")
+      .withColumn("inter",
+        SK.sortedIntersectCount(col("train_ks"), col("test_ks")))
       .withColumn("contamination",
         round(col("inter").cast("double") / col("sz"), 3))
       .filter(col("contamination") >= threshold)
@@ -257,7 +310,6 @@ object Dedup {
     val fp = spread(df).select(
       col(idCol).as("id"),
       explode(SK.winnowFingerprint(col(textCol), k, w)).as("k"))
-    val sizes = fp.groupBy("id").agg(count(lit(1)).as("sz"))
     val candIndex = maxDocFreq match {
       case Some(m) =>
         val keep = fp.groupBy("k").agg(count(lit(1)).as("kdf"))
@@ -268,15 +320,15 @@ object Dedup {
     val shared = candIndex.select(col("k"), col("id").as("a_id"))
       .join(candIndex.select(col("k"), col("id").as("b_id")), Seq("k"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_cand"))
-      .select("a_id", "b_id")
-    val ia = fp.select(col("id").as("a_id"), col("k"))
-    val ib = fp.select(col("id").as("b_id"), col("k"))
+      .select("a_id", "b_id").distinct()
+    val sets = docSets(fp)
     shared
-      .join(ia, "a_id").join(ib, Seq("b_id", "k"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .join(sets.select(col("id").as("a_id"), col("ks").as("a_ks"),
+        col("sz").as("a_sz")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("ks").as("b_ks"),
+        col("sz").as("b_sz")), "b_id")
+      .withColumn("n_shared",
+        SK.sortedIntersectCount(col("a_ks"), col("b_ks")))
       .withColumn("overlap", round(
         col("n_shared").cast("double") / least(col("a_sz"), col("b_sz")), 3))
       .filter(col("overlap") >= minOverlap)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -280,12 +280,25 @@ case class WinnowingFingerprint(child: Expression, k: Int, w: Int)
       while (j < n) { if (grams(j) <= grams(best)) best = j; j += 1 }
       selected.add(grams(best))
     } else {
+      // sliding-window minimum via monotonic deque: O(n) total. Each
+      // index is pushed/popped at most once; popping `>=` from the back
+      // makes the rightmost of tied minima win, matching the `<=` scan
+      // this replaces.
+      val dq = new Array[Int](n)
+      var head = 0
+      var tail = 0
+      var j = 0
       var start = 0
       while (start + w <= n) {
-        var best = start
-        var j = start + 1
-        while (j < start + w) { if (grams(j) <= grams(best)) best = j; j += 1 }
-        selected.add(grams(best))
+        val end = start + w
+        while (j < end) {
+          while (tail > head && grams(dq(tail - 1)) >= grams(j)) tail -= 1
+          dq(tail) = j
+          tail += 1
+          j += 1
+        }
+        while (dq(head) < start) head += 1
+        selected.add(grams(dq(head)))
         start += 1
       }
     }
@@ -323,6 +336,13 @@ object SketchExpressions {
 
   def wordShingles(text: Column, n: Int): Column =
     GraftSqlBridge.column(WordShinglesExpr(GraftSqlBridge.expression(text), n))
+
+  def charShingles(text: Column, n: Int): Column =
+    GraftSqlBridge.column(CharShinglesExpr(GraftSqlBridge.expression(text), n))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedIntersectCount(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
 
 /** Distinct word n-gram shingles in first-occurrence order. The HOF
@@ -372,4 +392,96 @@ case class WordShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
     copy(child = c)
   override def prettyName: String = "word_shingles"
+}
+
+/** Distinct character n-gram shingles in first-occurrence order —
+  * tokenization for unsegmented scripts (CJK etc.). The HOF
+  * formulation (`transform(sequence(0, len-n), i => substr(i+1, n))`)
+  * re-scans the string from byte 0 on EVERY `substr` call — UTF-8
+  * character indexing is O(position) for non-ASCII text, so shingling
+  * a CJK document that way is O(len²). Here: decode code points once,
+  * slide a window, one set. Code-point windows match both Spark's
+  * `substr` and the DuckDB oracle's `text[i+1:i+n]` slicing.
+  */
+case class CharShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_shingles expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val m = cps.length - n + 1
+    if (m <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String](m * 2)
+      var i = 0
+      while (i < m) {
+        seen.add(new String(cps, i, n))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var idx = 0
+      while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharShinglesExpr =
+    copy(child = c)
+  override def prettyName: String = "char_shingles"
+}
+
+/** |A ∩ B| for two ascending-sorted long arrays via a two-pointer
+  * merge: O(|A| + |B|) with zero per-row allocation. The built-in
+  * `size(array_intersect(a, b))` builds a hash set per evaluation —
+  * on a verify stage scoring hundreds of thousands of candidate pairs
+  * against per-doc sketch arrays, the merge is the difference between
+  * the verify being compute-bound and allocation-bound. Inputs MUST be
+  * sorted (callers build them with `sort_array(collect_list(...))`);
+  * duplicate-free inputs make the count a true set intersection size.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects two array<bigint>, got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1L; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_intersect_count"
 }

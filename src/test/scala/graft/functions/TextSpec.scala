@@ -36,6 +36,32 @@ class TextSpec extends SparkSpec {
     assert(sh === Seq("ab", "bc", "cd"))
   }
 
+  test("char shingles: native kernel matches the HOF formulation (incl. CJK)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("abcab ", "我是一个学生的老师中国人", "日本語のテキストです")
+    val docs = (1 to 60).map { i =>
+      val alpha = alphabets(i % alphabets.length)
+      val len = rnd.nextInt(40)
+      (i, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val df = docs.toDF("id", "text")
+    val n = 3
+    // reference: the HOF substr formulation this kernel replaced
+    val hof = when(length(col("text")) >= n,
+      array_distinct(transform(
+        sequence(lit(0), length(col("text")) - n),
+        i => col("text").substr(i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(col("id"),
+      charShingles(col("text"), n).as("native"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"doc ${r.getInt(0)}")
+    }
+  }
+
   test("fingerprint is case/punctuation-insensitive") {
     assert(one("Hello, World!", fingerprint(col("text")))
       === one("hello world", fingerprint(col("text"))))

@@ -40,6 +40,23 @@ class DedupSpec extends SparkSpec {
     assert(exactPairs.subsetOf(loose))
   }
 
+  test("char-level default df-cap preserves every uncapped true pair") {
+    // charLevel with no explicit cap defaults to a RELATIVE df-cap
+    // (15% of corpus docs); maxDocFreqRatio = 1.0 disables pruning.
+    // The cap gates candidates only, so equality here proves no planted
+    // zh pair is lost to it at the spec SF (and the driver's DuckDB
+    // oracle proves the same at the gate SF).
+    val zh = docs.filter(col("lang") === "zh")
+    def run(ratio: Option[Double]): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccardPairs(zh, "doc_id", "text", n = 5, threshold = 0.25,
+        charLevel = true, maxDocFreqRatio = ratio)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = run(None)            // default ratio kicks in
+    val uncapped = run(Some(1.0))
+    assert(uncapped.nonEmpty, "zh slice should contain near-dup pairs")
+    assert(capped === uncapped)
+  }
+
   test("minhash LSH recovers every exact near-dup pair") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.8, numHashes = 32, bands = 8, partitionCol = Some("lang"))
