@@ -36,11 +36,20 @@ object RangeJoin {
       pointCol: String, loCol: String, hiCol: String,
       binWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    // integral floor-div: inputs are epoch-scaled longs (non-negative in
-    // practice); `div` truncates toward zero, so route negatives through
-    // an explicit floor to keep bins aligned.
-    def bin(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / binWidth.toDouble).cast("long")
+    // Exact integral floor-div. A double-division floor is exact only
+    // below 2^53 — epoch-NANOS (~1.7e18) silently land in the wrong
+    // bin. `div` alone truncates toward zero, so subtract pmod (always
+    // non-negative for positive binWidth) first: the dividend becomes
+    // exactly divisible and truncation direction stops mattering,
+    // preserving floor semantics for negative inputs too.
+    def bin(c: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.GraftSqlBridge
+      import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+      val v = c.cast("long")
+      GraftSqlBridge.column(IntegralDivide(
+        GraftSqlBridge.expression(v - pmod(v, lit(binWidth))),
+        GraftSqlBridge.expression(lit(binWidth))))
+    }
     val ivx = intervals.withColumn("__bin",
       explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
     val ptx = points.withColumn("__bin", bin(col(pointCol)))

@@ -63,6 +63,23 @@ object RunningJob {
       t
     }))
 
+  private val evictor =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-job-evictor")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Completed jobs stay fetchable for this long, then evict — the
+    * registry is otherwise a process-lifetime leak (one entry plus its
+    * captured result per background job, forever). The reference's
+    * detached statuses live in etcd with the cluster's own retention;
+    * in-process, a bounded grace window is the equivalent contract:
+    * status is fetchable for a while after completion, then gone. */
+  private def retentionMs: Long =
+    sys.props.get("graft.job.retentionMs").map(_.toLong)
+      .getOrElse(5L * 60 * 1000)
+
   private[operators] def start(
       jobId: String,
       spark: SparkSession,
@@ -76,13 +93,25 @@ object RunningJob {
     }
     val job = new RunningJob(jobId, spark, acc, future)
     registry.put(jobId, job)
+    future.onComplete { _ =>
+      evictor.schedule(new Runnable {
+        override def run(): Unit = registry.remove(jobId)
+      }, retentionMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
     job
   }
 
-  /** R3 — FetchDetachedJobStatus equivalent (in-process). */
+  /** R3 — FetchDetachedJobStatus equivalent (in-process). Completed
+    * jobs remain fetchable for the retention window, then evict. */
   def fetch(jobId: String): Option[RunningJob] = Option(registry.get(jobId))
 
   /** R3 — AbortDetachedJob equivalent. */
   def abort(jobId: String): Boolean =
     fetch(jobId).exists { j => j.abort(); true }
+
+  /** Drop a job from the registry immediately (explicit cleanup for
+    * callers that don't want to wait out the retention window). */
+  def remove(jobId: String): Boolean = registry.remove(jobId) != null
+
+  private[operators] def registeredCount: Int = registry.size
 }

@@ -20,19 +20,25 @@ object Sampling {
   private def bucket(keyCol: Column): Column =
     substring(md5(keyCol.cast("string")), 1, 4)
 
-  private def thresholdHex(frac: Double): String = {
+  /** True for the ~`frac` of keys whose bucket falls below the
+    * threshold. `frac` rounding to the full 65536 buckets means "all
+    * rows": there is no 4-hex threshold above "ffff", so that case is
+    * a literal true (a "ffff"-threshold compare would silently strip
+    * the 1/65536 of keys whose bucket IS "ffff"). */
+  private def selected(keyCol: Column, frac: Double): Column = {
     require(frac >= 0.0 && frac <= 1.0, "fraction must be in [0,1]")
-    f"${math.round(frac * 65536).toInt.min(0xFFFF)}%04x"
+    val t = math.round(frac * 65536).toInt
+    if (t >= 65536) lit(true)
+    else bucket(keyCol) < lit(f"$t%04x")
   }
 
   /** Adds a `split` column: "train" for ~`trainFrac` of rows (by
     * md5-bucket of `keyCol`), "test" for the rest. */
   def hashSplit(df: DataFrame, keyCol: String, trainFrac: Double): DataFrame =
     df.withColumn("split",
-      when(bucket(col(keyCol)) < lit(thresholdHex(trainFrac)), "train")
-        .otherwise("test"))
+      when(selected(col(keyCol), trainFrac), "train").otherwise("test"))
 
   /** Deterministic ~`frac` sample of rows by md5-bucket of `keyCol`. */
   def hashSample(df: DataFrame, keyCol: String, frac: Double): DataFrame =
-    df.filter(bucket(col(keyCol)) < lit(thresholdHex(frac)))
+    df.filter(selected(col(keyCol), frac))
 }

@@ -95,6 +95,41 @@ class JobControlSpec extends SparkSpec {
       assert(job.status === "succeeded")
     }
   }
+
+  test("registry drains: completed jobs evict after retention (no leak)") {
+    // reference pins this with goleak + a running-tasks gauge returning
+    // to 0 (test/leak_test.go:13-14, metric/worker_metrics.go:15-21);
+    // the in-process analogues are the job registry and Spark's active
+    // job count. Earlier fixtures' jobs carry the default 5-minute
+    // retention, so assert relative to the pre-test baseline.
+    val baseline = RunningJob.registeredCount
+    sys.props("graft.job.retentionMs") = "100"
+    try {
+      val jobs = (1 to 3).map { i =>
+        Pipeline.parallelize(spark, KV.fromInts(1 to 50: _*))
+          .runInBackground(s"graft-leak-$i")
+      }
+      jobs.foreach(_.waitForResult(2.minutes))
+      assert(RunningJob.registeredCount >= baseline) // fetchable in grace
+      val deadline = System.nanoTime() + 30.seconds.toNanos
+      while (RunningJob.registeredCount > baseline &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(RunningJob.registeredCount === baseline,
+        "completed jobs must leave the registry after the grace window")
+      // no Spark jobs still running once every background job finished
+      assert(spark.sparkContext.statusTracker.getActiveJobIds().isEmpty)
+    } finally sys.props.remove("graft.job.retentionMs")
+  }
+
+  test("explicit remove evicts immediately") {
+    val job = Pipeline.parallelize(spark, KV.fromInts(1 to 10: _*))
+      .runInBackground("graft-explicit-remove")
+    job.waitForResult(2.minutes)
+    assert(RunningJob.fetch("graft-explicit-remove").isDefined)
+    assert(RunningJob.remove("graft-explicit-remove"))
+    assert(RunningJob.fetch("graft-explicit-remove").isEmpty)
+    assert(!RunningJob.remove("graft-explicit-remove"))
+  }
 }
 
 object JobControlSpec {

@@ -67,4 +67,40 @@ class RangeJoinSpec extends SparkSpec {
       .select("user").as[String].collect().toSeq
     assert(got === Seq("u1"))
   }
+
+  test("epoch-nanosecond magnitudes bin exactly (no double rounding)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val base = 1_700_000_000_000_000_000L // ~2023 in epoch nanos
+    val binWidth = 1_000_000_000L
+    val pts = Seq.fill(400)(base + rnd.between(-5_000_000_000L, 5_000_000_000L))
+      .distinct
+    val ivs = Seq.tabulate(80) { i =>
+      val lo = base + rnd.between(-5_500_000_000L, 5_500_000_000L)
+      (i.toLong, lo, lo + rnd.between(0L, 3_000_000_000L))
+    }
+    val got = RangeJoin.pointInInterval(
+      pts.toDF("p"), ivs.toDF("iv_id", "lo", "hi"),
+      "p", "lo", "hi", binWidth)
+      .select("iv_id", "p").as[(Long, Long)].collect().toSet
+    val want = (for {
+      p <- pts; (iv, lo, hi) <- ivs if p >= lo && p <= hi
+    } yield (iv, p)).toSet
+    assert(got === want)
+  }
+
+  test("negative values keep floor-aligned bins") {
+    import spark.implicits._
+    // interval straddling zero: a truncating (toward-zero) bin would
+    // put -1 and +1 in the same bin 0 and still pass the final filter,
+    // but a point in [-10, -6] with binWidth 5 must land in bin -2
+    // to MEET its interval at all.
+    val pts = Seq(-8L)
+    val ivs = Seq((1L, -10L, -6L))
+    val got = RangeJoin.pointInInterval(
+      pts.toDF("p"), ivs.toDF("iv_id", "lo", "hi"),
+      "p", "lo", "hi", binWidth = 5L)
+      .select("iv_id", "p").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, -8L)))
+  }
 }

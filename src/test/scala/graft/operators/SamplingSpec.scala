@@ -30,4 +30,16 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sampleIds === trainIds)
   }
+
+  test("boundary fractions: 1.0 keeps everything, 0.0 keeps nothing") {
+    val total = docs.count()
+    // frac = 1.0 has no 4-hex threshold ("ffff" compare would drop the
+    // 1/65536 of keys whose bucket IS ffff) — must be all rows
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() === total)
+    val all = Sampling.hashSplit(docs, "doc_id", 1.0)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all === Map("train" -> total))
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() === 0L)
+  }
 }
