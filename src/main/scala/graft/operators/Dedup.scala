@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,6 +37,18 @@ object Dedup {
     * kernels below regardless of cores. */
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** A one-row aggregate as an in-plan scalar-subquery expression: the
+    * subquery runs as its own (tiny) stage and its single value feeds
+    * the main plan as a runtime literal. Fully lazy — no driver-side
+    * action at plan-build time — and no join appears in the plan (a
+    * `crossJoin(broadcast(oneRowDf))` spelling plans as a
+    * BroadcastNestedLoopJoin, which the dedup plan contracts forbid
+    * outright, and a constant-key equi-join folds back to the same). */
+  private def scalarOf(agg: DataFrame): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        agg.queryExecution.analyzed))
 
   /** Inverted index (id, k) with k = hash of (partition, shingle).
     * Shingles are array_distinct upstream so (id, k) is unique.
@@ -98,8 +110,7 @@ object Dedup {
       case (Some(m), _) => sized.filter(col("kdf") <= m)
       case (None, Some(r)) =>
         val nDocs = index.agg(countDistinct(col("id")).as("n_docs"))
-        sized.crossJoin(broadcast(nDocs))
-          .filter(col("kdf") <= ceil(lit(r) * col("n_docs")))
+        sized.filter(col("kdf") <= ceil(lit(r) * scalarOf(nDocs)))
       case _ => sized
     }
     guarded
@@ -349,32 +360,52 @@ object Dedup {
     * Exact low-threshold similarity join is inherently Θ(n²) pair
     * evaluations (dense vectors admit no lossless pruning at e.g.
     * cosine 0.45, and sketch recall there is worse than brute force) —
-    * what scales is DISTRIBUTING those pairs, which this shape does;
-    * raise `groups` with the corpus so each cell stays memory-sized.
-    * For high thresholds where approximate recall is acceptable, use
+    * what scales is DISTRIBUTING those pairs, which this shape does.
+    * By default the grid auto-sizes from an in-plan corpus count
+    * (broadcast one-row aggregate, fully lazy): G = max(8, n/1000)
+    * targets ~10⁶ pair evaluations per cell, so cells stay
+    * memory-sized as the corpus grows WITHOUT the caller having to
+    * remember to retune a knob that silently stops scaling (the grid
+    * id G is an ordinary column, so the cell expressions stay the same
+    * plan shape either way). Pass `groups` to pin it explicitly. For
+    * high thresholds where approximate recall is acceptable, use
     * `Similarity.lshTopK`'s bucketing instead. The per-pair kernel is
     * the fused native [[DotProduct]] with per-row precomputed self-dots
     * (bit-identical to recomputing per pair).
     */
   def embeddingCosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, groups: Int = 8): DataFrame = {
-    val G = groups
-    val base = spread(df)
+      threshold: Double, groups: Option[Int] = None): DataFrame = {
+    val base0 = spread(df)
       .select(col(idCol).as("id"), V.toDouble(col(vecCol)).as("v"))
       .withColumn("ss", DotProduct(col("v"), col("v")))
-      .withColumn("g", pmod(xxhash64(col("id")), lit(G.toLong)).cast("int"))
-    val cells = array_distinct(concat(
-      transform(sequence(col("g"), lit(G - 1)), j => col("g") * G + j),
-      transform(sequence(lit(0), col("g")), i => i * G + col("g"))))
-    val e = base.withColumn("cell", explode(cells))
-    val a = e.select(col("cell"), col("g").as("a_g"), col("id").as("a_id"),
-      col("v").as("a_v"), col("ss").as("a_ss"))
+    // NB the grid-size column is "gn", not "G": analysis is
+    // case-insensitive by default, so "G" would capture the row's own
+    // grid coordinate "g".
+    val base = groups match {
+      case Some(g) =>
+        require(g > 0, "groups must be positive")
+        base0.withColumn("gn", lit(g))
+      case None =>
+        val n = df.agg(count(lit(1)).as("n_rows"))
+        base0.withColumn("gn",
+          greatest(lit(8), ceil(scalarOf(n) / 1000.0)).cast("int"))
+    }
+    val e = base
+      .withColumn("g",
+        pmod(xxhash64(col("id")), col("gn").cast("long")).cast("int"))
+      .withColumn("cell", explode(array_distinct(concat(
+        transform(sequence(col("g"), col("gn") - 1),
+          j => col("g") * col("gn") + j),
+        transform(sequence(lit(0), col("g")),
+          i => i * col("gn") + col("g"))))))
+    val a = e.select(col("cell"), col("gn"), col("g").as("a_g"),
+      col("id").as("a_id"), col("v").as("a_v"), col("ss").as("a_ss"))
     val b = e.select(col("cell"), col("g").as("b_g"), col("id").as("b_id"),
       col("v").as("b_v"), col("ss").as("b_ss"))
     a.join(b, Seq("cell"))
       .filter(col("a_id") < col("b_id") &&
-        col("cell") === least(col("a_g"), col("b_g")) * G +
+        col("cell") === least(col("a_g"), col("b_g")) * col("gn") +
           greatest(col("a_g"), col("b_g")))
       .withColumn("cosine", round(
         DotProduct(col("a_v"), col("b_v")) / (sqrt(col("a_ss")) * sqrt(col("b_ss"))), 4))

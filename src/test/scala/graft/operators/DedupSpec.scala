@@ -90,6 +90,17 @@ class DedupSpec extends SparkSpec {
     assert((out(0).getLong(0), out(0).getLong(1)) === (1L, 2L))
   }
 
+  test("embedding cosine pairs: identical result at any grid size (incl. auto)") {
+    val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    def run(groups: Option[Int]): Set[(Long, Long, Double)] =
+      Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45, groups)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val auto = run(None)
+    assert(auto.nonEmpty)
+    assert(run(Some(3)) === auto)
+    assert(run(Some(7)) === auto)
+  }
+
   test("embedding cosine pairs: pure equi-join plan (no nested-loop/cartesian)") {
     val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
     val plan = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45)
