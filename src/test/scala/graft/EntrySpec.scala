@@ -23,4 +23,22 @@ class EntrySpec extends SparkSpec {
       ()
     }
   }
+
+  test("rows-only queries pin golden row counts at the gate SF") {
+    // q25/q28/q29/q43 have no DuckDB oracle (non-portable hash spaces),
+    // so the driver only checks rows > 0 for them. Their hash spaces
+    // are deterministic (fixed seeds), so exact counts at sf0.01 are
+    // stable goldens: a silent behavior change can't hide behind
+    // `no_oracle`. Recall/guarantee semantics are separately gated in
+    // DedupSpec/SimilaritySpec.
+    val golden = Map(
+      "q25_dedup_simhash" -> 23L,
+      "q28_sim_topk_lsh" -> 100L,
+      "q29_sim_topk_ivf" -> 100L,
+      "q43_dedup_winnowing" -> 30L)
+    golden.foreach { case (name, want) =>
+      val got = SparkEntry.queries(name)(spark, sf("sf0.01")).count()
+      assert(got === want, name)
+    }
+  }
 }
