@@ -41,4 +41,31 @@ object Sampling {
   /** Deterministic ~`frac` sample of rows by md5-bucket of `keyCol`. */
   def hashSample(df: DataFrame, keyCol: String, frac: Double): DataFrame =
     df.filter(selected(col(keyCol), frac))
+
+  /** Exact per-stratum deterministic sampling: within each stratum,
+    * rows rank by md5(key) (content-stable total order; key as
+    * tie-break) and the first ceil(frac · stratum_size) survive. Where
+    * threshold sampling is proportional only in expectation, every
+    * stratum here contributes EXACTLY its share — what a training-mix
+    * builder needs when balancing languages or sources.
+    *
+    * Shape: one shuffle + sort keyed by the stratum. Ranking within a
+    * stratum is inherently a per-stratum order, so a single giant
+    * stratum serializes into one partition's sort (spillable, but not
+    * parallel) — for stratum sizes beyond a single executor's
+    * spill-comfort, use [[hashSample]] per stratum instead and accept
+    * expectation-level proportionality.
+    */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "fraction must be in [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+    df.withColumn("__rk", row_number().over(
+        w.orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rk") <= ceil(lit(frac) * col("__n")))
+      .drop("__rk", "__n")
+  }
 }

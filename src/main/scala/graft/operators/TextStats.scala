@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Corpus-scale text statistics for training-data curation. Each
+  * operator is a token- or shingle-level explode followed by keyed
+  * aggregation — corpus-linear row counts, hash-partitioned shuffles,
+  * map-side partial aggregation — so the shapes hold at 100 TB (no
+  * per-document quadratic work, no driver materialization).
+  */
+object TextStats {
+
+  /** Per-document token-repetition profile — the repetition quality
+    * signals large-corpus curation pipelines filter on (the
+    * Gopher/MassiveText family of repetition heuristics, Rae et al.
+    * 2021, arXiv:2112.11446): `dup_frac` is the fraction of tokens
+    * that repeat an earlier token, `top_tok_frac` the share of the
+    * single most frequent token. Two aggregations, both keyed by doc
+    * (+token) — the (id, tok) pre-aggregation keeps the per-doc state
+    * bounded by the doc's distinct vocabulary, not its length.
+    */
+  def repetitionProfile(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("id"),
+        col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("dup_frac"),
+        round(col("top_c").cast("double") / col("n_tokens"), 4)
+          .as("top_tok_frac"))
+
+  /** Corpus-level boilerplate mining: the `k` word-`n`-gram shingles
+    * present in the most documents (shingles are distinct per doc, so
+    * the count IS document frequency). Partial-aggregated counts into
+    * a TakeOrderedAndProject top-k — never a full sort of the shingle
+    * space. This is the measurement behind the dedup family's df-cap
+    * defaults: its output is exactly the keys a candidate stage must
+    * not self-join on.
+    */
+  def topShingles(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(T.wordShingles(col(textCol), n)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle"))
+      .limit(k)
+
+  /** Token-window chunking for context-length packing: overlapping
+    * windows of `chunkSize` tokens starting every `stride` tokens —
+    * how a training pipeline turns documents into fixed-budget
+    * samples. Tokens become (doc, pos, tok) rows, each token explodes
+    * to the <= ceil(chunkSize/stride) chunks whose window covers it,
+    * and chunks reassemble with a per-(doc, chunk) sorted aggregation.
+    * All distributed by (doc, chunk) keys; a long document costs
+    * O(len · chunkSize/stride) rows, never O(len²) substring work.
+    */
+  def chunkTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    // chunk c covers token positions [c*stride, c*stride + chunkSize)
+    val cLo = greatest(lit(0),
+      ceil((col("pos") - chunkSize + 1) / lit(stride.toDouble)).cast("int"))
+    val cHi = floor(col("pos") / lit(stride.toDouble)).cast("int")
+    toks.withColumn("chunk", explode(sequence(cLo, cHi)))
+      .groupBy("id", "chunk")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).as("chunk_text"))
+  }
+}

@@ -480,7 +480,107 @@ object LlmOps {
                doc_id % 768 AS height
         FROM documents
         WHERE doc_id % 3 = 2 AND doc_id % 30 > 0
-        ORDER BY media_id, frame_idx"""))
+        ORDER BY media_id, frame_idx""")),
+
+    // Exact per-stratum sampling (training-mix balancing): every
+    // language contributes exactly ceil(0.3 · n_lang) docs, chosen by
+    // the content-stable md5 order. The id checksum pins the exact
+    // SELECTION, not just the counts.
+    "q58_stratified_sample" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        Sampling.stratifiedSample(Tables(s, dir, "documents"),
+          "doc_id", "lang", frac = 0.3)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        SELECT lang, count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM (
+          SELECT * FROM documents
+          QUALIFY row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            <= ceil(0.3 * count(*) OVER (PARTITION BY lang)))
+        GROUP BY lang ORDER BY lang""")),
+
+    // Gopher-style repetition quality profile: duplicate-token fraction
+    // and top-token share per document.
+    "q59_repetition_profile" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.repetitionProfile(Tables(s, dir, "documents"),
+          "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_tokens"),
+            col("dup_frac"), col("top_tok_frac"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               round(1.0 - count(*)::DOUBLE / sum(c), 4) AS dup_frac,
+               round(max(c)::DOUBLE / sum(c), 4) AS top_tok_frac
+        FROM cnt GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Corpus-level boilerplate mining: the 20 word-3-gram shingles with
+    // the highest document frequency — the keys the dedup df-caps
+    // exist to keep out of candidate self-joins.
+    "q60_boilerplate_ngrams" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.topShingles(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 3, k = 20)
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   [array_to_string(string_split(text,' ')[i+1:i+3],' ')
+                    for i in range(len(string_split(text,' '))-2)])) AS shingle
+          FROM documents)
+        SELECT shingle, count(*) AS doc_freq
+        FROM s GROUP BY shingle
+        ORDER BY doc_freq DESC, shingle LIMIT 20""")),
+
+    // Token-window chunking (context-length packing): 50-token windows
+    // every 40 tokens, reassembled distributively by (doc, chunk).
+    "q61_token_chunks" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.chunkTokens(Tables(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 50, stride = 40)
+          .select(col("id").as("doc_id"), col("chunk"),
+            col("n_tokens"), col("chunk_text"))
+          .orderBy("doc_id", "chunk")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                   FROM documents),
+        tk AS (SELECT doc_id,
+                      unnest([{'pos': i, 'tok': toks[i+1]}
+                              for i in range(len(toks))]) AS u
+               FROM t),
+        toks AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok
+                 FROM tk),
+        ech AS (SELECT doc_id, pos, tok,
+                       unnest([c for c in range(
+                         greatest(0, CAST(ceil((pos - 50 + 1) / 40.0)
+                                          AS BIGINT)),
+                         pos // 40 + 1)]) AS c
+                FROM toks),
+        ch AS (SELECT doc_id, CAST(c AS INT) AS chunk, count(*) AS n_tokens,
+                      string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+               FROM ech GROUP BY doc_id, chunk)
+        SELECT doc_id, chunk, CAST(n_tokens AS BIGINT) AS n_tokens,
+               chunk_text
+        FROM ch ORDER BY doc_id, chunk"""))
   )
 }
 

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextStatsSpec extends SparkSpec {
+
+  test("repetitionProfile on controlled docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"),          // 4 tokens, 2 distinct, top 'a' = 3
+      (2L, "x y z w")).toDF("doc_id", "text")
+    val got = TextStats.repetitionProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((4L, 0.5, 0.75)))
+    assert(got(2L) === ((4L, 0.0, 0.25)))
+  }
+
+  test("topShingles counts document frequency, not occurrences") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q r p q r"),   // shingle "p q r" twice in doc 1
+      (2L, "p q r s"),
+      (3L, "s t u v")).toDF("doc_id", "text")
+    val got = TextStats.topShingles(df, "doc_id", "text", n = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "p q r" in 2 docs (counted once in doc 1); ties break by shingle
+    assert(got.head === (("p q r", 2L)))
+    assert(got.length === 2 && got(1)._2 === 1L)
+  }
+
+  test("chunkTokens: exact overlapping windows, trailing partial kept") {
+    import spark.implicits._
+    val toks = (0 until 95).map(i => s"t$i")
+    val df = Seq((7L, toks.mkString(" ")), (8L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = TextStats.chunkTokens(df, "doc_id", "text",
+      chunkSize = 50, stride = 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet === Set((7L, 0), (7L, 1), (7L, 2), (8L, 0)))
+    assert(got((7L, 0)) === ((50L, toks.slice(0, 50).mkString(" "))))
+    assert(got((7L, 1)) === ((50L, toks.slice(40, 90).mkString(" "))))
+    assert(got((7L, 2)) === ((15L, toks.slice(80, 95).mkString(" "))))
+    assert(got((8L, 0)) === ((3L, "a b c")))
+  }
+
+  test("stratifiedSample: exact ceil share per stratum, nested in frac") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val perLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "lang", 0.3)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(kept(lang) === math.ceil(0.3 * n).toLong, lang)
+    }
+    // rank-based selection nests: the 0.1 sample is inside the 0.3 one
+    def ids(frac: Double): Set[Long] =
+      Sampling.stratifiedSample(docs, "doc_id", "lang", frac)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(0.1).subsetOf(ids(0.3)))
+  }
+}
