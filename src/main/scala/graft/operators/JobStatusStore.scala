@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Cross-process detached-job status — the one reference behavior the
+  * in-process registry can't cover: process B polling or aborting
+  * process A's job by id (reference running_job.go:146-193, status and
+  * abort signals in etcd). The Spark-world analogue of etcd here is a
+  * shared directory (NFS / fuse-mounted object store / anything both
+  * drivers see):
+  *
+  *   - the OWNING process writes `<jobId>.status.json` atomically
+  *     (temp file + atomic rename) on every state transition;
+  *   - ANY process requests an abort by creating the `<jobId>.abort`
+  *     marker; the owning process polls for markers while the job
+  *     runs (the file-system stand-in for an etcd watch).
+  *
+  * Enabled by setting the system property `graft.job.statusDir` (or
+  * passing a dir explicitly); unset, job control stays purely
+  * in-process and nothing is written.
+  */
+object JobStatusStore {
+
+  private[operators] def configuredDir: Option[Path] =
+    sys.props.get("graft.job.statusDir").map(Paths.get(_))
+
+  private def statusPath(dir: Path, jobId: String): Path =
+    dir.resolve(s"$jobId.status.json")
+  private def abortPath(dir: Path, jobId: String): Path =
+    dir.resolve(s"$jobId.abort")
+
+  /** Minimal hand-rolled JSON: two fixed string fields plus a flat
+    * numeric metrics object — no library dependency. */
+  private def render(jobId: String, state: String,
+      metrics: Map[String, Long]): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val ms = metrics.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": $v""" }.mkString(", ")
+    s"""{"jobId": "${esc(jobId)}", "state": "${esc(state)}", "metrics": {$ms}}"""
+  }
+
+  /** Atomic publish: write-temp + rename, so a concurrent reader never
+    * sees a torn file. */
+  private[operators] def publish(dir: Path, jobId: String, state: String,
+      metrics: Map[String, Long]): Unit = {
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, s".$jobId", ".tmp")
+    Files.write(tmp,
+      render(jobId, state, metrics).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, statusPath(dir, jobId),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read a job's last published state from the store — works from any
+    * process that sees the directory. Returns the `state` field. */
+  def fetchState(dir: Path, jobId: String): Option[String] = {
+    val p = statusPath(dir, jobId)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      """"state":\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+    }
+  }
+
+  /** Request an abort from any process: drop the marker file. The
+    * owning process's poller picks it up within its poll interval.
+    * Returns false if the job has no published status (unknown id). */
+  def requestAbort(dir: Path, jobId: String): Boolean = {
+    if (!Files.exists(statusPath(dir, jobId))) false
+    else {
+      try Files.createFile(abortPath(dir, jobId))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      true
+    }
+  }
+
+  private[operators] def abortRequested(dir: Path, jobId: String): Boolean =
+    Files.exists(abortPath(dir, jobId))
+
+  /** Remove a job's files (pairs with registry eviction). */
+  private[operators] def clear(dir: Path, jobId: String): Unit = {
+    Files.deleteIfExists(statusPath(dir, jobId))
+    Files.deleteIfExists(abortPath(dir, jobId))
+    ()
+  }
+}

@@ -93,9 +93,29 @@ object RunningJob {
     }
     val job = new RunningJob(jobId, spark, acc, future)
     registry.put(jobId, job)
+    // Cross-process status store (reference: etcd; here a shared dir).
+    // Publish "running" now, the terminal state on completion, and poll
+    // for abort markers dropped by other processes while running.
+    val store = JobStatusStore.configuredDir
+    store.foreach { dir =>
+      JobStatusStore.publish(dir, jobId, "running", Map.empty)
+      lazy val poller: java.util.concurrent.ScheduledFuture[_] =
+        evictor.scheduleWithFixedDelay(new Runnable {
+          override def run(): Unit =
+            if (JobStatusStore.abortRequested(dir, jobId) && !job.isDone)
+              job.abort()
+        }, 200, 200, java.util.concurrent.TimeUnit.MILLISECONDS)
+      val started = poller
+      future.onComplete { _ => started.cancel(false) }
+    }
     future.onComplete { _ =>
+      store.foreach(dir =>
+        JobStatusStore.publish(dir, jobId, job.status, job.metrics))
       evictor.schedule(new Runnable {
-        override def run(): Unit = registry.remove(jobId)
+        override def run(): Unit = {
+          registry.remove(jobId)
+          store.foreach(dir => JobStatusStore.clear(dir, jobId))
+        }
       }, retentionMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     }
     job

@@ -96,6 +96,39 @@ class JobControlSpec extends SparkSpec {
     }
   }
 
+  test("cross-process status store: publish, fetch, abort via shared dir") {
+    // "Process B" here touches ONLY the shared directory + the job id —
+    // the same information a second driver would have (reference
+    // running_job.go:146-193 does this through etcd).
+    val dir = java.nio.file.Files.createTempDirectory("graft-status")
+    sys.props("graft.job.statusDir") = dir.toString
+    try {
+      taskStarted.set(false)
+      val job = slowPipeline("graft-xproc")
+      awaitStarted()
+      assert(JobStatusStore.fetchState(dir, "graft-xproc") === Some("running"))
+      assert(JobStatusStore.requestAbort(dir, "graft-xproc"))
+      assert(job.waitForCompletion(2.minutes).isFailure)
+      assert(job.status === "aborted")
+      // terminal state publishes asynchronously on completion
+      val deadline = System.nanoTime() + 30.seconds.toNanos
+      while (JobStatusStore.fetchState(dir, "graft-xproc") != Some("aborted") &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      assert(JobStatusStore.fetchState(dir, "graft-xproc") === Some("aborted"))
+      // unknown ids are refused, not silently "aborted"
+      assert(!JobStatusStore.requestAbort(dir, "graft-no-such"))
+
+      // happy path: a fast job publishes "succeeded"
+      val ok = Pipeline.parallelize(spark, KV.fromInts(1 to 10: _*))
+        .runInBackground("graft-xproc-ok")
+      ok.waitForResult(2.minutes)
+      val d2 = System.nanoTime() + 30.seconds.toNanos
+      while (JobStatusStore.fetchState(dir, "graft-xproc-ok") != Some("succeeded") &&
+        System.nanoTime() < d2) Thread.sleep(20)
+      assert(JobStatusStore.fetchState(dir, "graft-xproc-ok") === Some("succeeded"))
+    } finally sys.props.remove("graft.job.statusDir")
+  }
+
   test("registry drains: completed jobs evict after retention (no leak)") {
     // reference pins this with goleak + a running-tasks gauge returning
     // to 0 (test/leak_test.go:13-14, metric/worker_metrics.go:15-21);
