@@ -51,4 +51,30 @@ object Sources {
     val wh = if (format == "csv") wp.option("header", "true") else wp
     wh.save(path)
   }
+
+  /** Bucketed columnar sink (session catalog): rows hash into `buckets`
+    * files by `bucketCols`, sorted within each bucket by `sortCols`.
+    * The single biggest repeated-join lever at 100 TB: two tables
+    * bucketed (and sorted) the same way join with ZERO exchange and
+    * zero sort — the shuffle every equi-join otherwise pays is prepaid
+    * once at write time and amortized over every subsequent join or
+    * aggregation on that key. Bucket counts must match across tables
+    * meant to co-join (Spark only elides the exchange when they align).
+    */
+  def writeBucketed(df: DataFrame, table: String,
+      buckets: Int, bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty)
+      w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+
+  /** Read a bucketed table back (scan exposes the bucketing, so joins
+    * and aggregations on the bucket key skip their exchange). */
+  def table(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
 }
