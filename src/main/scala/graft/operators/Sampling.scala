@@ -42,6 +42,16 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, frac: Double): DataFrame =
     df.filter(selected(col(keyCol), frac))
 
+  /** Deterministic exact-`k` sample: the `k` rows whose md5(key) sorts
+    * first — a content-stable "give me exactly 10k docs to eyeball /
+    * eval on" that returns the SAME rows on every engine, run, and
+    * cluster size (unlike `df.limit(k)`, which is partition-order
+    * dependent, or RNG sampling, which is seed-and-partitioning
+    * dependent). Plans as TakeOrderedAndProject: per-partition heap of
+    * k + driver merge, never a global sort. */
+  def takeDeterministic(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.orderBy(md5(col(keyCol).cast("string")), col(keyCol)).limit(k)
+
   /** Exact per-stratum deterministic sampling: within each stratum,
     * rows rank by md5(key) (content-stable total order; key as
     * tie-break) and the first ceil(frac · stratum_size) survive. Where
@@ -66,6 +76,28 @@ object Sampling {
         w.orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__rk") <= ceil(lit(frac) * col("__n")))
+      .drop("__rk", "__n")
+  }
+
+  /** Corpus-relative quality gating: drop exactly the bottom
+    * ceil(frac · n) rows by (`scoreCol`, `tieCol`) rank — "cut the
+    * worst decile" without ever comparing against an interpolated
+    * float threshold (whose last-ulp differences across engines make
+    * boundary rows nondeterministic; rank + a unique tie-break is
+    * portable exactly). Rank-based exactness costs a global sort; at
+    * scales where that single sort is unacceptable, switch to an
+    * `approx_percentile` threshold and accept boundary fuzz.
+    */
+  def dropBottomFraction(
+      df: DataFrame, scoreCol: String, tieCol: String,
+      frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "fraction must be in [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    df.withColumn("__rk", row_number().over(
+        w.orderBy(col(scoreCol), col(tieCol))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rk") > ceil(lit(frac) * col("__n")))
       .drop("__rk", "__n")
   }
 }

@@ -506,6 +506,49 @@ object LlmOps {
             <= ceil(0.3 * count(*) OVER (PARTITION BY lang)))
         GROUP BY lang ORDER BY lang""")),
 
+    // Content-stable exact-k sample: the same 100 docs on any engine,
+    // run, or cluster size; plans as TakeOrderedAndProject.
+    "q62_deterministic_sample" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        Sampling.takeDeterministic(Tables(s, dir, "documents"),
+          "doc_id", k = 100)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT * FROM documents
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
+        ORDER BY doc_id""")),
+
+    // Corpus-relative quality gate: drop exactly the worst decile by
+    // (type-token ratio, doc_id) rank — rank-based, so no interpolated
+    // float threshold can make boundary rows diverge across engines.
+    "q63_quality_gate" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        val scored = Tables(s, dir, "documents")
+          .withColumn("ttr", T.typeTokenRatio(col("text")))
+        Sampling.dropBottomFraction(scored, "ttr", "doc_id", frac = 0.1)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            round(avg(col("ttr")), 4).as("avg_ttr"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 round(len(list_distinct(string_split(text,' ')))::DOUBLE /
+                       len(string_split(text,' ')), 4) AS ttr
+          FROM documents),
+        kept AS (
+          SELECT * FROM scored
+          QUALIFY row_number() OVER (ORDER BY ttr, doc_id)
+            > ceil(0.1 * count(*) OVER ()))
+        SELECT lang, count(*) AS n_kept, round(avg(ttr), 4) AS avg_ttr
+        FROM kept GROUP BY lang ORDER BY lang""")),
+
     // Gopher-style repetition quality profile: duplicate-token fraction
     // and top-token share per document.
     "q59_repetition_profile" -> Q(

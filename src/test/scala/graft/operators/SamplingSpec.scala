@@ -31,6 +31,32 @@ class SamplingSpec extends SparkSpec {
     assert(sampleIds === trainIds)
   }
 
+  test("takeDeterministic: exact k, nested, TakeOrderedAndProject plan") {
+    val s10 = Sampling.takeDeterministic(docs, "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.takeDeterministic(docs, "doc_id", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10.size === 10 && s50.size === 50)
+    assert(s10.subsetOf(s50)) // prefix of one global order
+    val plan = Sampling.takeDeterministic(docs, "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+  }
+
+  test("dropBottomFraction: exactly the worst ceil(frac*n) rows go") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, i * 0.1)).toDF("id", "score")
+    val kept = Sampling.dropBottomFraction(df, "score", "id", 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // ceil(0.25 * 10) = 3 lowest scores dropped
+    assert(kept === (4 to 10).map(_.toLong).toSet)
+    // ties break on the tie column, not partition order
+    val tied = (1 to 4).map(i => (i.toLong, 1.0)).toDF("id", "score")
+    val keptTied = Sampling.dropBottomFraction(tied, "score", "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptTied === Set(3L, 4L))
+  }
+
   test("boundary fractions: 1.0 keeps everything, 0.0 keeps nothing") {
     val total = docs.count()
     // frac = 1.0 has no 4-hex threshold ("ffff" compare would drop the
