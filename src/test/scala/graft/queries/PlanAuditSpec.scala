@@ -55,6 +55,12 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q60: corpus top-k mines with partial agg + TakeOrderedAndProject") {
+    val p = plan("q60_boilerplate_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
   test("q23/q40: similarity + range joins stay equi-join shaped") {
     for (name <- Seq("q23_dedup_ngram_jaccard", "q40_range_join")) {
       val p = plan(name)
