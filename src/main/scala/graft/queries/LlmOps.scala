@@ -113,6 +113,48 @@ object LlmOps {
               >= 0.25
         ORDER BY a_id, b_id""")),
 
+    // Near-dup pairs → transitive-closure clusters: every doc labeled
+    // with the minimum id of its connected component, sizes + id
+    // checksums pinning the exact membership. The oracle closes the
+    // same char-ngram pair graph with a recursive CTE — small there
+    // (closure is quadratic in SQL), O(log n) alternating-star rounds
+    // on the Spark side.
+    "q64_dedup_clusters" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.ConnectedComponents
+        val pairs = Dedup.ngramJaccardPairs(
+          Tables(s, dir, "documents").filter(col("lang") === "zh"),
+          "doc_id", "text", n = 5, threshold = 0.25, charLevel = true)
+        ConnectedComponents(pairs, "a_id", "b_id")
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("id")).as("id_checksum"))
+          .orderBy("component")
+      },
+      oracle = Some("""
+        WITH RECURSIVE s AS (
+          SELECT doc_id,
+                 list_distinct([text[i+1:i+5]
+                                for i in range(len(text)-4)]) AS sh
+          FROM documents WHERE lang = 'zh'),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                      (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3)
+                >= 0.25),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(id, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        SELECT component, count(*) AS n_docs,
+               CAST(sum(id) AS BIGINT) AS id_checksum
+        FROM comp GROUP BY component ORDER BY component""")),
+
     // Winnowing hash space isn't portable SQL → rows-only; the
     // winnowing guarantee + overlap semantics are asserted in DedupSpec.
     "q43_dedup_winnowing" -> Q(
@@ -548,6 +590,117 @@ object LlmOps {
             > ceil(0.1 * count(*) OVER ()))
         SELECT lang, count(*) AS n_kept, round(avg(ttr), 4) AS avg_ttr
         FROM kept GROUP BY lang ORDER BY lang""")),
+
+    // PII scrub: detect + redact emails / SSNs / phones / IPs. The
+    // synthetic corpus contains no PII, so the query PLANTS
+    // deterministic PII derived from doc ids (same precedent as the
+    // q33/q34 fake media payloads) and both engines replay identical
+    // planting, counting, and ordered redaction. Counts run each
+    // pattern independently over the raw text (an SSN is also a valid
+    // phone-shaped digit run — redaction order, not the counters,
+    // disambiguates); the redacted text is pinned by md5 + length.
+    "q65_pii_redact" -> Q(
+      fn = (s, dir) => {
+        import graft.functions.{PiiFunctions => P}
+        val planted = Tables(s, dir, "documents").withColumn("t", concat(
+          col("text"),
+          when(col("doc_id") % 2 === 0, concat(
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, concat(
+            lit(" call +1 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(
+            lit(" ssn "), (col("doc_id") % 900 + 100).cast("string"),
+            lit("-"), (col("doc_id") % 90 + 10).cast("string"),
+            lit("-"), (col("doc_id") % 9000 + 1000).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, concat(
+            lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 200).cast("string")))
+            .otherwise(lit(""))))
+        planted.select(
+          col("doc_id"),
+          P.countEmails(col("t")).cast("long").as("n_emails"),
+          P.countSsns(col("t")).cast("long").as("n_ssns"),
+          P.countPhones(col("t")).cast("long").as("n_phones"),
+          P.countIps(col("t")).cast("long").as("n_ips"),
+          md5(P.redact(col("t"))).as("red_md5"),
+          length(P.redact(col("t"))).cast("long").as("red_len"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 2 = 0 THEN ' contact user' || doc_id ||
+              '@mail' || (doc_id % 7) || '.example.com' ELSE '' END ||
+            CASE WHEN doc_id % 3 = 0 THEN ' call +1 555-01' ||
+              lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN ' ssn ' || (doc_id % 900 + 100)
+              || '-' || (doc_id % 90 + 10) || '-' || (doc_id % 9000 + 1000)
+              ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || (doc_id % 256) ||
+              '.0.' || (doc_id % 200) ELSE '' END AS t
+          FROM documents),
+        r AS (
+          SELECT doc_id, t,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+              '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+              '\+?\d[\d -]{7,}\d', '[PHONE]', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS red
+          FROM p)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(t,
+                 '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssns,
+               CAST(len(regexp_extract_all(t,
+                 '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(t,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                 AS n_ips,
+               md5(red) AS red_md5,
+               CAST(length(red) AS BIGINT) AS red_len
+        FROM r ORDER BY doc_id""")),
+
+    // Training-sequence packing: concat docs in content-stable order,
+    // split at a 512-token budget. The Spark side computes the global
+    // running offset as a two-phase distributed prefix sum (see
+    // operators/Packing.scala — a bare global window would
+    // single-partition the corpus); the oracle recomputes it as the
+    // global window it semantically is.
+    "q66_sequence_packing" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Packing
+        Packing.packSequences(Tables(s, dir, "documents"),
+          "doc_id", T.tokenCount(col("text")), budget = 512)
+          .groupBy(col("seq"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("n_tokens"),
+            sum(col("straddles").cast("long")).as("n_straddle"))
+          .orderBy("seq")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                 len(string_split(text, ' ')) AS tok
+          FROM documents),
+        o AS (
+          SELECT doc_id, tok,
+                 coalesce(sum(tok) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+          FROM t)
+        SELECT CAST(off // 512 AS BIGINT) AS seq,
+               count(*) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tok > 0 AND (off + tok - 1) // 512 > off // 512
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+        FROM o GROUP BY 1 ORDER BY seq""")),
 
     // Gopher-style repetition quality profile: duplicate-token fraction
     // and top-token share per document.
