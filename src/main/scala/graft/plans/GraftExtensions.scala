@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SQL surface for the native sketch kernels: every graft expression
+  * becomes a `graft_*` SQL function, so the whole dedup/similarity
+  * toolbox is usable from `spark.sql(...)` — not just the Scala Column
+  * API. Registered the idiomatic Spark way:
+  *
+  *   - fresh sessions: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *     (or `builder.withExtensions(new GraftExtensions)`), the same
+  *     injection hook Delta/Iceberg use;
+  *   - an existing session: `GraftExtensions.register(spark)`.
+  *
+  * Tuning parameters (k, bands, nBits, seed) must be literal arguments
+  * — they parameterize the kernel itself, not per-row data, exactly
+  * like the built-ins' `approx_percentile(col, 0.5)` accuracy argument.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans.GraftExtensions", null, name, usage, ""),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(args: Seq[Expression], pos: Int, fn: String): Int =
+    args(pos) match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+    }
+
+  private def longLit(args: Seq[Expression], pos: Int, fn: String): Long =
+    args(pos) match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+    }
+
+  private def arity(args: Seq[Expression], n: Int, fn: String): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${args.length}")
+
+  /** (name, usage, builder) for every exposed kernel. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_word_shingles",
+      "graft_word_shingles(text, n) - distinct word n-gram shingles",
+      args => { arity(args, 2, "graft_word_shingles")
+        WordShinglesExpr(args.head, intLit(args, 1, "graft_word_shingles")) }),
+    ("graft_char_shingles",
+      "graft_char_shingles(text, n) - distinct char n-gram shingles",
+      args => { arity(args, 2, "graft_char_shingles")
+        CharShinglesExpr(args.head, intLit(args, 1, "graft_char_shingles")) }),
+    ("graft_minhash_sig",
+      "graft_minhash_sig(shingles, k) - k-permutation MinHash signature",
+      args => { arity(args, 2, "graft_minhash_sig")
+        MinHashSig(args.head, intLit(args, 1, "graft_minhash_sig")) }),
+    ("graft_minhash_band_keys",
+      "graft_minhash_band_keys(sig, bands) - LSH band keys of a signature",
+      args => { arity(args, 2, "graft_minhash_band_keys")
+        MinHashBandKeys(args.head, intLit(args, 1, "graft_minhash_band_keys")) }),
+    ("graft_simhash64",
+      "graft_simhash64(text) - 64-bit SimHash of whitespace tokens",
+      args => { arity(args, 1, "graft_simhash64")
+        SimHash64Expr(args.head) }),
+    ("graft_winnow_fingerprint",
+      "graft_winnow_fingerprint(text, k, w) - winnowed k-gram fingerprints",
+      args => { arity(args, 3, "graft_winnow_fingerprint")
+        WinnowingFingerprint(args.head,
+          intLit(args, 1, "graft_winnow_fingerprint"),
+          intLit(args, 2, "graft_winnow_fingerprint")) }),
+    ("graft_hyperplane_bucket",
+      "graft_hyperplane_bucket(vec, nBits, seed) - signed-projection LSH bucket",
+      args => { arity(args, 3, "graft_hyperplane_bucket")
+        HyperplaneBucket(args.head,
+          intLit(args, 1, "graft_hyperplane_bucket"),
+          longLit(args, 2, "graft_hyperplane_bucket")) }),
+    ("graft_sorted_intersect_count",
+      "graft_sorted_intersect_count(a, b) - |A∩B| of two sorted long arrays",
+      args => { arity(args, 2, "graft_sorted_intersect_count")
+        SortedIntersectCount(args.head, args(1)) }),
+    ("graft_dot_product",
+      "graft_dot_product(a, b) - dot product of two double arrays",
+      args => { arity(args, 2, "graft_dot_product")
+        DotProduct(args.head, args(1)) }))
+
+  /** Post-hoc registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      GraftSqlBridge.registerFunction(spark, name,
+        new ExpressionInfo("graft.plans.GraftExtensions", null, name, usage, ""),
+        builder)
+    }
+}

@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.HashFunctions
+
+/** The graft_* SQL functions must be the SAME kernels as the Column
+  * API — registered post-hoc or injected at session build — so SQL
+  * users get bit-identical sketches. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("register: SQL kernels match the Column API bit-for-bit") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("ext_docs")
+
+    val sql = spark.sql("""
+      SELECT id,
+             graft_simhash64(text) AS sh,
+             graft_word_shingles(text, 3) AS ws,
+             graft_minhash_sig(graft_word_shingles(text, 3), 16) AS sig,
+             graft_minhash_band_keys(
+               graft_minhash_sig(graft_word_shingles(text, 3), 16), 4) AS bk,
+             graft_winnow_fingerprint(text, 8, 8) AS wf
+      FROM ext_docs""")
+    val api = df.select(col("id"),
+      SketchExpressions.simhash64(col("text")).as("sh"),
+      SketchExpressions.wordShingles(col("text"), 3).as("ws"),
+      SketchExpressions.minhashSig(
+        SketchExpressions.wordShingles(col("text"), 3), 16).as("sig"),
+      SketchExpressions.minhashBandKeys(
+        SketchExpressions.minhashSig(
+          SketchExpressions.wordShingles(col("text"), 3), 16), 4).as("bk"),
+      SketchExpressions.winnowFingerprint(col("text"), 8, 8).as("wf"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
+  test("register: scalar kernels evaluate correctly from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT graft_sorted_intersect_count(
+               array(1L, 3L, 5L, 7L), array(3L, 4L, 5L, 9L)) AS ic,
+             graft_dot_product(array(1.0D, 2.0D, 3.0D),
+                               array(4.0D, 5.0D, 6.0D)) AS dp,
+             graft_simhash64('a b c') AS sh""").head()
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(1) === 32.0)
+    assert(r.getLong(2) === HashFunctions.simhash64(Array("a", "b", "c")))
+  }
+
+  test("sketch parameters must be literals") {
+    GraftExtensions.register(spark)
+    Seq(1L).toDF("k").createOrReplaceTempView("ext_k")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(array('a'), k) FROM ext_k").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("withExtensions: a freshly built session gets the functions injected") {
+    val prev = spark // keep the shared fixture alive and restore after
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val got = s2.sql("SELECT graft_simhash64('x y z') AS sh").head().getLong(0)
+      assert(got === HashFunctions.simhash64(Array("x", "y", "z")))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
