@@ -8,10 +8,11 @@ import graft.queries.Registry
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
-    * rows>0. The corpus-cleaning pipeline chains the library's quality,
-    * exact-dedup and near-dup operators in one plan. */
+    * rows>0. The cluster-closed corpus-cleaning pipeline chains the
+    * library's quality, exact-dedup, near-dup-pair and
+    * connected-component operators in one program. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q51_clean_corpus")(spark, "/root/testdata/sf0.001")
+    queries("q67_clean_corpus_clustered")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -38,17 +38,9 @@ object Dedup {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** A one-row aggregate as an in-plan scalar-subquery expression: the
-    * subquery runs as its own (tiny) stage and its single value feeds
-    * the main plan as a runtime literal. Fully lazy — no driver-side
-    * action at plan-build time — and no join appears in the plan (a
-    * `crossJoin(broadcast(oneRowDf))` spelling plans as a
-    * BroadcastNestedLoopJoin, which the dedup plan contracts forbid
-    * outright, and a constant-key equi-join folds back to the same). */
-  private def scalarOf(agg: DataFrame): Column =
-    org.apache.spark.sql.GraftSqlBridge.column(
-      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
-        agg.queryExecution.analyzed))
+  /** One-row aggregate as an in-plan scalar-subquery expression — see
+    * [[graft.plans.Scalars]] (lazy, no BNLJ in the plan). */
+  private def scalarOf(agg: DataFrame): Column = graft.plans.Scalars.of(agg)
 
   /** Inverted index (id, k) with k = hash of (partition, shingle).
     * Shingles are array_distinct upstream so (id, k) is unique.

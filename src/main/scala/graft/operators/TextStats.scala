@@ -55,6 +55,53 @@ object TextStats {
       .orderBy(col("doc_freq").desc, col("shingle"))
       .limit(k)
 
+  /** Per-document top-`k` TF-IDF keywords. Term frequencies and
+    * document frequencies are two keyed aggregations over the same
+    * token explosion; the corpus size enters as an in-plan scalar
+    * subquery (no count() action, no 1-row BNLJ join); ranking is a
+    * per-doc window over the doc's own vocabulary. All shuffles are
+    * keyed by token or doc — corpus-linear at any scale.
+    */
+  def tfidfTopK(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tk = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val tf = tk.groupBy("id", "token").agg(count(lit(1)).as("c"))
+    val dfreq = tk.groupBy("token").agg(countDistinct(col("id")).as("d"))
+    val n = graft.plans.Scalars.of(df.agg(count(lit(1)).as("n")))
+    import org.apache.spark.sql.expressions.Window
+    tf.join(dfreq, "token")
+      .withColumn("score",
+        round(col("c") * log(n.cast("double") / col("d")), 4))
+      .withColumn("rank", row_number().over(Window.partitionBy("id")
+        .orderBy(col("score").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("long").as("rank"),
+        col("token"), col("score"))
+  }
+
+  /** Per-document unigram surprisal — the cheap statistical stand-in
+    * for LM-perplexity quality filtering (the CCNet-style signal:
+    * low surprisal = common/boilerplate text, high = rare/noisy).
+    * p(token) is the corpus unigram distribution; a doc's score is the
+    * mean of -ln p over its tokens. One token-keyed aggregation builds
+    * the model, one join + doc-keyed aggregation scores — the model
+    * never leaves the cluster (vocabularies outgrow driver broadcast
+    * at corpus scale, so this is a plain shuffled join by design).
+    */
+  def unigramSurprisal(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val cnt = tk.groupBy("token").agg(count(lit(1)).as("c"))
+    val tot = graft.plans.Scalars.of(tk.agg(count(lit(1)).as("t")))
+    tk.join(cnt, "token")
+      .withColumn("s", -log(col("c").cast("double") / tot.cast("double")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("s")), 4).as("surprisal"))
+  }
+
   /** Token-window chunking for context-length packing: overlapping
     * windows of `chunkSize` tokens starting every `stride` tokens —
     * how a training pipeline turns documents into fixed-budget

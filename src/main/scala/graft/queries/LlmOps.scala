@@ -455,6 +455,65 @@ object LlmOps {
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         FROM c GROUP BY lang ORDER BY lang""")),
 
+    // Flagship v2 — the cluster-closed cleaning pipeline: quality gate
+    // → exact dedup → near-dup PAIR graph → connected-component
+    // closure, keeping exactly one doc (the min id) per near-dup
+    // CLUSTER. Unlike q51's pair-local drop rule, closure also removes
+    // C when A~B and B~C but A~C was never emitted as a pair — the
+    // semantics a real corpus dedup wants. The oracle replays the
+    // identical pipeline with a recursive CTE.
+    "q67_clean_corpus_clustered" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.ConnectedComponents
+        val docs = Tables(s, dir, "documents")
+        val quality = docs.filter(T.tokenCount(col("text")) >= 25)
+        val keepIds = Dedup.exact(quality, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val survivors = quality.join(keepIds, Seq("doc_id"), "left_semi")
+        val pairs = Dedup.ngramJaccardPairs(
+          survivors, "doc_id", "text", n = 3, threshold = 0.5,
+          partitionCol = Some("lang"))
+        val cleaned = ConnectedComponents.keepers(
+          survivors, "doc_id", pairs, "a_id", "b_id")
+        cleaned.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(T.tokenCount(col("text"))).as("total_tokens"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH RECURSIVE q AS (
+          SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 25),
+        k AS (
+          SELECT min(doc_id) AS keep_id FROM q
+          GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))),
+        s AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.keep_id),
+        sh AS (
+          SELECT doc_id, lang,
+                 list_distinct([array_to_string(string_split(text,' ')[i+1:i+3],' ')
+                                for i in range(len(string_split(text,' '))-2)]) AS sh
+          FROM s),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3)
+                >= 0.5),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(id, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+        drops AS (SELECT id FROM comp WHERE id != component),
+        c AS (SELECT * FROM s
+              WHERE doc_id NOT IN (SELECT id FROM drops))
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM c GROUP BY lang ORDER BY lang""")),
+
     // -------------------------------------------------- multimodal
     // Real typed plumbing (binary payload + header-parse feature
     // extraction through Multimodal.extractFeatures); the payload is a
@@ -724,6 +783,62 @@ object LlmOps {
                round(1.0 - count(*)::DOUBLE / sum(c), 4) AS dup_frac,
                round(max(c)::DOUBLE / sum(c), 4) AS top_tok_frac
         FROM cnt GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Per-doc TF-IDF keywords: ranking happens on the ROUNDED score
+    // (then token) on both engines, so float last-ulp differences
+    // can't reorder ranks across engines.
+    "q68_tfidf_keywords" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.tfidfTopK(Tables(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+          .select(col("id").as("doc_id"), col("rank"),
+            col("token"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        df AS (SELECT tok, count(DISTINCT doc_id) AS d FROM tk GROUP BY 1),
+        n AS (SELECT count(*) AS nn FROM documents),
+        sc AS (
+          SELECT tf.doc_id, tf.tok,
+                 round(tf.c * ln(nn::DOUBLE / d), 4) AS score
+          FROM tf JOIN df USING (tok) CROSS JOIN n),
+        rk AS (
+          SELECT doc_id, tok, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, tok) AS rn
+          FROM sc)
+        SELECT doc_id, CAST(rn AS BIGINT) AS rank, tok AS token, score
+        FROM rk WHERE rn <= 3
+        ORDER BY doc_id, rank""")),
+
+    // Unigram-surprisal quality scoring (the statistical stand-in for
+    // LM-perplexity filters): corpus unigram model, per-doc mean
+    // negative log-likelihood.
+    "q69_unigram_surprisal" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.unigramSurprisal(Tables(s, dir, "documents"),
+          "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_tokens"), col("surprisal"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        tot AS (SELECT count(*) AS t FROM tk),
+        sc AS (
+          SELECT tk.doc_id, -ln(c::DOUBLE / t) AS s
+          FROM tk JOIN cnt USING (tok) CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(s), 4) AS surprisal
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
 
     // Corpus-level boilerplate mining: the 20 word-3-gram shingles with
     // the highest document frequency — the keys the dedup df-caps

@@ -71,6 +71,32 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
+  /** Watermarked stream-stream inner join: match rows of two live
+    * streams on a key when the right event lands within
+    * [left - within, left + within] event time. Both sides carry
+    * watermarks AND the join condition carries the time interval —
+    * that pair is what lets Spark bound the join state (each side
+    * buffers only `watermark + within` of history per key-partition
+    * before eviction); a stream-stream join without the interval would
+    * grow state forever. Output is append-mode: a match is emitted
+    * once, when both sides have it.
+    */
+  def intervalJoinStreams(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      within: String, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r0 = right.withWatermark(rightTs, watermark)
+      // disambiguate the key for the join condition
+      .withColumnRenamed(key, s"${key}_r")
+    l.join(r0,
+      col(key) === col(s"${key}_r") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      "inner")
+      .drop(s"${key}_r")
+  }
+
   /** Stream-static enrichment: join a stream against a static
     * dimension (broadcast — the dim is re-resolved per micro-batch, so
     * slowly-changing dims pick up updates on file sources). The

@@ -161,6 +161,67 @@ class StreamingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("intervalJoinStreams: matches within the interval, misses outside") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = Streaming.intervalJoinStreams(
+      clicks.toDF(),
+      buys.toDF().withColumnRenamed("ts", "r_ts")
+        .withColumnRenamed("value", "r_value"),
+      key = "user_id", leftTs = "ts", rightTs = "r_ts",
+      within = "2 minutes", watermark = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    clicks.addData(Event(1L, ts(1), 1.0), Event(2L, ts(5), 2.0))
+    buys.addData(
+      Event(1L, ts(2), 10.0),  // 1 min after click  → match
+      Event(1L, ts(10), 20.0), // 9 min after click  → outside interval
+      Event(2L, ts(6), 30.0))  // 1 min after click  → match
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, value, r_value FROM ssj_out ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, 1.0, 10.0), (2L, 2.0, 30.0)))
+  }
+
+  test("intervalJoinStreams agrees with the batch interval join") {
+    // the streaming operator is the incremental twin of a plain
+    // conditioned join; on a closed dataset the two must agree
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val l = (1 to 30).map(i => Event(i % 3L, ts(i), i.toDouble))
+    val r = (1 to 30).map(i => Event(i % 3L, ts((i * 7) % 45), i * 10.0))
+    val lms = MemoryStream[Event]
+    val rms = MemoryStream[Event]
+    val joined = Streaming.intervalJoinStreams(
+      lms.toDF(),
+      rms.toDF().withColumnRenamed("ts", "r_ts")
+        .withColumnRenamed("value", "r_value"),
+      key = "user_id", leftTs = "ts", rightTs = "r_ts",
+      within = "3 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_eq_out")
+      .outputMode("append").start()
+    lms.addData(l: _*); rms.addData(r: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, value, r_value FROM ssj_eq_out")
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+      .toSet
+    val batch = l.toDF().join(
+      r.toDF().withColumnRenamed("ts", "r_ts")
+        .withColumnRenamed("value", "r_value")
+        .withColumnRenamed("user_id", "uid_r"),
+      $"user_id" === $"uid_r" &&
+        $"r_ts" >= $"ts" - org.apache.spark.sql.functions.expr("INTERVAL 3 minutes") &&
+        $"r_ts" <= $"ts" + org.apache.spark.sql.functions.expr("INTERVAL 3 minutes"))
+      .select("user_id", "value", "r_value")
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+      .toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("sessionizeBatch matches hand-computed sessions") {
     import spark.implicits._
     val df = Seq(
