@@ -33,6 +33,12 @@ object Sources {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC scan — like parquet it is self-describing columnar with
+    * predicate pushdown and column pruning; the lake format beside
+    * parquet that Spark supports natively. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** One row per file: (path, modificationTime, length, content:binary).
     * `pathGlobFilter` narrows by file name (e.g. "*.png"). */
   def binaryFiles(spark: SparkSession, path: String,

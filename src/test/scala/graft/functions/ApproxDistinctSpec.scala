@@ -23,6 +23,20 @@ class ApproxDistinctSpec extends SparkSpec {
       s"exact=$exact approx=$approx")
   }
 
+  test("approx_percentile within rank tolerance of exact percentiles") {
+    // exact percentiles (q48) need a full sort per group; the sketch is
+    // the 100 TB path. approx_percentile(col, p, accuracy) guarantees a
+    // RANK error <= n/accuracy, so assert on the value's true rank
+    // rather than on the value itself.
+    val n = events.count()
+    val accuracy = 1000
+    val approx = events.agg(
+      percentile_approx(col("value"), lit(0.5), lit(accuracy))).head().getDouble(0)
+    val rank = events.filter(col("value") <= approx).count()
+    assert(math.abs(rank - n / 2.0) <= n.toDouble / accuracy + 1,
+      s"n=$n approxMedian=$approx rank=$rank")
+  }
+
   test("hll sketches merge across partitions (union = distinct of union)") {
     // build one sketch per event_type, union them, estimate — the
     // mergeable-sketch path a 100 TB rollup would use (sketch once,

@@ -68,4 +68,18 @@ class PlanAuditSpec extends SparkSpec {
         !p.contains("CartesianProduct"), s"$name: ${p.take(1500)}")
     }
   }
+
+  test("q65: PII scrub is a pure scan-side projection — no join, no agg") {
+    val p = plan("q65_pii_redact")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      p.take(1500))
+  }
+
+  test("q68: corpus size enters as a scalar subquery, never a 1-row join") {
+    val p = plan("q68_tfidf_keywords")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(1500))
+  }
 }

@@ -41,6 +41,21 @@ class SourcesSpec extends SparkSpec {
       slim.orderBy("doc_id").collect().toSeq)
   }
 
+  test("orc sink round-trips, prunes partitions and pushes filters") {
+    Sources.writePartitioned(docs, s"$base/docs_orc", "orc",
+      partitionBy = Seq("lang"))
+    val back = Sources.orc(spark, s"$base/docs_orc")
+    assert(back.count() === docs.count())
+    val pruned = back.filter(col("lang") === "en" && col("n_chars") > 300)
+      .select("doc_id", "n_chars")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,300)]"),
+      plan.take(1500))
+    assert(pruned.count() ===
+      docs.filter(col("lang") === "en" && col("n_chars") > 300).count())
+  }
+
   test("binaryFiles lists files with lengths and content") {
     val slim = docs.select("doc_id", "lang")
     Sources.writePartitioned(slim, s"$base/docs_bin_src", "csv")
