@@ -288,6 +288,48 @@ object Dedup {
       .select("train_id", "test_id", "contamination")
   }
 
+  /** Incremental (delta-ingest) n-gram Jaccard dedup: near-dup pairs
+    * that TOUCH a newly-arrived batch — new×new plus new×old — without
+    * ever self-joining the existing corpus. The production shape for
+    * continuous ingestion at 100 TB: the old corpus contributes only
+    * (a) its full inverted index on the new docs' prefix keys (a plain
+    * equi-join against what is in practice a static, bucketable table)
+    * and (b) per-doc compacted arrays for verification; the old×old
+    * quadratic term — the overwhelming bulk of a full recompute — is
+    * skipped entirely, because those pairs were already found when
+    * their docs were themselves the new batch.
+    *
+    * Losslessness of the one-sided candidate step: J(new, old) >=
+    * t implies |overlap| >= ceil(t · max(sz)) >= ceil(t · sz_new), so
+    * the new doc's rarity-prefix of length sz_new − ceil(t·sz_new) + 1
+    * must contain a shared shingle (pigeonhole — the same argument as
+    * [[crossContamination]]'s test-side prefix).
+    */
+  def incrementalJaccardPairs(
+      newDf: DataFrame, oldDf: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      partitionCol: Option[String] = None,
+      maxDocFreq: Option[Int] = None,
+      charLevel: Boolean = false,
+      maxDocFreqRatio: Option[Double] = None): DataFrame = {
+    val ratio =
+      if (charLevel && maxDocFreq.isEmpty && maxDocFreqRatio.isEmpty)
+        Some(0.15)
+      else maxDocFreqRatio
+    val ni = shingleIndex(newDf, idCol, textCol, n, partitionCol, charLevel)
+    val oi = shingleIndex(oldDf, idCol, textCol, n, partitionCol, charLevel)
+    val newPrefix = prefixIndex(ni, threshold, maxDocFreq, ratio)
+    val nnCands = candidatePairs(newPrefix)
+    val noCands = oi.select(col("k"), col("id").as("o_id"))
+      .join(newPrefix.select(col("k"), col("id").as("n_id")), Seq("k"))
+      .filter(col("o_id") =!= col("n_id"))
+      .select(least(col("o_id"), col("n_id")).as("a_id"),
+        greatest(col("o_id"), col("n_id")).as("b_id"))
+      .distinct()
+    verifyPairs(nnCands.union(noCands).distinct(),
+      ni.union(oi), threshold)
+  }
+
   /** Winnowing-fingerprint near-dup pairs (rolling-hash document
     * fingerprinting — see [[graft.plans.WinnowingFingerprint]]): each
     * doc is sketched to its winnowed k-gram hash set; pairs sharing

@@ -77,6 +77,38 @@ object LlmOps {
                     (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3) >= 0.5
         ORDER BY a_id, b_id""")),
 
+    // Incremental (delta-ingest) dedup: pairs touching the "new" half
+    // of the corpus, computed new×new + new×old — never old×old. The
+    // oracle computes all pairs and filters; the Spark side never
+    // generates the old self-join in the first place (the asymmetry is
+    // the point at scale).
+    "q70_incremental_dedup" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.incrementalJaccardPairs(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", n = 3, threshold = 0.5,
+          partitionCol = Some("lang"))
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id, lang, (doc_id % 2 = 0) AS is_new,
+                 list_distinct([array_to_string(string_split(text,' ')[i+1:i+3],' ')
+                                for i in range(len(string_split(text,' '))-2)]) AS sh
+          FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                     (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3)
+                 AS jaccard
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE (a.is_new OR b.is_new) AND
+              round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3)
+              >= 0.5
+        ORDER BY a_id, b_id""")),
+
     // SimHash hash space isn't portable SQL → rows-only here; recall of
     // the planted near-dup pairs is asserted in DedupSpec.
     "q25_dedup_simhash" -> Q(

@@ -40,6 +40,23 @@ class DedupSpec extends SparkSpec {
     assert(exactPairs.subsetOf(loose))
   }
 
+  test("incremental dedup equals full recompute filtered to new-touching pairs") {
+    val isNew = col("doc_id") % 2 === 0
+    val inc = Dedup.incrementalJaccardPairs(
+      docs.filter(isNew), docs.filter(!isNew),
+      "doc_id", "text", n = 3, threshold = 0.5,
+      partitionCol = Some("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("jaccard"))).toSet
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+      Some("lang"))
+      .filter(col("a_id") % 2 === 0 || col("b_id") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "fixture should produce at least one pair")
+  }
+
   test("char-level default df-cap preserves every uncapped true pair") {
     // charLevel with no explicit cap defaults to a RELATIVE df-cap
     // (15% of corpus docs); maxDocFreqRatio = 1.0 disables pruning.
