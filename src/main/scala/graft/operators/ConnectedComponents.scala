@@ -90,12 +90,15 @@ object ConnectedComponents {
         .distinct()
     }
 
-    var edges = e0.localCheckpoint()
+    // Lazy checkpoints: the signature aggregation is the action that
+    // materializes each round's edge set — one Spark job per round,
+    // not a separate eager-checkpoint job plus an aggregate.
+    var edges = e0.localCheckpoint(eager = false)
     var sig = signature(edges)
     var converged = false
     var round = 0
     while (!converged && round < MaxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next

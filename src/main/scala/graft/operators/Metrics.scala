@@ -34,3 +34,25 @@ final class MetricsAccumulator
 
   override def value: Map[String, Long] = synchronized(counts.toMap)
 }
+
+/** Plan-level observed metrics — the declarative complement to
+  * [[MetricsAccumulator]] (which counts from inside user lambdas).
+  * `observe` rides the existing job: metrics are aggregated by the
+  * plan itself during the action, with NO second pass over the data
+  * and exactly-once semantics per action (an accumulator counts task
+  * retries twice; an observation does not). Works on batch actions and
+  * streaming micro-batches alike — the Spark-native form of the
+  * reference's per-job worker metrics
+  * (/root/reference/metric/worker_metrics.go:15-21).
+  */
+object Metrics {
+  import org.apache.spark.sql.{Column, DataFrame, Observation}
+
+  /** Attach named aggregate metrics to a DataFrame; read them from the
+    * returned Observation after the next action with `get`. */
+  def observed(df: DataFrame, name: String, metrics: Column*)
+      : (DataFrame, Observation) = {
+    val obs = new Observation(name)
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+}

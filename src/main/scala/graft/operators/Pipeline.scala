@@ -189,6 +189,25 @@ final class Pipeline private (
       buf.iterator
     })
 
+  /** T4b — partition-local sort by derived COLUMNS instead of a
+    * comparator: compiles to Spark's `sortWithinPartitions`, whose
+    * external sorter spills to disk — the variant to use when a
+    * partition's rows may not fit on the heap (the arbitrary-comparator
+    * [[sort]] must hold the partition in memory, same profile as the
+    * reference's in-memory sort). Keys sort as strings; pass extractors
+    * to sort by derived values. */
+  def sortBy(keys: (KV => String)*): Pipeline = {
+    require(keys.nonEmpty, "sortBy needs at least one key extractor")
+    val spark0 = spark
+    import spark0.implicits._
+    val extract = keys
+    val keyed = ds.map(kv => (extract.map(_(kv)), kv))
+    next(keyed.toDF("sk", "row")
+      .sortWithinPartitions((0 until extract.length)
+        .map(i => col("sk").getItem(i)): _*)
+      .select("row.key", "row.value").as[KV])
+  }
+
   /** T5 — raw iterator-in/iterator-out stage. */
   def transform(t: Transformer): Pipeline = {
     val (b, acc) = (bc, metricsAcc)

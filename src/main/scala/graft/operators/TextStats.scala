@@ -102,6 +102,48 @@ object TextStats {
         round(avg(col("s")), 4).as("surprisal"))
   }
 
+  /** Frequency vocabulary + document encoding — the distributed core
+    * of corpus tokenization: build the top-`vocabSize` token table
+    * (corpus frequency desc, token asc tiebreak; dense ids from 0) and
+    * re-express every document as its token-id sequence, OOV → -1.
+    *
+    * Scale shape: the vocab is selected with a TakeOrderedAndProject
+    * (distributed heap, never a global sort of the token space), gets
+    * ids from a window over AT MOST `vocabSize` rows (model-sized by
+    * contract — that's what a vocabulary is), and joins back to the
+    * token stream as a broadcast. Reassembly is the same per-(doc)
+    * sorted aggregation as [[chunkTokens]]. Output keeps the encoded
+    * sequence as both an array and a portable md5 of its '-'-joined
+    * form (the array for downstream ops, the hash for engine-neutral
+    * equality).
+    */
+  def vocabEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .withColumn("tid",
+        (row_number().over(Window.orderBy(col("c").desc, col("tok"))) - 1)
+          .cast("int"))
+      .select("tok", "tid")
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("tid", coalesce(col("tid"), lit(-1)))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === -1, 1L).otherwise(0L)).as("n_oov"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          e => e.getField("tid")).as("token_ids"))
+      .withColumn("enc_md5",
+        md5(concat_ws("-", transform(col("token_ids"),
+          i => i.cast("string")))))
+  }
+
   /** Token-window chunking for context-length packing: overlapping
     * windows of `chunkSize` tokens starting every `stride` tokens —
     * how a training pipeline turns documents into fixed-budget

@@ -793,6 +793,51 @@ object LlmOps {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
         FROM o GROUP BY 1 ORDER BY seq""")),
 
+    // End-to-end training-data preparation in ONE plan: quality gate →
+    // exact dedup → content-stable ordering → sequence packing at a
+    // 512-token budget. The capstone composition: every stage is an
+    // already-gated operator, and the final per-sequence manifest is
+    // what a trainer would actually consume.
+    "q72_prepare_training_data" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Packing
+        val docs = Tables(s, dir, "documents")
+        val quality = docs.filter(T.tokenCount(col("text")) >= 25)
+        val keepIds = Dedup.exact(quality, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val survivors = quality.join(keepIds, Seq("doc_id"), "left_semi")
+        Packing.packSequences(survivors, "doc_id",
+          T.tokenCount(col("text")), budget = 512)
+          .groupBy(col("seq"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("n_tokens"),
+            sum(col("straddles").cast("long")).as("n_straddle"))
+          .orderBy("seq")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 25),
+        k AS (
+          SELECT min(doc_id) AS keep_id FROM q
+          GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))),
+        s AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.keep_id),
+        t AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                 len(string_split(text, ' ')) AS tok
+          FROM s),
+        o AS (
+          SELECT doc_id, tok,
+                 coalesce(sum(tok) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+          FROM t)
+        SELECT CAST(off // 512 AS BIGINT) AS seq,
+               count(*) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tok > 0 AND (off + tok - 1) // 512 > off // 512
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+        FROM o GROUP BY 1 ORDER BY seq""")),
+
     // Gopher-style repetition quality profile: duplicate-token fraction
     // and top-token share per document.
     "q59_repetition_profile" -> Q(
@@ -871,6 +916,43 @@ object LlmOps {
         SELECT doc_id, count(*) AS n_tokens,
                round(avg(s), 4) AS surprisal
         FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Vocabulary build + document encoding: top-16 frequency vocab
+    // (count desc, token asc — fully deterministic), docs re-expressed
+    // as token-id sequences with OOV = -1, pinned by an engine-neutral
+    // md5 of the '-'-joined ids.
+    "q71_vocab_encode" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.vocabEncode(Tables(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 16)
+          .select(col("id").as("doc_id"), col("n_tokens"),
+            col("n_oov"), col("enc_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        tk0 AS (SELECT doc_id,
+                       unnest([{'pos': i, 'tok': toks[i+1]}
+                               for i in range(len(toks))]) AS u
+                FROM t),
+        tk AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok
+               FROM tk0),
+        cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        vocab AS (
+          SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) - 1
+                           AS INT) AS tid
+          FROM cnt ORDER BY c DESC, tok LIMIT 16),
+        enc AS (
+          SELECT tk.doc_id, tk.pos, coalesce(v.tid, -1) AS tid
+          FROM tk LEFT JOIN vocab v USING (tok))
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               md5(string_agg(tid, '-' ORDER BY pos)) AS enc_md5
+        FROM enc GROUP BY doc_id ORDER BY doc_id""")),
 
     // Corpus-level boilerplate mining: the 20 word-3-gram shingles with
     // the highest document frequency — the keys the dedup df-caps

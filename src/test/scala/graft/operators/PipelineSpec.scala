@@ -95,6 +95,26 @@ class PipelineSpec extends SparkSpec {
     assert(byKey === Map("foo" -> "6789", "bar" -> "2345", "baz" -> "1359"))
   }
 
+  // T4b — the spill-friendly columnar sort must agree with the
+  // comparator sort AND compile to Spark's external (spillable) sorter
+  // instead of an in-heap array.
+  test("sortBy: agrees with comparator sort, plans as sortWithinPartitions") {
+    val input = KV.fromIntSliceMap(Map(
+      "foo" -> Seq(9, 8, 7, 6),
+      "bar" -> Seq(5, 4, 3, 2)))
+    def lpad(kv: KV): String = f"${kv.valueLong}%019d"
+    val p = Pipeline.parallelize(spark, input)
+      .groupByKey(1)
+      .sortBy(_.key, lpad)
+    val rows = p.runAndCollect().collect()
+    assert(rows.map(kv => (kv.key, kv.valueLong)).toSeq ===
+      Seq(("bar", 2L), ("bar", 3L), ("bar", 4L), ("bar", 5L),
+        ("foo", 6L), ("foo", 7L), ("foo", 8L), ("foo", 9L)))
+    val plan = p.dataset.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort ") && !plan.contains("global=true"),
+      plan.take(1200))
+  }
+
   // P2 — GroupByKnownKeys: unknown keys silently dropped, counted
   // (reference partitions/partitioner.go:86-92, output/writer.go:41-45)
   test("GroupByKnownKeys: silent drop of unknown keys + drop metric") {

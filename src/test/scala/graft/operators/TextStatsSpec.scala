@@ -18,6 +18,31 @@ class TextStatsSpec extends SparkSpec {
     assert(got(2L) === ((4L, 0.0, 0.25)))
   }
 
+  test("vocabEncode: deterministic vocab ids, OOV = -1, ordered sequences") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a c"),   // counts: b=3, a=2, c=1, d=1
+      (2L, "b b d")).toDF("doc_id", "text")
+    val got = TextStats.vocabEncode(df, "doc_id", "text", vocabSize = 2)
+      .select("id", "n_tokens", "n_oov", "token_ids")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Int](3).toList))).toMap
+    // vocab: b -> 0 (count 3), a -> 1 (count 2); c/d OOV
+    assert(got(1L) === ((4L, 1L, List(1, 0, 1, -1))))
+    assert(got(2L) === ((3L, 1L, List(0, 0, -1))))
+  }
+
+  test("observed metrics ride the action (no second pass, exact counts)") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val (out, obs) = Metrics.observed(df, "stats",
+      count(lit(1)).as("rows"), sum(col("v")).as("total"))
+    assert(out.filter(col("v") > 1).count() === 3) // action triggers metrics
+    val m = obs.get
+    assert(m("rows") === 4L)   // observed BEFORE the filter
+    assert(m("total") === 10L)
+  }
+
   test("topShingles counts document frequency, not occurrences") {
     import spark.implicits._
     val df = Seq(
