@@ -70,6 +70,9 @@ object ConnectedComponents {
 
     // Edges arrive directed big -> small (u > v) and both steps emit
     // (x, m) with m strictly below x, so orientation is an invariant.
+    // Only the round's FINAL projection dedups: duplicate edges cannot
+    // change a window minimum, so large-star skips its own distinct —
+    // one exchange fewer per round (three instead of four).
     def largeStar(e: DataFrame): DataFrame = {
       val b = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -78,7 +81,6 @@ object ConnectedComponents {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
     }
 
     def smallStar(e: DataFrame): DataFrame = {

@@ -98,11 +98,17 @@ object Dedup {
     val wid = Window.partitionBy("id")
     val sized = index.join(kdf, "k")
       .withColumn("sz", count(lit(1)).over(wid))
+    // both caps supplied → both apply (the stricter one wins); a cap
+    // the caller asked for is never silently ignored
+    def relCap: Column = {
+      val nDocs = index.agg(countDistinct(col("id")).as("n_docs"))
+      ceil(lit(maxDocFreqRatio.get) * scalarOf(nDocs))
+    }
     val guarded = (maxDocFreq, maxDocFreqRatio) match {
-      case (Some(m), _) => sized.filter(col("kdf") <= m)
-      case (None, Some(r)) =>
-        val nDocs = index.agg(countDistinct(col("id")).as("n_docs"))
-        sized.filter(col("kdf") <= ceil(lit(r) * scalarOf(nDocs)))
+      case (Some(m), Some(_)) =>
+        sized.filter(col("kdf") <= m && col("kdf") <= relCap)
+      case (Some(m), None) => sized.filter(col("kdf") <= m)
+      case (None, Some(_)) => sized.filter(col("kdf") <= relCap)
       case _ => sized
     }
     guarded
@@ -304,6 +310,12 @@ object Dedup {
     * the new doc's rarity-prefix of length sz_new − ceil(t·sz_new) + 1
     * must contain a shared shingle (pigeonhole — the same argument as
     * [[crossContamination]]'s test-side prefix).
+    *
+    * An id present in BOTH inputs is an UPDATED document: the new
+    * version supersedes the old one (old rows with new-batch ids are
+    * dropped up front), so the effective corpus is newDf ∪ (oldDf \
+    * new ids) and a doc never verifies against a merged bag of both
+    * versions' shingles.
     */
   def incrementalJaccardPairs(
       newDf: DataFrame, oldDf: DataFrame, idCol: String, textCol: String,
@@ -316,8 +328,10 @@ object Dedup {
       if (charLevel && maxDocFreq.isEmpty && maxDocFreqRatio.isEmpty)
         Some(0.15)
       else maxDocFreqRatio
+    val oldOnly = oldDf.join(
+      newDf.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
     val ni = shingleIndex(newDf, idCol, textCol, n, partitionCol, charLevel)
-    val oi = shingleIndex(oldDf, idCol, textCol, n, partitionCol, charLevel)
+    val oi = shingleIndex(oldOnly, idCol, textCol, n, partitionCol, charLevel)
     val newPrefix = prefixIndex(ni, threshold, maxDocFreq, ratio)
     val nnCands = candidatePairs(newPrefix)
     val noCands = oi.select(col("k"), col("id").as("o_id"))

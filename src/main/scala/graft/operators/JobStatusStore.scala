@@ -83,6 +83,13 @@ object JobStatusStore {
   private[operators] def abortRequested(dir: Path, jobId: String): Boolean =
     Files.exists(abortPath(dir, jobId))
 
+  /** Remove a stale abort marker (a new run of a reused job id must not
+    * inherit the previous run's abort request). */
+  private[operators] def clearAbortMarker(dir: Path, jobId: String): Unit = {
+    Files.deleteIfExists(abortPath(dir, jobId))
+    ()
+  }
+
   /** Remove a job's files (pairs with registry eviction). */
   private[operators] def clear(dir: Path, jobId: String): Unit = {
     Files.deleteIfExists(statusPath(dir, jobId))

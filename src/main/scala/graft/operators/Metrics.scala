@@ -40,19 +40,28 @@ final class MetricsAccumulator
   * `observe` rides the existing job: metrics are aggregated by the
   * plan itself during the action, with NO second pass over the data
   * and exactly-once semantics per action (an accumulator counts task
-  * retries twice; an observation does not). Works on batch actions and
-  * streaming micro-batches alike — the Spark-native form of the
-  * reference's per-job worker metrics
+  * retries twice; an observation does not) — the Spark-native form of
+  * the reference's per-job worker metrics
   * (/root/reference/metric/worker_metrics.go:15-21).
   */
 object Metrics {
   import org.apache.spark.sql.{Column, DataFrame, Observation}
 
-  /** Attach named aggregate metrics to a DataFrame; read them from the
-    * returned Observation after the next action with `get`. */
+  /** BATCH observation: attach named aggregate metrics; read them from
+    * the returned Observation after the next action with `get`. (The
+    * Observation helper rejects streaming Datasets by design — use
+    * [[observedStream]] there.) */
   def observed(df: DataFrame, name: String, metrics: Column*)
       : (DataFrame, Observation) = {
     val obs = new Observation(name)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** STREAMING observation: per-micro-batch metrics under `name`,
+    * surfaced in every `StreamingQueryProgress.observedMetrics` (poll
+    * `query.lastProgress` or attach a StreamingQueryListener). Also
+    * valid on batch frames for symmetry. */
+  def observedStream(df: DataFrame, name: String, metrics: Column*)
+      : DataFrame =
+    df.observe(name, metrics.head, metrics.tail: _*)
 }

@@ -39,30 +39,32 @@ object Packing {
       df: DataFrame, idCol: String, weight: Column,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // working columns are __-prefixed so caller columns with the same
+    // names survive; tok/off/seq/straddles are the declared outputs
     val keyed = df
       .withColumn("tok", weight.cast("long"))
-      .withColumn("h", md5(col(idCol).cast("string")))
-      .withColumn("bucket", substring(col("h"), 1, 2))
-    val inBucket = Window.partitionBy("bucket")
-      .orderBy(col("h"), col(idCol))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__bucket", substring(col("__h"), 1, 2))
+    val inBucket = Window.partitionBy("__bucket")
+      .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withInner = keyed.withColumn("inner",
+    val withInner = keyed.withColumn("__inner",
       coalesce(sum(col("tok")).over(inBucket), lit(0L)))
     // 256-row bucket ledger: the single-partition window is model-sized
     // by construction, never corpus-sized.
-    val bucketBase = withInner.groupBy("bucket")
-      .agg(sum(col("tok")).as("btot"))
-      .withColumn("base", coalesce(
-        sum(col("btot")).over(Window.orderBy("bucket")
+    val bucketBase = withInner.groupBy("__bucket")
+      .agg(sum(col("tok")).as("__btot"))
+      .withColumn("__base", coalesce(
+        sum(col("__btot")).over(Window.orderBy("__bucket")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("bucket", "base")
+      .select("__bucket", "__base")
     withInner
-      .join(broadcast(bucketBase), "bucket")
-      .withColumn("off", col("base") + col("inner"))
+      .join(broadcast(bucketBase), "__bucket")
+      .withColumn("off", col("__base") + col("__inner"))
       .withColumn("seq", expr(s"off div ${budget}L"))
       .withColumn("straddles",
         col("tok") > 0 &&
           expr(s"(off + tok - 1) div ${budget}L") > col("seq"))
-      .drop("h", "bucket", "inner", "base")
+      .drop("__h", "__bucket", "__inner", "__base")
   }
 }

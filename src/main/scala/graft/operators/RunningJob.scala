@@ -98,6 +98,10 @@ object RunningJob {
     // for abort markers dropped by other processes while running.
     val store = JobStatusStore.configuredDir
     store.foreach { dir =>
+      // a reused job id must not inherit a stale abort marker from a
+      // previous run (e.g. an abort requested just as run 1 finished,
+      // or an owner that crashed before its retention cleanup)
+      JobStatusStore.clearAbortMarker(dir, jobId)
       JobStatusStore.publish(dir, jobId, "running", Map.empty)
       lazy val poller: java.util.concurrent.ScheduledFuture[_] =
         evictor.scheduleWithFixedDelay(new Runnable {
@@ -113,8 +117,10 @@ object RunningJob {
         JobStatusStore.publish(dir, jobId, job.status, job.metrics))
       evictor.schedule(new Runnable {
         override def run(): Unit = {
-          registry.remove(jobId)
-          store.foreach(dir => JobStatusStore.clear(dir, jobId))
+          // conditional remove: if a NEW job reused this id meanwhile,
+          // neither evict it nor delete its live status files
+          if (registry.remove(jobId, job))
+            store.foreach(dir => JobStatusStore.clear(dir, jobId))
         }
       }, retentionMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     }

@@ -20,6 +20,14 @@ object Sampling {
   private def bucket(keyCol: Column): Column =
     substring(md5(keyCol.cast("string")), 1, 4)
 
+  /** ceil(frac · n) in exact DECIMAL arithmetic. The double spelling
+    * `ceil(lit(frac) * n)` can overshoot (0.07d * 100 =
+    * 7.000000000000001 → ceil 8) while an engine computing in decimal
+    * (DuckDB; SQL literals) gets 7 — the rank-contract operators here
+    * promise engine-exact counts, so the count itself must be exact. */
+  private def exactCeil(frac: Double, n: Column): Column =
+    ceil(lit(new java.math.BigDecimal(frac.toString)) * n)
+
   /** True for the ~`frac` of keys whose bucket falls below the
     * threshold. `frac` rounding to the full 65536 buckets means "all
     * rows": there is no 4-hex threshold above "ffff", so that case is
@@ -75,7 +83,7 @@ object Sampling {
     df.withColumn("__rk", row_number().over(
         w.orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
       .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__rk") <= ceil(lit(frac) * col("__n")))
+      .filter(col("__rk") <= exactCeil(frac, col("__n")))
       .drop("__rk", "__n")
   }
 
@@ -97,7 +105,7 @@ object Sampling {
     df.withColumn("__rk", row_number().over(
         w.orderBy(col(scoreCol), col(tieCol))))
       .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__rk") > ceil(lit(frac) * col("__n")))
+      .filter(col("__rk") > exactCeil(frac, col("__n")))
       .drop("__rk", "__n")
   }
 }

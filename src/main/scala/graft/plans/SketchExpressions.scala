@@ -453,11 +453,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      // null elements must be rejected at analysis: ArrayData.getLong
+      // silently reads a null slot as 0, which would corrupt counts.
+      // (Internal callers build null-free arrays via collect_list; this
+      // guards the public graft_sorted_intersect_count SQL surface.)
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count expects two array<bigint>, got " +
-          s"${l.simpleString}, ${r.simpleString}")
+        s"sorted_intersect_count expects two array<bigint> with " +
+          s"non-nullable elements, got ${l.simpleString}, ${r.simpleString}")
     }
 
   override def dataType: DataType = LongType

@@ -85,16 +85,22 @@ object Streaming {
       left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
       within: String, watermark: String = "10 minutes"): DataFrame = {
+    // same-schema streams are the normal case: EVERY right column that
+    // collides with a left column is renamed with an `_r` suffix before
+    // the join, so the condition (and the caller's projections) are
+    // never ambiguous
+    val collisions = right.columns.filter(left.columns.toSet).toSet
+    val renamed = collisions.foldLeft(right)(
+      (d, c) => d.withColumnRenamed(c, s"${c}_r"))
+    def rName(c: String): String = if (collisions(c)) s"${c}_r" else c
     val l = left.withWatermark(leftTs, watermark)
-    val r0 = right.withWatermark(rightTs, watermark)
-      // disambiguate the key for the join condition
-      .withColumnRenamed(key, s"${key}_r")
-    l.join(r0,
-      col(key) === col(s"${key}_r") &&
-        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+    val r = renamed.withWatermark(rName(rightTs), watermark)
+    l.join(r,
+      col(key) === col(rName(key)) &&
+        col(rName(rightTs)) >= col(leftTs) - expr(s"INTERVAL $within") &&
+        col(rName(rightTs)) <= col(leftTs) + expr(s"INTERVAL $within"),
       "inner")
-      .drop(s"${key}_r")
+      .drop(col(rName(key)))
   }
 
   /** Stream-static enrichment: join a stream against a static
@@ -105,6 +111,31 @@ object Streaming {
   def enrich(stream: DataFrame, dim: DataFrame,
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
+
+  /** Exactly-once(-effective) file sink via foreachBatch: each
+    * micro-batch lands in its own `batch_id=<n>` directory with
+    * overwrite semantics, so a replayed batch (failure/restart — Spark
+    * re-runs the last uncommitted batch id) REPLACES its own previous
+    * partial output instead of appending a duplicate. Idempotent
+    * per-batch overwrite + the checkpoint's batch-id tracking is the
+    * standard exactly-once recipe for file outputs; downstream readers
+    * just scan `path` (batch_id is a hive partition column).
+    */
+  def exactlyOnceFileSink(
+      df: DataFrame, path: String, format: String = "parquet")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(batch, path, format, batchId)
+    }
+
+  /** The per-batch write — separated so tests (and manual backfills)
+    * can invoke a replay directly and observe idempotence. */
+  def writeBatch(
+      batch: DataFrame, path: String, format: String, batchId: Long): Unit =
+    batch.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format(format)
+      .save(s"$path/batch_id=$batchId")
 
   // ------------------------------------------------------- sessionize
 

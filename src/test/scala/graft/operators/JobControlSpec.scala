@@ -154,6 +154,62 @@ class JobControlSpec extends SparkSpec {
     } finally sys.props.remove("graft.job.retentionMs")
   }
 
+  test("retention eviction never removes a newer job reusing the id") {
+    sys.props("graft.job.retentionMs") = "150"
+    try {
+      val a = Pipeline.parallelize(spark, KV.fromInts(1 to 10: _*))
+        .runInBackground("graft-reuse")
+      a.waitForResult(2.minutes)
+      taskStarted.set(false)
+      // same id, long enough to outlive run 1's eviction timer: 4000
+      // rows / 4 partitions / 256-row batches → 4 sleeps of 200ms per
+      // partition (~800ms of running time)
+      val b = Pipeline.parallelize(spark, KV.fromInts(1 to 4000: _*))
+        .repartition(4)
+        .map(new Mapper {
+          def map(ctx: Context, rows: Seq[KV]): Seq[KV] = {
+            taskStarted.set(true)
+            Thread.sleep(200)
+            rows
+          }
+        })
+        .runInBackground("graft-reuse")
+      awaitStarted()
+      Thread.sleep(400) // run 1's 150ms eviction timer fires in here
+      // the conditional remove must leave run 2 registered (it is
+      // either still running or inside its own retention window)
+      assert(RunningJob.fetch("graft-reuse").exists(_ eq b),
+        "newer job evicted by the older job's retention timer")
+      b.abort()
+      b.waitForCompletion(2.minutes)
+      ()
+    } finally sys.props.remove("graft.job.retentionMs")
+  }
+
+  test("a reused job id does not inherit a stale abort marker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale-abort")
+    sys.props("graft.job.statusDir") = dir.toString
+    try {
+      val a = Pipeline.parallelize(spark, KV.fromInts(1 to 10: _*))
+        .runInBackground("graft-stale")
+      a.waitForResult(2.minutes)
+      // abort requested against the COMPLETED run: marker lingers
+      // (cleanup only happens at retention expiry — or never, if the
+      // owner crashed)
+      JobStatusStore.requestAbort(dir, "graft-stale")
+      assert(JobStatusStore.abortRequested(dir, "graft-stale"))
+      taskStarted.set(false)
+      val b = slowPipeline("graft-stale")
+      awaitStarted()
+      // the marker must have been cleared at start, so the poller can
+      // never see it; the run must complete SUCCESSFULLY
+      assert(b.waitForCompletion(2.minutes).isSuccess,
+        "new run was killed by the previous run's stale abort marker")
+      assert(b.status === "succeeded")
+      assert(!JobStatusStore.abortRequested(dir, "graft-stale"))
+    } finally sys.props.remove("graft.job.statusDir")
+  }
+
   test("explicit remove evicts immediately") {
     val job = Pipeline.parallelize(spark, KV.fromInts(1 to 10: _*))
       .runInBackground("graft-explicit-remove")

@@ -166,11 +166,11 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val clicks = MemoryStream[Event]
     val buys = MemoryStream[Event]
+    // identical schemas on both sides — the operator auto-renames every
+    // colliding right column with an _r suffix
     val joined = Streaming.intervalJoinStreams(
-      clicks.toDF(),
-      buys.toDF().withColumnRenamed("ts", "r_ts")
-        .withColumnRenamed("value", "r_value"),
-      key = "user_id", leftTs = "ts", rightTs = "r_ts",
+      clicks.toDF(), buys.toDF(),
+      key = "user_id", leftTs = "ts", rightTs = "ts",
       within = "2 minutes", watermark = "5 minutes")
     val q = joined.writeStream.format("memory").queryName("ssj_out")
       .outputMode("append").start()
@@ -181,7 +181,7 @@ class StreamingSpec extends SparkSpec {
       Event(2L, ts(6), 30.0))  // 1 min after click  → match
     q.processAllAvailable(); q.stop()
     val rows = spark.sql(
-      "SELECT user_id, value, r_value FROM ssj_out ORDER BY user_id")
+      "SELECT user_id, value, value_r FROM ssj_out ORDER BY user_id")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     assert(rows.toSeq === Seq((1L, 1.0, 10.0), (2L, 2.0, 30.0)))
   }
@@ -220,6 +220,24 @@ class StreamingSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
       .toSet
     assert(streamed === batch && batch.nonEmpty)
+  }
+
+  test("exactlyOnceFileSink: batches land in batch dirs; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-eos").toString
+    val ms = MemoryStream[Event]
+    val q = Streaming.exactlyOnceFileSink(ms.toDF(), dir)
+      .option("checkpointLocation", s"$dir-ckpt").start()
+    ms.addData(Event(1L, ts(1), 1.0), Event(2L, ts(2), 2.0))
+    q.processAllAvailable(); q.stop()
+    val once = spark.read.parquet(dir)
+    assert(once.count() === 2)
+    // replay the same batch id (what a post-failure restart does):
+    // output must be REPLACED, not appended
+    val replay = Seq(Event(1L, ts(1), 1.0), Event(2L, ts(2), 2.0)).toDF()
+    Streaming.writeBatch(replay, dir, "parquet", batchId = 0L)
+    assert(spark.read.parquet(dir).count() === 2)
   }
 
   test("sessionizeBatch matches hand-computed sessions") {
