@@ -87,6 +87,36 @@ object Sampling {
       .drop("__rk", "__n")
   }
 
+  /** Exact-share training-mix sampling: per-stratum sampling fractions
+    * (e.g. per-language or per-source mix ratios), each stratum
+    * contributing EXACTLY ceil(frac_s · n_s) rows chosen by the
+    * content-stable md5 order — [[stratifiedSample]] generalized from
+    * one fraction to a mix specification. Strata absent from the map
+    * get `defaultFrac` (0.0 = drop unlisted strata, the usual mix-spec
+    * reading). Same shape: one shuffle + per-stratum rank windows.
+    */
+  def mixSample(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      fracs: Map[String, Double],
+      defaultFrac: Double = 0.0): DataFrame = {
+    (fracs.values ++ Seq(defaultFrac)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, "fractions must be in [0,1]"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+    // the stratum's share, as an exact-decimal column expression
+    val fracCol = fracs.foldLeft(
+      lit(new java.math.BigDecimal(defaultFrac.toString))) {
+      case (acc, (s, f)) =>
+        when(col(stratumCol) === s,
+          lit(new java.math.BigDecimal(f.toString))).otherwise(acc)
+    }
+    df.withColumn("__rk", row_number().over(
+        w.orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rk") <= ceil(fracCol * col("__n")))
+      .drop("__rk", "__n")
+  }
+
   /** Corpus-relative quality gating: drop exactly the bottom
     * ceil(frac · n) rows by (`scoreCol`, `tieCol`) rank — "cut the
     * worst decile" without ever comparing against an interpolated

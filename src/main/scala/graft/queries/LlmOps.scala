@@ -639,6 +639,31 @@ object LlmOps {
             <= ceil(0.3 * count(*) OVER (PARTITION BY lang)))
         GROUP BY lang ORDER BY lang""")),
 
+    // Exact-share training mix: per-language ratios (en-heavy, zh
+    // down-weighted, everything else dropped via default 0), selection
+    // content-stable and pinned by id checksums.
+    "q73_training_mix" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        Sampling.mixSample(Tables(s, dir, "documents"), "doc_id", "lang",
+          fracs = Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.35))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        SELECT lang, count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM (
+          SELECT * FROM documents
+          QUALIFY row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            <= ceil(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+                              WHEN 'de' THEN 0.35 ELSE 0.0 END
+                    * count(*) OVER (PARTITION BY lang)))
+        GROUP BY lang ORDER BY lang""")),
+
     // Content-stable exact-k sample: the same 100 docs on any engine,
     // run, or cluster size; plans as TakeOrderedAndProject.
     "q62_deterministic_sample" -> Q(

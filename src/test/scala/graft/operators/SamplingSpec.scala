@@ -57,6 +57,25 @@ class SamplingSpec extends SparkSpec {
     assert(keptTied === Set(3L, 4L))
   }
 
+  test("mixSample: exact per-stratum shares, unlisted strata dropped") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i =>
+      (i, Seq("a", "b", "c")(((i - 1) % 3).toInt))).toDF("id", "src")
+    // 100 rows per stratum; ceil semantics: a -> 7 (0.07*100, decimal
+    // exact — the double spelling would keep 8), b -> 50, c dropped
+    val got = Sampling.mixSample(df, "id", "src",
+      fracs = Map("a" -> 0.07, "b" -> 0.5))
+      .groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 7L, "b" -> 50L))
+    // nested: raising a fraction only adds rows (content-stable order)
+    val small = Sampling.mixSample(df, "id", "src", Map("b" -> 0.2))
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.mixSample(df, "id", "src", Map("b" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
   test("boundary fractions: 1.0 keeps everything, 0.0 keeps nothing") {
     val total = docs.count()
     // frac = 1.0 has no 4-hex threshold ("ffff" compare would drop the
