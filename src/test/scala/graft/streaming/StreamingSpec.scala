@@ -222,6 +222,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("observedStream: per-micro-batch metrics surface in query progress") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val observed = graft.operators.Metrics.observedStream(
+      ms.toDF(), "batch_stats",
+      count(lit(1)).as("rows"), sum(col("value")).as("total"))
+    val q = observed.writeStream.format("memory").queryName("obs_out")
+      .outputMode("append").start()
+    ms.addData(Event(1L, ts(1), 1.5), Event(2L, ts(2), 2.5))
+    q.processAllAvailable()
+    val m = q.lastProgress.observedMetrics.get("batch_stats")
+    q.stop()
+    assert(m != null, "no observed metrics in progress")
+    assert(m.getAs[Long]("rows") === 2L)
+    assert(m.getAs[Double]("total") === 4.0)
+  }
+
   test("exactlyOnceFileSink: batches land in batch dirs; replay is idempotent") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
