@@ -69,12 +69,22 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k"))
       .orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried0 = payloadCols.foldLeft(lAligned.union(rAligned)) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(when(col("__side") === 0, col(s"__p_$c")), ignoreNulls = true).over(w))
+    // the matched right ROW carries forward as one atomic struct: a
+    // per-payload `last(payload, ignoreNulls)` would skip a matching
+    // right row whose payload value is legitimately NULL and resurrect
+    // a STALE payload from an older row (disagreeing with __asof_t);
+    // the struct is null exactly when the row is not a right row, so
+    // ignoreNulls selects the latest right ROW and null payloads on it
+    // stay null
+    val rowStruct = when(col("__side") === 0, struct(
+      (col("__t").as("__at") +: payloadCols.map(c => col(s"__p_$c"))): _*))
+    val withRow = lAligned.union(rAligned)
+      .withColumn("__asof_row", last(rowStruct, ignoreNulls = true).over(w))
+    val carried0 = payloadCols.foldLeft(withRow) { (df, c) =>
+      df.withColumn(s"asof_$c", col("__asof_row").getField(s"__p_$c"))
     }
     val carried = carried0.withColumn("__asof_t",
-      last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+      col("__asof_row").getField("__at"))
     val gated = toleranceMs match {
       case Some(tol) =>
         payloadCols.foldLeft(carried) { (df, c) =>

@@ -43,15 +43,19 @@ case class MinHashSig(child: Expression, k: Int)
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val s = arr.getUTF8String(j)
-      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
-      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1L) | 1L
-      var i = 0
-      var g = h1
-      while (i < k) {
-        if (g < mins(i)) mins(i) = g
-        g += h2
-        i += 1
+      // null shingles contribute nothing (SQL callers can pass arrays
+      // with null slots; dereferencing one would NPE)
+      val s = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+      if (s != null) {
+        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
+        val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1L) | 1L
+        var i = 0
+        var g = h1
+        while (i < k) {
+          if (g < mins(i)) mins(i) = g
+          g += h2
+          i += 1
+        }
       }
       j += 1
     }
@@ -69,11 +73,15 @@ case class MinHashSig(child: Expression, k: Int)
   */
 case class MinHashBandKeys(child: Expression, bands: Int)
     extends UnaryExpression with CodegenFallback {
+  require(bands > 0, "bands must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // null signature slots would silently hash as 0 (ArrayData.getLong
+    // on a null slot) — reject at analysis; MinHashSig never emits them
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"minhash_band_keys expects array<long>, got ${t.simpleString}")
+      s"minhash_band_keys expects array<long> with non-nullable " +
+        s"elements, got ${t.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -81,6 +89,13 @@ case class MinHashBandKeys(child: Expression, bands: Int)
   override def nullSafeEval(input: Any): Any = {
     val sig = input.asInstanceOf[ArrayData]
     val n = sig.numElements()
+    // silent truncation here would weaken the LSH (ignored signature
+    // tail), and bands > n would make EVERY document's band keys a
+    // constant — the downstream candidate join then degenerates to a
+    // full corpus cross product
+    if (n % bands != 0)
+      throw new IllegalArgumentException(
+        s"minhash_band_keys: bands=$bands must divide signature length=$n")
     val r = n / bands
     val keys = new Array[Long](bands)
     var b = 0
@@ -129,6 +144,15 @@ case class HyperplaneBucket(child: Expression, nBits: Int, seed: Long)
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
     var bucket = 0L
+    // null components would silently read as 0 and bucket the vector
+    // wrong — surface the data bug instead
+    var d0 = 0
+    while (d0 < dim) {
+      if (v.isNullAt(d0))
+        throw new IllegalArgumentException(
+          s"hyperplane_bucket: null vector component at index $d0")
+      d0 += 1
+    }
     var p = 0
     while (p < nBits) {
       var acc = 0.0

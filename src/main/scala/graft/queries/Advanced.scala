@@ -116,7 +116,11 @@ object Advanced {
     // so both writers and both readers must preserve values and types.
     "q39_sink_roundtrip" -> Q(
       fn = (s, dir) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sink_${math.abs(dir.hashCode)}"
+        // path is unique per Spark application: two concurrent runs
+        // over the same data dir (bench + verify, parallel CI) must not
+        // race on one overwrite-then-read directory
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sink_" +
+          s"${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}"
         val agg = Tables(s, dir, "orders")
           .groupBy(col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),

@@ -29,6 +29,22 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, "t3", None)))       // no quote yet → null (left join)
   }
 
+  test("asOf: a matching right row with a NULL payload stays null (no stale carry)") {
+    import spark.implicits._
+    val trades = Seq((1L, ts(3), "t1")).toDF("acct", "t_ts", "trade")
+    val quotes = Seq(
+      (1L, ts(1), Some(10.0)),
+      (1L, ts(2), Option.empty[Double])) // most recent match, px NULL
+      .toDF("acct", "q_ts", "px")
+    // row-atomic semantics: the ts(2) quote IS the as-of match, so its
+    // null px must come through — not the stale 10.0 from ts(1)
+    val out = AsOfJoin.asOf(trades, quotes, "acct", "t_ts", "q_ts",
+      payloadCols = Seq("px"), toleranceMs = Some(60 * 1000L))
+      .collect().map(r =>
+        Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble))
+    assert(out.toSeq === Seq(None))
+  }
+
   test("asOf forward picks earliest right row at or after left ts") {
     import spark.implicits._
     val trades = Seq(
