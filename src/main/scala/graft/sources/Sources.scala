@@ -58,6 +58,54 @@ object Sources {
     wh.save(path)
   }
 
+  /** Small-file compaction: rewrite a MATERIALIZED table (a scan-rooted
+    * DataFrame) into ~`targetFileBytes` output files, the file count
+    * derived from Catalyst's size statistics (no extra scan — parquet
+    * footers / InMemoryFileIndex already know the bytes). The
+    * unglamorous operator every long-lived lake needs: streaming sinks
+    * and fine-grained partitioned writes accumulate thousands of
+    * KB-sized files whose per-file open/footer/task overhead eventually
+    * dominates scans; compaction trades one rewrite for every future
+    * read. Writes to `path` (a NEW location — compact-in-place via
+    * overwrite would lose data on failure mid-write).
+    *
+    * Contracts and trade-offs:
+    *   - intended for scan-rooted plans, where `sizeInBytes` is the
+    *     real file size. On joins/aggregates Catalyst's non-CBO
+    *     estimate can be wildly high (a join multiplies child sizes),
+    *     so the file count additionally clamps at `maxFiles`;
+    *   - with `partitionBy`, rows hash-partition BY those columns so
+    *     each directory's rows arrive in few tasks (a round-robin
+    *     spread would emit up to nFiles files per directory —
+    *     fragmenting MORE than the input);
+    *   - `shuffle = false` uses `coalesce` — a narrow, exchange-free
+    *     merge (cheapest possible rewrite) at the cost of uneven file
+    *     sizes; the default full shuffle buys evenly-sized files;
+    *   - either way the rewrite DESTROYS any existing sort/cluster
+    *     layout (file-level min/max pruning from e.g.
+    *     [[graft.operators.ZOrder]]). Re-cluster after compacting when
+    *     layout matters: `ZOrder.clusterBy` already yields
+    *     size-balanced range partitions, so z-ordered tables should be
+    *     compacted by re-clustering, not by this operator.
+    */
+  def compactTo(df: DataFrame, path: String, format: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Nil,
+      maxFiles: Int = 4096,
+      shuffle: Boolean = true): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(maxFiles > 0, "maxFiles must be positive")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes)
+      .max(1).min(maxFiles).toInt
+    val arranged =
+      if (!shuffle) df.coalesce(nFiles)
+      else if (partitionBy.nonEmpty)
+        df.repartition(nFiles, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    writePartitioned(arranged, path, format, partitionBy)
+  }
+
   /** Bucketed columnar sink (session catalog): rows hash into `buckets`
     * files by `bucketCols`, sorted within each bucket by `sortCols`.
     * The single biggest repeated-join lever at 100 TB: two tables

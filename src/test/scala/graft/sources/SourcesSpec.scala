@@ -56,6 +56,42 @@ class SourcesSpec extends SparkSpec {
       docs.filter(col("lang") === "en" && col("n_chars") > 300).count())
   }
 
+  test("compactTo merges small files; content identical") {
+    // fragment: 32 partitions of a 500-row table -> 32 tiny files
+    Sources.writePartitioned(docs.repartition(32),
+      s"$base/docs_small", "parquet")
+    val small = new java.io.File(s"$base/docs_small")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(small > 8, s"fixture should fragment, got $small files")
+    val fragmented = Sources.parquet(spark, s"$base/docs_small")
+    Sources.compactTo(fragmented, s"$base/docs_compact", "parquet",
+      targetFileBytes = 512L * 1024 * 1024)
+    val compacted = new java.io.File(s"$base/docs_compact")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(compacted === 1, s"expected 1 compacted file, got $compacted")
+    val back = Sources.parquet(spark, s"$base/docs_compact")
+    assert(back.orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq)
+
+    // partitioned compaction: rows hash BY the partition column, so
+    // each lang directory gets ONE file (a round-robin spread would
+    // fragment each directory into nFiles pieces)
+    Sources.compactTo(fragmented, s"$base/docs_compact_p", "parquet",
+      targetFileBytes = 512L * 1024 * 1024, partitionBy = Seq("lang"))
+    val perDir = new java.io.File(s"$base/docs_compact_p")
+      .listFiles().filter(_.getName.startsWith("lang=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perDir.nonEmpty && perDir.forall(_._2 === 1),
+      s"per-directory files: ${perDir.toSeq}")
+
+    // exchange-free path: coalesce merge, content still identical
+    Sources.compactTo(fragmented, s"$base/docs_compact_c", "parquet",
+      targetFileBytes = 512L * 1024 * 1024, shuffle = false)
+    assert(Sources.parquet(spark, s"$base/docs_compact_c")
+      .orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
   test("binaryFiles lists files with lengths and content") {
     val slim = docs.select("doc_id", "lang")
     Sources.writePartitioned(slim, s"$base/docs_bin_src", "csv")
