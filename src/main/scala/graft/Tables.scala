@@ -30,10 +30,13 @@ object Tables {
     import org.apache.spark.sql.functions._
     // `div` is integral division — `/` would go through double, which
     // cannot represent epoch-nanos (~1.7e18 > 2^53) exactly and flips
-    // low-order microseconds on ~2% of rows.
+    // low-order microseconds on ~2% of rows. The CASE makes it FLOOR
+    // division: `div` truncates toward zero, which would round
+    // pre-epoch (negative) nanos to the WRONG (later) microsecond.
     apply(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("ts", timestamp_micros(expr(
+        "ts_ns div 1000 - (CASE WHEN ts_ns % 1000 < 0 THEN 1 ELSE 0 END)")))
   }
 
   /** Register every table as a temp view (for the SQL surface). */

@@ -32,29 +32,36 @@ object JobStatusStore {
 
   /** Minimal hand-rolled JSON: two fixed string fields plus a flat
     * numeric metrics object — no library dependency. */
-  private def render(jobId: String, state: String,
+  private def render(jobId: String, state: String, owner: String,
       metrics: Map[String, Long]): String = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    import graft.Json.str
     val ms = metrics.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}": $v""" }.mkString(", ")
-    s"""{"jobId": "${esc(jobId)}", "state": "${esc(state)}", "metrics": {$ms}}"""
+      .map { case (k, v) => s"${str(k)}: $v" }.mkString(", ")
+    s"""{"jobId": ${str(jobId)}, "state": ${str(state)}, """ +
+      s""""owner": ${str(owner)}, "metrics": {$ms}}"""
   }
 
   /** Atomic publish: write-temp + rename, so a concurrent reader never
-    * sees a torn file. */
+    * sees a torn file. `owner` identifies the publishing process run —
+    * cleanup is owner-conditional so one process's retention timer can
+    * never delete the files of ANOTHER process that reused the job id. */
   private[operators] def publish(dir: Path, jobId: String, state: String,
-      metrics: Map[String, Long]): Unit = {
+      owner: String, metrics: Map[String, Long]): Unit = {
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, s".$jobId", ".tmp")
     Files.write(tmp,
-      render(jobId, state, metrics).getBytes(StandardCharsets.UTF_8))
+      render(jobId, state, owner, metrics).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, statusPath(dir, jobId),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def fileOwner(dir: Path, jobId: String): Option[String] = {
+    val p = statusPath(dir, jobId)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      """"owner":\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+    }
   }
 
   /** Read a job's last published state from the store — works from any
@@ -90,10 +97,16 @@ object JobStatusStore {
     ()
   }
 
-  /** Remove a job's files (pairs with registry eviction). */
-  private[operators] def clear(dir: Path, jobId: String): Unit = {
-    Files.deleteIfExists(statusPath(dir, jobId))
-    Files.deleteIfExists(abortPath(dir, jobId))
-    ()
-  }
+  /** Remove a job's files (pairs with registry eviction) — only when
+    * the status file still belongs to `owner`: a different process may
+    * have reused the job id and published its own live status, which
+    * the old owner's retention timer must not destroy. (Read-then-
+    * delete is best-effort, like the rest of the file store.) */
+  private[operators] def clear(dir: Path, jobId: String,
+      owner: String): Unit =
+    if (fileOwner(dir, jobId).contains(owner)) {
+      Files.deleteIfExists(statusPath(dir, jobId))
+      Files.deleteIfExists(abortPath(dir, jobId))
+      ()
+    }
 }

@@ -16,6 +16,17 @@ import org.apache.spark.sql.{Encoder, Encoders}
 final case class KV(key: String, value: Array[Byte]) {
   def valueString: String = new String(value, StandardCharsets.UTF_8)
   def valueLong: Long = java.lang.Long.parseLong(valueString)
+
+  // Array fields get reference equality from the case-class default —
+  // two KVs with identical bytes would compare unequal in driver-side
+  // Sets/Maps/assertions. Content equality is the row contract.
+  override def equals(o: Any): Boolean = o match {
+    case KV(k, v) => k == key && java.util.Arrays.equals(v, value)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (if (key == null) 0 else key.hashCode) +
+      java.util.Arrays.hashCode(value)
 }
 
 object KV {

@@ -53,6 +53,7 @@ object Metrics {
     * [[observedStream]] there.) */
   def observed(df: DataFrame, name: String, metrics: Column*)
       : (DataFrame, Observation) = {
+    require(metrics.nonEmpty, "observed needs at least one metric column")
     val obs = new Observation(name)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
@@ -62,6 +63,8 @@ object Metrics {
     * `query.lastProgress` or attach a StreamingQueryListener). Also
     * valid on batch frames for symmetry. */
   def observedStream(df: DataFrame, name: String, metrics: Column*)
-      : DataFrame =
+      : DataFrame = {
+    require(metrics.nonEmpty, "observedStream needs at least one metric column")
     df.observe(name, metrics.head, metrics.tail: _*)
+  }
 }

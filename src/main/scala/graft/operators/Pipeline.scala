@@ -246,11 +246,14 @@ final class Pipeline private (
 
   /** P3 — round-robin redistribution, key-oblivious
     * (reference partitions/partitioner.go:110-127). Count: C3
-    * directives if set, else the plan's current partition count (read
-    * off the physical plan — `ds.rdd` would force a fresh
-    * deserializing RDD lineage just to ask). */
+    * directives if set, else the cluster's task-slot count
+    * (defaultParallelism) — the reference redistributes across cluster
+    * slots, and asking the current PLAN for its partition count
+    * (`queryExecution.toRdd` / `ds.rdd`) would, under AQE, eagerly
+    * execute every upstream stage at build time and then run them
+    * again at the real action. */
   def shuffle(): Pipeline = {
-    val n = stageSlots.getOrElse(ds.queryExecution.toRdd.getNumPartitions)
+    val n = stageSlots.getOrElse(spark.sparkContext.defaultParallelism)
     next(ds.repartition(n))
   }
 
@@ -258,7 +261,11 @@ final class Pipeline private (
   def repartition(n: Int): Pipeline = next(ds.repartition(n))
 
   /** P5 — custom partitioner: user maps a row to a partition id in
-    * [0, n). RDD detour: Dataset has no arbitrary-partitioner API. */
+    * [0, n). RDD detour: Dataset has no arbitrary-partitioner API.
+    * NB under AQE the `.rdd` access materializes the UPSTREAM stages
+    * at build time; their shuffle outputs remain referenced by the
+    * returned RDD lineage, so the action reuses (not re-runs) them —
+    * the cost is early execution, not double execution. */
   def partitionedBy(n: Int)(part: KV => Int): Pipeline = {
     val rdd = ds.rdd
       .keyBy(part)
@@ -308,11 +315,12 @@ object Pipeline {
     * reads use `fromDataFrame`/Tables — this exists for parity. */
   def fromLocalFile(spark: SparkSession, root: String): Pipeline = {
     import scala.jdk.CollectionConverters._
-    val paths = java.nio.file.Files
-      .walk(java.nio.file.Paths.get(root))
-      .iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(_.toString).toSeq.sorted
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    val paths =
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.toString).toSeq.sorted
+      finally walk.close() // the stream holds open directory handles
     parallelize(spark, paths.map(p => KV.of(p, p)))
   }
 

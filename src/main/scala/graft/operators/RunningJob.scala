@@ -18,9 +18,10 @@ final class RunningJob private (
     val jobId: String,
     spark: SparkSession,
     acc: MetricsAccumulator,
+    abortFlag: java.util.concurrent.atomic.AtomicBoolean,
     future: Future[Seq[KV]]) {
 
-  @volatile private var aborted = false
+  private def aborted: Boolean = abortFlag.get
 
   def isDone: Boolean = future.isCompleted
 
@@ -44,10 +45,15 @@ final class RunningJob private (
   }
 
   /** Abort: cancels every Spark job tagged with this job group
-    * (reference running_job.go:120-143). */
+    * (reference running_job.go:120-143). `cancelJobGroup` only reaches
+    * jobs that are ACTIVE at the moment of the call, so the flag makes
+    * an abort that races ahead of the background thread's first job
+    * stick (the thread re-checks it before collecting), and the
+    * re-cancels catch a job submitted inside that window. */
   def abort(): Unit = {
-    aborted = true
+    abortFlag.set(true)
     spark.sparkContext.cancelJobGroup(jobId)
+    RunningJob.recancelLater(spark, jobId, this)
   }
 
   def metrics: Map[String, Long] = acc.value
@@ -80,18 +86,41 @@ object RunningJob {
     sys.props.get("graft.job.retentionMs").map(_.toLong)
       .getOrElse(5L * 60 * 1000)
 
+  /** Identifies THIS process run in the cross-process status store, so
+    * retention cleanup never touches files published by another
+    * process that reused a job id. */
+  private val ownerId = java.util.UUID.randomUUID().toString
+
+  /** Belt-and-braces for the abort-before-first-job race: re-cancel
+    * shortly after, catching a job submitted between the abort call and
+    * the background thread's first submission. */
+  private[operators] def recancelLater(
+      spark: SparkSession, jobId: String, job: RunningJob): Unit =
+    Seq(250L, 1000L).foreach { delay =>
+      evictor.schedule(new Runnable {
+        override def run(): Unit =
+          if (!job.isDone) spark.sparkContext.cancelJobGroup(jobId)
+      }, delay, java.util.concurrent.TimeUnit.MILLISECONDS)
+      ()
+    }
+
   private[operators] def start(
       jobId: String,
       spark: SparkSession,
       ds: Dataset[KV],
       acc: MetricsAccumulator): RunningJob = {
+    val abortFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
     val future = Future {
       spark.sparkContext.setJobGroup(jobId, s"graft job $jobId",
         interruptOnCancel = true)
+      // an abort() issued before this thread got here found no active
+      // jobs to cancel — honor it instead of running to completion
+      if (abortFlag.get)
+        throw new IllegalStateException(s"job $jobId aborted before start")
       try ds.collect().toSeq
       finally spark.sparkContext.clearJobGroup()
     }
-    val job = new RunningJob(jobId, spark, acc, future)
+    val job = new RunningJob(jobId, spark, acc, abortFlag, future)
     registry.put(jobId, job)
     // Cross-process status store (reference: etcd; here a shared dir).
     // Publish "running" now, the terminal state on completion, and poll
@@ -102,7 +131,7 @@ object RunningJob {
       // previous run (e.g. an abort requested just as run 1 finished,
       // or an owner that crashed before its retention cleanup)
       JobStatusStore.clearAbortMarker(dir, jobId)
-      JobStatusStore.publish(dir, jobId, "running", Map.empty)
+      JobStatusStore.publish(dir, jobId, "running", ownerId, Map.empty)
       lazy val poller: java.util.concurrent.ScheduledFuture[_] =
         evictor.scheduleWithFixedDelay(new Runnable {
           override def run(): Unit =
@@ -114,13 +143,14 @@ object RunningJob {
     }
     future.onComplete { _ =>
       store.foreach(dir =>
-        JobStatusStore.publish(dir, jobId, job.status, job.metrics))
+        JobStatusStore.publish(dir, jobId, job.status, ownerId, job.metrics))
       evictor.schedule(new Runnable {
         override def run(): Unit = {
-          // conditional remove: if a NEW job reused this id meanwhile,
-          // neither evict it nor delete its live status files
+          // conditional remove: if a NEW job reused this id meanwhile
+          // (this process OR another — the store clear is additionally
+          // owner-guarded), neither evict it nor delete its files
           if (registry.remove(jobId, job))
-            store.foreach(dir => JobStatusStore.clear(dir, jobId))
+            store.foreach(dir => JobStatusStore.clear(dir, jobId, ownerId))
         }
       }, retentionMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     }
