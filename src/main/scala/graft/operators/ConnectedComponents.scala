@@ -93,14 +93,21 @@ object ConnectedComponents {
     }
 
     // Lazy checkpoints: the signature aggregation is the action that
-    // materializes each round's edge set — one Spark job per round,
-    // not a separate eager-checkpoint job plus an aggregate.
+    // materializes each iteration's edge set — one Spark job per
+    // iteration, not a separate eager-checkpoint job plus an
+    // aggregate. Each iteration applies TWO alternating rounds before
+    // checking: near-dup cluster graphs converge in a handful of
+    // rounds, so halving the driver round-trips (the per-iteration
+    // job-scheduling latency, not the data work, dominates at small
+    // edge counts) costs at most one redundant pair of rounds on an
+    // already-converged star set — a no-op by idempotence.
     var edges = e0.localCheckpoint(eager = false)
     var sig = signature(edges)
     var converged = false
     var round = 0
     while (!converged && round < MaxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      val next = smallStar(largeStar(smallStar(largeStar(edges))))
+        .localCheckpoint(eager = false)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next

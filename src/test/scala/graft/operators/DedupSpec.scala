@@ -40,6 +40,38 @@ class DedupSpec extends SparkSpec {
     assert(exactPairs.subsetOf(loose))
   }
 
+  test("ngram jaccard equals in-test brute force on randomized corpora") {
+    // end-to-end property: prefix filtering + sorted-intersect verify
+    // must reproduce the exact pairwise Jaccard computation for ANY
+    // corpus, not just the planted families. Small vocab forces heavy
+    // shingle sharing (the regime where prefix pruning actually prunes).
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    for (trial <- 1 to 2; threshold <- Seq(0.3, 0.6)) {
+      val corpus = (1L to 40L).map { id =>
+        val len = 6 + rnd.nextInt(10)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      def shingles(t: String): Set[String] =
+        t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val expected = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a < b
+        sa = shingles(ta); sb = shingles(tb)
+        inter = (sa & sb).size
+        j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= threshold
+      } yield (a, b, j)).toSet
+      val got = Dedup.ngramJaccardPairs(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = threshold)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"trial=$trial threshold=$threshold")
+    }
+  }
+
   test("incremental dedup equals full recompute filtered to new-touching pairs") {
     val isNew = col("doc_id") % 2 === 0
     val inc = Dedup.incrementalJaccardPairs(
