@@ -37,6 +37,30 @@ class ApproxDistinctSpec extends SparkSpec {
       s"n=$n approxMedian=$approx rank=$rank")
   }
 
+  test("count-min sketch: frequency estimates within eps*N, never under") {
+    // the third mergeable sketch beside HLL (distinct) and KLL-ish
+    // quantiles: heavy-hitter frequencies without a (token, count)
+    // shuffle of the whole vocabulary. CMS guarantees estimate >=
+    // true and estimate <= true + eps*N with prob 1-delta.
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val eps = 0.01
+    val n = toks.count()
+    val sketch = toks.select(
+      count_min_sketch(col("tok"), lit(eps), lit(0.99), lit(42))
+        .as("sk")).head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch))
+    val exact = toks.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    exact.foreach { case (tok, c) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= c, s"CMS underestimated $tok: $est < $c")
+      assert(est <= c + (eps * n).toLong + 1,
+        s"CMS error bound violated for $tok: est=$est true=$c n=$n")
+    }
+  }
+
   test("hll sketches merge across partitions (union = distinct of union)") {
     // build one sketch per event_type, union them, estimate — the
     // mergeable-sketch path a 100 TB rollup would use (sketch once,
