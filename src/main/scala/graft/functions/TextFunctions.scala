@@ -71,10 +71,14 @@ object TextFunctions {
   def charShingles(text: Column, n: Int): Column =
     graft.plans.SketchExpressions.charShingles(text, n)
 
-  /** Document fingerprint: md5 of ascii-normalized text. Exact-dedup
-    * key; identical in DuckDB (`md5(regexp_replace(lower(..)))`). */
+  /** Document fingerprint: md5 of unicode-normalized text (lowercase,
+    * punctuation/symbols stripped, LETTERS AND DIGITS OF ANY SCRIPT
+    * kept). An ascii-only class here would map every pure-CJK document
+    * to md5("") and exact-dedup would merge unrelated documents into
+    * one group. \p{L}\p{N} has identical semantics in Java regex and
+    * DuckDB's RE2 (verified fingerprint-identical across engines). */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+    md5(regexp_replace(lower(text), "[^\\p{L}\\p{N} ]", ""))
 
   // -------------------------------------------------------------- langid
 

@@ -36,7 +36,10 @@ object VectorFunctions {
     * max|x|/254 per component). */
   def quantizeInt8(v: Column): Column = {
     val ma = array_max(transform(v, x => abs(x)))
-    transform(v, x => round(x * 127.0 / ma).cast("int"))
+    // tinyint, not int: values are bounded to [-127, 127] by the scale,
+    // and 1-byte elements are the entire point (4x narrower than the
+    // float32 source) — an int cast would store 4-byte "int8"
+    transform(v, x => round(x * 127.0 / ma).cast("byte"))
   }
 
   /** Inverse of [[quantizeInt8]] given the original max|x| scale. */

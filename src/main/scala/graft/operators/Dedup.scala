@@ -236,6 +236,12 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // the 4×16-bit banding is pigeonhole-complete ONLY up to hamming 3
+    // (4 differing bits can land one per band and never share a key) —
+    // a larger threshold would silently lose recall, so reject it
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs: 4-band bucketing guarantees recall only for " +
+        s"maxHamming <= 3, got $maxHamming")
     val sigs = spread(df)
       .select(col(idCol).as("id"), SK.simhash64(col(textCol)).as("simhash"))
     val banded = sigs.select(col("id"), col("simhash"),
@@ -376,10 +382,7 @@ object Dedup {
         fp.join(keep, "k")
       case None => fp
     }
-    val shared = candIndex.select(col("k"), col("id").as("a_id"))
-      .join(candIndex.select(col("k"), col("id").as("b_id")), Seq("k"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val shared = candidatePairs(candIndex)
     val sets = docSets(fp)
     shared
       .join(sets.select(col("id").as("a_id"), col("ks").as("a_ks"),
@@ -430,22 +433,25 @@ object Dedup {
     // NB the grid-size column is "gn", not "G": analysis is
     // case-insensitive by default, so "G" would capture the row's own
     // grid coordinate "g".
+    // grid coordinates and cell ids are LONG throughout: with the
+    // auto-sized G = n/1000, int arithmetic (g*gn+j) would overflow at
+    // G ≈ 46341 — i.e. ~46M rows, inside the scale this operator
+    // advertises — aliasing distinct cells onto wrapped ids
     val base = groups match {
       case Some(g) =>
         require(g > 0, "groups must be positive")
-        base0.withColumn("gn", lit(g))
+        base0.withColumn("gn", lit(g.toLong))
       case None =>
         val n = df.agg(count(lit(1)).as("n_rows"))
         base0.withColumn("gn",
-          greatest(lit(8), ceil(scalarOf(n) / 1000.0)).cast("int"))
+          greatest(lit(8), ceil(scalarOf(n) / 1000.0)).cast("long"))
     }
     val e = base
-      .withColumn("g",
-        pmod(xxhash64(col("id")), col("gn").cast("long")).cast("int"))
+      .withColumn("g", pmod(xxhash64(col("id")), col("gn")))
       .withColumn("cell", explode(array_distinct(concat(
         transform(sequence(col("g"), col("gn") - 1),
           j => col("g") * col("gn") + j),
-        transform(sequence(lit(0), col("g")),
+        transform(sequence(lit(0L), col("g")),
           i => i * col("gn") + col("g"))))))
     val a = e.select(col("cell"), col("gn"), col("g").as("a_g"),
       col("id").as("a_id"), col("v").as("a_v"), col("ss").as("a_ss"))

@@ -37,10 +37,20 @@ case class MinHashSig(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // empty shingle sets have NO signature: returning the constant
+  // all-MaxValue array would give every empty document identical band
+  // keys — the degenerate all-pairs join MinHashBandKeys exists to
+  // prevent. NULL drops them from candidate generation instead.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
+    var nonNull = 0
+    var c = 0
+    while (c < n) { if (!arr.isNullAt(c)) nonNull += 1; c += 1 }
+    if (nonNull == 0) return null
     var j = 0
     while (j < n) {
       // null shingles contribute nothing (SQL callers can pass arrays
@@ -125,6 +135,10 @@ case class MinHashBandKeys(child: Expression, bands: Int)
   */
 case class HyperplaneBucket(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
+  // nBits <= 0 would put EVERY vector in bucket 0 (the bucketed join
+  // degenerates to a cross product); > 64 silently overflows the long
+  require(nBits > 0 && nBits <= 64,
+    s"hyperplane_bucket: nBits must be in 1..64, got $nBits")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -196,14 +210,27 @@ case class NearestCells(
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
+    // loud guards (same policy as HyperplaneBucket): a dimension
+    // mismatch against the centroid model or a null component would
+    // otherwise score a silently-wrong partial cosine
+    var g = 0
+    while (g < dim) {
+      if (v.isNullAt(g))
+        throw new IllegalArgumentException(
+          s"nearest_cells: null vector component at index $g")
+      g += 1
+    }
     val sims = new Array[Double](centroids.length)
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
+      if (cent.length != dim)
+        throw new IllegalArgumentException(
+          s"nearest_cells: vector dim $dim != centroid dim ${cent.length}")
       var acc = 0.0
       var vn = 0.0
       var d = 0
-      val n = math.min(dim, cent.length)
+      val n = dim
       while (d < n) {
         val x = v.getDouble(d)
         acc += x * cent(d)

@@ -26,7 +26,7 @@ object LlmOps {
           .select("fp", "keep_id", "n_copies")
       },
       oracle = Some("""
-        SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+        SELECT md5(regexp_replace(lower(text), '[^\p{L}\p{N} ]', '', 'g')) AS fp,
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY keep_id""")),
 
@@ -469,7 +469,7 @@ object LlmOps {
           SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 25),
         k AS (
           SELECT min(doc_id) AS keep_id FROM q
-          GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))),
+          GROUP BY md5(regexp_replace(lower(text), '[^\p{L}\p{N} ]', '', 'g'))),
         s AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.keep_id),
         sh AS (
           SELECT doc_id, lang,
@@ -518,7 +518,7 @@ object LlmOps {
           SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 25),
         k AS (
           SELECT min(doc_id) AS keep_id FROM q
-          GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))),
+          GROUP BY md5(regexp_replace(lower(text), '[^\p{L}\p{N} ]', '', 'g'))),
         s AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.keep_id),
         sh AS (
           SELECT doc_id, lang,
@@ -844,7 +844,7 @@ object LlmOps {
           SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 25),
         k AS (
           SELECT min(doc_id) AS keep_id FROM q
-          GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))),
+          GROUP BY md5(regexp_replace(lower(text), '[^\p{L}\p{N} ]', '', 'g'))),
         s AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.keep_id),
         t AS (
           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,

@@ -25,11 +25,16 @@ class DotProductSpec extends SparkSpec {
   test("null and length-mismatch behavior") {
     import spark.implicits._
     val df = Seq(
-      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 9.0))), // min-length fold
+      // dimension mismatch -> NULL (zip_with null-pads, so the HOF
+      // form is also null) — a truncated partial dot would be a
+      // confidently wrong cosine for mixed embedding versions
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 9.0))),
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
       (None, Some(Seq(1.0)))).toDF("a", "b")
     val out = df.select(DotProduct(col("a"), col("b"))).collect()
-    assert(out(0).getDouble(0) === 11.0)
-    assert(out(1).isNullAt(0))
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) === 11.0)
+    assert(out(2).isNullAt(0))
   }
 
   test("expression participates in whole-stage codegen") {
