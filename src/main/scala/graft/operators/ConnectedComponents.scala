@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,11 +35,25 @@ import org.apache.spark.sql.functions._
   * Scale shape: every round shuffles |E| rows twice, and |E| only ever
   * shrinks (toward one edge per non-root node). The driver loop holds
   * no data — per round it keeps one count + checksum (for the fixpoint
-  * test) and `localCheckpoint`s the new edge set to cut lineage, which
-  * materializes edges on executors, never on the driver. Like every
-  * iterative dataflow (GraphFrames/GraphX included) the loop RUNS Spark
-  * jobs while building the result — callers get a plain, reusable
-  * DataFrame back.
+  * test) and checkpoints the new edge set to cut lineage, which
+  * materializes edges on executors, never on the driver. Once an
+  * iteration's successor is materialized, the superseded edge set is
+  * released (unpersisted, and its checkpoint files deleted in reliable
+  * mode) — only the FINAL converged set stays resident, because the
+  * returned DataFrame reads from it. Like every iterative dataflow
+  * (GraphFrames/GraphX included) the loop RUNS Spark jobs while
+  * building the result — callers get a plain, reusable DataFrame back.
+  *
+  * Fault tolerance: by default each iteration is `localCheckpoint`ed —
+  * fastest (executor-local storage), but a local checkpoint dies with
+  * its executor, so on a real cluster an executor loss mid-loop fails
+  * the job with no recompute path. Pass `checkpointDir` (any
+  * HDFS/object-store path all executors can reach) for RELIABLE
+  * checkpoints on cluster runs: each iteration's edges are written to
+  * shared storage and survive executor loss, at the cost of one extra
+  * recomputation per iteration to write the files (standard
+  * `RDD.checkpoint` behavior; the edge set is sketch-sized, so the
+  * write is cheap relative to losing a 100 TB job at round 30).
   */
 object ConnectedComponents {
 
@@ -46,8 +62,35 @@ object ConnectedComponents {
   /** (id, component) for every node appearing in `pairs`, component =
     * min node id of the connected component. Ids may be any orderable
     * numeric/string type; rows with null endpoints are dropped.
+    * `checkpointDir`: see the class doc — None (default) keeps the
+    * fast executor-local checkpoints; Some(sharedPath) survives
+    * executor loss on cluster runs.
     */
-  def apply(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def apply(pairs: DataFrame, aCol: String, bCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach { dir =>
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+    }
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    // A checkpointed Dataset is a LogicalRDD leaf over the materialized
+    // RDD; once its successor exists that RDD is dead weight — without
+    // this, MaxRounds edge-set copies pile up in executor storage for
+    // the session lifetime. Local checkpoints unpersist; reliable ones
+    // also delete their files (the cleaner only does that under GC
+    // pressure with cleanCheckpoints on, which an iterative loop can't
+    // wait for).
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+        .foreach { rdd =>
+          rdd.unpersist(blocking = false)
+          rdd.getCheckpointFile.foreach { f =>
+            val p = new Path(f)
+            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+          }
+        }
     val e0 = pairs
       .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
         col(aCol) =!= col(bCol))
@@ -101,14 +144,14 @@ object ConnectedComponents {
     // job-scheduling latency, not the data work, dominates at small
     // edge counts) costs at most one redundant pair of rounds on an
     // already-converged star set — a no-op by idempotence.
-    var edges = e0.localCheckpoint(eager = false)
+    var edges = cut(e0)
     var sig = signature(edges)
     var converged = false
     var round = 0
     while (!converged && round < MaxRounds) {
-      val next = smallStar(largeStar(smallStar(largeStar(edges))))
-        .localCheckpoint(eager = false)
-      val nextSig = signature(next)
+      val next = cut(smallStar(largeStar(smallStar(largeStar(edges)))))
+      val nextSig = signature(next) // materializes `next`...
+      release(edges)                // ...so its input is now droppable
       converged = nextSig == sig
       edges = next
       sig = nextSig
@@ -132,8 +175,9 @@ object ConnectedComponents {
     * even when A~C was never emitted as a pair. */
   def keepers(
       docs: DataFrame, idCol: String,
-      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val comp = apply(pairs, aCol, bCol)
+      pairs: DataFrame, aCol: String, bCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val comp = apply(pairs, aCol, bCol, checkpointDir)
     val drops = comp.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     docs.join(drops, Seq(idCol), "left_anti")

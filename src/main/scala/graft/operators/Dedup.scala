@@ -34,9 +34,16 @@ object Dedup {
 
   /** Compute parallelism independent of scan splits: single-row-group
     * parquet gives one partition, which would serialize the sketch
-    * kernels below regardless of cores. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * kernels below regardless of cores. It IS a full corpus exchange
+    * though, so every public entry point exposes `spread: Boolean =
+    * true` (mirroring [[Similarity]]): on well-split production data —
+    * where the scan already yields ~core-count partitions — pass
+    * `spread = false` and shingle/sketch in place with zero extra
+    * passes over the corpus. */
+  private def maybeSpread(df: DataFrame, spread: Boolean): DataFrame =
+    if (spread)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
 
   /** One-row aggregate as an in-plan scalar-subquery expression — see
     * [[graft.plans.Scalars]] (lazy, no BNLJ in the plan). */
@@ -50,10 +57,11 @@ object Dedup {
   private def shingleIndex(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, partitionCol: Option[String],
-      charLevel: Boolean = false): DataFrame = {
+      charLevel: Boolean = false,
+      spread: Boolean = true): DataFrame = {
     val sh = if (charLevel) T.charShingles(col(textCol), n)
       else T.wordShingles(col(textCol), n)
-    spread(df).select(
+    maybeSpread(df, spread).select(
       col(idCol).as("id"),
       partitionCol.map(col).getOrElse(lit("")).as("part"),
       explode(sh).as("shingle"))
@@ -187,12 +195,14 @@ object Dedup {
       partitionCol: Option[String] = None,
       maxDocFreq: Option[Int] = None,
       charLevel: Boolean = false,
-      maxDocFreqRatio: Option[Double] = None): DataFrame = {
+      maxDocFreqRatio: Option[Double] = None,
+      spread: Boolean = true): DataFrame = {
     val ratio =
       if (charLevel && maxDocFreq.isEmpty && maxDocFreqRatio.isEmpty)
         Some(0.15)
       else maxDocFreqRatio
-    val index = shingleIndex(df, idCol, textCol, n, partitionCol, charLevel)
+    val index =
+      shingleIndex(df, idCol, textCol, n, partitionCol, charLevel, spread)
     val cands = candidatePairs(
       prefixIndex(index, threshold, maxDocFreq, ratio))
     verifyPairs(cands, index, threshold)
@@ -210,9 +220,10 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       numHashes: Int = 32, bands: Int = 8,
-      partitionCol: Option[String] = None): DataFrame = {
+      partitionCol: Option[String] = None,
+      spread: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val base = spread(df).select(
+    val base = maybeSpread(df, spread).select(
       col(idCol).as("id"),
       partitionCol.map(col).getOrElse(lit("")).as("part"),
       T.wordShingles(col(textCol), n).as("sh"))
@@ -224,7 +235,8 @@ object Dedup {
       col("part"))
       .select(col("id"), xxhash64(col("part"), col("bkey")).as("k"))
     val cands = candidatePairs(bandIndex)
-    val index = shingleIndex(df, idCol, textCol, n, partitionCol)
+    val index =
+      shingleIndex(df, idCol, textCol, n, partitionCol, spread = spread)
     verifyPairs(cands, index, threshold)
   }
 
@@ -235,14 +247,14 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, spread: Boolean = true): DataFrame = {
     // the 4×16-bit banding is pigeonhole-complete ONLY up to hamming 3
     // (4 differing bits can land one per band and never share a key) —
     // a larger threshold would silently lose recall, so reject it
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhashPairs: 4-band bucketing guarantees recall only for " +
         s"maxHamming <= 3, got $maxHamming")
-    val sigs = spread(df)
+    val sigs = maybeSpread(df, spread)
       .select(col(idCol).as("id"), SK.simhash64(col(textCol)).as("simhash"))
     val banded = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -277,9 +289,12 @@ object Dedup {
       train: DataFrame, test: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       partitionCol: Option[String] = None,
-      maxDocFreq: Option[Int] = None): DataFrame = {
-    val ti = shingleIndex(train, idCol, textCol, n, partitionCol)
-    val si = shingleIndex(test, idCol, textCol, n, partitionCol)
+      maxDocFreq: Option[Int] = None,
+      spread: Boolean = true): DataFrame = {
+    val ti = shingleIndex(train, idCol, textCol, n, partitionCol,
+      spread = spread)
+    val si = shingleIndex(test, idCol, textCol, n, partitionCol,
+      spread = spread)
     // same prefix length formula as Jaccard: sz - ceil(t*sz) + 1
     val testPrefix = prefixIndex(si, threshold, maxDocFreq)
     val cands = ti.select(col("k"), col("id").as("train_id"))
@@ -329,15 +344,18 @@ object Dedup {
       partitionCol: Option[String] = None,
       maxDocFreq: Option[Int] = None,
       charLevel: Boolean = false,
-      maxDocFreqRatio: Option[Double] = None): DataFrame = {
+      maxDocFreqRatio: Option[Double] = None,
+      spread: Boolean = true): DataFrame = {
     val ratio =
       if (charLevel && maxDocFreq.isEmpty && maxDocFreqRatio.isEmpty)
         Some(0.15)
       else maxDocFreqRatio
     val oldOnly = oldDf.join(
       newDf.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-    val ni = shingleIndex(newDf, idCol, textCol, n, partitionCol, charLevel)
-    val oi = shingleIndex(oldOnly, idCol, textCol, n, partitionCol, charLevel)
+    val ni =
+      shingleIndex(newDf, idCol, textCol, n, partitionCol, charLevel, spread)
+    val oi =
+      shingleIndex(oldOnly, idCol, textCol, n, partitionCol, charLevel, spread)
     val newPrefix = prefixIndex(ni, threshold, maxDocFreq, ratio)
     val nnCands = candidatePairs(newPrefix)
     val noCands = oi.select(col("k"), col("id").as("o_id"))
@@ -371,8 +389,9 @@ object Dedup {
   def winnowingPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 8, minOverlap: Double = 0.5,
-      maxDocFreq: Option[Int] = Some(64)): DataFrame = {
-    val fp = spread(df).select(
+      maxDocFreq: Option[Int] = Some(64),
+      spread: Boolean = true): DataFrame = {
+    val fp = maybeSpread(df, spread).select(
       col(idCol).as("id"),
       explode(SK.winnowFingerprint(col(textCol), k, w)).as("k"))
     val candIndex = maxDocFreq match {
@@ -426,8 +445,9 @@ object Dedup {
     */
   def embeddingCosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, groups: Option[Int] = None): DataFrame = {
-    val base0 = spread(df)
+      threshold: Double, groups: Option[Int] = None,
+      spread: Boolean = true): DataFrame = {
+    val base0 = maybeSpread(df, spread)
       .select(col(idCol).as("id"), V.toDouble(col(vecCol)).as("v"))
       .withColumn("ss", DotProduct(col("v"), col("v")))
     // NB the grid-size column is "gn", not "G": analysis is

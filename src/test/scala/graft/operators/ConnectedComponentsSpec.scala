@@ -65,6 +65,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(run(Seq((2L, 1L), (3L, 2L), (1L, 2L), (2L, 3L))) === canonical)
   }
 
+  test("reliable-checkpoint mode: same components, intermediate files cleaned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+      .toString
+    val edges = (1L until 60L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
+    val got = ConnectedComponents(
+      edges.toDF("a_id", "b_id"), "a_id", "b_id",
+      checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got === components(edges))
+    // every superseded iteration's checkpoint files are deleted as soon
+    // as its successor materializes — only the final converged edge set
+    // may remain on disk
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("rdd-"))
+      .count()
+    assert(rddDirs <= 1, s"expected <= 1 surviving checkpoint, saw $rddDirs")
+  }
+
+  test("superseded iterations are unpersisted (no edge-set pile-up)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = (1L until 80L).map(i => (i, i + 1))
+    val got = run(edges)
+    assert(got.values.toSet === Set(1L))
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // the multi-round chain localCheckpoints one edge set per iteration;
+    // all but the final converged set must have been unpersisted
+    assert(fresh.size <= 1,
+      s"expected <= 1 resident checkpoint after convergence, saw ${fresh.size}")
+  }
+
   test("keepers: transitive clusters drop every non-root member") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // 1~2 and 2~3: pair-local "drop b of each pair" would also drop 3

@@ -223,6 +223,25 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("spread=false skips the corpus repartition and preserves results") {
+    // every legitimate Dedup shuffle is hash-partitioned (groupBy /
+    // equi-join keys); the opt-in corpus spread is the ONLY round-robin
+    // exchange, so its marker pins the flag's plan effect exactly
+    def rr(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning")
+    val on = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+      Some("lang"))
+    val off = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+      Some("lang"), spread = false)
+    assert(rr(on), "spread=true must round-robin the scan")
+    assert(!rr(off), "spread=false must not add any round-robin exchange")
+    assert(!rr(Dedup.simhashPairs(docs, "doc_id", "text", spread = false)))
+    assert(!rr(Dedup.winnowingPairs(docs, "doc_id", "text", spread = false)))
+    // the flag is a physical-layout choice only: identical pair sets
+    val pairsOff = off.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOff === exactPairs)
+  }
+
   test("maxDocFreq prunes hyper-frequent shingles from candidates") {
     import spark.implicits._
     // "common common common" shingle appears in every doc → with a cap
