@@ -26,9 +26,14 @@ object Bench {
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
-    ordered.foreach { case (_, fn) =>
+    // a warm-up failure doesn't fail the bench (the measured pass will
+    // report -1 with its own stderr line), but it must leave a trace —
+    // a query that only breaks during warm-up is otherwise invisible
+    ordered.foreach { case (name, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}")
+      }
     }
     // Two measured passes, report the min per query: the host is shared
     // and a transient co-tenant burst otherwise lands on whichever query
@@ -53,8 +58,21 @@ object Bench {
     }
     val qs = results.map { case (k, v) => Json.str(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)}}""")
+    // honesty: summing only the non-failed queries would make a run
+    // with failures look FASTER than a clean one, so any failure poisons
+    // the headline value to -1; n_failed makes the reason machine-readable
+    val nFailed = results.count(_._2 < 0)
+    val total =
+      if (nFailed > 0) -1.0 else results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":${Json.str(sfDir)}}"""
+    println(line)
+    // also persist to a file: the driver captures only a bounded stdout
+    // tail, which has truncated the per-query map mid-JSON before
+    // (BENCH_r03 lost q01-q15); the file survives any tail length
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -169,5 +169,74 @@ object RunningJob {
     * callers that don't want to wait out the retention window). */
   def remove(jobId: String): Boolean = registry.remove(jobId) != null
 
-  private[operators] def registeredCount: Int = registry.size
+  /** Jobs currently held by the registry (running or inside their
+    * post-completion retention window). */
+  def registeredCount: Int = registry.size
+
+  /** Live gauge snapshot — the programmatic parity surface for the
+    * reference's Prometheus worker gauge (reference
+    * metric/worker_metrics.go:15-21, `lrmr_running_tasks` labeled per
+    * node). Counts come from a [[SparkListener]] registered on the
+    * context (raw scheduler task-start/task-end events — exactly how
+    * Prometheus exporters meter Spark), NOT from `statusTracker`: the
+    * status store skips live task-counter updates when the UI is
+    * disabled, so its counts read 0 mid-flight on headless sessions.
+    * `activeTasksByExecutor` keys are host/executorId (the Spark
+    * analogue of the reference's host+tag labels). Task gauges cover
+    * EVERY job on the context — the same scope the reference gauge has
+    * on a worker — while `registeredJobs`/`runningJobs` scope to graft
+    * background jobs. Tasks already in flight when the first `gauges`
+    * call registers the listener are not counted (ends without starts
+    * floor at zero, never go negative). */
+  final case class Gauges(
+      registeredJobs: Int,
+      runningJobs: Int,
+      activeTasks: Int,
+      activeTasksByExecutor: Map[String, Int])
+
+  private final class TaskGaugeListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private[RunningJob] val byExec =
+      new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    private[RunningJob] val total =
+      new java.util.concurrent.atomic.AtomicInteger(0)
+    private def dec(i: java.util.concurrent.atomic.AtomicInteger): Unit = {
+      i.updateAndGet(n => math.max(0, n - 1)); ()
+    }
+    override def onTaskStart(
+        e: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+      total.incrementAndGet()
+      byExec.computeIfAbsent(
+        s"${e.taskInfo.host}/${e.taskInfo.executorId}",
+        _ => new java.util.concurrent.atomic.AtomicInteger(0))
+        .incrementAndGet()
+      ()
+    }
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      dec(total)
+      Option(byExec.get(s"${e.taskInfo.host}/${e.taskInfo.executorId}"))
+        .foreach(dec)
+    }
+  }
+
+  // one listener per SparkContext (keyed by app id), installed lazily on
+  // the first gauges() read
+  private val gaugeListeners =
+    new ConcurrentHashMap[String, TaskGaugeListener]()
+  private def listenerFor(spark: SparkSession): TaskGaugeListener =
+    gaugeListeners.computeIfAbsent(spark.sparkContext.applicationId, _ => {
+      val l = new TaskGaugeListener
+      spark.sparkContext.addSparkListener(l)
+      l
+    })
+
+  def gauges(spark: SparkSession): Gauges = {
+    import scala.jdk.CollectionConverters._
+    val l = listenerFor(spark)
+    val running = registry.values.asScala.count(_.status == "running")
+    val byExec = l.byExec.asScala
+      .map { case (k, v) => k -> v.get }.filter(_._2 > 0).toMap
+    Gauges(registry.size, running, l.total.get, byExec)
+  }
 }

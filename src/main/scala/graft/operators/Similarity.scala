@@ -100,48 +100,119 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** IVF ANN: sample nCells corpus vectors as seed centroids, one Lloyd
-    * refinement pass (DataFrame aggs), assign corpus to nearest cell,
-    * probe nProbe nearest cells per query. The centroid "model" is tiny
+  /** IVF ANN: k-means||-style seeded centroids (Bahmani et al., "Scalable
+    * K-Means++", VLDB 2012 — public literature), one Lloyd refinement
+    * pass (DataFrame aggs), assign corpus to nearest cell, probe nProbe
+    * nearest cells per query. The centroid "model" is tiny
     * (nCells × dim) and rides a broadcast; everything data-sized stays
-    * distributed. The prepared corpus is persisted (memory-and-disk):
-    * it feeds THREE actions — seed sampling, the Lloyd pass, and the
-    * final query join — which would otherwise each re-scan and
-    * re-shuffle the corpus from scratch.
+    * distributed.
+    *
+    * Seeding: a deterministic hash-ordered oversample of 4×nCells
+    * corpus vectors (TakeOrderedAndProject — distributed, no skew
+    * toward low ids like the old lowest-id sample, which degenerated
+    * when ids correlate with content, e.g. time-ordered corpora), each
+    * weighted by how many corpus points it attracts (one distributed
+    * assignment pass), then reduced to nCells seeds by weighted
+    * k-means++ ON THE DRIVER — the reduction input is 4×nCells×dim
+    * doubles, model-sized by construction, exactly the k-means||
+    * recipe. A fixed `seed` keeps the whole operator deterministic.
+    *
+    * The prepared corpus is persisted (memory-and-disk) across the
+    * model-building actions — pool sampling, candidate weighting, the
+    * Lloyd pass — and UNPERSISTED once the centroid model is collected:
+    * a long-lived session calling ivfTopK repeatedly must not
+    * accumulate cached corpora. The final query join then re-reads the
+    * corpus from source — one scan it needs anyway, now against the
+    * possibly-updated table rather than a stale cache.
     */
   def ivfTopK(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, cIdCol: String, cVecCol: String,
       k: Int, nCells: Int = 16, nProbe: Int = 4,
-      spread: Boolean = true): DataFrame = {
+      spread: Boolean = true, seed: Long = 42L,
+      lloydIters: Int = 2): DataFrame = {
     val c = maybeSpread(corpus, spread)
       .select(col(cIdCol).as("neighbor_id"), V.toDouble(col(cVecCol)).as("cv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // seed centroids: deterministic sample (lowest ids); the "model" is
-    // nCells × dim doubles — driver-side by design, like any trained model
-    val seeds: Array[Array[Double]] = c.orderBy("neighbor_id")
-      .limit(nCells).collect().map(_.getSeq[Double](1).toArray)
+    // candidate pool: deterministic pseudo-random oversample
+    val pool: Array[Array[Double]] = c
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(math.max(nCells * 4, nCells))
+      .collect().map(_.getSeq[Double](1).toArray)
 
-    // one Lloyd refinement pass: mean of members per cell (cell id =
-    // position in the centroid array). Per-dimension means go through
-    // posexplode + one hash agg on (cell, pos) — the plan stays a
-    // handful of expressions at ANY dim (building `dim` avg() columns
-    // instead blows up analysis/codegen at embedding dims like 1536),
-    // and the agg is partial+final so the exploded rows never shuffle
-    // raw.
-    val assigned0 = c.withColumn("cell",
-      element_at(SK.nearestCells(col("cv"), seeds, 1), 1))
-    val refined: Array[Array[Double]] = assigned0
-      .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-      .groupBy("cell")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
-      .collect()
-      .sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1).toArray)
+    val seeds: Array[Array[Double]] =
+      if (pool.length <= nCells) pool
+      else {
+        // k-means|| weighting: attraction counts per candidate
+        // (distributed partial+final agg; ≤ 4×nCells longs collected)
+        val weights = Array.fill(pool.length)(0.0)
+        c.withColumn("cand", element_at(SK.nearestCells(col("cv"), pool, 1), 1))
+          .groupBy("cand").agg(count(lit(1)).as("w"))
+          .collect()
+          .foreach(r => weights(r.getInt(0)) = r.getLong(1).toDouble)
+        // weighted k-means++ reduction over the model-sized pool
+        def d2(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+          s
+        }
+        val rnd = new scala.util.Random(seed)
+        def pickWeighted(score: Array[Double]): Int = {
+          val total = score.sum
+          if (total <= 0) -1 // every candidate coincides with a chosen seed
+          else {
+            var r = rnd.nextDouble() * total
+            var i = 0
+            while (i < score.length - 1 && r >= score(i)) { r -= score(i); i += 1 }
+            i
+          }
+        }
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val minD2 = Array.fill(pool.length)(Double.PositiveInfinity)
+        chosen += pool(math.max(0, pickWeighted(weights)))
+        var exhausted = false
+        while (chosen.size < nCells && !exhausted) {
+          var i = 0
+          while (i < pool.length) {
+            val d = d2(pool(i), chosen.last)
+            if (d < minD2(i)) minD2(i) = d
+            i += 1
+          }
+          val pick = pickWeighted(
+            Array.tabulate(pool.length)(i => weights(i) * minD2(i)))
+          if (pick < 0) exhausted = true // < nCells distinct points: done
+          else chosen += pool(pick)
+        }
+        chosen.toArray
+      }
+
+    // Lloyd refinement (`lloydIters` passes over the cached corpus):
+    // mean of members per cell (cell id = position in the centroid
+    // array). Per-dimension means go through posexplode + one hash agg
+    // on (cell, pos) — the plan stays a handful of expressions at ANY
+    // dim (building `dim` avg() columns instead blows up
+    // analysis/codegen at embedding dims like 1536), and the agg is
+    // partial+final so the exploded rows never shuffle raw.
+    def lloydPass(centroids: Array[Array[Double]]): Array[Array[Double]] =
+      c.withColumn("cell",
+        element_at(SK.nearestCells(col("cv"), centroids, 1), 1))
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect()
+        .sortBy(_.getInt(0))
+        .map(_.getSeq[Double](1).toArray)
+    val refined: Array[Array[Double]] =
+      (1 to lloydIters).foldLeft(seeds)((cs, _) => lloydPass(cs))
+
+    // model built — release the cache (see scaladoc: repeated calls in a
+    // long session must not accumulate corpora; the final join's single
+    // scan recomputes from source)
+    c.unpersist(blocking = false)
 
     val assigned = c.withColumn("cell",
       element_at(SK.nearestCells(col("cv"), refined, 1), 1))

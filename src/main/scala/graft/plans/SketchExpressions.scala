@@ -86,12 +86,15 @@ case class MinHashBandKeys(child: Expression, bands: Int)
   require(bands > 0, "bands must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    // null signature slots would silently hash as 0 (ArrayData.getLong
-    // on a null slot) — reject at analysis; MinHashSig never emits them
-    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    // nullable ELEMENTS are accepted at analysis — array<bigint> read
+    // back from parquet/DDL tables defaults to containsNull=true even
+    // when the data has no nulls, and static rejection would lock those
+    // stored signature columns out of the graft_* SQL surface. An
+    // ACTUAL null slot still fails loudly per row below (same policy as
+    // hyperplane_bucket): ArrayData.getLong would silently hash it as 0.
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"minhash_band_keys expects array<long> with non-nullable " +
-        s"elements, got ${t.simpleString}")
+      s"minhash_band_keys expects array<long>, got ${t.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -99,6 +102,15 @@ case class MinHashBandKeys(child: Expression, bands: Int)
   override def nullSafeEval(input: Any): Any = {
     val sig = input.asInstanceOf[ArrayData]
     val n = sig.numElements()
+    if (child.dataType.asInstanceOf[ArrayType].containsNull) {
+      var z = 0
+      while (z < n) {
+        if (sig.isNullAt(z))
+          throw new IllegalArgumentException(
+            s"minhash_band_keys: null signature slot at index $z")
+        z += 1
+      }
+    }
     // silent truncation here would weaken the LSH (ignored signature
     // tail), and bands > n would make EVERY document's band keys a
     // constant — the downstream candidate join then degenerates to a
@@ -498,30 +510,58 @@ case class CharShinglesExpr(child: Expression, n: Int)
   * the verify being compute-bound and allocation-bound. Inputs MUST be
   * sorted (callers build them with `sort_array(collect_list(...))`);
   * duplicate-free inputs make the count a true set intersection size.
+  *
+  * Unlike the sketch kernels above (CodegenFallback to keep Janino
+  * away from k-scaled expression trees), this one has real codegen
+  * (like [[DotProduct]]): it is the per-pair inner loop of EVERY dedup
+  * verify stage, its generated form is a fixed ~15 lines regardless of
+  * input size, and staying inside whole-stage codegen removes the last
+  * interpreted hop from the hottest path.
+  *
+  * Nullable ELEMENT types are accepted (parquet/DDL `array<bigint>`
+  * defaults to containsNull=true even for null-free data); an actual
+  * null slot fails loudly per row — `getLong` would silently read it
+  * as 0 and corrupt the count.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      // null elements must be rejected at analysis: ArrayData.getLong
-      // silently reads a null slot as 0, which would corrupt counts.
-      // (Internal callers build null-free arrays via collect_list; this
-      // guards the public graft_sorted_intersect_count SQL surface.)
-      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count expects two array<bigint> with " +
-          s"non-nullable elements, got ${l.simpleString}, ${r.simpleString}")
+        s"sorted_intersect_count expects two array<bigint>, " +
+          s"got ${l.simpleString}, ${r.simpleString}")
     }
 
   override def dataType: DataType = LongType
+
+  // static per plan: skip the per-element null branch entirely when both
+  // input types guarantee null-free elements (the internal dedup path —
+  // collect_list never emits null slots)
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements()
     val ny = y.numElements()
+    if (mayHaveNullElements) {
+      var z = 0
+      while (z < nx) {
+        if (x.isNullAt(z)) throw SortedIntersectCount.nullSlot(z)
+        z += 1
+      }
+      z = 0
+      while (z < ny) {
+        if (y.isNullAt(z)) throw SortedIntersectCount.nullSlot(z)
+        z += 1
+      }
+    } // (generated code inlines the same guard — see doGenCode)
     var i = 0
     var j = 0
     var c = 0L
@@ -535,8 +575,59 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     c
   }
 
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val z = ctx.freshName("z")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val err = "\"sorted_intersect_count: null array element at index \""
+      val nullGuard = if (mayHaveNullElements) {
+        s"""
+           |for (int $z = 0; $z < $nx; $z++) {
+           |  if ($a.isNullAt($z))
+           |    throw new IllegalArgumentException($err + $z);
+           |}
+           |for (int $z = 0; $z < $ny; $z++) {
+           |  if ($b.isNullAt($z))
+           |    throw new IllegalArgumentException($err + $z);
+           |}
+         """.stripMargin
+      } else ""
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |$nullGuard
+         |int $i = 0;
+         |int $j = 0;
+         |long ${ev.value}_c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { ${ev.value}_c++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = ${ev.value}_c;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "sorted_intersect_count"
+}
+
+object SortedIntersectCount {
+  /** Called from generated code — must be public and static-reachable. */
+  def nullSlot(i: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"sorted_intersect_count: null array element at index $i " +
+        "(sorted long arrays must be null-free)")
 }

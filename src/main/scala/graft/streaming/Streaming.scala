@@ -88,11 +88,20 @@ object Streaming {
     // same-schema streams are the normal case: EVERY right column that
     // collides with a left column is renamed with an `_r` suffix before
     // the join, so the condition (and the caller's projections) are
-    // never ambiguous
+    // never ambiguous. The suffixed name must itself be FREE on both
+    // sides — a right stream already carrying e.g. both "value" and
+    // "value_r" would otherwise end up with two "value_r" columns and
+    // ambiguous downstream references — so probe `_r`, `_r2`, ... for
+    // the first unused suffix (one suffix for the whole rename, keeping
+    // the output schema predictable).
     val collisions = right.columns.filter(left.columns.toSet).toSet
+    val taken = (left.columns ++ right.columns).toSet
+    val suffix = (Iterator("_r") ++ Iterator.from(2).map(i => s"_r$i"))
+      .find(s => collisions.forall(c => !taken(s"$c$s")))
+      .get // the probe space is infinite, a free suffix always exists
     val renamed = collisions.foldLeft(right)(
-      (d, c) => d.withColumnRenamed(c, s"${c}_r"))
-    def rName(c: String): String = if (collisions(c)) s"${c}_r" else c
+      (d, c) => d.withColumnRenamed(c, s"$c$suffix"))
+    def rName(c: String): String = if (collisions(c)) s"$c$suffix" else c
     val l = left.withWatermark(leftTs, watermark)
     val r = renamed.withWatermark(rName(rightTs), watermark)
     l.join(r,

@@ -129,6 +129,57 @@ class JobControlSpec extends SparkSpec {
     } finally sys.props.remove("graft.job.statusDir")
   }
 
+  test("gauges: running job and its tasks visible, both drain to zero after") {
+    // the reference exports lrmr_running_tasks per node
+    // (metric/worker_metrics.go:15-21); the gauge API is its readable
+    // analogue — observed here around a real background job
+    taskStarted.set(false)
+    val before = RunningJob.gauges(spark)
+    // a longer-lived job than slowPipeline's (~200ms): 16000 rows / 4
+    // partitions / 256-row batches → ~16 sleeps of 200ms per partition
+    // (~3s), enough for the async tracker to observe it mid-flight
+    val job = Pipeline.parallelize(spark, KV.fromInts(1 to 16000: _*))
+      .repartition(4)
+      .map(new Mapper {
+        def map(ctx: Context, rows: Seq[KV]): Seq[KV] = {
+          taskStarted.set(true)
+          Thread.sleep(200)
+          rows
+        }
+      })
+      .runInBackground("graft-gauge-job")
+    awaitStarted()
+    // the status store is fed by an async listener bus: a task can be
+    // running ~100ms before the tracker reflects it, so poll up
+    // listener events dispatch asynchronously (ms), so poll up
+    val startDeadline = System.nanoTime() + 30.seconds.toNanos
+    var during = RunningJob.gauges(spark)
+    while (during.activeTasks < 1 && System.nanoTime() < startDeadline) {
+      Thread.sleep(50)
+      during = RunningJob.gauges(spark)
+    }
+    assert(during.registeredJobs >= before.registeredJobs + 1)
+    assert(during.runningJobs >= 1)
+    assert(during.activeTasks >= 1, "sleeping map tasks must be visible")
+    // total and per-executor counters are separate atomics (updated in
+    // that order), so assert presence rather than racy exact equality
+    assert(during.activeTasksByExecutor.values.sum >= 1)
+    job.abort()
+    assert(job.waitForCompletion(2.minutes).isFailure)
+    // the gauge must return to zero once the job ends (the leak-fixture
+    // semantics, now observable); abort cancellation is async, so poll
+    val deadline = System.nanoTime() + 30.seconds.toNanos
+    def quiesced: Boolean = {
+      val g = RunningJob.gauges(spark)
+      g.runningJobs == 0 && g.activeTasks == 0 &&
+        spark.sparkContext.statusTracker.getActiveJobIds().isEmpty
+    }
+    while (!quiesced && System.nanoTime() < deadline) Thread.sleep(100)
+    val after = RunningJob.gauges(spark)
+    assert(after.runningJobs === 0)
+    assert(after.activeTasks === 0)
+  }
+
   test("registry drains: completed jobs evict after retention (no leak)") {
     // reference pins this with goleak + a running-tasks gauge returning
     // to 0 (test/leak_test.go:13-14, metric/worker_metrics.go:15-21);

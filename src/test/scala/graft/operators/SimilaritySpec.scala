@@ -74,4 +74,32 @@ class SimilaritySpec extends SparkSpec {
     }.sum / bruteTop5.size
     assert(recall > 0.5, s"IVF recall@5 = $recall")
   }
+
+  test("IVF recall holds as the cell count scales (nCells 16 and 64)") {
+    // k-means||-style seeding must keep recall usable at BOTH a coarse
+    // and a fine cell grid when the probed fraction is held at 1/4 —
+    // the old lowest-id seeding degraded with nCells because seeds
+    // crowded one region of the id order
+    for (nCells <- Seq(16, 64)) {
+      val ivf = Similarity.ivfTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5,
+        nCells = nCells, nProbe = nCells / 4)
+        .collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+      val recall = bruteTop5.map { case (q, exact) =>
+        ivf.get(q).map(c => exact.count(c.contains).toDouble / 5).getOrElse(0.0)
+      }.sum / bruteTop5.size
+      assert(recall > 0.5, s"IVF recall@5 at nCells=$nCells = $recall")
+    }
+  }
+
+  test("ivfTopK leaves no persisted corpus behind (cache released after model)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.ivfTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2).count()
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(fresh.isEmpty,
+      s"expected no resident cache after ivfTopK, saw ${fresh.size}")
+  }
 }

@@ -186,6 +186,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 1.0, 10.0), (2L, 2.0, 30.0)))
   }
 
+  test("intervalJoinStreams: a right stream already carrying _r names stays unambiguous") {
+    // "value" collides and would rename to "value_r" — but the right
+    // stream ALREADY has a value_r column, so the operator must probe
+    // for a free suffix instead of emitting two value_r columns
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double, Double)]
+    val joined = Streaming.intervalJoinStreams(
+      clicks.toDF(),
+      buys.toDF().toDF("user_id", "ts", "value", "value_r"),
+      key = "user_id", leftTs = "ts", rightTs = "ts",
+      within = "2 minutes", watermark = "5 minutes")
+    assert(joined.columns.distinct.length === joined.columns.length,
+      s"duplicate output columns: ${joined.columns.mkString(",")}")
+    val q = joined.writeStream.format("memory").queryName("ssj_sfx_out")
+      .outputMode("append").start()
+    clicks.addData(Event(1L, ts(1), 1.0))
+    buys.addData((1L, ts(2), 10.0, 99.0))
+    q.processAllAvailable(); q.stop()
+    val row = spark.sql(
+      "SELECT user_id, value, value_r, value_r2, ts_r2 FROM ssj_sfx_out")
+      .collect()
+    assert(row.length === 1)
+    assert((row(0).getLong(0), row(0).getDouble(1), row(0).getDouble(2),
+      row(0).getDouble(3)) === ((1L, 1.0, 99.0, 10.0)))
+  }
+
   test("intervalJoinStreams agrees with the batch interval join") {
     // the streaming operator is the incremental twin of a plain
     // conditioned join; on a closed dataset the two must agree
