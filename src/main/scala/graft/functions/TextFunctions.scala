@@ -71,6 +71,13 @@ object TextFunctions {
   def charShingles(text: Column, n: Int): Column =
     graft.plans.SketchExpressions.charShingles(text, n)
 
+  /** ALL word n-grams with duplicates kept — the multiset twin of
+    * [[wordShingles]] for repetition analysis, where how often a gram
+    * recurs inside the document is the signal (see
+    * [[graft.plans.WordNgramsExpr]]). */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.plans.SketchExpressions.wordNgrams(text, n)
+
   /** Document fingerprint: md5 of unicode-normalized text (lowercase,
     * punctuation/symbols stripped, LETTERS AND DIGITS OF ANY SCRIPT
     * kept). An ascii-only class here would map every pure-CJK document

@@ -315,6 +315,39 @@ object Dedup {
       .select("train_id", "test_id", "contamination")
   }
 
+  /** Exact n-gram decontamination: every (train, test) document pair
+    * sharing AT LEAST ONE word n-gram, with the count of distinct
+    * shared grams — the overlap filter used to scrub eval sets out of
+    * training corpora (the 13-gram exact-collision recipe popularized
+    * by the GPT-3 appendix; public methodology). Unlike
+    * [[crossContamination]]'s thresholded containment, this is a
+    * zero-tolerance exact test: no prefix pruning is possible (ANY
+    * shared gram counts, so every gram is load-bearing) and no df-cap
+    * is offered (a cap would silently un-flag contaminated pairs —
+    * exactness is the contract).
+    *
+    * The scale knob is `n` itself: at the n this check is run in
+    * practice (8–13), n-grams are near-unique across a corpus, so the
+    * gram equi-join is linear in the indexes; a SMALL n over
+    * boilerplate-heavy text makes hot grams pair every train doc with
+    * every test doc — that blow-up is inherent to the exact semantics
+    * at small n, not to this implementation. One shuffled equi-join on
+    * the gram hash + one (train_id, test_id) partial+final count.
+    */
+  def exactNgramDecontam(
+      train: DataFrame, test: DataFrame, idCol: String, textCol: String,
+      n: Int, partitionCol: Option[String] = None,
+      spread: Boolean = true): DataFrame = {
+    val ti = shingleIndex(train, idCol, textCol, n, partitionCol,
+      spread = spread)
+    val si = shingleIndex(test, idCol, textCol, n, partitionCol,
+      spread = spread)
+    ti.select(col("k"), col("id").as("train_id"))
+      .join(si.select(col("k"), col("id").as("test_id")), Seq("k"))
+      .groupBy("train_id", "test_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Incremental (delta-ingest) n-gram Jaccard dedup: near-dup pairs
     * that TOUCH a newly-arrived batch — new×new plus new×old — without
     * ever self-joining the existing corpus. The production shape for

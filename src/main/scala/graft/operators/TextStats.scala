@@ -38,6 +38,71 @@ object TextStats {
         round(col("top_c").cast("double") / col("n_tokens"), 4)
           .as("top_tok_frac"))
 
+  /** Per-document N-GRAM repetition signals — the n-gram tier of the
+    * Gopher/MassiveText repetition filters (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1: "fraction of characters in the most
+    * frequent 2-gram" / "fraction of characters in duplicated
+    * 3-grams"), expressed in token fractions over whitespace tokens:
+    *
+    *   - `top_ngram_frac`  = topN · (occurrences of the single most
+    *     frequent topN-gram) / n_tokens
+    *   - `dup_ngram_frac`  = dupN · (total occurrences of dupN-grams
+    *     appearing ≥ 2 times) / n_tokens
+    *
+    * Both are overlap-ignoring coverage estimates (dup_ngram_frac can
+    * exceed 1.0 on pathologically repetitive text — by design: the
+    * signal saturates exactly where the filter fires hardest).
+    * Complements [[repetitionProfile]]'s token-level signals: a doc
+    * that loops a 50-token paragraph has unremarkable token stats but
+    * a dup_ngram_frac near its loop fraction.
+    *
+    * Scale shape: two explode → (id, gram) partial+final aggregations
+    * → doc-keyed joins. Per-doc state is bounded by the doc's distinct
+    * gram vocabulary; nothing is corpus-keyed, nothing driver-side.
+    */
+  def ngramRepetition(
+      df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 2, dupN: Int = 3): DataFrame = {
+    require(topN > 0 && dupN > 0, "n-gram orders must be positive")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    def gramCounts(n: Int) = base.select(col("id"),
+      explode(T.wordNgrams(col("text"), n)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+    val top = gramCounts(topN).groupBy("id").agg(max(col("c")).as("top_c"))
+    val dup = gramCounts(dupN).filter(col("c") >= 2)
+      .groupBy("id").agg(sum(col("c")).as("dup_occ"))
+    base.select(col("id"), T.tokenCount(col("text")).as("n_tokens"))
+      .join(top, Seq("id"), "left")
+      .join(dup, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        round(lit(topN) * coalesce(col("top_c"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("top_ngram_frac"),
+        round(lit(dupN) * coalesce(col("dup_occ"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("dup_ngram_frac"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    * word n-grams that appear in no other document (corpus document
+    * frequency 1). The inverse view of [[topShingles]]' boilerplate
+    * mining — low novelty flags template/duplicated content that
+    * near-dup thresholds miss, high novelty marks unique material
+    * worth keeping in a curation pass. Documents shorter than n tokens
+    * have no n-grams and are absent from the output (they have no
+    * defined novelty). One gram-keyed df aggregation + one join back +
+    * one doc-keyed aggregation — corpus-linear.
+    */
+  def ngramNovelty(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(T.wordShingles(col(textCol), n)).as("gram"))
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    grams.join(dfreq, "gram")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        round(sum(when(col("gdf") === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("novel_frac"))
+  }
+
   /** Corpus-level boilerplate mining: the `k` word-`n`-gram shingles
     * present in the most documents (shingles are distinct per doc, so
     * the count IS document frequency). Partial-aggregated counts into

@@ -403,6 +403,9 @@ object SketchExpressions {
   def charShingles(text: Column, n: Int): Column =
     GraftSqlBridge.column(CharShinglesExpr(GraftSqlBridge.expression(text), n))
 
+  def wordNgrams(text: Column, n: Int): Column =
+    GraftSqlBridge.column(WordNgramsExpr(GraftSqlBridge.expression(text), n))
+
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
@@ -455,6 +458,52 @@ case class WordShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
     copy(child = c)
   override def prettyName: String = "word_shingles"
+}
+
+/** ALL word n-grams in positional order, duplicates KEPT — the
+  * multiset twin of [[WordShinglesExpr]], for operators where the
+  * repetition structure IS the signal (Gopher-style repetition quality
+  * scoring counts how often each n-gram recurs within a document; a
+  * distinct set would erase exactly what it measures). Same single-
+  * split single-pass shape, no set, O(len · n) per document.
+  */
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordNgramsExpr =
+    copy(child = c)
+  override def prettyName: String = "word_ngrams"
 }
 
 /** Distinct character n-gram shingles in first-occurrence order —

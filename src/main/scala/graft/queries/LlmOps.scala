@@ -664,6 +664,94 @@ object LlmOps {
                     * count(*) OVER (PARTITION BY lang)))
         GROUP BY lang ORDER BY lang""")),
 
+    // Gopher-style n-gram repetition signals (token-fraction analogues
+    // of the MassiveText char-fraction filters): the n-gram tier that
+    // catches looped paragraphs token-level stats miss. Both fractions
+    // are overlap-ignoring coverage, rounded identically on both sides.
+    "q74_ngram_repetition" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.ngramRepetition(Tables(s, dir, "documents"),
+          "doc_id", "text", topN = 2, dupN = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        g2 AS (SELECT doc_id, array_to_string(toks[i+1:i+2],' ') AS g
+               FROM (SELECT doc_id, toks, unnest(range(len(toks)-1)) AS i FROM t)),
+        c2 AS (SELECT doc_id, max(c) AS top_c FROM (
+                 SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2)
+               GROUP BY 1),
+        g3 AS (SELECT doc_id, array_to_string(toks[i+1:i+3],' ') AS g
+               FROM (SELECT doc_id, toks, unnest(range(len(toks)-2)) AS i FROM t)),
+        c3 AS (SELECT doc_id, sum(c) AS dup_occ FROM (
+                 SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1,2) cc
+               WHERE c >= 2 GROUP BY 1)
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               round(2.0 * coalesce(c2.top_c, 0) / len(t.toks), 4)
+                 AS top_ngram_frac,
+               round(3.0 * coalesce(c3.dup_occ, 0) / len(t.toks), 4)
+                 AS dup_ngram_frac
+        FROM t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // Exact n-gram decontamination (zero-tolerance eval-leak scrub, the
+    // 13-gram recipe run here at n=8 where the synthetic corpus has
+    // collisions): any shared 8-gram across the train/test split flags
+    // the pair. Count of DISTINCT shared grams rides along; the Spark
+    // side counts shared 64-bit gram hashes (collision odds ~1e-13 at
+    // this cardinality — and the driver compare would catch one).
+    "q75_exact_decontam" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .withColumn("grp", substring(col("source"), 4, 10).cast("int") % 2)
+        Dedup.exactNgramDecontam(
+          docs.filter(col("grp") === 0), docs.filter(col("grp") === 1),
+          "doc_id", "text", n = 8)
+          .orderBy("train_id", "test_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id, CAST(substr(source, 4) AS INT) % 2 AS grp,
+                 list_distinct([array_to_string(string_split(text,' ')[i+1:i+8],' ')
+                                for i in range(len(string_split(text,' '))-7)]) AS sh
+          FROM documents),
+        tr AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE grp = 0),
+        te AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE grp = 1)
+        SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+               count(*) AS n_shared
+        FROM tr JOIN te USING (gram)
+        GROUP BY 1, 2
+        ORDER BY train_id, test_id""")),
+
+    // Per-doc n-gram novelty (share of trigrams unique to the doc
+    // corpus-wide) — the inverse of boilerplate mining; docs shorter
+    // than n have no defined novelty and are absent on both sides.
+    "q76_ngram_novelty" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.ngramNovelty(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(string_split(text,' ')[i+1:i+3],' ')
+                                for i in range(len(string_split(text,' '))-2)]) AS sh
+          FROM documents),
+        gr AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+        gdf AS (SELECT gram, count(*) AS d FROM gr GROUP BY 1)
+        SELECT gr.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               round(sum(CASE WHEN gdf.d = 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 4) AS novel_frac
+        FROM gr JOIN gdf USING (gram)
+        GROUP BY 1 ORDER BY doc_id""")),
+
     // Content-stable exact-k sample: the same 100 docs on any engine,
     // run, or cluster size; plans as TakeOrderedAndProject.
     "q62_deterministic_sample" -> Q(

@@ -190,6 +190,43 @@ class DedupSpec extends SparkSpec {
     assert(out.forall { case (tr, te, _) => tr <= 2L && te >= 10L })
   }
 
+  test("exactNgramDecontam: any shared n-gram flags the pair, count exact") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val test = Seq(
+      // embeds train doc 1's full token run → shares all 3 of its
+      // trigrams despite different framing
+      (10L, "zz alpha beta gamma delta epsilon yy"),
+      (11L, "totally different words here now")).toDF("doc_id", "text")
+    val got = Dedup.exactNgramDecontam(train, test, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 10L, 3L)))
+  }
+
+  test("exactNgramDecontam equals brute-force distinct-shingle intersection") {
+    // oracle-shaped property on the real corpus: pair set and shared
+    // counts must equal the in-test brute force over distinct shingles
+    val split = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String, n: Int): Set[String] =
+      t.split(" ").sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSet
+    val (train, test) = split.partition(_._1 % 2 == 0)
+    val expected = (for {
+      (a, ta) <- train; (b, tb) <- test
+      shared = (shingles(ta, 8) & shingles(tb, 8)).size
+      if shared > 0
+    } yield (a, b, shared.toLong)).toSet
+    val got = Dedup.exactNgramDecontam(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
   test("winnowing: shared run of >= w+k-1 chars yields a shared fingerprint") {
     import spark.implicits._
     import graft.plans.{SketchExpressions => SK}

@@ -73,6 +73,42 @@ class TextStatsSpec extends SparkSpec {
     assert(got((8L, 0)) === ((3L, "a b c")))
   }
 
+  test("ngramRepetition: looped text saturates, distinct text scores low") {
+    import spark.implicits._
+    val df = Seq(
+      // 9 tokens; bigrams a·b ×3, b·c ×3, c·a ×2 → top = 2·3/9; all 7
+      // trigram occurrences belong to grams appearing ≥2 → 3·7/9 > 1
+      // (overlap-ignoring coverage saturates on loops, by design)
+      (1L, "a b c a b c a b c"),
+      (2L, "one two three four five six"), // no repeated grams
+      (3L, "x"))                           // shorter than any gram
+      .toDF("doc_id", "text")
+    val got = TextStats.ngramRepetition(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((9L, 0.6667, 2.3333)))
+    assert(got(2L) === ((6L, 0.3333, 0.0)))
+    assert(got(3L) === ((1L, 0.0, 0.0)))
+  }
+
+  test("ngramNovelty: corpus-unique trigram share") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),  // trigrams abc bcd cde; abc also in doc 2
+      (2L, "a b c x y"),  // abc bcx cxy
+      (3L, "p q r s t"),  // all unique
+      (4L, "p q"))        // shorter than n → absent from output
+      .toDF("doc_id", "text")
+    val got = TextStats.ngramNovelty(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 0.6667)),
+      2L -> ((3L, 0.6667)),
+      3L -> ((3L, 1.0))))
+  }
+
   test("stratifiedSample: exact ceil share per stratum, nested in frac") {
     val docs = graft.Tables(spark, sf("sf0.001"), "documents")
     val perLang = docs.groupBy("lang").count()
