@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** float32 array → double array (exact). */
-  def toDouble(v: Column): Column = v.cast("array<double>")
+  /** Cast to array<double> AND narrow element nullability (see
+    * [[graft.plans.DenseDoubleArray]]): the one-per-row null scan here
+    * is what lets DotProduct skip its per-PAIR null branch in every
+    * candidate-join kernel downstream. */
+  def toDouble(v: Column): Column =
+    graft.plans.DenseDoubleArray(v.cast("array<double>"))
 
   /** Dot product as a left fold in double. */
   def dot(a: Column, b: Column): Column =

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge
@@ -44,17 +44,28 @@ case class DotProduct(left: Expression, right: Expression)
   // (zip_with null-pads the shorter array) gives. Truncating to
   // min(length) would return a confidently wrong partial dot for e.g.
   // a corpus mixing two embedding-model versions; NULL surfaces the
-  // data bug instead of masking it.
+  // data bug instead of masking it. A null ELEMENT likewise yields
+  // NULL (the HOF's null-propagating sum) instead of getDouble's
+  // silent 0.0 contribution — and the per-element branch is emitted
+  // ONLY when the static element type admits nulls, so null-free
+  // schemas keep the tight two-term loop.
   override def nullable: Boolean = true
+
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val checkNulls = mayHaveNullElements
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -66,6 +77,9 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullBreak = if (mayHaveNullElements) {
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      } else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -73,9 +87,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullBreak
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -92,4 +107,79 @@ object DotProduct {
   def apply(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}
+
+/** Validate-and-narrow for embedding vectors: asserts every element is
+  * non-null ONCE, and re-types `array<double>` (nullable elements — the
+  * parquet default) to `array<double>` with `containsNull = false`.
+  *
+  * Why it exists: [[DotProduct]] emits a per-element null branch only
+  * when the static element type admits nulls. Candidate-join kernels
+  * evaluate O(pairs) dot products per row pair, so a null check there
+  * costs per PAIR; this expression moves it to vector-preparation time
+  * — O(rows) — and the narrowed type lets every downstream kernel
+  * compile the tight two-term loop. A null component throws (same loud
+  * policy as `hyperplane_bucket` / `nearest_cells`: silently zeroing a
+  * vector slot mis-scores every pair it touches). Valid data passes
+  * through by reference — no copy. Already-dense inputs skip the scan
+  * entirely (statically).
+  */
+case class DenseDoubleArray(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"dense_double_array expects array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def needScan: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (needScan) {
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"dense_double_array: null vector component at index $i")
+        i += 1
+      }
+    }
+    arr
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val err = "\"dense_double_array: null vector component at index \""
+      val guard = if (needScan) {
+        s"""
+           |int $n = $a.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i))
+           |    throw new IllegalArgumentException($err + $i);
+           |}
+         """.stripMargin
+      } else ""
+      s"""
+         |$guard
+         |${ev.value} = $a;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): DenseDoubleArray =
+    copy(child = c)
+  override def prettyName: String = "dense_double_array"
+}
+
+object DenseDoubleArray {
+  def apply(v: Column): Column =
+    GraftSqlBridge.column(DenseDoubleArray(GraftSqlBridge.expression(v)))
 }

@@ -37,6 +37,20 @@ class DotProductSpec extends SparkSpec {
     assert(out(2).isNullAt(0))
   }
 
+  test("null ELEMENT yields NULL (HOF parity), not a silent 0.0 term") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Option(1.0), None), Seq(Option(3.0), Option(4.0))),
+      (Seq(Option(1.0), Option(2.0)), Seq(Option(3.0), Option(4.0))))
+      .toDF("a", "b")
+    val out = df.select(
+      DotProduct(col("a"), col("b")).as("nat"),
+      V.dot(col("a"), col("b")).as("hof")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1)) // both engines agree
+    assert(out(1).getDouble(0) === 11.0)
+    assert(out(1).getDouble(1) === 11.0)
+  }
+
   test("expression participates in whole-stage codegen") {
     val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
       .select(V.toDouble(col("embedding")).as("v"))
