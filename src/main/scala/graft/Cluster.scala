@@ -42,7 +42,12 @@ object Cluster {
       livenessProbeInterval: String = "10s",
       compressor: Option[String] = None) {
     require(connectRetryCount >= 0, "connectRetryCount must be >= 0")
-    require(maxMessageSizeMb > 0, "maxMessageSizeMb must be positive")
+    // Spark hard-caps spark.rpc.message.maxSize at 2047 MiB (RpcUtils);
+    // reject here, not at SparkContext startup — eager failure is this
+    // facade's contract
+    require(maxMessageSizeMb > 0 && maxMessageSizeMb <= 2047,
+      s"maxMessageSizeMb must be in 1..2047 (Spark's RPC cap), " +
+        s"got $maxMessageSizeMb")
     require(compressor.forall(SupportedCodecs.contains),
       s"compressor must be one of ${SupportedCodecs.mkString(", ")}; " +
         s"got ${compressor.getOrElse("")} (the reference's gzip maps to zstd)")

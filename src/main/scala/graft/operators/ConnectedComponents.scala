@@ -59,6 +59,12 @@ object ConnectedComponents {
 
   private val MaxRounds = 64
 
+  /** Raw checkpoint dir last set by THIS object, per application — see
+    * the idempotency note in [[apply]]. One live SparkContext per JVM,
+    * so the map holds at most one meaningful entry. */
+  private val lastSetDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** (id, component) for every node appearing in `pairs`, component =
     * min node id of the connected component. Ids may be any orderable
     * numeric/string type; rows with null endpoints are dropped.
@@ -69,8 +75,17 @@ object ConnectedComponents {
   def apply(pairs: DataFrame, aCol: String, bCol: String,
       checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
+    // NB the checkpoint dir is CONTEXT-GLOBAL in Spark: passing
+    // checkpointDir repoints it for the whole application (documented
+    // trade — there is no per-job dir API). The raw-path memo makes
+    // repeat calls idempotent: sc.getCheckpointDir returns a resolved
+    // path with a UUID subdir appended, so comparing against it would
+    // re-set (and re-mkdir a fresh UUID dir) on every call.
     checkpointDir.foreach { dir =>
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      if (lastSetDir.get(sc.applicationId) != dir) {
+        sc.setCheckpointDir(dir)
+        lastSetDir.put(sc.applicationId, dir)
+      }
     }
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = false)

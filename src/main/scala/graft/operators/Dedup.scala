@@ -32,18 +32,10 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Compute parallelism independent of scan splits: single-row-group
-    * parquet gives one partition, which would serialize the sketch
-    * kernels below regardless of cores. It IS a full corpus exchange
-    * though, so every public entry point exposes `spread: Boolean =
-    * true` (mirroring [[Similarity]]): on well-split production data —
-    * where the scan already yields ~core-count partitions — pass
-    * `spread = false` and shingle/sketch in place with zero extra
-    * passes over the corpus. */
+  /** Every public entry point exposes `spread: Boolean = true` — see
+    * [[Spread]] for the shared policy and the production off-switch. */
   private def maybeSpread(df: DataFrame, spread: Boolean): DataFrame =
-    if (spread)
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    else df
+    Spread(df, spread)
 
   /** One-row aggregate as an in-plan scalar-subquery expression — see
     * [[graft.plans.Scalars]] (lazy, no BNLJ in the plan). */

@@ -221,15 +221,23 @@ object RunningJob {
   }
 
   // one listener per SparkContext (keyed by app id), installed lazily on
-  // the first gauges() read
+  // the first gauges() read. Only one SparkContext is live per JVM, so
+  // retaining just the current app id evicts listeners left behind by
+  // stopped contexts (their buses are gone; without the retain, one
+  // listener + counter map per restarted session leaks for the JVM
+  // lifetime). byExec keeps one entry per executor ever seen on the
+  // LIVE context — bounded by cluster size.
   private val gaugeListeners =
     new ConcurrentHashMap[String, TaskGaugeListener]()
-  private def listenerFor(spark: SparkSession): TaskGaugeListener =
-    gaugeListeners.computeIfAbsent(spark.sparkContext.applicationId, _ => {
+  private def listenerFor(spark: SparkSession): TaskGaugeListener = {
+    val appId = spark.sparkContext.applicationId
+    gaugeListeners.keySet.retainAll(java.util.Collections.singleton(appId))
+    gaugeListeners.computeIfAbsent(appId, _ => {
       val l = new TaskGaugeListener
       spark.sparkContext.addSparkListener(l)
       l
     })
+  }
 
   def gauges(spark: SparkSession): Gauges = {
     import scala.jdk.CollectionConverters._

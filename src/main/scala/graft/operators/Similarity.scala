@@ -30,9 +30,7 @@ import graft.plans.{DotProduct, SketchExpressions => SK}
 object Similarity {
 
   private def maybeSpread(df: DataFrame, spread: Boolean): DataFrame =
-    if (spread)
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    else df
+    Spread(df, spread)
 
   /** Shared ranking epilogue: top-k per query by cosine desc, corpus id
     * as the deterministic tie-break. ONE definition so the output
@@ -158,19 +156,24 @@ object Similarity {
           s
         }
         val rnd = new scala.util.Random(seed)
-        def pickWeighted(score: Array[Double]): Int = {
+        // weighted draw that can only land on a POSITIVE-score index:
+        // the raw cumulative walk lets float residue dump the leftover
+        // mass on the last index even when its score is 0 (an
+        // already-chosen point), which would silently duplicate a
+        // centroid — fall back to the first positive index instead,
+        // and return -1 only when no positive score remains
+        def pickPositive(score: Array[Double]): Int = {
           val total = score.sum
-          if (total <= 0) -1 // every candidate coincides with a chosen seed
-          else {
-            var r = rnd.nextDouble() * total
-            var i = 0
-            while (i < score.length - 1 && r >= score(i)) { r -= score(i); i += 1 }
-            i
-          }
+          if (total <= 0) return -1
+          var r = rnd.nextDouble() * total
+          var i = 0
+          while (i < score.length - 1 && r >= score(i)) { r -= score(i); i += 1 }
+          if (score(i) > 0) i else score.indexWhere(_ > 0)
         }
         val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         val minD2 = Array.fill(pool.length)(Double.PositiveInfinity)
-        chosen += pool(math.max(0, pickWeighted(weights)))
+        val first = pickPositive(weights)
+        chosen += pool(math.max(0, first))
         var exhausted = false
         while (chosen.size < nCells && !exhausted) {
           var i = 0
@@ -179,7 +182,7 @@ object Similarity {
             if (d < minD2(i)) minD2(i) = d
             i += 1
           }
-          val pick = pickWeighted(
+          val pick = pickPositive(
             Array.tabulate(pool.length)(i => weights(i) * minD2(i)))
           if (pick < 0) exhausted = true // < nCells distinct points: done
           else chosen += pool(pick)

@@ -51,10 +51,13 @@ case class DotProduct(left: Expression, right: Expression)
   // schemas keep the tight two-term loop.
   override def nullable: Boolean = true
 
-  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, n) => n
-    case _ => false
-  })
+  // plan-constant; lazy so the interpreted path doesn't re-derive it
+  // (and allocate) per row
+  @transient private lazy val mayHaveNullElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -134,7 +137,7 @@ case class DenseDoubleArray(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
-  private def needScan: Boolean = child.dataType match {
+  @transient private lazy val needScan: Boolean = child.dataType match {
     case ArrayType(_, n) => n
     case _ => false
   }

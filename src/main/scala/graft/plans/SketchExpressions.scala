@@ -99,10 +99,16 @@ case class MinHashBandKeys(child: Expression, bands: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  @transient private lazy val mayHaveNullElements: Boolean =
+    child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val sig = input.asInstanceOf[ArrayData]
     val n = sig.numElements()
-    if (child.dataType.asInstanceOf[ArrayType].containsNull) {
+    if (mayHaveNullElements) {
       var z = 0
       while (z < n) {
         if (sig.isNullAt(z))
@@ -586,13 +592,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
-  // static per plan: skip the per-element null branch entirely when both
-  // input types guarantee null-free elements (the internal dedup path —
+  // static per plan (lazy: don't re-derive per interpreted row): skip
+  // the per-element null branch entirely when both input types
+  // guarantee null-free elements (the internal dedup path —
   // collect_list never emits null slots)
-  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, n) => n
-    case _ => false
-  })
+  @transient private lazy val mayHaveNullElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -600,17 +608,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val nx = x.numElements()
     val ny = y.numElements()
     if (mayHaveNullElements) {
+      // identical message to the generated guard in doGenCode — the
+      // two paths must report the same defect the same way
       var z = 0
       while (z < nx) {
-        if (x.isNullAt(z)) throw SortedIntersectCount.nullSlot(z)
+        if (x.isNullAt(z)) throw new IllegalArgumentException(
+          s"sorted_intersect_count: null array element at index $z")
         z += 1
       }
       z = 0
       while (z < ny) {
-        if (y.isNullAt(z)) throw SortedIntersectCount.nullSlot(z)
+        if (y.isNullAt(z)) throw new IllegalArgumentException(
+          s"sorted_intersect_count: null array element at index $z")
         z += 1
       }
-    } // (generated code inlines the same guard — see doGenCode)
+    }
     var i = 0
     var j = 0
     var c = 0L
@@ -671,12 +683,4 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "sorted_intersect_count"
-}
-
-object SortedIntersectCount {
-  /** Called from generated code — must be public and static-reachable. */
-  def nullSlot(i: Int): IllegalArgumentException =
-    new IllegalArgumentException(
-      s"sorted_intersect_count: null array element at index $i " +
-        "(sorted long arrays must be null-free)")
 }

@@ -149,9 +149,7 @@ class JobControlSpec extends SparkSpec {
       })
       .runInBackground("graft-gauge-job")
     awaitStarted()
-    // the status store is fed by an async listener bus: a task can be
-    // running ~100ms before the tracker reflects it, so poll up
-    // listener events dispatch asynchronously (ms), so poll up
+    // listener events dispatch asynchronously (ms-scale), so poll up
     val startDeadline = System.nanoTime() + 30.seconds.toNanos
     var during = RunningJob.gauges(spark)
     while (during.activeTasks < 1 && System.nanoTime() < startDeadline) {
