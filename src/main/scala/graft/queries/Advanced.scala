@@ -181,6 +181,68 @@ object Advanced {
     // shuffle sensibly but the demo forgoes broadcast — salting spreads
     // each hot key over 8 (key, salt) partitions. Result is identical
     // to the unsalted join by construction.
+    // Ordered funnel (view -> click -> purchase, each within 24h of the
+    // user's first view): greedy earliest matching is deterministic, so
+    // the step counts compare exactly. Counts are monotone by
+    // construction.
+    "q79_funnel" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.EventAnalytics
+        EventAnalytics.funnelCounts(Tables.eventsWithTs(s, dir),
+          "user_id", "event_type", "ts",
+          steps = Seq("view", "click", "purchase"),
+          withinMs = Some(24L * 3600 * 1000))
+          .orderBy("step_no")
+      },
+      oracle = Some("""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2, any_value(s1.t1) AS t1
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+            AND e.ts <= s1.t1 + INTERVAL 24 HOURS
+          GROUP BY 1),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            AND e.ts <= s2.t1 + INTERVAL 24 HOURS
+          GROUP BY 1)
+        SELECT * FROM (
+          SELECT 1 AS step_no, 'view' AS step,
+                 (SELECT count(*) FROM s1) AS n_users
+          UNION ALL
+          SELECT 2, 'click', (SELECT count(*) FROM s2)
+          UNION ALL
+          SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        ORDER BY step_no""")),
+
+    // Cohort retention matrix: ISO-week cohorts (Monday-start
+    // date_trunc agrees between engines; offsets divide exactly in a
+    // UTC session).
+    "q80_retention" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.EventAnalytics
+        EventAnalytics.retentionMatrix(Tables.eventsWithTs(s, dir),
+          "user_id", "ts")
+          .orderBy("cohort_week", "week_offset")
+      },
+      oracle = Some("""
+        WITH fw AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cohort
+          FROM events GROUP BY 1),
+        act AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        SELECT strftime(fw.cohort, '%Y-%m-%d') AS cohort_week,
+               CAST((epoch(act.w) - epoch(fw.cohort)) / 604800 AS BIGINT)
+                 AS week_offset,
+               count(*) AS n_users
+        FROM act JOIN fw USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset""")),
+
     "q42_skew_join" -> Q(
       fn = (s, dir) => {
         val ev = Tables(s, dir, "events")

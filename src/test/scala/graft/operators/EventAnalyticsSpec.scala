@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Funnel / retention semantics on hand-built fixtures: strict step
+  * ordering, the first-step window bound, and exact week offsets. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp =
+    new Timestamp(1700000000000L + min * 60000L)
+
+  test("funnel: strict order required; window bound measured from first step") {
+    val ev = Seq(
+      // user 1: view(0) -> click(10) -> purchase(20): full funnel
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // user 2: click BEFORE view — click can't count; re-click never
+      // happens -> stops at step 1
+      (2L, "click", ts(0)), (2L, "view", ts(5)), (2L, "purchase", ts(9)),
+      // user 3: view(0) -> click(30) but purchase at 90 > 60-minute
+      // window from FIRST step -> stops at step 2
+      (3L, "view", ts(0)), (3L, "click", ts(30)), (3L, "purchase", ts(90)),
+      // user 4: never views -> not even step 1
+      (4L, "click", ts(0)), (4L, "purchase", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnelCounts(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), withinMs = Some(60L * 60000))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "view", 3L),      // users 1, 2, 3
+      (2L, "click", 2L),     // users 1, 3 (user 2's click precedes view)
+      (3L, "purchase", 1L))) // user 1 only (user 3 outside window)
+  }
+
+  test("funnel: unbounded window lets slow completions through") {
+    val ev = Seq(
+      (3L, "view", ts(0)), (3L, "click", ts(30)), (3L, "purchase", ts(90)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnelCounts(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("retention: cohort week offsets count distinct active users") {
+    // 2023-11-13 is a Monday; minutes offset keeps everything that week
+    def day(d: Int): Timestamp = Timestamp.valueOf(s"2023-11-$d 10:00:00")
+    val ev = Seq(
+      (1L, day(13)), (1L, day(14)), (1L, day(20)), // cohort w0, active w0+w1
+      (2L, day(14)),                               // cohort w0, only w0
+      (3L, day(21)), (3L, day(28)))                // cohort w1, active w1+w2
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.retentionMatrix(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("2023-11-13", 0L) -> 2L, // users 1, 2
+      ("2023-11-13", 1L) -> 1L, // user 1 again
+      ("2023-11-20", 0L) -> 1L, // user 3's own cohort week
+      ("2023-11-20", 1L) -> 1L))
+  }
+}
