@@ -71,8 +71,8 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
-  /** Watermarked stream-stream inner join: match rows of two live
-    * streams on a key when the right event lands within
+  /** Watermarked stream-stream join: match rows of two live streams on
+    * a key when the right event lands within
     * [left - within, left + within] event time. Both sides carry
     * watermarks AND the join condition carries the time interval —
     * that pair is what lets Spark bound the join state (each side
@@ -80,11 +80,21 @@ object Streaming {
     * before eviction); a stream-stream join without the interval would
     * grow state forever. Output is append-mode: a match is emitted
     * once, when both sides have it.
+    *
+    * `joinType` "inner" (default) or "left_outer": the outer variant
+    * emits an unmatched left row (right columns null) only once the
+    * watermark proves no in-interval right row can still arrive — the
+    * unmatched output is therefore delayed by `watermark + within`,
+    * the price of a correct negative at-scale (the standard Spark
+    * outer-interval-join contract).
     */
   def intervalJoinStreams(
       left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
-      within: String, watermark: String = "10 minutes"): DataFrame = {
+      within: String, watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     // same-schema streams are the normal case: EVERY right column that
     // collides with a left column is renamed with an `_r` suffix before
     // the join, so the condition (and the caller's projections) are
@@ -108,7 +118,7 @@ object Streaming {
       col(key) === col(rName(key)) &&
         col(rName(rightTs)) >= col(leftTs) - expr(s"INTERVAL $within") &&
         col(rName(rightTs)) <= col(leftTs) + expr(s"INTERVAL $within"),
-      "inner")
+      joinType)
       .drop(col(rName(key)))
   }
 

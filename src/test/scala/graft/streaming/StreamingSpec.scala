@@ -186,6 +186,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 1.0, 10.0), (2L, 2.0, 30.0)))
   }
 
+  test("intervalJoinStreams left_outer: unmatched lefts emit once the watermark proves them") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = Streaming.intervalJoinStreams(
+      clicks.toDF(), buys.toDF(),
+      key = "user_id", leftTs = "ts", rightTs = "ts",
+      within = "2 minutes", watermark = "5 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer_out")
+      .outputMode("append").start()
+    clicks.addData(Event(1L, ts(1), 1.0), Event(2L, ts(2), 2.0))
+    buys.addData(Event(2L, ts(3), 30.0)) // match for u2; u1 has no buy
+    q.processAllAvailable()
+    // the unmatched u1 row may only emit after the watermark passes
+    // ts(1) + within + watermark on both streams — push it, then run
+    // one more batch so eviction fires
+    clicks.addData(Event(9L, ts(60), 0.0))
+    buys.addData(Event(9L, ts(60), 0.0))
+    q.processAllAvailable()
+    clicks.addData(Event(9L, ts(61), 0.0))
+    buys.addData(Event(9L, ts(61), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, value, value_r FROM ssj_outer_out WHERE user_id < 9")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows.contains((2L, 2.0, Some(30.0))), rows)
+    assert(rows.contains((1L, 1.0, None)),
+      s"unmatched left row must surface with null right side: $rows")
+  }
+
   test("intervalJoinStreams: a right stream already carrying _r names stays unambiguous") {
     // "value" collides and would rename to "value_r" — but the right
     // stream ALREADY has a value_r column, so the operator must probe
