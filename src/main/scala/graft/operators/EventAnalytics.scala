@@ -12,11 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
-  /** Ordered first-occurrence funnel: for each step k, the number of
-    * users who performed `steps(0) < steps(1) < ... < steps(k)` in
-    * strict time order, each completion no later than `withinMs` after
-    * the user's FIRST-step time (ClickHouse windowFunnel semantics,
-    * greedy earliest matching — deterministic, so it is oracle-able).
+  /** FIRST-TOUCH ordered funnel: for each step k, the number of users
+    * who performed `steps(0) < steps(1) < ... < steps(k)` in strict
+    * time order, each completion no later than `withinMs` after the
+    * user's EARLIEST step-1 event. The chain is anchored at that first
+    * touch and matched greedily earliest-first — fully deterministic,
+    * which is what makes it oracle-comparable across engines.
+    *
+    * NOT ClickHouse-windowFunnel-equivalent: windowFunnel MAXIMIZES the
+    * reached level over every candidate anchor (a user whose first
+    * touch times out but whose later re-touch completes still counts);
+    * this first-touch variant reports that user as stopped — a
+    * deliberate trade of anchor-maximization for a deterministic,
+    * join-shaped plan (the maximizing form needs per-user event-list
+    * state; `Pipeline`/`flatMapGroupsWithState` are the escape hatches
+    * if that semantic is required).
     *
     * Shape: one user-keyed min-aggregation per step, chained by a
     * user-keyed join that carries (previous step time, first-step

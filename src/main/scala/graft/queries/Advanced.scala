@@ -181,34 +181,44 @@ object Advanced {
     // shuffle sensibly but the demo forgoes broadcast — salting spreads
     // each hot key over 8 (key, salt) partitions. Result is identical
     // to the unsalted join by construction.
-    // Ordered funnel (view -> click -> purchase, each within 24h of the
-    // user's first view): greedy earliest matching is deterministic, so
-    // the step counts compare exactly. Counts are monotone by
-    // construction.
+    // First-touch funnel (view -> click -> purchase, each within 24h of
+    // the user's FIRST view): greedy earliest matching is
+    // deterministic, so the step counts compare exactly. Counts are
+    // monotone by construction. Both engines floor event time to whole
+    // epoch MILLISECONDS before comparing (the repo-wide discipline for
+    // the nanos-typed events.ts: raw-timestamp comparisons would hinge
+    // on each engine's ns handling — DuckDB truncates to us at 1.0 but
+    // reads native ns from 1.1, so a sub-us boundary could flip).
     "q79_funnel" -> Q(
       fn = (s, dir) => {
         import graft.operators.EventAnalytics
-        EventAnalytics.funnelCounts(Tables.eventsWithTs(s, dir),
+        val ev = Tables(s, dir, "events")
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_millis(expr(
+            "ts_ns div 1000000 - (CASE WHEN ts_ns % 1000000 < 0 THEN 1 ELSE 0 END)")))
+        EventAnalytics.funnelCounts(ev,
           "user_id", "event_type", "ts",
           steps = Seq("view", "click", "purchase"),
           withinMs = Some(24L * 3600 * 1000))
           .orderBy("step_no")
       },
       oracle = Some("""
-        WITH s1 AS (
-          SELECT user_id, min(ts) AS t1 FROM events
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        s1 AS (
+          SELECT user_id, min(ms) AS t1 FROM ev
           WHERE event_type = 'view' GROUP BY 1),
         s2 AS (
-          SELECT e.user_id, min(e.ts) AS t2, any_value(s1.t1) AS t1
-          FROM events e JOIN s1 USING (user_id)
-          WHERE e.event_type = 'click' AND e.ts > s1.t1
-            AND e.ts <= s1.t1 + INTERVAL 24 HOURS
+          SELECT e.user_id, min(e.ms) AS t2, any_value(s1.t1) AS t1
+          FROM ev e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ms > s1.t1
+            AND e.ms <= s1.t1 + 86400000
           GROUP BY 1),
         s3 AS (
-          SELECT e.user_id, min(e.ts) AS t3
-          FROM events e JOIN s2 USING (user_id)
-          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-            AND e.ts <= s2.t1 + INTERVAL 24 HOURS
+          SELECT e.user_id, min(e.ms) AS t3
+          FROM ev e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ms > s2.t2
+            AND e.ms <= s2.t1 + 86400000
           GROUP BY 1)
         SELECT * FROM (
           SELECT 1 AS step_no, 'view' AS step,

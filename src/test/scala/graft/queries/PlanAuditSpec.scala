@@ -74,11 +74,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    // the region/date predicates must reach the scans, not a post-filter
-    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)]")
-      || p.contains("EqualTo(r_name,ASIA)"), p.take(3000))
-    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
-      p.contains("o_orderdate"), p.take(3000))
+    // the region/date predicates must reach the parquet readers as
+    // PushedFilters — a bare contains("o_orderdate") would also match
+    // the scan's ReadSchema and green-light a lost pushdown
+    assert(p.contains("EqualTo(r_name,ASIA)"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
+    assert(p.contains("LessThan(o_orderdate"), p.take(3000))
   }
 
   test("q78: returned-item top-20 plans as TakeOrderedAndProject") {
