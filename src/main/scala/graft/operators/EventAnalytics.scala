@@ -64,6 +64,115 @@ object EventAnalytics {
     }.reduce(_ unionAll _)
   }
 
+  /** ANCHOR-MAXIMIZING funnel levels (the ClickHouse-windowFunnel
+    * semantic, exact): for each user, the deepest step k such that SOME
+    * chain `steps(0) < ... < steps(k-1)` exists with strictly
+    * increasing event times, all within `withinMs` of the chain's OWN
+    * first-step event. Unlike [[funnelCounts]] (first-touch anchor), a
+    * user whose first touch times out but whose later re-touch
+    * completes still counts at full depth.
+    *
+    * Distributed shape: secondary sort — repartition by user, sort
+    * within partitions by (user, time, step) — then ONE streaming pass
+    * per partition. Per user the scan keeps a Pareto frontier of
+    * (anchor, lastStepTime) per level: a new chain enters level k only
+    * with a strictly larger anchor than the frontier tail (larger
+    * anchor = looser window for future steps; smaller last = looser
+    * ordering — and appends always carry the scan's current time, so
+    * the frontier stays sorted on both coordinates and feasibility is
+    * one binary search). State is O(#step-1 events) per user worst
+    * case — bounded by the user's own anchor count, never the corpus,
+    * and never a materialized event list. Greedy earliest-extension is
+    * optimal per anchor (an earlier intermediate step only loosens
+    * every later constraint), which is what makes the level EXACT and
+    * oracle-comparable.
+    *
+    * `tsCol` may be a TimestampType column (floored to whole epoch ms
+    * — cross-engine-safe for nanos-typed sources) or an integral
+    * epoch-milliseconds column used as-is. `userCol` must be integral.
+    * Returns (user_id, level), one row per user with >= 1 step-1
+    * event; level in 1..steps.size.
+    */
+  def funnelLevels(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String], withinMs: Long): DataFrame = {
+    require(steps.size >= 2, "funnel needs at least two steps")
+    require(withinMs > 0, "withinMs must be positive")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val msCol = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        expr(s"unix_micros($tsCol) div 1000 - " +
+          s"(CASE WHEN unix_micros($tsCol) % 1000 < 0 THEN 1 ELSE 0 END)")
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => col(tsCol)
+      case t => throw new IllegalArgumentException(
+        s"funnelLevels: tsCol must be timestamp or integral ms, got $t")
+    }
+    val stepK = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col(typeCol) === s, i).otherwise(acc)
+      }
+    val nSteps = steps.size
+    val w = withinMs
+    events
+      .select(col(userCol).cast("long").as("u"), msCol.as("ms"),
+        stepK.as("k"))
+      .filter(col("k") >= 0)
+      .repartition(col("u"))
+      .sortWithinPartitions(col("u"), col("ms"), col("k"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        import scala.collection.mutable.ArrayBuffer
+        // frontier(k): (anchor, last) pairs, ascending in BOTH coords
+        val frontier = Array.fill(nSteps)(ArrayBuffer.empty[(Long, Long)])
+        var curU = 0L
+        var open = false
+        def levelOf: Int = {
+          var k = nSteps - 1
+          while (k >= 0 && frontier(k).isEmpty) k -= 1
+          k + 1
+        }
+        def reset(): Unit = frontier.foreach(_.clear())
+        // largest index whose last < t (lasts ascend) — binary search
+        def latestBefore(fs: ArrayBuffer[(Long, Long)], t: Long): Int = {
+          var lo = 0; var hi = fs.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (fs(mid)._2 < t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          ans
+        }
+        def push(k: Int, anchor: Long, last: Long): Unit = {
+          val fs = frontier(k)
+          if (fs.isEmpty || anchor > fs.last._1) fs += ((anchor, last))
+        }
+        def feed(u: Long, ms: Long, k: Int): Option[(Long, Int)] = {
+          val out =
+            if (open && u != curU) Some((curU, levelOf)) else None
+          if (!open || u != curU) { reset(); curU = u; open = true }
+          if (k == 0) push(0, ms, ms)
+          else if (frontier(k - 1).nonEmpty) {
+            val j = latestBefore(frontier(k - 1), ms)
+            if (j >= 0) {
+              val anchor = frontier(k - 1)(j)._1
+              if (ms - anchor <= w) push(k, anchor, ms)
+            }
+          }
+          out
+        }
+        val main = it.flatMap { case (u, ms, k) => feed(u, ms, k) }
+        val tail = new Iterator[(Long, Int)] {
+          private var done = false
+          def hasNext: Boolean = !done && open
+          def next(): (Long, Int) = { done = true; (curU, levelOf) }
+        }
+        (main ++ tail).filter(_._2 >= 1)
+      }
+      .toDF("user_id", "level")
+  }
+
   /** Cohort retention matrix: users grouped by the week of their first
     * event (ISO weeks, Monday start — `date_trunc("week", ...)` agrees
     * between Spark and DuckDB), counted in every later week they were

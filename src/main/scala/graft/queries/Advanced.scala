@@ -229,6 +229,47 @@ object Advanced {
           SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         ORDER BY step_no""")),
 
+    // Anchor-maximizing funnel-level histogram (windowFunnel-exact —
+    // contrast with q79's first-touch anchoring): deepest chain within
+    // 6h of the chain's OWN first step. The oracle realizes the same
+    // semantic as greedy-per-anchor CTEs (optimal per anchor: an
+    // earlier intermediate step only loosens later constraints); both
+    // engines work in whole epoch ms.
+    "q81_funnel_levels" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.EventAnalytics
+        EventAnalytics.funnelLevels(Tables.eventsWithTs(s, dir),
+          "user_id", "event_type", "ts",
+          steps = Seq("view", "click", "purchase"),
+          withinMs = 6L * 3600 * 1000)
+          .groupBy(col("level").cast("long").as("level"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("level")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        v AS (SELECT user_id, ms AS t1 FROM ev WHERE event_type = 'view'),
+        c AS (SELECT v.user_id, v.t1, min(e.ms) AS t2
+              FROM v JOIN ev e ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ms > v.t1
+                AND e.ms <= v.t1 + 21600000
+              GROUP BY 1, 2),
+        p AS (SELECT c.user_id, c.t1, min(e.ms) AS t3
+              FROM c JOIN ev e ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ms > c.t2
+                AND e.ms <= c.t1 + 21600000
+              GROUP BY 1, 2),
+        lvl AS (
+          SELECT v.user_id,
+                 max(CASE WHEN p.t1 IS NOT NULL THEN 3
+                          WHEN c.t1 IS NOT NULL THEN 2 ELSE 1 END) AS level
+          FROM v LEFT JOIN c ON v.user_id = c.user_id AND v.t1 = c.t1
+                 LEFT JOIN p ON v.user_id = p.user_id AND v.t1 = p.t1
+          GROUP BY 1)
+        SELECT level, count(*) AS n_users FROM lvl
+        GROUP BY 1 ORDER BY level""")),
+
     // Cohort retention matrix: ISO-week cohorts (Monday-start
     // date_trunc agrees between engines; offsets divide exactly in a
     // UTC session).

@@ -47,6 +47,68 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("funnelLevels: re-anchoring counts chains the first-touch funnel misses") {
+    // user 1: first view at 0 times out (no click within 60m of it is
+    // followed by purchase), but the SECOND view at 50 anchors a
+    // complete chain — windowFunnel semantics credit level 3
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "view", 50L), (1L, "click", 70L),
+      (1L, "purchase", 90L),
+      // user 2: click precedes every view -> stuck at level 1
+      (2L, "click", 0L), (2L, "view", 10L))
+      .map { case (u, t, min) => (u, t, min * 60000L) }
+      .toDF("user_id", "event_type", "ms")
+    val got = EventAnalytics.funnelLevels(ev, "user_id", "event_type", "ms",
+      Seq("view", "click", "purchase"), withinMs = 60L * 60000)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 1))
+    // the first-touch variant stops user 1 at STEP 1: the click at 70
+    // is outside 60m of the FIRST view (t=0), so its chain never forms
+    val ft = EventAnalytics.funnelCounts(
+      ev.withColumn("ts", timestamp_millis(col("ms"))),
+      "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), withinMs = Some(60L * 60000))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(ft === Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("funnelLevels equals brute-force max-chain search on random corpora") {
+    val rnd = new scala.util.Random(19)
+    val steps = Vector("a", "b", "c", "d")
+    val w = 40L
+    for (trial <- 1 to 3) {
+      val events = (1 to 400).map { _ =>
+        (rnd.nextInt(25).toLong + 1L,
+          steps(rnd.nextInt(steps.size)),
+          rnd.nextInt(150).toLong)
+      }
+      // EXHAUSTIVE brute force — every chain, not the greedy one, so
+      // this independently validates the operator's greedy-optimality
+      // argument rather than assuming it
+      def brute(evs: Seq[(String, Long)]): Int = {
+        val byStep = steps.map(s => evs.filter(_._1 == s).map(_._2).sorted)
+        def extend(level: Int, anchor: Long, last: Long): Int =
+          if (level == steps.size) level
+          else {
+            val opts = byStep(level).filter(t => t > last && t - anchor <= w)
+            if (opts.isEmpty) level
+            else opts.map(t => extend(level + 1, anchor, t)).max
+          }
+        val anchors = byStep(0)
+        if (anchors.isEmpty) 0
+        else anchors.map(a => extend(1, a, a)).max
+      }
+      val expected = events.groupBy(_._1)
+        .map { case (u, evs) => u -> brute(evs.map(e => (e._2, e._3))) }
+        .filter(_._2 >= 1)
+      val got = EventAnalytics.funnelLevels(
+        events.toDF("user_id", "event_type", "ms"),
+        "user_id", "event_type", "ms", steps, withinMs = w)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === expected, s"trial=$trial")
+    }
+  }
+
   test("retention: cohort week offsets count distinct active users") {
     // 2023-11-13 is a Monday; minutes offset keeps everything that week
     def day(d: Int): Timestamp = Timestamp.valueOf(s"2023-11-$d 10:00:00")
