@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over event streams — the funnel/cohort tier of
@@ -194,5 +195,35 @@ object EventAnalytics {
         ((unix_timestamp(col("w")) - unix_timestamp(col("cohort"))) / 604800L)
           .cast("long").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every consecutive event pair within a user's
+    * timeline (ordered by `orderCols` — pass an exact total order,
+    * e.g. (raw-nanos ts, event_id), so the "next" event is
+    * deterministic), one (from_type, to_type) observation; aggregated
+    * to counts and per-from_type transition probabilities.
+    *
+    * Distributed shape: one user-keyed window (`lead`) — the sequence
+    * scan shuffles on user only — then a (from, to) hash agg. The
+    * probability normalization is a window over the AGGREGATED
+    * matrix, |event types|² rows, model-sized by construction (never
+    * the event stream). Returns (from_type, to_type, n, prob) with
+    * prob = n / Σ n over the same from_type.
+    */
+  def transitionMatrix(
+      events: DataFrame, userCol: String, typeCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "transitionMatrix needs an ordering")
+    val seq = Window.partitionBy(col(userCol))
+      .orderBy(orderCols.map(col): _*)
+    val counts = events
+      .withColumn("to_type", lead(col(typeCol), 1).over(seq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val perFrom = Window.partitionBy(col("from_type"))
+    counts.withColumn("prob",
+      col("n").cast("double") / sum(col("n")).over(perFrom))
   }
 }

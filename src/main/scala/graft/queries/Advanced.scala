@@ -294,6 +294,36 @@ object Advanced {
         GROUP BY 1, 2
         ORDER BY cohort_week, week_offset""")),
 
+    // First-order Markov event-transition matrix. Ordering is the raw
+    // nanos long + event_id — an exact integral total order both
+    // engines reproduce bit-for-bit (DuckDB: epoch_ns; no float, no
+    // truncation ambiguity). prob is integer-count division on both
+    // sides, rounded identically.
+    "q82_event_transitions" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.EventAnalytics
+        val ev = Tables(s, dir, "events") // ts read as raw nanos long
+        EventAnalytics.transitionMatrix(ev,
+          "user_id", "event_type", orderCols = Seq("ts", "event_id"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            round(col("prob"), 6).as("prob"))
+          .orderBy("from_type", "to_type")
+      },
+      oracle = Some("""
+        WITH ord AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                   AS to_type
+          FROM events),
+             cnt AS (
+          SELECT event_type AS from_type, to_type, count(*) AS n
+          FROM ord WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+        FROM cnt ORDER BY from_type, to_type""")),
+
     "q42_skew_join" -> Q(
       fn = (s, dir) => {
         val ev = Tables(s, dir, "events")

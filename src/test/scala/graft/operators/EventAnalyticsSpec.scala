@@ -126,4 +126,25 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2023-11-20", 0L) -> 1L, // user 3's own cohort week
       ("2023-11-20", 1L) -> 1L))
   }
+
+  test("transitions: per-user consecutive pairs, tie-broken, normalized") {
+    val ev = Seq(
+      // user 1: a(0) -> b(1) -> a(2); user 2: a(0) -> a(1)
+      (1L, "a", 0L, 10L), (1L, "b", 1L, 11L), (1L, "a", 2L, 12L),
+      (2L, "a", 0L, 20L), (2L, "a", 1L, 21L),
+      // user 3: two events at the SAME time — event_id breaks the tie,
+      // so b(id 30) precedes c(id 31) deterministically
+      (3L, "b", 5L, 30L), (3L, "c", 5L, 31L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventAnalytics.transitionMatrix(ev,
+      "user_id", "event_type", Seq("ts", "event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      ("a", "b") -> ((1L, 0.5)), // from a: 1 of 2 observations
+      ("a", "a") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 0.5)), // from b: user 1's b->a, user 3's b->c
+      ("b", "c") -> ((1L, 0.5))))
+  }
 }
