@@ -117,6 +117,37 @@ object Sampling {
       .drop("__rk", "__n")
   }
 
+  /** Deterministic WEIGHTED exact-k sample without replacement
+    * (Efraimidis & Spirakis, "Weighted random sampling with a
+    * reservoir", IPL 2006 — realized portably): each row draws the
+    * sampling key min over j in 1..w of md5(key ':' j), where w =
+    * clamp(`weightCol`, 1, `maxWeight`). The minimum of w iid uniforms
+    * is Beta(1, w)-distributed, so ascending order by that min is
+    * EXACTLY the ES u^(1/w) descending order — a row with twice the
+    * weight is twice as likely to make the cut — but computed entirely
+    * in fixed-width lowercase-hex string space: no float `pow`/`ln`
+    * whose last-ulp engine differences could flip a rank. The w
+    * replica hashes ride ONE `transform(sequence(...))` column
+    * expression per row (no explode, no extra shuffle); selection
+    * plans as TakeOrderedAndProject (per-partition heap of k + driver
+    * merge, never a global sort). `maxWeight` bounds the per-row hash
+    * work; weights above it saturate (documented contract, not a
+    * silent drop).
+    */
+  def weightedTake(
+      df: DataFrame, keyCol: String, weightCol: Column, k: Int,
+      maxWeight: Int = 64): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    require(maxWeight >= 1, "maxWeight must be at least 1")
+    val w = least(lit(maxWeight), greatest(lit(1), weightCol)).cast("long")
+    val sk = array_min(transform(sequence(lit(1L), w), j =>
+      md5(concat(col(keyCol).cast("string"), lit(":"), j.cast("string")))))
+    df.withColumn("__wk", sk)
+      .orderBy(col("__wk"), col(keyCol))
+      .limit(k)
+      .drop("__wk")
+  }
+
   /** Corpus-relative quality gating: drop exactly the bottom
     * ceil(frac · n) rows by (`scoreCol`, `tieCol`) rank — "cut the
     * worst decile" without ever comparing against an interpolated

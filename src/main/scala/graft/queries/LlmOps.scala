@@ -768,6 +768,32 @@ object LlmOps {
           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
         ORDER BY doc_id""")),
 
+    // Weighted deterministic sample: longer docs proportionally more
+    // likely, selection exact and engine-portable (min-of-w md5
+    // replica subkeys — pure string space, no float pow/ln; see
+    // Sampling.weightedTake). DuckDB realizes the same per-row key
+    // with a scalar generate_series list.
+    "q83_weighted_sample" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        val docs = Tables(s, dir, "documents")
+        Sampling.weightedTake(docs, "doc_id",
+          weightCol = expr("n_chars div 256"), k = 200, maxWeight = 16)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH keyed AS (
+          SELECT doc_id, lang, n_chars,
+                 list_min(list_transform(
+                   generate_series(1, least(16, greatest(1, n_chars // 256))),
+                   j -> md5(CAST(doc_id AS VARCHAR) || ':' ||
+                            CAST(j AS VARCHAR)))) AS sk
+          FROM documents)
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT * FROM keyed ORDER BY sk, doc_id LIMIT 200)
+        ORDER BY doc_id""")),
+
     // Corpus-relative quality gate: drop exactly the worst decile by
     // (type-token ratio, doc_id) rank — rank-based, so no interpolated
     // float threshold can make boundary rows diverge across engines.

@@ -76,6 +76,38 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("weightedTake: exact k, deterministic, weight-biased, top-k plan") {
+    import spark.implicits._
+    // 2000 rows, half weight 1, half weight 8 — the heavy half should
+    // dominate the sample (E[share] = 8/9; binomial noise at n=200 puts
+    // share > 0.75 at ~6 sigma)
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) 8 else 1))
+      .toDF("id", "w")
+    val take = Sampling.weightedTake(df, "id", col("w"), k = 200)
+    val ids = take.select("id").as[Long].collect()
+    assert(ids.length === 200 && ids.toSet.size === 200)
+    val heavyShare = ids.count(_ % 2 == 0).toDouble / ids.length
+    assert(heavyShare > 0.75, s"heavy share $heavyShare")
+    // deterministic across runs
+    val again = Sampling.weightedTake(df, "id", col("w"), k = 200)
+      .select("id").as[Long].collect()
+    assert(ids.toSet === again.toSet)
+    // one content-stable total order: smaller k is a prefix of larger
+    val k50 = Sampling.weightedTake(df, "id", col("w"), k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(k50.subsetOf(ids.toSet))
+    // saturation: weights above maxWeight clamp (same key as maxWeight)
+    val capped = Sampling.weightedTake(df, "id", col("w") * 1000, k = 50,
+      maxWeight = 8)
+    val capped2 = Sampling.weightedTake(df, "id", lit(8), k = 50,
+      maxWeight = 8)
+    assert(capped.select("id").as[Long].collect().toSet ===
+      capped2.select("id").as[Long].collect().toSet)
+    // per-partition heap + driver merge, never a global sort
+    val plan = take.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+  }
+
   test("boundary fractions: 1.0 keeps everything, 0.0 keeps nothing") {
     val total = docs.count()
     // frac = 1.0 has no 4-hex threshold ("ffff" compare would drop the
