@@ -120,6 +120,45 @@ object TextStats {
       .orderBy(col("doc_freq").desc, col("shingle"))
       .limit(k)
 
+  /** Pairwise corpus-overlap matrix between labeled sub-corpora (the
+    * `partCol` groups — sources, crawls, dumps): EXACT distinct
+    * word-`n`-gram Jaccard and containment per unordered pair, the
+    * corpus-level contamination estimate run before any doc-level
+    * decontamination (q52/q75 answer "which documents"; this answers
+    * "how much, between which corpora").
+    *
+    * Shape: one (part, gram) distinct projection, then a gram-keyed
+    * self-equi-join — never doc×doc. Per-gram fan-out is bounded by
+    * #parts² (parts are corpus LABELS, a handful by construction —
+    * this is the operator's documented contract, not a tuning knob),
+    * so the join output is ≤ #parts²·|distinct grams|, linear in the
+    * gram space at fixed label count. Set sizes ride a broadcast to
+    * the pair aggregate. Returns (part_a < part_b, n_common, jaccard,
+    * containment); pairs with zero shared grams are absent.
+    */
+  def corpusOverlap(
+      df: DataFrame, partCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = df.select(col(partCol).as("part"),
+      explode(T.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("part").agg(count(lit(1)).as("sz"))
+    grams.withColumnRenamed("part", "part_a")
+      .join(grams.withColumnRenamed("part", "part_b"), Seq("gram"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("part").as("part_a"),
+        col("sz").as("sz_a"))), Seq("part_a"))
+      .join(broadcast(sizes.select(col("part").as("part_b"),
+        col("sz").as("sz_b"))), Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")), 4).as("jaccard"),
+        round(col("n_common").cast("double") /
+          least(col("sz_a"), col("sz_b")), 4).as("containment"))
+  }
+
   /** Per-document top-`k` TF-IDF keywords. Term frequencies and
     * document frequencies are two keyed aggregations over the same
     * token explosion; the corpus size enters as an in-plan scalar

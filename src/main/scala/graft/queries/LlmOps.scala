@@ -752,6 +752,39 @@ object LlmOps {
         FROM gr JOIN gdf USING (gram)
         GROUP BY 1 ORDER BY doc_id""")),
 
+    // Corpus-level overlap matrix: exact distinct-5-gram Jaccard /
+    // containment between every source pair — "how contaminated is
+    // corpus A by corpus B" before any doc-level scrub. Gram recipe
+    // matches q75/q76 (single-space split, space-joined n-grams).
+    "q84_corpus_overlap" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.corpusOverlap(Tables(s, dir, "documents"),
+          "source", "text", n = 5)
+          .orderBy("part_a", "part_b")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT source, list_distinct(
+                 [array_to_string(string_split(text,' ')[i+1:i+5],' ')
+                  for i in range(len(string_split(text,' '))-4)]) AS sh
+          FROM documents),
+        gr AS (SELECT DISTINCT source, unnest(sh) AS gram FROM s),
+        sz AS (SELECT source, count(*) AS sz FROM gr GROUP BY 1),
+        pr AS (
+          SELECT a.source AS part_a, b.source AS part_b, count(*) AS n_common
+          FROM gr a JOIN gr b USING (gram)
+          WHERE a.source < b.source
+          GROUP BY 1, 2)
+        SELECT part_a, part_b, n_common,
+               round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 4)
+                 AS jaccard,
+               round(n_common::DOUBLE / least(sa.sz, sb.sz), 4)
+                 AS containment
+        FROM pr JOIN sz sa ON sa.source = pr.part_a
+                JOIN sz sb ON sb.source = pr.part_b
+        ORDER BY part_a, part_b""")),
+
     // Content-stable exact-k sample: the same 100 docs on any engine,
     // run, or cluster size; plans as TakeOrderedAndProject.
     "q62_deterministic_sample" -> Q(

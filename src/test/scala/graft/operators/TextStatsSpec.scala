@@ -125,4 +125,18 @@ class TextStatsSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids(0.1).subsetOf(ids(0.3)))
   }
+
+  test("corpusOverlap: exact pairwise Jaccard/containment on a fixture") {
+    import spark.implicits._
+    // bigram sets: A = {a b, b c}  B = {a b, b d}  C = {x y}
+    val df = Seq(
+      ("A", "a b c"), ("B", "a b"), ("B", "b d"), ("C", "x y"))
+      .toDF("src", "text")
+    val got = TextStats.corpusOverlap(df, "src", "text", n = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // A∩B = {a b}: jaccard 1/3, containment 1/2; C shares nothing
+    assert(got === Map(("A", "B") -> ((1L, 0.3333, 0.5))))
+  }
 }
