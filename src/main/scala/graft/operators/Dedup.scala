@@ -511,4 +511,70 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540 — public literature): k-means
+    * the embedding space (the shared [[Similarity.centroidModel]]
+    * engine: k-means|| seeding + Lloyd passes, deterministic under
+    * `seed`), then compare pairs only WITHIN a cluster and report
+    * those with cosine >= `threshold`.
+    *
+    * The contract vs [[embeddingCosinePairs]]: the exact grid
+    * distributes an inherently Θ(n²) pair space; SemDeDup PRUNES it —
+    * candidate cost falls to Σ|cell|² ≈ n·cellSize when nCells is
+    * sized to n/cellSize, linear in the corpus at fixed cell size.
+    * The trade is recall: a duplicate pair split across two cells is
+    * unreported (semantic duplicates cluster together, which is the
+    * paper's empirical bet; DedupSpec measures the recall on the gate
+    * corpus). Every reported pair carries an exactly-computed cosine,
+    * so precision is 1 by construction — the reported set is a SUBSET
+    * of the exact grid's at the same threshold, never a superset.
+    *
+    * `nCells` <= 0 auto-sizes to max(4, n/`targetCellSize`) from one
+    * corpus count — an unavoidable driver-side integer (it sizes the
+    * model arrays), grouped with the model-building actions the
+    * centroid engine already runs; everything corpus-sized stays
+    * distributed. Cell sizes are data-dependent (k-means cells, not
+    * hash buckets): moderate imbalance is AQE-skew-split territory,
+    * and the cell histogram is one groupBy away when a corpus needs
+    * monitoring.
+    *
+    * `probes` > 1 soft-assigns every vector to its `probes` nearest
+    * cells (multi-probe, the standard recall lever for boundary
+    * pairs): candidate cost scales by ≤ probes², and a pair meeting
+    * in several shared cells is deduplicated exactly (same rounded
+    * cosine in every cell) by a final distinct.
+    */
+  def semanticPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 0, targetCellSize: Int = 512,
+      probes: Int = 1, seed: Long = 42L, lloydIters: Int = 2,
+      spread: Boolean = true): DataFrame = {
+    require(targetCellSize > 0, "targetCellSize must be positive")
+    require(probes >= 1, "probes must be at least 1")
+    val c = maybeSpread(df, spread)
+      .select(col(idCol).as("id"), V.toDouble(col(vecCol)).as("v"))
+    val k =
+      if (nCells > 0) nCells
+      else math.max(4L, df.count() / targetCellSize).toInt
+    val centroids = Similarity.centroidModel(c, "id", "v",
+      k, seed, lloydIters)
+    val assigned = c
+      .withColumn("cell",
+        explode(SK.nearestCells(col("v"), centroids, math.min(probes, k))))
+      .withColumn("ss", DotProduct(col("v"), col("v")))
+    val a = assigned.select(col("cell"), col("id").as("a_id"),
+      col("v").as("a_v"), col("ss").as("a_ss"))
+    val b = assigned.select(col("cell"), col("id").as("b_id"),
+      col("v").as("b_v"), col("ss").as("b_ss"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(
+        DotProduct(col("a_v"), col("b_v")) /
+          (sqrt(col("a_ss")) * sqrt(col("b_ss"))), 4))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+    if (probes > 1) pairs.distinct() else pairs
+  }
 }

@@ -98,30 +98,15 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** IVF ANN: k-means||-style seeded centroids (Bahmani et al., "Scalable
-    * K-Means++", VLDB 2012 — public literature), one Lloyd refinement
-    * pass (DataFrame aggs), assign corpus to nearest cell, probe nProbe
-    * nearest cells per query. The centroid "model" is tiny
-    * (nCells × dim) and rides a broadcast; everything data-sized stays
-    * distributed.
-    *
-    * Seeding: a deterministic hash-ordered oversample of 4×nCells
-    * corpus vectors (TakeOrderedAndProject — distributed, no skew
-    * toward low ids like the old lowest-id sample, which degenerated
-    * when ids correlate with content, e.g. time-ordered corpora), each
-    * weighted by how many corpus points it attracts (one distributed
-    * assignment pass), then reduced to nCells seeds by weighted
-    * k-means++ ON THE DRIVER — the reduction input is 4×nCells×dim
-    * doubles, model-sized by construction, exactly the k-means||
-    * recipe. A fixed `seed` keeps the whole operator deterministic.
-    *
-    * The prepared corpus is persisted (memory-and-disk) across the
-    * model-building actions — pool sampling, candidate weighting, the
-    * Lloyd pass — and UNPERSISTED once the centroid model is collected:
-    * a long-lived session calling ivfTopK repeatedly must not
-    * accumulate cached corpora. The final query join then re-reads the
-    * corpus from source — one scan it needs anyway, now against the
-    * possibly-updated table rather than a stale cache.
+  /** IVF ANN: k-means centroid model (see [[centroidModel]] — k-means||
+    * seeding + Lloyd refinement, deterministic under `seed`, with the
+    * corpus persisted only for the model-building actions), corpus
+    * assigned to its nearest cell, queries probing the `nProbe`
+    * nearest cells. The centroid "model" is tiny (nCells × dim) and
+    * rides a broadcast; everything data-sized stays distributed. The
+    * final query join re-reads the corpus from source — one scan it
+    * needs anyway, against the possibly-updated table rather than a
+    * stale cache.
     */
   def ivfTopK(
       queries: DataFrame, qIdCol: String, qVecCol: String,
@@ -131,11 +116,60 @@ object Similarity {
       lloydIters: Int = 2): DataFrame = {
     val c = maybeSpread(corpus, spread)
       .select(col(cIdCol).as("neighbor_id"), V.toDouble(col(cVecCol)).as("cv"))
+    val refined = centroidModel(c, "neighbor_id", "cv",
+      nCells, seed, lloydIters)
+
+    val assigned = c.withColumn("cell",
+      element_at(SK.nearestCells(col("cv"), refined, 1), 1))
+      .withColumn("cn", sqrt(DotProduct(col("cv"), col("cv"))))
+
+    // queries probe the nProbe nearest cells
+    val q = queries.select(col(qIdCol).as("query_id"),
+      V.toDouble(col(qVecCol)).as("qv"))
+      .withColumn("qn", sqrt(DotProduct(col("qv"), col("qv"))))
+      .withColumn("cell", explode(SK.nearestCells(col("qv"), refined, nProbe)))
+
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        DotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    topK(scored, k)
+  }
+
+  /** K-means centroid model over a prepared (`idCol`, `vecCol`:
+    * array<double>) frame — the shared clustering engine behind
+    * [[ivfTopK]]'s cell index and `Dedup.semanticPairs`' SemDeDup
+    * clustering. k-means||-style seeding (Bahmani et al., VLDB 2012)
+    * + `lloydIters` Lloyd refinement passes, all DataFrame aggs; the
+    * returned model is nCells × dim doubles.
+    *
+    * Seeding: a deterministic hash-ordered oversample of 4×nCells
+    * corpus vectors (TakeOrderedAndProject — distributed, no skew
+    * toward low ids like a lowest-id sample, which degenerates when
+    * ids correlate with content, e.g. time-ordered corpora), each
+    * weighted by how many corpus points it attracts (one distributed
+    * assignment pass), then reduced to nCells seeds by weighted
+    * k-means++ ON THE DRIVER — the reduction input is 4×nCells×dim
+    * doubles, model-sized by construction, exactly the k-means||
+    * recipe. A fixed `seed` keeps the whole operator deterministic.
+    *
+    * The input is persisted (memory-and-disk) across the
+    * model-building actions — pool sampling, candidate weighting, the
+    * Lloyd passes — and UNPERSISTED before returning: a long-lived
+    * session building models repeatedly must not accumulate cached
+    * corpora. Driver traffic is model-sized throughout (pool vectors,
+    * attraction counts, per-cell means — never the corpus).
+    */
+  private[operators] def centroidModel(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long, lloydIters: Int): Array[Array[Double]] = {
+    require(nCells > 0, "nCells must be positive")
+    val c = corpus.select(col(idCol).as("__mid"), col(vecCol).as("__mv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // candidate pool: deterministic pseudo-random oversample
     val pool: Array[Array[Double]] = c
-      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .orderBy(xxhash64(col("__mid")), col("__mid"))
       .limit(math.max(nCells * 4, nCells))
       .collect().map(_.getSeq[Double](1).toArray)
 
@@ -145,7 +179,7 @@ object Similarity {
         // k-means|| weighting: attraction counts per candidate
         // (distributed partial+final agg; ≤ 4×nCells longs collected)
         val weights = Array.fill(pool.length)(0.0)
-        c.withColumn("cand", element_at(SK.nearestCells(col("cv"), pool, 1), 1))
+        c.withColumn("cand", element_at(SK.nearestCells(col("__mv"), pool, 1), 1))
           .groupBy("cand").agg(count(lit(1)).as("w"))
           .collect()
           .foreach(r => weights(r.getInt(0)) = r.getLong(1).toDouble)
@@ -199,8 +233,8 @@ object Similarity {
     // partial+final so the exploded rows never shuffle raw.
     def lloydPass(centroids: Array[Array[Double]]): Array[Array[Double]] =
       c.withColumn("cell",
-        element_at(SK.nearestCells(col("cv"), centroids, 1), 1))
-        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        element_at(SK.nearestCells(col("__mv"), centroids, 1), 1))
+        .select(col("cell"), posexplode(col("__mv")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cell")
         .agg(transform(
@@ -216,21 +250,6 @@ object Similarity {
     // long session must not accumulate corpora; the final join's single
     // scan recomputes from source)
     c.unpersist(blocking = false)
-
-    val assigned = c.withColumn("cell",
-      element_at(SK.nearestCells(col("cv"), refined, 1), 1))
-      .withColumn("cn", sqrt(DotProduct(col("cv"), col("cv"))))
-
-    // queries probe the nProbe nearest cells
-    val q = queries.select(col(qIdCol).as("query_id"),
-      V.toDouble(col(qVecCol)).as("qv"))
-      .withColumn("qn", sqrt(DotProduct(col("qv"), col("qv"))))
-      .withColumn("cell", explode(SK.nearestCells(col("qv"), refined, nProbe)))
-
-    val scored = assigned.join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        DotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    topK(scored, k)
+    refined
   }
 }

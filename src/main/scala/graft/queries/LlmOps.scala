@@ -196,6 +196,18 @@ object LlmOps {
           .orderBy("a_id", "b_id")
       }),
 
+    // SemDeDup semantic dedup: cluster-then-compare. K-means cell
+    // assignment isn't portable SQL → rows-only; precision-1 subset
+    // (vs the q26 exact grid), recall, and determinism are gated in
+    // DedupSpec, the row count by the EntrySpec golden.
+    "q85_dedup_semantic" -> Q(
+      fn = (s, dir) => {
+        Dedup.semanticPairs(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45, targetCellSize = 64, probes = 2)
+          .orderBy("a_id", "b_id")
+      }),
+
     "q26_dedup_embedding" -> Q(
       fn = (s, dir) => {
         Dedup.embeddingCosinePairs(

@@ -14,7 +14,8 @@ class EntrySpec extends SparkSpec {
       "q25_dedup_simhash",   // simhash space not portable SQL
       "q28_sim_topk_lsh",    // hyperplane-LSH space not portable SQL
       "q29_sim_topk_ivf",    // IVF centroid space not portable SQL
-      "q43_dedup_winnowing") // winnowing hash space not portable SQL
+      "q43_dedup_winnowing", // winnowing hash space not portable SQL
+      "q85_dedup_semantic")  // k-means cell space not portable SQL
     val qs = SparkEntry.queries
     assert(qs.keySet.diff(SparkEntry.oracleSql.keySet) === rowsOnly)
     // every query must at least execute on the smallest scale factor
@@ -35,7 +36,8 @@ class EntrySpec extends SparkSpec {
       "q25_dedup_simhash" -> 23L,
       "q28_sim_topk_lsh" -> 100L,
       "q29_sim_topk_ivf" -> 100L,
-      "q43_dedup_winnowing" -> 30L)
+      "q43_dedup_winnowing" -> 30L,
+      "q85_dedup_semantic" -> 13L)
     golden.foreach { case (name, want) =>
       val got = SparkEntry.queries(name)(spark, sf("sf0.01")).count()
       assert(got === want, name)

@@ -150,6 +150,30 @@ class DedupSpec extends SparkSpec {
     assert(run(Some(7)) === auto)
   }
 
+  test("semanticPairs: precise subset of exact grid, high recall, monotone probes") {
+    val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = toSet(
+      Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45))
+    def sem(probes: Int): Set[(Long, Long, Double)] = toSet(
+      Dedup.semanticPairs(emb, "vec_id", "embedding", 0.45,
+        targetCellSize = 64, probes = probes))
+    val p2 = sem(2)
+    // precision 1 by construction: every reported pair is in the exact
+    // set WITH the same rounded cosine (never a superset)
+    assert(p2.subsetOf(exact), (p2 -- exact).take(5))
+    // recall on the gate corpus (deterministic seed → stable measure;
+    // q85 runs these exact settings)
+    assert(p2.size >= math.ceil(0.85 * exact.size).toInt,
+      s"recall ${p2.size}/${exact.size}")
+    // single-probe pairs share nearest cells ⊆ 2-nearest cells
+    val p1 = sem(1)
+    assert(p1.subsetOf(p2))
+    // deterministic across runs
+    assert(sem(2) === p2)
+  }
+
   test("embedding cosine pairs: pure equi-join plan (no nested-loop/cartesian)") {
     val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
     val plan = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45)
