@@ -206,6 +206,47 @@ object TextStats {
         round(avg(col("s")), 4).as("surprisal"))
   }
 
+  /** Bigram-LM document scoring — the corpus-self-trained flavor of
+    * CCNet-style perplexity quality filtering (Wenzek et al., "CCNet:
+    * Extracting high quality monolingual datasets from web crawl
+    * data", LREC 2020 — public literature; CCNet scores against a
+    * pretrained KenLM, this trains the distributed-friendly special
+    * case, an add-one-smoothed bigram model, on the corpus itself):
+    * each document's mean negative log-probability under
+    * P(w2|w1) = (C(w1 w2) + 1) / (C(w1 ·) + V), with C(w1 w2) the
+    * corpus bigram count, C(w1 ·) the count of w1 as a left context
+    * and V the unigram vocabulary size. Low nll = predictable,
+    * in-distribution text; high = noise/outliers (or novelty — the
+    * score ranks, a gate like [[graft.operators.Sampling.dropBottomFraction]] cuts).
+    *
+    * Shape: one multiset-bigram explode ([[T.wordNgrams]] — O(len)
+    * native kernel), bigram- and left-token-keyed count aggs
+    * (partial+final), V as an in-plan scalar subquery, and a per-doc
+    * mean — every shuffle keyed by bigram, token or doc, never a
+    * global window. Docs with fewer than 2 tokens have no bigrams and
+    * are absent from the output (no defined score), matching the SQL
+    * oracle's inner-join semantics.
+    */
+  def bigramLmScore(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol).as("id"),
+      explode(T.wordNgrams(col(textCol), 2)).as("bigram"))
+    val cb = bg.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val cl = bg.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("cl"))
+    val v = graft.plans.Scalars.of(
+      df.select(explode(split(col(textCol), " ")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v")))
+    bg.join(cb, "bigram")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(cl, "w1")
+      .withColumn("s", -log((col("cb") + 1).cast("double") /
+        (col("cl") + v.cast("long")).cast("double")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("s")), 4).as("nll"))
+  }
+
   /** Frequency vocabulary + document encoding — the distributed core
     * of corpus tokenization: build the top-`vocabSize` token table
     * (corpus frequency desc, token asc tiebreak; dense ids from 0) and

@@ -1101,6 +1101,39 @@ object LlmOps {
                round(avg(s), 4) AS surprisal
         FROM sc GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Bigram-LM quality score (corpus-self-trained CCNet flavor):
+    // add-one-smoothed bigram negative log-likelihood per doc.
+    "q86_bigram_lm_score" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.bigramLmScore(Tables(s, dir, "documents"),
+          "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_bigrams"), col("nll"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest([toks[i+1] || ' ' || toks[i+2]
+                         for i in range(len(toks)-1)]) AS bigram
+          FROM s),
+        cb AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1),
+        cl AS (SELECT string_split(bigram, ' ')[1] AS w1, count(*) AS cl
+               FROM bg GROUP BY 1),
+        v AS (SELECT count(DISTINCT tok) AS v FROM
+                (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents)),
+        sc AS (
+          SELECT bg.doc_id,
+                 -ln((cb.cb + 1)::DOUBLE / (cl.cl + v.v)) AS s
+          FROM bg JOIN cb USING (bigram)
+                  JOIN cl ON cl.w1 = string_split(bg.bigram, ' ')[1]
+                  CROSS JOIN v)
+        SELECT doc_id, count(*) AS n_bigrams, round(avg(s), 4) AS nll
+        FROM sc GROUP BY 1 ORDER BY doc_id""")),
+
     // Vocabulary build + document encoding: top-16 frequency vocab
     // (count desc, token asc — fully deterministic), docs re-expressed
     // as token-id sequences with OOV = -1, pinned by an engine-neutral

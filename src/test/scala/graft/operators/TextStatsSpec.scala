@@ -126,6 +126,22 @@ class TextStatsSpec extends SparkSpec {
     assert(ids(0.1).subsetOf(ids(0.3)))
   }
 
+  test("bigramLmScore: add-one bigram NLL, hand-computed; short docs absent") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // corpus: C(a b)=2, C(b a)=1; left contexts C(a ·)=2, C(b ·)=1;
+    // V = |{a,b,x}| = 3. P(b|a) = 3/5 → 0.51083; P(a|b) = 2/4 → 0.69315
+    val got = TextStats.bigramLmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 0.6020)), // avg of the two bigram scores
+      2L -> ((1L, 0.5108))))
+    // doc 3 has no bigrams → absent, but its token still counted in V
+    assert(!got.contains(3L))
+  }
+
   test("corpusOverlap: exact pairwise Jaccard/containment on a fixture") {
     import spark.implicits._
     // bigram sets: A = {a b, b c}  B = {a b, b d}  C = {x y}
