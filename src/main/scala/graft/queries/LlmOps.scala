@@ -451,6 +451,101 @@ object LlmOps {
         GROUP BY 1, 2
         ORDER BY split, lang""")),
 
+    // One-pass column profile (Deequ-style analyzers): counts, exact
+    // distincts, portable min/max strings, numeric means. Output is
+    // #columns rows — model-sized; the corpus is read once.
+    "q88_column_profile" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Profile
+        Profile.profile(Tables(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+          .orderBy("column")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'doc_id' AS "column", count(doc_id) AS n,
+                 count(*) - count(doc_id) AS n_null,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                 CAST(min(doc_id) AS VARCHAR) AS min_s,
+                 CAST(max(doc_id) AS VARCHAR) AS max_s,
+                 round(avg(doc_id), 4) AS mean
+          FROM documents
+          UNION ALL
+          SELECT 'lang', count(lang), count(*) - count(lang),
+                 CAST(count(DISTINCT lang) AS BIGINT),
+                 min(lang), max(lang), NULL
+          FROM documents
+          UNION ALL
+          SELECT 'source', count(source), count(*) - count(source),
+                 CAST(count(DISTINCT source) AS BIGINT),
+                 min(source), max(source), NULL
+          FROM documents
+          UNION ALL
+          SELECT 'n_chars', count(n_chars), count(*) - count(n_chars),
+                 CAST(count(DISTINCT n_chars) AS BIGINT),
+                 CAST(min(n_chars) AS VARCHAR),
+                 CAST(max(n_chars) AS VARCHAR),
+                 round(avg(n_chars), 4)
+          FROM documents)
+        ORDER BY "column" """)),
+
+    // Decontamination-report capstone: content-stable 80/20 hash split
+    // → exact 8-gram decontam of test against train → one verdict row
+    // PER TEST DOC (clean docs included with zeros) — the artifact an
+    // eval-integrity review actually reads. Composes q56's split and
+    // q75's scrub; the oracle replays the identical pipeline.
+    "q87_decontam_report" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        val docs = Tables(s, dir, "documents")
+        val split = Sampling.hashSplit(docs, "doc_id", trainFrac = 0.8)
+        val train = split.filter(col("split") === "train")
+        val test = split.filter(col("split") === "test")
+        val leaks = Dedup.exactNgramDecontam(train, test,
+          "doc_id", "text", n = 8)
+          .groupBy("test_id")
+          .agg(countDistinct(col("train_id")).as("n_train_docs"),
+            sum(col("n_shared")).as("n_shared_total"))
+        test.select(col("doc_id").as("test_id"), col("lang"))
+          .join(leaks, Seq("test_id"), "left")
+          .select(col("test_id"), col("lang"),
+            when(col("n_train_docs").isNull, 1L).otherwise(0L)
+              .as("is_clean"),
+            coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+            coalesce(col("n_shared_total"), lit(0L)).as("n_shared_total"))
+          .orderBy("test_id")
+      },
+      oracle = Some("""
+        WITH labeled AS (
+          SELECT doc_id, lang, text,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                   AS is_train
+          FROM documents),
+        s AS (
+          SELECT doc_id, is_train, list_distinct(
+                 [array_to_string(string_split(text,' ')[i+1:i+8],' ')
+                  for i in range(len(string_split(text,' '))-7)]) AS sh
+          FROM labeled),
+        tr AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE is_train),
+        te AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE NOT is_train),
+        pairs AS (
+          SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+                 count(*) AS n_shared
+          FROM tr JOIN te USING (gram) GROUP BY 1, 2),
+        leaks AS (
+          SELECT test_id,
+                 CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs,
+                 CAST(sum(n_shared) AS BIGINT) AS n_shared_total
+          FROM pairs GROUP BY 1)
+        SELECT l.doc_id AS test_id, l.lang,
+               CAST(CASE WHEN k.test_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_clean,
+               coalesce(k.n_train_docs, 0) AS n_train_docs,
+               coalesce(k.n_shared_total, 0) AS n_shared_total
+        FROM labeled l LEFT JOIN leaks k ON k.test_id = l.doc_id
+        WHERE NOT l.is_train
+        ORDER BY test_id""")),
+
     // Flagship composite: the full training-data cleaning pipeline in
     // one plan — quality gate → exact dedup (keep min id per
     // fingerprint) → near-dup removal (drop the HIGHER id of every
