@@ -156,6 +156,60 @@ object Streaming {
       .format(format)
       .save(s"$path/batch_id=$batchId")
 
+  // --------------------------------------- continuous-ingest dedup
+
+  /** Continuous-ingest near-dup detection: every arriving micro-batch
+    * is checked against ITSELF and the accumulated corpus via
+    * [[graft.operators.Dedup.incrementalJaccardPairs]] (new×new +
+    * new×old — the quadratic old×old bulk is structurally skipped;
+    * those pairs surfaced when their docs were themselves the new
+    * batch), flagged pairs are appended to `pairsPath` and the batch
+    * itself to the corpus at `corpusPath` — both as `batch_id=N`
+    * slices, so a replayed batch OVERWRITES its own partitions (the
+    * [[exactlyOnceFileSink]] idempotence recipe). Replay safety also
+    * requires excluding the current batch's own slice from the "old"
+    * corpus read — a half-written slice from a failed attempt would
+    * otherwise self-join the batch — hence the corpus scan filters
+    * `batch_id != current` on the partition column (partition-pruned:
+    * the excluded slice is never read).
+    *
+    * At scale the corpus side is exactly the incremental operator's
+    * design target: a static, partition-pruned parquet table joined
+    * once per batch on the new docs' prefix keys; per-batch cost
+    * scales with the batch, not the accumulated corpus size.
+    */
+  def dedupIngest(
+      stream: DataFrame, corpusPath: String, pairsPath: String,
+      idCol: String, textCol: String, n: Int, threshold: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestDedupBatch(batch, batchId, corpusPath, pairsPath,
+        idCol, textCol, n, threshold)
+    }
+
+  /** The per-batch step — separated (like [[writeBatch]]) so tests and
+    * manual backfills can replay a batch directly and observe
+    * idempotence. */
+  def ingestDedupBatch(
+      batch: DataFrame, batchId: Long, corpusPath: String,
+      pairsPath: String, idCol: String, textCol: String,
+      n: Int, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val sel = batch.select(col(idCol), col(textCol))
+    val root = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old =
+      if (fs.exists(root))
+        spark.read.option("basePath", corpusPath).parquet(corpusPath)
+          .filter(col("batch_id") =!= batchId)
+          .select(col(idCol), col(textCol))
+      else sel.limit(0)
+    val pairs = graft.operators.Dedup.incrementalJaccardPairs(
+      sel, old, idCol, textCol, n, threshold)
+    writeBatch(pairs, pairsPath, "parquet", batchId)
+    writeBatch(sel, corpusPath, "parquet", batchId)
+  }
+
   // ------------------------------------------------------- sessionize
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
@@ -320,6 +321,47 @@ class StreamingSpec extends SparkSpec {
     val replay = Seq(Event(1L, ts(1), 1.0), Event(2L, ts(2), 2.0)).toDF()
     Streaming.writeBatch(replay, dir, "parquet", batchId = 0L)
     assert(spark.read.parquet(dir).count() === 2)
+  }
+
+  test("dedupIngest: per-batch new×new + new×old pairs; idempotent replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-corpus").toString
+    val pairsDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-pairs").toString
+    // 3-gram shingles: 1 = {abc,bcd,cde,def}, 2 = {abc,bcd,cde,deg}
+    // → J(1,2) = 3/5 = 0.6; 4 = {abc,bcd,cde,def,efh} → J(1,4) = 0.8,
+    // J(2,4) = 3/6 = 0.5; 3 shares nothing
+    val ms = MemoryStream[(Long, String)]
+    val writer = Streaming.dedupIngest(
+      ms.toDF().toDF("doc_id", "text"), corpusDir, pairsDir,
+      "doc_id", "text", n = 3, threshold = 0.5)
+      .trigger(Trigger.AvailableNow())
+    ms.addData((1L, "a b c d e f"), (2L, "a b c d e g"),
+      (3L, "x y z w q r"))
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    ms.addData((4L, "a b c d e f h"))
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+
+    def pairsOf(batch: Long): Set[(Long, Long)] =
+      spark.read.option("basePath", pairsDir).parquet(pairsDir)
+        .filter(col("batch_id") === batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 0: the within-batch pair only
+    assert(pairsOf(0) === Set((1L, 2L)))
+    // batch 1: pairs TOUCHING the new batch — and (1,2) NOT re-reported
+    assert(pairsOf(1) === Set((1L, 4L), (2L, 4L)))
+    // corpus accumulated both slices
+    assert(spark.read.parquet(corpusDir).count() === 4)
+
+    // replay batch 1 (post-failure restart): its own half-written slice
+    // is excluded from the "old" side, output replaced not appended
+    Streaming.ingestDedupBatch(
+      Seq((4L, "a b c d e f h")).toDF("doc_id", "text"), 1L,
+      corpusDir, pairsDir, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(pairsOf(1) === Set((1L, 4L), (2L, 4L)))
+    assert(spark.read.parquet(corpusDir).count() === 4)
   }
 
   test("sessionizeBatch matches hand-computed sessions") {
