@@ -189,7 +189,18 @@ object Streaming {
 
   /** The per-batch step — separated (like [[writeBatch]]) so tests and
     * manual backfills can replay a batch directly and observe
-    * idempotence. */
+    * idempotence.
+    *
+    * The old-corpus read supplies an EXPLICIT schema (the batch's own
+    * two selected columns + the `batch_id` partition column) rather
+    * than inferring one: inference inside a stream's batch function is
+    * fragile — an existing-but-empty corpus directory (pre-created by a
+    * deploy script, an object-store marker, or a failed first attempt
+    * that made the dir without files) has nothing to infer from and
+    * would kill batch 0 with UNABLE_TO_INFER_SCHEMA, and even on the
+    * happy path the first batch would silently define the contract.
+    * With the schema pinned, an empty or fileless directory reads as
+    * zero rows and the column types never drift from the stream's. */
   def ingestDedupBatch(
       batch: DataFrame, batchId: Long, corpusPath: String,
       pairsPath: String, idCol: String, textCol: String,
@@ -198,9 +209,13 @@ object Streaming {
     val sel = batch.select(col(idCol), col(textCol))
     val root = new org.apache.hadoop.fs.Path(corpusPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpusSchema = org.apache.spark.sql.types.StructType(
+      sel.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "batch_id", org.apache.spark.sql.types.LongType, nullable = true))
     val old =
       if (fs.exists(root))
-        spark.read.option("basePath", corpusPath).parquet(corpusPath)
+        spark.read.option("basePath", corpusPath).schema(corpusSchema)
+          .parquet(corpusPath)
           .filter(col("batch_id") =!= batchId)
           .select(col(idCol), col(textCol))
       else sel.limit(0)

@@ -334,10 +334,17 @@ class StreamingSpec extends SparkSpec {
     // → J(1,2) = 3/5 = 0.6; 4 = {abc,bcd,cde,def,efh} → J(1,4) = 0.8,
     // J(2,4) = 3/6 = 0.5; 3 shares nothing
     val ms = MemoryStream[(Long, String)]
+    // a SHARED checkpoint across the two starts is load-bearing: without
+    // it each start() makes a fresh temp checkpoint, the MemoryStream
+    // replays from scratch, and the second run re-processes docs 1-3 as
+    // a new batch 0 instead of resuming at batch 1 with doc 4 only
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-ckpt").toString
     val writer = Streaming.dedupIngest(
       ms.toDF().toDF("doc_id", "text"), corpusDir, pairsDir,
       "doc_id", "text", n = 3, threshold = 0.5)
       .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
     ms.addData((1L, "a b c d e f"), (2L, "a b c d e g"),
       (3L, "x y z w q r"))
     val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
@@ -362,6 +369,24 @@ class StreamingSpec extends SparkSpec {
       corpusDir, pairsDir, "doc_id", "text", n = 3, threshold = 0.5)
     assert(pairsOf(1) === Set((1L, 4L), (2L, 4L)))
     assert(spark.read.parquet(corpusDir).count() === 4)
+  }
+
+  test("ingestDedupBatch: batch 0 succeeds against a pre-created EMPTY corpus dir") {
+    import spark.implicits._
+    // a provisioned-but-empty corpus path (mkdir -p in a deploy script,
+    // an object-store dir marker) must read as an empty corpus, not die
+    // in schema inference
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-empty-corpus").toString
+    val pairsDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-empty-pairs").toString
+    Streaming.ingestDedupBatch(
+      Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text"),
+      0L, corpusDir, pairsDir, "doc_id", "text", n = 3, threshold = 0.5)
+    val pairs = spark.read.option("basePath", pairsDir).parquet(pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    assert(spark.read.parquet(corpusDir).count() === 2)
   }
 
   test("sessionizeBatch matches hand-computed sessions") {
