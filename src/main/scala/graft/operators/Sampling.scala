@@ -133,16 +133,27 @@ object Sampling {
     * merge, never a global sort). `maxWeight` bounds the per-row hash
     * work; weights above it saturate (documented contract, not a
     * silent drop).
+    *
+    * Weight contract: the replica count is integral, so a fractional
+    * weight is ROUNDED half-up (2.9 → 3, 2.4 → 2) before clamping to
+    * [1, maxWeight] — truncation would silently bias fractional
+    * weights down a full replica. Rows with a NULL `keyCol` are
+    * dropped before ranking: a null key has no content identity to
+    * hash, and engines disagree on where null sort keys rank (Spark
+    * nulls-first would ALWAYS select them; DuckDB nulls-last never
+    * would), so excluding them is the only portable reading.
     */
   def weightedTake(
       df: DataFrame, keyCol: String, weightCol: Column, k: Int,
       maxWeight: Int = 64): DataFrame = {
     require(k >= 0, "k must be non-negative")
     require(maxWeight >= 1, "maxWeight must be at least 1")
-    val w = least(lit(maxWeight), greatest(lit(1), weightCol)).cast("long")
+    val w = least(lit(maxWeight.toLong),
+      greatest(lit(1L), round(weightCol.cast("double")).cast("long")))
     val sk = array_min(transform(sequence(lit(1L), w), j =>
       md5(concat(col(keyCol).cast("string"), lit(":"), j.cast("string")))))
-    df.withColumn("__wk", sk)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__wk", sk)
       .orderBy(col("__wk"), col(keyCol))
       .limit(k)
       .drop("__wk")
@@ -153,20 +164,65 @@ object Sampling {
     * worst decile" without ever comparing against an interpolated
     * float threshold (whose last-ulp differences across engines make
     * boundary rows nondeterministic; rank + a unique tie-break is
-    * portable exactly). Rank-based exactness costs a global sort; at
-    * scales where that single sort is unacceptable, switch to an
-    * `approx_percentile` threshold and accept boundary fuzz.
+    * portable exactly).
+    *
+    * The global rank is computed WITHOUT a corpus-sized
+    * single-partition window (the naive `row_number().over(
+    * Window.partitionBy().orderBy(...))` puts every row in ONE task —
+    * the scale-killer). Instead, the [[Packing.packSequences]]
+    * two-phase trick adapted to an arbitrary sort key:
+    *
+    *   1. an in-plan `approx_percentile` sketch of `scoreCol` yields
+    *      `nBuckets`-1 RANGE boundaries (a scalar subquery — no driver
+    *      action). Bucket order == score order by construction; the
+    *      sketch's error moves rows between ADJACENT buckets but the
+    *      per-bucket counts below are exact, so placement only affects
+    *      balance, never the result;
+    *   2. `row_number` within each range bucket is an ordinary
+    *      partitioned window — parallel across buckets;
+    *   3. per-bucket counts (≤ nBuckets rows, model-sized) get the
+    *      only single-partition window, and broadcast back as each
+    *      bucket's base rank; global rank = base + within-bucket rank.
+    *
+    * Degenerate distributions (one score value dominating) collapse
+    * adjacent boundaries and that value's rows land in one bucket —
+    * the per-bucket sort degrades toward the single-task spelling for
+    * exactly those rows (spillable, and inherent: equal scores are one
+    * rank range). Null scores bucket first, matching Spark's
+    * nulls-first ascending order.
     */
   def dropBottomFraction(
       df: DataFrame, scoreCol: String, tieCol: String,
-      frac: Double): DataFrame = {
+      frac: Double, nBuckets: Int = 128): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, "fraction must be in [0,1]")
+    require(nBuckets >= 2, "nBuckets must be at least 2")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy()
-    df.withColumn("__rk", row_number().over(
-        w.orderBy(col(scoreCol), col(tieCol))))
-      .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__rk") > exactCeil(frac, col("__n")))
-      .drop("__rk", "__n")
+    val score = col(scoreCol)
+    val probs = array((1 until nBuckets)
+      .map(i => lit(i.toDouble / nBuckets)): _*)
+    val bndAgg = df.agg(
+      percentile_approx(score.cast("double"), probs, lit(10000)).as("b"))
+    val bucketed = df
+      .withColumn("__bnds", graft.plans.Scalars.of(bndAgg))
+      .withColumn("__bucket",
+        when(score.isNull, lit(-1)).otherwise(
+          size(filter(col("__bnds"), b => b <= score.cast("double")))))
+      .drop("__bnds")
+    val inBucket = Window.partitionBy(col("__bucket"))
+      .orderBy(score, col(tieCol))
+    val ledger = bucketed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__base", coalesce(
+        sum(col("__cnt")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total",
+        sum(col("__cnt")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__bucket"), col("__base"), col("__total"))
+    bucketed
+      .withColumn("__rk", row_number().over(inBucket))
+      .join(broadcast(ledger), "__bucket")
+      .filter(col("__base") + col("__rk") > exactCeil(frac, col("__total")))
+      .drop("__bucket", "__rk", "__base", "__total")
   }
 }

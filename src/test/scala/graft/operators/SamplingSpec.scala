@@ -57,6 +57,42 @@ class SamplingSpec extends SparkSpec {
     assert(keptTied === Set(3L, 4L))
   }
 
+  test("dropBottomFraction: exact at scale shape — no corpus-sized " +
+      "single-partition window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // AQE off so executedPlan is a plain traversable tree
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // heavy ties (~10 rows per score value) exercise rows straddling
+      // range-bucket boundaries; tie-break on id keeps the rank total
+      val rows = (1 to 1000).map(i => (i.toLong, (i % 97) * 0.5))
+      val df = rows.toDF("id", "score")
+      val gated = Sampling.dropBottomFraction(df, "score", "id", 0.1)
+      val expected = rows.sortBy { case (id, s) => (s, id) }
+        .drop(math.ceil(0.1 * rows.size).toInt).map(_._1).toSet
+      assert(gated.select("id").as[Long].collect().toSet === expected)
+      // plan contract: the ONLY unpartitioned window sits above the
+      // model-sized bucket ledger (an aggregate), never the corpus
+      val plan = gated.queryExecution.executedPlan
+      val unpartitioned = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.nonEmpty, "expected the ledger window")
+      unpartitioned.foreach { w =>
+        assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"single-partition window over non-aggregated input:\n$w")
+      }
+      // and the corpus-sized rank window is partitioned (by range bucket)
+      val partitioned = plan.collect {
+        case w: WindowExec if w.partitionSpec.nonEmpty => w
+      }
+      assert(partitioned.nonEmpty, "expected the per-bucket rank window")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("mixSample: exact per-stratum shares, unlisted strata dropped") {
     import spark.implicits._
     val df = (1L to 300L).map(i =>
