@@ -60,6 +60,52 @@ object Sampling {
   def takeDeterministic(df: DataFrame, keyCol: String, k: Int): DataFrame =
     df.orderBy(md5(col(keyCol).cast("string")), col(keyCol)).limit(k)
 
+  /** Per-stratum exact global rank without a stratum-sized window: the
+    * [[Packing.packSequences]] two-phase prefix rank, applied WITHIN
+    * each stratum. The within-stratum sort key is md5(key) — already
+    * uniform — so range buckets fall out of the hash prefix for free
+    * (first 2 hex chars; bucket order is a prefix of the md5 order by
+    * construction, no boundary sketch needed):
+    *
+    *   1. `row_number` within (stratum, bucket) — parallel across 256
+    *      buckets per stratum, so a single giant stratum spreads over
+    *      256 tasks instead of serializing into one;
+    *   2. a (stratum, bucket) count ledger (256·|strata| rows; strata
+    *      are languages/sources — small by nature — so the ledger is
+    *      model-sized and broadcast) carries each bucket's base rank
+    *      and the stratum total via windows over the LEDGER, never the
+    *      corpus.
+    *
+    * Emits `__rk` (1-based rank in the stratum's md5 order, key as
+    * tie-break) and `__n` (stratum size); callers filter and drop. */
+  private def withStratumRank(
+      df: DataFrame, keyCol: String, stratumCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("__h", md5(col(keyCol).cast("string")))
+      .withColumn("__bucket", substring(col("__h"), 1, 2))
+    val inBucket = Window.partitionBy(col(stratumCol), col("__bucket"))
+      .orderBy(col("__h"), col(keyCol))
+    val byStratum = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__bucket"))
+    val ledger = keyed.groupBy(col(stratumCol), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__base", coalesce(
+        sum(col("__cnt")).over(
+          byStratum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n",
+        sum(col("__cnt")).over(byStratum.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(stratumCol), col("__bucket"), col("__base"), col("__n"))
+    keyed
+      .withColumn("__rbk", row_number().over(inBucket))
+      .join(broadcast(ledger), Seq(stratumCol, "__bucket"))
+      .withColumn("__rk", col("__base") + col("__rbk"))
+  }
+
+  private def stratumRankCols =
+    Seq("__h", "__bucket", "__rbk", "__base", "__n", "__rk")
+
   /** Exact per-stratum deterministic sampling: within each stratum,
     * rows rank by md5(key) (content-stable total order; key as
     * tie-break) and the first ceil(frac · stratum_size) survive. Where
@@ -67,24 +113,18 @@ object Sampling {
     * stratum here contributes EXACTLY its share — what a training-mix
     * builder needs when balancing languages or sources.
     *
-    * Shape: one shuffle + sort keyed by the stratum. Ranking within a
-    * stratum is inherently a per-stratum order, so a single giant
-    * stratum serializes into one partition's sort (spillable, but not
-    * parallel) — for stratum sizes beyond a single executor's
-    * spill-comfort, use [[hashSample]] per stratum instead and accept
-    * expectation-level proportionality.
-    */
+    * Shape: [[withStratumRank]]'s two-phase rank — parallel across 256
+    * hash buckets per stratum, so there is no giant-stratum
+    * serialization; the only broadcast is the model-sized bucket
+    * ledger. */
   def stratifiedSample(
       df: DataFrame, keyCol: String, stratumCol: String,
       frac: Double): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, "fraction must be in [0,1]")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(stratumCol))
-    df.withColumn("__rk", row_number().over(
-        w.orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
-      .withColumn("__n", count(lit(1)).over(w))
+    withStratumRank(df, keyCol, stratumCol)
       .filter(col("__rk") <= exactCeil(frac, col("__n")))
-      .drop("__rk", "__n")
+      .drop(stratumRankCols: _*)
+      .select(df.columns.map(col): _*)
   }
 
   /** Exact-share training-mix sampling: per-stratum sampling fractions
@@ -93,7 +133,7 @@ object Sampling {
     * content-stable md5 order — [[stratifiedSample]] generalized from
     * one fraction to a mix specification. Strata absent from the map
     * get `defaultFrac` (0.0 = drop unlisted strata, the usual mix-spec
-    * reading). Same shape: one shuffle + per-stratum rank windows.
+    * reading). Same two-phase shape, same giant-stratum safety.
     */
   def mixSample(
       df: DataFrame, keyCol: String, stratumCol: String,
@@ -101,8 +141,6 @@ object Sampling {
       defaultFrac: Double = 0.0): DataFrame = {
     (fracs.values ++ Seq(defaultFrac)).foreach(f =>
       require(f >= 0.0 && f <= 1.0, "fractions must be in [0,1]"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(stratumCol))
     // the stratum's share, as an exact-decimal column expression
     val fracCol = fracs.foldLeft(
       lit(new java.math.BigDecimal(defaultFrac.toString))) {
@@ -110,11 +148,10 @@ object Sampling {
         when(col(stratumCol) === s,
           lit(new java.math.BigDecimal(f.toString))).otherwise(acc)
     }
-    df.withColumn("__rk", row_number().over(
-        w.orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
-      .withColumn("__n", count(lit(1)).over(w))
+    withStratumRank(df, keyCol, stratumCol)
       .filter(col("__rk") <= ceil(fracCol * col("__n")))
-      .drop("__rk", "__n")
+      .drop(stratumRankCols: _*)
+      .select(df.columns.map(col): _*)
   }
 
   /** Deterministic WEIGHTED exact-k sample without replacement

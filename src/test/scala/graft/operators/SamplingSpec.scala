@@ -112,6 +112,46 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("stratifiedSample: giant stratum stays exact and parallel") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // one stratum 500x the other — the shape that used to serialize
+      // into a single per-stratum sort task
+      val rows = (1L to 5000L).map(i => (i, "big")) ++
+        (5001L to 5010L).map(i => (i, "small"))
+      val df = rows.toDF("id", "src")
+      val got = Sampling.stratifiedSample(df, "id", "src", 0.3)
+      // expected: per stratum, first ceil(0.3*n) in (md5(id), id) order —
+      // recomputed independently with JVM md5
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+          .take(math.ceil(0.3 * rs.size).toInt)
+      }.map(_._1).toSet
+      assert(got.select("id").as[Long].collect().toSet === expected)
+      assert(got.columns.toSeq === Seq("id", "src")) // column order kept
+      // plan contract: any window partitioned by the stratum ALONE (the
+      // old per-stratum serialization) must sit above the aggregated
+      // ledger; corpus-sized windows carry (stratum, bucket)
+      val plan = got.queryExecution.executedPlan
+      plan.collect {
+        case w: WindowExec if w.partitionSpec.size == 1 => w
+      }.foreach { w =>
+        assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"stratum-wide window over non-aggregated input:\n$w")
+      }
+      assert(plan.collect {
+        case w: WindowExec if w.partitionSpec.size == 2 => w
+      }.nonEmpty, "expected the (stratum, bucket) rank window")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("weightedTake: exact k, deterministic, weight-biased, top-k plan") {
     import spark.implicits._
     // 2000 rows, half weight 1, half weight 8 — the heavy half should
