@@ -97,13 +97,26 @@ object ConnectedComponents {
     // also delete their files (the cleaner only does that under GC
     // pressure with cleanCheckpoints on, which an iterative loop can't
     // wait for).
-    def release(df: DataFrame): Unit =
+    def release(df: DataFrame, successor: DataFrame): Unit =
       df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
         .foreach { rdd =>
           rdd.unpersist(blocking = false)
           rdd.getCheckpointFile.foreach { f =>
-            val p = new Path(f)
-            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+            // Deleting the predecessor's files is only safe once the
+            // SUCCESSOR holds its own materialized checkpoint — a
+            // lost-executor recompute would otherwise chase deleted
+            // files. Enforced here, not by call order: if a refactor
+            // ever makes the preceding signature() lazy or cached,
+            // materialize the successor now; and if it still is not
+            // checkpointed (unexpected plan shape), keep the files —
+            // leaked checkpoint data beats a broken lineage.
+            val succ = successor.queryExecution.analyzed
+              .collectFirst { case l: LogicalRDD => l.rdd }
+            succ.filterNot(_.isCheckpointed).foreach(_.count())
+            if (succ.exists(_.isCheckpointed)) {
+              val p = new Path(f)
+              p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+            }
           }
         }
     val e0 = pairs
@@ -166,7 +179,7 @@ object ConnectedComponents {
     while (!converged && round < MaxRounds) {
       val next = cut(smallStar(largeStar(smallStar(largeStar(edges)))))
       val nextSig = signature(next) // materializes `next`...
-      release(edges)                // ...so its input is now droppable
+      release(edges, next)          // ...so its input is now droppable
       converged = nextSig == sig
       edges = next
       sig = nextSig

@@ -224,32 +224,45 @@ object Similarity {
         chosen.toArray
       }
 
-    // Lloyd refinement (`lloydIters` passes over the cached corpus):
-    // mean of members per cell (cell id = position in the centroid
-    // array). Per-dimension means go through posexplode + one hash agg
-    // on (cell, pos) — the plan stays a handful of expressions at ANY
-    // dim (building `dim` avg() columns instead blows up
-    // analysis/codegen at embedding dims like 1536), and the agg is
-    // partial+final so the exploded rows never shuffle raw.
-    def lloydPass(centroids: Array[Array[Double]]): Array[Array[Double]] =
-      c.withColumn("cell",
-        element_at(SK.nearestCells(col("__mv"), centroids, 1), 1))
-        .select(col("cell"), posexplode(col("__mv")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cell")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-        .collect()
-        .sortBy(_.getInt(0))
-        .map(_.getSeq[Double](1).toArray)
+    // Lloyd refinement: `lloydIters` [[lloydStep]] passes over the
+    // cached corpus
     val refined: Array[Array[Double]] =
-      (1 to lloydIters).foldLeft(seeds)((cs, _) => lloydPass(cs))
+      (1 to lloydIters).foldLeft(seeds)((cs, _) => lloydStep(c, "__mv", cs))
 
     // model built — release the cache (see scaladoc: repeated calls in a
     // long session must not accumulate corpora; the final join's single
     // scan recomputes from source)
     c.unpersist(blocking = false)
     refined
+  }
+
+  /** One Lloyd refinement pass: mean of members per cell (cell id =
+    * position in the centroid array). Per-dimension means go through
+    * posexplode + one hash agg on (cell, pos) — the plan stays a
+    * handful of expressions at ANY dim (building `dim` avg() columns
+    * instead blows up analysis/codegen at embedding dims like 1536),
+    * and the agg is partial+final so the exploded rows never shuffle
+    * raw.
+    *
+    * The result array is indexed BY CELL ID with the previous centroid
+    * carried forward for cells that ended the pass with no members —
+    * rebuilding by rank would silently shrink the model below nCells
+    * and remap cell ids between passes (recall would degrade on small
+    * or duplicate-heavy corpora where cells empty out). */
+  private[operators] def lloydStep(
+      c: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    val out = centroids.clone()
+    c.withColumn("cell",
+      element_at(SK.nearestCells(col(vecCol), centroids, 1), 1))
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+      .collect()
+      .foreach(r => out(r.getInt(0)) = r.getSeq[Double](1).toArray)
+    out
   }
 }

@@ -21,6 +21,22 @@ class SimilaritySpec extends SparkSpec {
         q -> rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
       }
 
+  test("lloydStep: an empty cell keeps its previous centroid — model " +
+      "never shrinks, cell ids never remap") {
+    import spark.implicits._
+    // 1-D corpus in two tight clumps; centroid [5.0] attracts nothing
+    // (0.0 is closer to [0.0], 10.0 closer to [10.0]) — its cell must
+    // come back unchanged, not vanish and shift later cell ids down
+    val c = (Seq.fill(10)(0.0) ++ Seq.fill(10)(10.0)).zipWithIndex
+      .map { case (x, i) => (i.toLong, Array(x)) }.toDF("__mid", "__mv")
+    val before = Array(Array(0.0), Array(10.0), Array(5.0))
+    val after = Similarity.lloydStep(c, "__mv", before)
+    assert(after.length === 3)
+    assert(after(0).toSeq === Seq(0.0))
+    assert(after(1).toSeq === Seq(10.0))
+    assert(after(2).toSeq === Seq(5.0)) // carried forward, same cell id
+  }
+
   test("brute force: k results per query, self excluded, ranks contiguous") {
     assert(bruteTop5.size === 10)
     bruteTop5.foreach { case (q, ns) =>
