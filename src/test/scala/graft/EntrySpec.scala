@@ -25,22 +25,54 @@ class EntrySpec extends SparkSpec {
     }
   }
 
-  test("rows-only queries pin golden row counts at the gate SF") {
-    // q25/q28/q29/q43 have no DuckDB oracle (non-portable hash spaces),
-    // so the driver only checks rows > 0 for them. Their hash spaces
-    // are deterministic (fixed seeds), so exact counts at sf0.01 are
-    // stable goldens: a silent behavior change can't hide behind
+  /** Canonical md5 of a full result: columns sorted by name, floats
+    * rounded to 6 dp (absorbs the last-ulp jitter of float partial
+    * aggregation merge order — e.g. the avg()-built centroid model —
+    * while still pinning every value), rows sorted as strings. */
+  private def contentHash(df: org.apache.spark.sql.DataFrame): String = {
+    val cols = df.columns.sorted
+    val canon = df
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+      .map { r =>
+        cols.indices.map { i =>
+          r.get(i) match {
+            case null => "NULL"
+            case d: Double => f"$d%.6f"
+            case f: Float => f"${f.toDouble}%.6f"
+            case x => x.toString
+          }
+        }.mkString("|")
+      }
+      .sorted
+      .mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("rows-only queries pin golden CONTENT (row count + result md5) at the gate SF") {
+    // q25/q28/q29/q43/q85 have no DuckDB oracle (non-portable hash
+    // spaces), so the driver only checks rows > 0 for them. Their hash
+    // spaces are deterministic (fixed seeds), so the full sf0.01 result
+    // is a stable golden: a silent behavior change — even a pair-set
+    // substitution at EQUAL cardinality — can't hide behind
     // `no_oracle`. Recall/guarantee semantics are separately gated in
     // DedupSpec/SimilaritySpec.
     val golden = Map(
-      "q25_dedup_simhash" -> 23L,
-      "q28_sim_topk_lsh" -> 100L,
-      "q29_sim_topk_ivf" -> 100L,
-      "q43_dedup_winnowing" -> 30L,
-      "q85_dedup_semantic" -> 13L)
-    golden.foreach { case (name, want) =>
-      val got = SparkEntry.queries(name)(spark, sf("sf0.01")).count()
-      assert(got === want, name)
+      "q25_dedup_simhash" -> (23L, "5e97c514a610c8d353f8486f1d399373"),
+      "q28_sim_topk_lsh" -> (100L, "84ddb65371a182c43aa6adb628d3b96e"),
+      "q29_sim_topk_ivf" -> (100L, "448e5ffd52869eea5298cd61c7fea47a"),
+      "q43_dedup_winnowing" -> (30L, "ea48356572fd552e30be8beb4601453b"),
+      "q85_dedup_semantic" -> (13L, "903286c603f9ddf10add7529bc92b9be"))
+    val got = golden.keys.toSeq.sorted.map { name =>
+      val df = SparkEntry.queries(name)(spark, sf("sf0.01"))
+      name -> (df.count(), contentHash(df))
+    }
+    got.foreach { case (name, (rows, h)) => info(s"$name rows=$rows md5=$h") }
+    got.foreach { case (name, (rows, h)) =>
+      val (wantRows, wantHash) = golden(name)
+      assert(rows === wantRows, name)
+      assert(h === wantHash, s"$name content drifted")
     }
   }
 }
