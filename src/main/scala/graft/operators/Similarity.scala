@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{VectorFunctions => V}
 import graft.plans.{DotProduct, SketchExpressions => SK}
@@ -16,9 +15,9 @@ import graft.plans.{DotProduct, SketchExpressions => SK}
   *   - `lshTopK` — random-hyperplane LSH: corpus bucketed once by sign
   *     signature; queries probe their bucket (+ optional multi-probe by
   *     flipping low bits). Candidate set ≪ corpus at scale.
-  *   - `ivfTopK` — IVF: k centroids (sampled + one Lloyd refinement
-  *     pass, all DataFrame aggs), corpus assigned to nearest centroid
-  *     cell; queries probe the nProbe nearest cells.
+  *   - `ivfTopK` — IVF: k centroids trained on a bounded sample
+  *     (k-means|| seeding + Lloyd refinement), corpus assigned to
+  *     nearest centroid cell; queries probe the nProbe nearest cells.
   *
   * `spread` (default true) round-robins the corpus across
   * defaultParallelism partitions before scoring — needed when the
@@ -99,14 +98,13 @@ object Similarity {
   }
 
   /** IVF ANN: k-means centroid model (see [[centroidModel]] — k-means||
-    * seeding + Lloyd refinement, deterministic under `seed`, with the
-    * corpus persisted only for the model-building actions), corpus
-    * assigned to its nearest cell, queries probing the `nProbe`
-    * nearest cells. The centroid "model" is tiny (nCells × dim) and
-    * rides a broadcast; everything data-sized stays distributed. The
-    * final query join re-reads the corpus from source — one scan it
-    * needs anyway, against the possibly-updated table rather than a
-    * stale cache.
+    * seeding + Lloyd refinement over a bounded training sample,
+    * deterministic under `seed`; model building costs one corpus
+    * pass), corpus assigned to its nearest cell, queries probing the
+    * `nProbe` nearest cells. The centroid "model" is tiny (nCells ×
+    * dim) and rides a broadcast; everything data-sized stays
+    * distributed. The final query join reads the corpus from source —
+    * one scan it needs anyway.
     */
   def ivfTopK(
       queries: DataFrame, qIdCol: String, qVecCol: String,
@@ -140,49 +138,66 @@ object Similarity {
     * array<double>) frame — the shared clustering engine behind
     * [[ivfTopK]]'s cell index and `Dedup.semanticPairs`' SemDeDup
     * clustering. k-means||-style seeding (Bahmani et al., VLDB 2012)
-    * + `lloydIters` Lloyd refinement passes, all DataFrame aggs; the
-    * returned model is nCells × dim doubles.
+    * + `lloydIters` Lloyd refinement passes; the returned model is
+    * nCells × dim doubles.
     *
     * Seeding: a deterministic hash-ordered oversample of 4×nCells
-    * corpus vectors (TakeOrderedAndProject — distributed, no skew
-    * toward low ids like a lowest-id sample, which degenerates when
-    * ids correlate with content, e.g. time-ordered corpora), each
-    * weighted by how many corpus points it attracts (one distributed
-    * assignment pass), then reduced to nCells seeds by weighted
-    * k-means++ ON THE DRIVER — the reduction input is 4×nCells×dim
-    * doubles, model-sized by construction, exactly the k-means||
-    * recipe. A fixed `seed` keeps the whole operator deterministic.
+    * vectors — the training sample's prefix (TakeOrderedAndProject on
+    * the corpus — no skew toward low ids like a lowest-id sample,
+    * which degenerates when ids correlate with content, e.g.
+    * time-ordered corpora), each weighted by how many training points
+    * it attracts, then reduced to nCells seeds by weighted k-means++ —
+    * the reduction input is 4×nCells×dim doubles, model-sized by
+    * construction, exactly the k-means|| recipe. A fixed `seed` keeps
+    * the whole operator deterministic.
     *
-    * The input is persisted (memory-and-disk) across the
-    * model-building actions — pool sampling, candidate weighting, the
-    * Lloyd passes — and UNPERSISTED before returning: a long-lived
-    * session building models repeatedly must not accumulate cached
-    * corpora. Driver traffic is model-sized throughout (pool vectors,
-    * attraction counts, per-cell means — never the corpus).
+    * Training runs on a bounded deterministic SAMPLE, the standard IVF
+    * recipe (faiss trains its coarse quantizer on O(100) vectors per
+    * centroid): ONE corpus action extracts the first
+    * `nCells · trainPerCell` rows of the xxhash64(id) order — the same
+    * order the seed pool draws from, so a corpus at or below the cap
+    * trains on exactly the full corpus — and seeding, weighting and
+    * the Lloyd passes are then plain driver loops over the sample.
+    * The collect is model-sized BY CONSTRUCTION (cap · dim doubles —
+    * a few MB at embedding dims), the same contract as the pool
+    * collect before it; distributing a few-MB k-means is pure
+    * scheduling overhead (measured: 4 extra jobs ≈ +1 s at sf0.1),
+    * and nothing is ever persisted. Model building therefore costs
+    * one corpus pass regardless of `lloydIters`; only the caller's
+    * final cell assignment touches the corpus again. K-means over a
+    * uniform sample estimates the cell means with sampling noise
+    * ~1/sqrt(trainPerCell) per cell — recall-neutral at the defaults,
+    * and gated by the recall specs.
     */
   private[operators] def centroidModel(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, seed: Long, lloydIters: Int): Array[Array[Double]] = {
+      nCells: Int, seed: Long, lloydIters: Int,
+      trainPerCell: Int = 256): Array[Array[Double]] = {
     require(nCells > 0, "nCells must be positive")
-    val c = corpus.select(col(idCol).as("__mid"), col(vecCol).as("__mv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // candidate pool: deterministic pseudo-random oversample
-    val pool: Array[Array[Double]] = c
+    require(trainPerCell >= 4, "trainPerCell must be at least 4")
+    val cap = nCells * trainPerCell
+    val train: Array[Array[Double]] = corpus
+      .select(col(idCol).as("__mid"), col(vecCol).as("__mv"))
       .orderBy(xxhash64(col("__mid")), col("__mid"))
-      .limit(math.max(nCells * 4, nCells))
+      .limit(cap)
       .collect().map(_.getSeq[Double](1).toArray)
+
+    // candidate pool: the sample's prefix (same hash order)
+    val pool: Array[Array[Double]] =
+      train.take(math.max(nCells * 4, nCells))
 
     val seeds: Array[Array[Double]] =
       if (pool.length <= nCells) pool
       else {
-        // k-means|| weighting: attraction counts per candidate
-        // (distributed partial+final agg; ≤ 4×nCells longs collected)
+        // k-means|| weighting: attraction counts per candidate over
+        // the training sample (cosine-nearest, [[nearestIdx]] — the
+        // same rule the in-plan NearestCells expression applies)
         val weights = Array.fill(pool.length)(0.0)
-        c.withColumn("cand", element_at(SK.nearestCells(col("__mv"), pool, 1), 1))
-          .groupBy("cand").agg(count(lit(1)).as("w"))
-          .collect()
-          .foreach(r => weights(r.getInt(0)) = r.getLong(1).toDouble)
+        val poolNorms = pool.map(norm2)
+        train.foreach { v =>
+          val i = nearestIdx(v, pool, poolNorms)
+          if (i >= 0) weights(i) += 1.0
+        }
         // weighted k-means++ reduction over the model-sized pool
         def d2(a: Array[Double], b: Array[Double]): Double = {
           var s = 0.0; var i = 0
@@ -225,44 +240,75 @@ object Similarity {
       }
 
     // Lloyd refinement: `lloydIters` [[lloydStep]] passes over the
-    // cached corpus
-    val refined: Array[Array[Double]] =
-      (1 to lloydIters).foldLeft(seeds)((cs, _) => lloydStep(c, "__mv", cs))
-
-    // model built — release the cache (see scaladoc: repeated calls in a
-    // long session must not accumulate corpora; the final join's single
-    // scan recomputes from source)
-    c.unpersist(blocking = false)
-    refined
+    // training sample
+    (1 to lloydIters).foldLeft(seeds)((cs, _) => lloydStep(train, cs))
   }
 
-  /** One Lloyd refinement pass: mean of members per cell (cell id =
-    * position in the centroid array). Per-dimension means go through
-    * posexplode + one hash agg on (cell, pos) — the plan stays a
-    * handful of expressions at ANY dim (building `dim` avg() columns
-    * instead blows up analysis/codegen at embedding dims like 1536),
-    * and the agg is partial+final so the exploded rows never shuffle
-    * raw.
+  private def norm2(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Cosine-nearest centroid index with EXACTLY the in-plan
+    * [[SK.nearestCells]] rule — ties to the lowest index, zero-norm
+    * vectors/centroids score -2.0 — so the driver-side training and
+    * the expression-side assignment agree on every boundary case. */
+  private def nearestIdx(
+      v: Array[Double], cents: Array[Array[Double]],
+      norms: Array[Double]): Int = {
+    val vn = norm2(v)
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      if (cent.length != v.length)
+        throw new IllegalArgumentException(
+          s"centroid model: vector dim ${v.length} != centroid dim ${cent.length}")
+      var acc = 0.0; var d = 0
+      while (d < v.length) { acc += v(d) * cent(d); d += 1 }
+      val sim = if (vn == 0.0 || norms(c) == 0.0) -2.0
+        else acc / (vn * norms(c))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** One Lloyd refinement pass over the training sample: mean of
+    * members per cell (cell id = position in the centroid array;
+    * cosine-nearest assignment, [[nearestIdx]]).
     *
     * The result array is indexed BY CELL ID with the previous centroid
     * carried forward for cells that ended the pass with no members —
-    * rebuilding by rank would silently shrink the model below nCells
-    * and remap cell ids between passes (recall would degrade on small
-    * or duplicate-heavy corpora where cells empty out). */
+    * rebuilding only from observed members would silently shrink the
+    * model below nCells and remap cell ids between passes (recall
+    * would degrade on small or duplicate-heavy corpora where cells
+    * empty out). */
   private[operators] def lloydStep(
-      c: DataFrame, vecCol: String,
+      train: Array[Array[Double]],
       centroids: Array[Array[Double]]): Array[Array[Double]] = {
     val out = centroids.clone()
-    c.withColumn("cell",
-      element_at(SK.nearestCells(col(vecCol), centroids, 1), 1))
-      .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-      .groupBy("cell")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
-      .collect()
-      .foreach(r => out(r.getInt(0)) = r.getSeq[Double](1).toArray)
+    if (train.isEmpty || centroids.isEmpty) return out
+    val norms = centroids.map(norm2)
+    val dim = train(0).length
+    val sums = Array.ofDim[Double](centroids.length, dim)
+    val counts = new Array[Long](centroids.length)
+    train.foreach { v =>
+      val c = nearestIdx(v, centroids, norms)
+      if (c >= 0) {
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+        counts(c) += 1
+      }
+    }
+    var c = 0
+    while (c < centroids.length) {
+      if (counts(c) > 0)
+        out(c) = Array.tabulate(dim)(d => sums(c)(d) / counts(c))
+      c += 1
+    }
     out
   }
 }

@@ -23,18 +23,18 @@ class SimilaritySpec extends SparkSpec {
 
   test("lloydStep: an empty cell keeps its previous centroid — model " +
       "never shrinks, cell ids never remap") {
-    import spark.implicits._
-    // 1-D corpus in two tight clumps; centroid [5.0] attracts nothing
-    // (0.0 is closer to [0.0], 10.0 closer to [10.0]) — its cell must
-    // come back unchanged, not vanish and shift later cell ids down
-    val c = (Seq.fill(10)(0.0) ++ Seq.fill(10)(10.0)).zipWithIndex
-      .map { case (x, i) => (i.toLong, Array(x)) }.toDF("__mid", "__mv")
-    val before = Array(Array(0.0), Array(10.0), Array(5.0))
-    val after = Similarity.lloydStep(c, "__mv", before)
+    // 2-D training points in two tight clumps; centroid (0,-1) attracts
+    // nothing under cosine assignment — its cell must come back
+    // unchanged, not vanish and shift later cell ids down
+    val train = Array.fill(10)(Array(1.0, 0.0)) ++
+      Array.fill(10)(Array(0.0, 1.0))
+    val before = Array(
+      Array(2.0, 0.0), Array(0.0, 2.0), Array(0.0, -1.0))
+    val after = Similarity.lloydStep(train, before)
     assert(after.length === 3)
-    assert(after(0).toSeq === Seq(0.0))
-    assert(after(1).toSeq === Seq(10.0))
-    assert(after(2).toSeq === Seq(5.0)) // carried forward, same cell id
+    assert(after(0).toSeq === Seq(1.0, 0.0)) // mean of its members
+    assert(after(1).toSeq === Seq(0.0, 1.0))
+    assert(after(2).toSeq === Seq(0.0, -1.0)) // carried forward, same id
   }
 
   test("brute force: k results per query, self excluded, ranks contiguous") {
