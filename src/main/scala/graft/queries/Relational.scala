@@ -21,6 +21,25 @@ import graft.Tables
   */
 object Relational {
 
+  /** q89's join/agg body, pre-checkpoint — exposed so
+    * RuntimeFiltersSpec can pin the bloom build + might_contain probe
+    * on the exact gated shape (the gated entry materializes eagerly
+    * under tuned confs, so its returned plan is already a LogicalRDD). */
+  private[graft] def bloomPrunedRevenue(
+      s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
@@ -783,6 +802,50 @@ object Relational {
           WHERE l_returnflag = 'R'
           GROUP BY c_custkey, c_name, n_name
           ORDER BY revenue DESC, c_custkey LIMIT 20)
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // Runtime bloom-filter pruning, end-to-end: the selective-dim ⋈
+    // giant-fact shape run under RuntimeFilters.tuneForScale, so the
+    // filtered orders side builds a partial+final bloom_filter_agg and
+    // lineitem rows that cannot match are dropped by a
+    // bloom_filter_might_contain probe BEFORE the fact shuffle — the
+    // shuffle-volume cut that matters most at 100 TB. Conf discipline:
+    // injection happens at optimization time, so the query EXECUTES
+    // eagerly under the tuned session (localCheckpoint materializes the
+    // small result) and every touched conf is restored before
+    // returning — no other query's plan ever sees the tuned values.
+    // Auto-broadcast is disabled inside the block to hold the
+    // shuffled-join shape the rule targets at test SF (at deployment
+    // scale the fact join shuffles on its own); the zero application-
+    // side threshold is the test-scale stand-in for a deployment's
+    // real fact-scan sizes. The plan contract (bloom build on the dim
+    // side, might_contain on l_orderkey) is pinned in
+    // RuntimeFiltersSpec against this very query.
+    // ------------------------------------------------------------------
+    "q89_bloom_pruned_revenue" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.RuntimeFilters
+        val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+          RuntimeFilters.EnabledKey, RuntimeFilters.CreationSideKey,
+          RuntimeFilters.ApplicationSideKey)
+        val olds = keys.map(k => k -> s.conf.getOption(k))
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        RuntimeFilters.tuneForScale(s,
+          creationSideThreshold = "100MB",
+          applicationSideScanSizeThreshold = "0")
+        try bloomPrunedRevenue(s, dir).localCheckpoint(true)
+        finally olds.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -64,4 +64,21 @@ class RuntimeFiltersSpec extends SparkSpec {
         probeLines.mkString("\n"))
     }
   }
+
+  test("q89 gated shape carries the bloom build + fact-side probe " +
+      "under tuned thresholds") {
+    // the exact join/agg body the q89 entry checkpoints, asserted
+    // pre-checkpoint under the same confs the entry sets
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      RuntimeFilters.CreationSideKey -> "100MB",
+      RuntimeFilters.ApplicationSideKey -> "0") {
+      val df = graft.queries.Relational.bloomPrunedRevenue(spark, sf("sf0.01"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("partial_bloom_filter_agg"), p.take(3000))
+      assert(p.split("\n").exists(l =>
+        l.contains("might_contain") && l.contains("l_orderkey")), p.take(3000))
+    }
+  }
 }
