@@ -89,6 +89,14 @@ object GraftExtensions {
       "graft_sorted_intersect_count(a, b) - |A∩B| of two sorted long arrays",
       args => { arity(args, 2, "graft_sorted_intersect_count")
         SortedIntersectCount(args.head, args(1)) }),
+    ("graft_sample_key",
+      "graft_sample_key(key, weight, maxWeight) - Efraimidis-Spirakis " +
+        "weighted sampling key (min of round(weight) md5 replica " +
+        "subkeys, saturating at maxWeight); ORDER BY it ascending " +
+        "LIMIT k = exact weighted sample without replacement",
+      args => { arity(args, 3, "graft_sample_key")
+        SampleKeyExpr(args(0), args(1),
+          intLit(args, 2, "graft_sample_key")) }),
     ("graft_dot_product",
       "graft_dot_product(a, b) - dot product of two double arrays",
       args => { arity(args, 2, "graft_dot_product")

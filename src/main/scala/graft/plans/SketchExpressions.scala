@@ -684,3 +684,61 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "sorted_intersect_count"
 }
+
+/** Efraimidis–Spirakis weighted-sampling key in pure hex string space —
+  * the SQL twin of `operators.Sampling.weightedTake`'s per-row key:
+  * min over j in 1..w of md5(key ':' j), where
+  * w = clamp(round(weight), 1, maxWeight). The minimum of w iid
+  * uniforms is Beta(1, w)-distributed, so `ORDER BY` this key
+  * ascending `LIMIT k` IS the ES u^(1/w) weighted sample without
+  * replacement — computed without float pow/ln whose last-ulp engine
+  * differences could flip a rank. Fractional weights round half-up
+  * (truncation would bias a 2.9 weight a full replica down); weights
+  * above `maxWeight` saturate (bounded per-row work, documented
+  * contract). Byte-identical to the Column spelling
+  * `array_min(transform(sequence(1, w), j -> md5(concat(key, ':', j))))`
+  * and to DuckDB's `list_min(list_transform(generate_series(...)))`
+  * realization — all three hash the same UTF-8 bytes.
+  */
+case class SampleKeyExpr(key: Expression, weight: Expression, maxWeight: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(maxWeight >= 1, "maxWeight must be at least 1")
+
+  override def left: Expression = key
+  override def right: Expression = weight
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (key.dataType, weight.dataType) match {
+      case (StringType, _: NumericType) => TypeCheckResult.TypeCheckSuccess
+      case (k, w) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sample_key expects (string, numeric), got " +
+          s"(${k.simpleString}, ${w.simpleString})")
+    }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(k: Any, w: Any): Any = {
+    val keyStr = k.asInstanceOf[UTF8String].toString
+    val wd = w match {
+      case d: Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+    }
+    val reps = math.min(maxWeight.toLong, math.max(1L, math.round(wd)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var best: String = null
+    var j = 1L
+    while (j <= reps) {
+      md.reset()
+      val hex = md.digest(s"$keyStr:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (best == null || hex < best) best = hex
+      j += 1
+    }
+    UTF8String.fromString(best)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SampleKeyExpr =
+    copy(key = newLeft, weight = newRight)
+  override def prettyName: String = "graft_sample_key"
+}

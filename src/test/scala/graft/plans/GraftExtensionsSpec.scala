@@ -41,6 +41,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
   }
 
+  test("graft_sample_key: SQL weighted sampling matches Sampling.weightedTake") {
+    GraftExtensions.register(spark)
+    val df = (1L to 500L).map(i => (i, if (i % 2 == 0) 7.6 else 1.0))
+      .toDF("id", "w")
+    df.createOrReplaceTempView("sk_docs")
+    // the Column-API recipe (round-half-up weights, saturation at 8)
+    val api = graft.operators.Sampling
+      .weightedTake(df, "id", col("w"), k = 50, maxWeight = 8)
+      .select("id").as[Long].collect().toSet
+    // the same recipe spelled in pure SQL via the expression
+    val sql = spark.sql("""
+      SELECT id FROM sk_docs
+      ORDER BY graft_sample_key(CAST(id AS STRING), w, 8), id
+      LIMIT 50""").as[Long].collect().toSet
+    assert(sql === api)
+    // weight 7.6 must round to 8 replicas, not truncate to 7
+    val k8 = spark.sql(
+      "SELECT graft_sample_key('x', 7.6D, 16) AS k").head().getString(0)
+    val k8exact = spark.sql(
+      "SELECT graft_sample_key('x', 8, 16) AS k").head().getString(0)
+    assert(k8 === k8exact)
+  }
+
   test("register: scalar kernels evaluate correctly from SQL") {
     GraftExtensions.register(spark)
     val r = spark.sql("""
