@@ -187,6 +187,76 @@ object LlmOps {
                CAST(sum(id) AS BIGINT) AS id_checksum
         FROM comp GROUP BY component ORDER BY component""")),
 
+    // ------------------------------------------------------------------
+    // SoftDeDup-style reweighting: instead of DROPPING near-duplicates,
+    // every document gets sampling weight 1/|near-dup cluster| (docs in
+    // no cluster keep weight 1), so a cluster of k near-identical docs
+    // contributes ONE document's worth of mass to the training mix —
+    // the soft alternative to q64/q67's hard keeper rule, preserving
+    // rare-variant diversity while neutralizing duplication bias.
+    // Composes the guarded Jaccard-pair + CC primitives; the weight
+    // join-back is one broadcast of the model-sized cluster ledger.
+    // ------------------------------------------------------------------
+    "q91_soft_dedup_weights" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.ConnectedComponents
+        val zh = Tables(s, dir, "documents").filter(col("lang") === "zh")
+        val pairs = Dedup.ngramJaccardPairs(
+          zh, "doc_id", "text", n = 5, threshold = 0.25, charLevel = true)
+        val comp = ConnectedComponents(pairs, "a_id", "b_id")
+        val sizes = comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+        zh.select("doc_id", "source", "n_chars")
+          .join(
+            comp.join(sizes, "component")
+              .select(col("id"), col("cluster_size")),
+            col("doc_id") === col("id"), "left")
+          .withColumn("w",
+            lit(1.0) / coalesce(col("cluster_size"), lit(1L)))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("w")), 4).as("effective_docs"),
+            sum(col("n_chars")).as("raw_chars"),
+            round(sum(col("w") * col("n_chars")), 2).as("effective_chars"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH RECURSIVE s AS (
+          SELECT doc_id,
+                 list_distinct([text[i+1:i+5]
+                                for i in range(len(text)-4)]) AS sh
+          FROM documents WHERE lang = 'zh'),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                      (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3)
+                >= 0.25),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(id, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+        sizes AS (
+          SELECT component, count(*) AS cluster_size FROM comp
+          GROUP BY component),
+        wdoc AS (
+          SELECT d.doc_id, d.source, d.n_chars,
+                 CAST(1.0 AS DOUBLE) / coalesce(z.cluster_size, 1) AS w
+          FROM documents d
+          LEFT JOIN (SELECT c.id, s2.cluster_size
+                     FROM comp c JOIN sizes s2 USING (component)) z
+            ON d.doc_id = z.id
+          WHERE d.lang = 'zh')
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(w), 4) AS effective_docs,
+               CAST(sum(n_chars) AS BIGINT) AS raw_chars,
+               round(sum(w * n_chars), 2) AS effective_chars
+        FROM wdoc GROUP BY source ORDER BY source""")),
+
     // Winnowing hash space isn't portable SQL → rows-only; the
     // winnowing guarantee + overlap semantics are asserted in DedupSpec.
     "q43_dedup_winnowing" -> Q(

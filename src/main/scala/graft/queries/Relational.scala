@@ -846,6 +846,97 @@ object Relational {
                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q3 shape — shipping priority: selective date filters on
+    // BOTH fact sides of a cutoff, a segment-filtered customer slice,
+    // top-10 by revenue. The customer slice is ~1/5 of the table and
+    // GROWS with SF, so it stays a shuffled equi-join (broadcasting it
+    // would stop scaling at exactly the size the query targets); the
+    // top-k plans as TakeOrderedAndProject, never a global sort.
+    // ------------------------------------------------------------------
+    "q90_tpch_shipping_priority" -> Q(
+      fn = (s, dir) => {
+        val cutoff = lit("1996-06-01").cast("timestamp")
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") < cutoff)
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+          .orderBy("l_orderkey")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT l_orderkey, o_orderdate,
+                 round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1996-06-01'
+            AND l_shipdate  > TIMESTAMP '1996-06-01'
+          GROUP BY l_orderkey, o_orderdate
+          ORDER BY revenue DESC, l_orderkey LIMIT 10)
+        ORDER BY l_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q7 shape — volume shipping between two nations, by ship
+    // year: the nation dims are pre-filtered to the TWO named nations
+    // BEFORE broadcasting (2-row broadcasts; the cross-direction OR is
+    // applied after the joins), so the selective predicate prunes the
+    // fact chain instead of riding a post-join filter over everything.
+    // ------------------------------------------------------------------
+    "q92_tpch_volume_shipping" -> Q(
+      fn = (s, dir) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey",
+            "l_extendedprice", "l_discount", "l_shipdate")
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n1_key"),
+            col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n2_key"),
+            col("n_name").as("cust_nation"))
+        li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      oracle = Some("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 }

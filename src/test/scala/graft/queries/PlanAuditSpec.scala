@@ -69,6 +69,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q90/q92: TPC-H Q3/Q7 shapes — top-k never global-sorts, " +
+      "2-row nation dims broadcast, no nested loop") {
+    val p90 = plan("q90_tpch_shipping_priority")
+    assert(p90.contains("TakeOrderedAndProject"), p90.take(2000))
+    assert(!p90.contains("CartesianProduct") &&
+      !p90.contains("BroadcastNestedLoopJoin"), p90.take(2000))
+    // both date predicates must reach the parquet readers
+    assert(p90.contains("PushedFilters: ["), p90.take(3000))
+    val p92 = plan("q92_tpch_volume_shipping")
+    assert(p92.contains("BroadcastHashJoin"), p92.take(2000))
+    assert(!p92.contains("CartesianProduct") &&
+      !p92.contains("BroadcastNestedLoopJoin"), p92.take(2000))
+  }
+
   test("q77: six-table join — dims broadcast, filters pushed, no nested loop") {
     val p = plan("q77_tpch_local_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
