@@ -230,15 +230,21 @@ object Sampling {
     */
   def dropBottomFraction(
       df: DataFrame, scoreCol: String, tieCol: String,
-      frac: Double, nBuckets: Int = 128): DataFrame = {
+      frac: Double, nBuckets: Int = 32): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, "fraction must be in [0,1]")
     require(nBuckets >= 2, "nBuckets must be at least 2")
     import org.apache.spark.sql.expressions.Window
     val score = col(scoreCol)
+    // Boundary sketch accuracy is deliberately LOW (and the bucket
+    // count modest): boundaries only balance the buckets — per-bucket
+    // counts below are exact, so sketch error never changes the
+    // result — while a high-accuracy sketch is a real cost (the r5
+    // bench caught a 127-quantile accuracy-10000 spelling recomputing
+    // an expensive score expression into a 20x regression).
     val probs = array((1 until nBuckets)
       .map(i => lit(i.toDouble / nBuckets)): _*)
     val bndAgg = df.agg(
-      percentile_approx(score.cast("double"), probs, lit(10000)).as("b"))
+      percentile_approx(score.cast("double"), probs, lit(100)).as("b"))
     val bucketed = df
       .withColumn("__bnds", graft.plans.Scalars.of(bndAgg))
       .withColumn("__bucket",

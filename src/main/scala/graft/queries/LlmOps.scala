@@ -109,6 +109,50 @@ object LlmOps {
               >= 0.5
         ORDER BY a_id, b_id""")),
 
+    // ------------------------------------------------------------------
+    // Continuous-ingest dedup, gated END-TO-END: the corpus arrives as
+    // two micro-batches (doc_id parity) through the streaming path's
+    // per-batch step — batch 0 emits even×even pairs, batch 1 odd×odd +
+    // odd×even — and the union of the per-batch batch_id=N pair slices
+    // must equal the FULL corpus pair set (every pair surfaces exactly
+    // once, when its later doc arrives). The oracle recomputes the
+    // whole-corpus Jaccard pairs directly, so the incremental
+    // decomposition + the replay-idempotent file protocol are both on
+    // the hook. Fresh temp dirs per invocation; pair content is
+    // deterministic.
+    // ------------------------------------------------------------------
+    "q94_ingest_dedup_parity" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val corpusDir = java.nio.file.Files
+          .createTempDirectory("graft-q94-corpus").toString
+        val pairsDir = java.nio.file.Files
+          .createTempDirectory("graft-q94-pairs").toString
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        Streaming.ingestDedupBatch(docs.filter(col("doc_id") % 2 === 0),
+          0L, corpusDir, pairsDir, "doc_id", "text", n = 3, threshold = 0.5)
+        Streaming.ingestDedupBatch(docs.filter(col("doc_id") % 2 =!= 0),
+          1L, corpusDir, pairsDir, "doc_id", "text", n = 3, threshold = 0.5)
+        s.read.option("basePath", pairsDir).parquet(pairsDir)
+          .select("a_id", "b_id", "jaccard")
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(string_split(text,' ')[i+1:i+3],' ')
+                                for i in range(len(string_split(text,' '))-2)]) AS sh
+          FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                     (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3)
+                 AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3)
+              >= 0.5
+        ORDER BY a_id, b_id""")),
+
     // SimHash hash space isn't portable SQL → rows-only here; recall of
     // the planted near-dup pairs is asserted in DedupSpec.
     "q25_dedup_simhash" -> Q(

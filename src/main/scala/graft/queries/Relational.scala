@@ -937,6 +937,45 @@ object Relational {
         WHERE n1.n_name IN ('NATION_1', 'NATION_2')
           AND n2.n_name IN ('NATION_1', 'NATION_2')
           AND n1.n_name <> n2.n_name
-        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q14 shape — promo revenue share: a date-windowed fact scan
+    // joined to part (both sides grow with SF — no forced broadcast;
+    // AQE picks the strategy for the actual sizes) with a conditional
+    // aggregate computing the promo share in one pass. The date window
+    // reaches the lineitem scan as PushedFilters.
+    // ------------------------------------------------------------------
+    "q93_tpch_promo_share" -> Q(
+      fn = (s, dir) => {
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        val promoRev = when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .select("l_partkey", "l_extendedprice", "l_discount")
+        val part = t(s, dir, "part").select("p_partkey", "p_type")
+        li.join(part, col("l_partkey") === col("p_partkey"))
+          .agg(
+            round(sum(promoRev), 2).as("promo_revenue"),
+            round(sum(rev), 2).as("total_revenue"),
+            round(lit(100.0) * sum(promoRev) / sum(rev), 4)
+              .as("promo_share_pct"))
+      },
+      oracle = Some("""
+        SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1.0 - l_discount)
+                     ELSE 0.0 END), 2) AS promo_revenue,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                 AS total_revenue,
+               round(CAST(100.0 AS DOUBLE) *
+                     sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1.0 - l_discount)
+                         ELSE 0.0 END) /
+                     sum(l_extendedprice * (1.0 - l_discount)), 4)
+                 AS promo_share_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'"""))
   )
 }
