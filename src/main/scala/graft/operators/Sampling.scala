@@ -88,6 +88,9 @@ object Sampling {
       .orderBy(col("__h"), col(keyCol))
     val byStratum = Window.partitionBy(col(stratumCol))
       .orderBy(col("__bucket"))
+    // ledger join keys are NULL-SAFE (<=>): a null stratum is a valid
+    // window partition in the old single-window spelling, and a plain
+    // equi-join would silently drop its rows (null never equi-matches)
     val ledger = keyed.groupBy(col(stratumCol), col("__bucket"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__base", coalesce(
@@ -96,10 +99,13 @@ object Sampling {
       .withColumn("__n",
         sum(col("__cnt")).over(byStratum.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col(stratumCol), col("__bucket"), col("__base"), col("__n"))
+      .select(col(stratumCol).as("__ls"), col("__bucket").as("__lb"),
+        col("__base"), col("__n"))
     keyed
       .withColumn("__rbk", row_number().over(inBucket))
-      .join(broadcast(ledger), Seq(stratumCol, "__bucket"))
+      .join(broadcast(ledger),
+        col(stratumCol) <=> col("__ls") && col("__bucket") === col("__lb"))
+      .drop("__ls", "__lb")
       .withColumn("__rk", col("__base") + col("__rbk"))
   }
 

@@ -65,6 +65,19 @@ class RuntimeFiltersSpec extends SparkSpec {
     }
   }
 
+  test("q89 entry restores every tuned conf after materializing") {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      RuntimeFilters.EnabledKey, RuntimeFilters.CreationSideKey,
+      RuntimeFilters.ApplicationSideKey)
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    val df = graft.queries.Registry
+      .allQueries("q89_bloom_pruned_revenue").fn(spark, sf("sf0.001"))
+    assert(df.count() > 0)
+    val after = keys.map(k => k -> spark.conf.getOption(k))
+    assert(after === before,
+      "q89 leaked session confs past its finally-restore")
+  }
+
   test("q89 gated shape carries the bloom build + fact-side probe " +
       "under tuned thresholds") {
     // the exact join/agg body the q89 entry checkpoints, asserted

@@ -124,6 +124,14 @@ class SamplingSpec extends SparkSpec {
       val rows = (1L to 5000L).map(i => (i, "big")) ++
         (5001L to 5010L).map(i => (i, "small"))
       val df = rows.toDF("id", "src")
+      // a NULL stratum is a valid partition (matches the old window
+      // semantics) — the ledger join must be null-safe, not silently
+      // drop those rows
+      val withNull = (rows ++ (5011L to 5020L).map(i => (i, null: String)))
+        .toDF("id", "src")
+      val nullKept = Sampling.stratifiedSample(withNull, "id", "src", 0.5)
+        .filter(col("src").isNull).count()
+      assert(nullKept === 5L) // ceil(0.5 * 10)
       val got = Sampling.stratifiedSample(df, "id", "src", 0.3)
       // expected: per stratum, first ceil(0.3*n) in (md5(id), id) order —
       // recomputed independently with JVM md5
