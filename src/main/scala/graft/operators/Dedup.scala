@@ -325,16 +325,47 @@ object Dedup {
     * every test doc — that blow-up is inherent to the exact semantics
     * at small n, not to this implementation. One shuffled equi-join on
     * the gram hash + one (train_id, test_id) partial+final count.
+    *
+    * `bloomPrefilter` is the 100 TB shuffle cut: the TEST gram set is
+    * small (eval suites), so a bloom filter aggregated from it (a
+    * partial+final `bloom_filter_agg` — bytes, riding an in-plan
+    * scalar subquery) screens the TRAIN gram stream with
+    * `might_contain` BEFORE the shuffle, dropping the overwhelmingly
+    * non-colliding majority at the scan. Lossless by construction:
+    * bloom filters have no false negatives, and its false positives
+    * are discarded by the exact equi-join that follows — the result is
+    * bit-identical with the option on or off (spec-pinned), only the
+    * shuffled volume changes.
     */
   def exactNgramDecontam(
       train: DataFrame, test: DataFrame, idCol: String, textCol: String,
       n: Int, partitionCol: Option[String] = None,
-      spread: Boolean = true): DataFrame = {
+      spread: Boolean = true, bloomPrefilter: Boolean = false): DataFrame = {
     val ti = shingleIndex(train, idCol, textCol, n, partitionCol,
       spread = spread)
     val si = shingleIndex(test, idCol, textCol, n, partitionCol,
       spread = spread)
-    ti.select(col("k"), col("id").as("train_id"))
+    val trainGrams = ti.select(col("k"), col("id").as("train_id"))
+    val screened =
+      if (!bloomPrefilter) trainGrams
+      else {
+        // bloom_filter_agg/might_contain are internal Catalyst
+        // expressions (no SQL registry entry) — built directly, with
+        // the bloom riding a scalar subquery INLINE as might_contain's
+        // bloom child (its analysis check requires a constant or
+        // scalar subquery there, so a materialized column would be
+        // rejected)
+        import org.apache.spark.sql.GraftSqlBridge
+        import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val bfAgg = si.agg(GraftSqlBridge.column(
+          new BloomFilterAggregate(GraftSqlBridge.expression(col("k")))
+            .toAggregateExpression()).as("bf"))
+        trainGrams.filter(GraftSqlBridge.column(BloomFilterMightContain(
+          GraftSqlBridge.expression(graft.plans.Scalars.of(bfAgg)),
+          GraftSqlBridge.expression(col("k")))))
+      }
+    screened
       .join(si.select(col("k"), col("id").as("test_id")), Seq("k"))
       .groupBy("train_id", "test_id")
       .agg(count(lit(1)).as("n_shared"))

@@ -947,6 +947,37 @@ object LlmOps {
         GROUP BY 1, 2
         ORDER BY train_id, test_id""")),
 
+    // ------------------------------------------------------------------
+    // q75's scale path: the SAME exact decontamination with the bloom
+    // pre-filter on — the test-gram bloom (bytes, in-plan scalar
+    // subquery) screens the train gram stream with might_contain
+    // before the shuffle. The oracle is IDENTICAL to q75's by design:
+    // bloom false negatives are impossible and false positives die in
+    // the exact equi-join, so only the shuffled volume changes.
+    // ------------------------------------------------------------------
+    "q96_decontam_bloom" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .withColumn("grp", substring(col("source"), 4, 10).cast("int") % 2)
+        Dedup.exactNgramDecontam(
+          docs.filter(col("grp") === 0), docs.filter(col("grp") === 1),
+          "doc_id", "text", n = 8, bloomPrefilter = true)
+          .orderBy("train_id", "test_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id, CAST(substr(source, 4) AS INT) % 2 AS grp,
+                 list_distinct([array_to_string(string_split(text,' ')[i+1:i+8],' ')
+                                for i in range(len(string_split(text,' '))-7)]) AS sh
+          FROM documents),
+        tr AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE grp = 0),
+        te AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE grp = 1)
+        SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+               count(*) AS n_shared
+        FROM tr JOIN te USING (gram)
+        GROUP BY 1, 2
+        ORDER BY train_id, test_id""")),
+
     // Per-doc n-gram novelty (share of trigrams unique to the doc
     // corpus-wide) — the inverse of boilerplate mining; docs shorter
     // than n have no defined novelty and are absent on both sides.

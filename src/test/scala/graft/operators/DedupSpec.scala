@@ -229,6 +229,21 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 10L, 3L)))
   }
 
+  test("exactNgramDecontam: bloom prefilter is lossless (bit-identical) " +
+      "and screens pre-shuffle") {
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val other = docs.filter(col("doc_id") % 2 =!= 0)
+    val plain = Dedup.exactNgramDecontam(half, other, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed = Dedup.exactNgramDecontam(half, other, "doc_id", "text",
+      n = 5, bloomPrefilter = true)
+    val got = bloomed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === plain) // no false negatives; FPs died in the join
+    val p = bloomed.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p.take(2000))
+  }
+
   test("exactNgramDecontam equals brute-force distinct-shingle intersection") {
     // oracle-shaped property on the real corpus: pair set and shared
     // counts must equal the in-test brute force over distinct shingles
