@@ -940,6 +940,36 @@ object Relational {
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
     // ------------------------------------------------------------------
+    // Distribution window functions — ntile deciles, percent_rank,
+    // cume_dist per segment: the ranking-function tier q07's
+    // rank/dense_rank doesn't cover. Both engines compute the same
+    // closed-form fractions ((rank-1)/(n-1), cume/n), rounded so float
+    // formatting can't diverge.
+    // ------------------------------------------------------------------
+    "q97_distribution_windows" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer")
+          .select(
+            col("c_custkey"), col("c_mktsegment"),
+            ntile(10).over(w).cast("long").as("decile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_mktsegment,
+               CAST(ntile(10) OVER w AS BIGINT) AS decile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
     // TPC-H Q14 shape — promo revenue share: a date-windowed fact scan
     // joined to part (both sides grow with SF — no forced broadcast;
     // AQE picks the strategy for the actual sizes) with a conditional
