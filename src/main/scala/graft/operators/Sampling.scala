@@ -160,6 +160,30 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Exact-COUNT per-stratum sampling: the first `counts(stratum)`
+    * rows of each stratum's content-stable md5 order (strata absent
+    * from the map contribute nothing; a count above the stratum size
+    * takes the whole stratum). The integral-count complement of
+    * [[mixSample]]'s fraction spec — what a temperature/α-weighted
+    * training-mix builder computes (per-stratum take counts from a
+    * model-sized share calculation) and then needs realized exactly.
+    * `counts` is model-sized by contract (#strata entries — languages
+    * or sources). Same two-phase rank shape, same giant-stratum
+    * safety. */
+  def takePerStratum(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      counts: Map[String, Long]): DataFrame = {
+    counts.values.foreach(k =>
+      require(k >= 0, "per-stratum counts must be non-negative"))
+    val kCol = counts.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(col(stratumCol) === s, lit(k)).otherwise(acc)
+    }
+    withStratumRank(df, keyCol, stratumCol)
+      .filter(col("__rk") <= kCol)
+      .drop(stratumRankCols: _*)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic WEIGHTED exact-k sample without replacement
     * (Efraimidis & Spirakis, "Weighted random sampling with a
     * reservoir", IPL 2006 — realized portably): each row draws the

@@ -978,6 +978,57 @@ object LlmOps {
         GROUP BY 1, 2
         ORDER BY train_id, test_id""")),
 
+    // ------------------------------------------------------------------
+    // Temperature (α-weighted) multilingual mix — the mT5/multilingual
+    // pretraining recipe: per-language take counts proportional to
+    // cnt^α (α=0.5 upsamples the tail relative to raw proportions),
+    // realized exactly by takePerStratum's content-stable per-stratum
+    // prefix. The share computation is a MODEL-SIZED driver step
+    // (#langs rows collected — the same documented contract as the
+    // centroid pool), and all boundary arithmetic is integral: weights
+    // are round(sqrt(cnt)·1e6) BIGINTs and k_l = ceil-div in longs, so
+    // no float-sum order or ceil boundary can diverge across engines.
+    // ------------------------------------------------------------------
+    "q98_temperature_mix" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        val docs = Tables(s, dir, "documents")
+        val budget = 200L
+        val cnts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val wts = cnts.map { case (l, c) =>
+          l -> math.round(math.sqrt(c.toDouble) * 1e6) }
+        val tw = wts.values.sum
+        val take = wts.map { case (l, w) => l -> ((budget * w + tw - 1) / tw) }
+        val nTake = take.foldLeft(lit(0L)) { case (acc, (l, k)) =>
+          when(col("lang") === l, lit(k)).otherwise(acc) }
+        Sampling.takePerStratum(docs, "doc_id", "lang", take)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_selected"),
+            sum(col("doc_id")).as("id_checksum"))
+          .withColumn("n_take", nTake)
+          .select("lang", "n_take", "n_selected", "id_checksum")
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        w AS (SELECT lang, cnt,
+                     CAST(round(sqrt(cnt::DOUBLE) * 1000000) AS BIGINT) AS wt
+              FROM n),
+        t AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+        k AS (SELECT lang, ((200 * wt + tw - 1) // tw) AS k_l FROM w, t),
+        sel AS (SELECT d.lang, d.doc_id,
+                       row_number() OVER (PARTITION BY d.lang
+                         ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                         AS rk
+                FROM documents d)
+        SELECT s.lang, k.k_l AS n_take,
+               CAST(count(*) AS BIGINT) AS n_selected,
+               CAST(sum(s.doc_id) AS BIGINT) AS id_checksum
+        FROM sel s JOIN k ON s.lang = k.lang
+        WHERE s.rk <= k.k_l
+        GROUP BY s.lang, k.k_l ORDER BY s.lang""")),
+
     // Per-doc n-gram novelty (share of trigrams unique to the doc
     // corpus-wide) — the inverse of boilerplate mining; docs shorter
     // than n have no defined novelty and are absent on both sides.

@@ -160,6 +160,25 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("takePerStratum: exact counts, oversize takes all, unlisted drop") {
+    import spark.implicits._
+    val df = (1L to 90L).map(i =>
+      (i, Seq("a", "b", "c")(((i - 1) % 3).toInt))).toDF("id", "src")
+    // 30 rows per stratum: a -> exactly 7, b -> capped at stratum size,
+    // c unlisted -> dropped
+    val got = Sampling.takePerStratum(df, "id", "src",
+      Map("a" -> 7L, "b" -> 100L))
+      .groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 7L, "b" -> 30L))
+    // the a-take is the 7-prefix of the same md5 order mixSample uses
+    val viaMix = Sampling.mixSample(df, "id", "src", Map("a" -> 0.2334))
+      .select("id").as[Long].collect().toSet // ceil(0.2334*30) = 8
+    val take7 = Sampling.takePerStratum(df, "id", "src", Map("a" -> 7L))
+      .select("id").as[Long].collect().toSet
+    assert(take7.subsetOf(viaMix))
+  }
+
   test("weightedTake: exact k, deterministic, weight-biased, top-k plan") {
     import spark.implicits._
     // 2000 rows, half weight 1, half weight 8 — the heavy half should
