@@ -347,6 +347,38 @@ object Advanced {
                  AS n_above
         FROM events e JOIN prof p ON e.event_type = p.event_type
         GROUP BY e.event_type
-        ORDER BY e.event_type"""))
+        ORDER BY e.event_type""")),
+
+    // ------------------------------------------------------------------
+    // Event-time RANGE-frame sliding window: per user, count and value
+    // sum over the trailing hour of EVENT TIME (not row count — the
+    // frame a rate limiter or rolling-exposure feature needs; q57's
+    // ROWS frame is the other kind). Ordering and the frame bound are
+    // raw epoch NANOS on both engines — integral arithmetic, so no
+    // ns→µs truncation or float interval math can flip a boundary row.
+    // ------------------------------------------------------------------
+    "q95_sliding_hour_window" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourNs = 3600L * 1000000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+          .rangeBetween(-hourNs, 0L)
+        Tables.eventsWithTs(s, dir)
+          .select(
+            col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(sum(col("value")).over(w), 2).as("sum_1h"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        SELECT user_id, event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(sum(value) OVER w, 2) AS sum_1h
+        FROM (SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+                     RANGE BETWEEN 3600000000000 PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY user_id, event_id"""))
   )
 }
