@@ -1006,6 +1006,332 @@ object Relational {
                  AS promo_share_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate <  TIMESTAMP '1996-04-01'"""))
+          AND l_shipdate <  TIMESTAMP '1996-04-01'""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q4 shape — order priority checking: a date-windowed orders
+    // scan LEFT-SEMI joined to lineitem on (key, l_shipdate >
+    // o_orderdate) — the EXISTS-with-correlated-predicate shape. The
+    // non-equi term rides the equi-join as a residual condition, so the
+    // plan is one hash semi-join (no nested loop); the date window
+    // reaches the orders scan as PushedFilters. At 100× both sides
+    // shuffle on the order key — nothing is collected or broadcast.
+    // (The reference's schema has no commit/receipt dates, so "late" is
+    // shipped-after-order-date.)
+    // ------------------------------------------------------------------
+    "q99_tpch_order_priority" -> Q(
+      fn = (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        ord.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q8 shape — national market share: the full 7-table snow-
+    // flake (lineitem ⋈ supplier ⋈ orders ⋈ customer with nation
+    // twice and region once). The nation/region dims are FIXED-SIZE
+    // (25/5 rows at any SF) so they broadcast; supplier/customer/
+    // orders grow with SF and stay shuffled equi-joins. The share is a
+    // conditional aggregate over one pass — no second join against a
+    // "market total" subquery.
+    // ------------------------------------------------------------------
+    "q100_tpch_market_share" -> Q(
+      fn = (s, dir) => {
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val ord = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val nSupp = t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))
+        val nCust = t(s, dir, "nation")
+          .select(col("n_nationkey").as("cn_key"),
+            col("n_regionkey").as("c_regionkey"))
+        val reg = t(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")
+        li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(reg), col("c_regionkey") === col("r_regionkey"))
+          .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+          .groupBy(col("o_year"))
+          .agg(
+            round(sum(when(col("supp_nation") === "NATION_1", rev)
+              .otherwise(lit(0.0))), 2).as("nation_revenue"),
+            round(sum(rev), 2).as("market_revenue"),
+            round(sum(when(col("supp_nation") === "NATION_1", rev)
+              .otherwise(lit(0.0))) / sum(rev), 6).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      oracle = Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(sum(CASE WHEN ns.n_name = 'NATION_1'
+                     THEN l_extendedprice * (1.0 - l_discount)
+                     ELSE 0.0 END), 2) AS nation_revenue,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                 AS market_revenue,
+               round(sum(CASE WHEN ns.n_name = 'NATION_1'
+                     THEN l_extendedprice * (1.0 - l_discount)
+                     ELSE 0.0 END) /
+                     sum(l_extendedprice * (1.0 - l_discount)), 6)
+                 AS mkt_share
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region   ON nc.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q13 shape — customer order-count distribution: customer
+    // LEFT OUTER orders (zero-order customers must survive with count
+    // 0 — count(col) skips the nulls the outer join manufactures),
+    // then a second aggregation over the per-customer counts. Both
+    // aggs are partial+final hash aggs; the first shuffles on
+    // c_custkey, the second on the (tiny-domain) count value.
+    // ------------------------------------------------------------------
+    "q101_tpch_custdist" -> Q(
+      fn = (s, dir) => {
+        val cust = t(s, dir, "customer").select("c_custkey")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      oracle = Some("""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    // per-supplier aggregate is |suppliers|-sized (grows with SF), so
+    // the max rides an in-plan SCALAR SUBQUERY (`Scalars.of`) — never
+    // an unkeyed window over the supplier-level rows and never a
+    // driver collect. Ties all surface, as in the spec's view form.
+    // Revenue is rounded identically on both sides BEFORE the max/
+    // equality so float formatting can't split a tie.
+    // ------------------------------------------------------------------
+    "q102_tpch_top_supplier" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .select("l_suppkey", "l_extendedprice", "l_discount")
+        val rev = li.groupBy(col("l_suppkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("total_revenue"))
+        val mx = graft.plans.Scalars.of(
+          rev.agg(max(col("total_revenue")).as("max_revenue")))
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
+        rev.filter(col("total_revenue") === mx)
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q17 shape — small-quantity-order revenue: the correlated
+    // per-part AVG subquery is decorrelated into a per-partkey
+    // aggregate JOINED back on the part key — one extra shuffle over
+    // the brand-filtered slice instead of a per-row subquery. The
+    // brand filter cuts part BEFORE the fact join, and only the
+    // filtered partkeys' lineitems flow into the avg (equivalent to
+    // the spec's correlation because the correlation key IS the join
+    // key).
+    // ------------------------------------------------------------------
+    "q103_tpch_small_qty_revenue" -> Q(
+      fn = (s, dir) => {
+        val parts = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#1").select("p_partkey")
+        val li = t(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+        val branded = li.join(parts, col("l_partkey") === col("p_partkey"))
+        val perPart = branded.groupBy(col("p_partkey").as("a_partkey"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        branded.join(perPart, col("l_partkey") === col("a_partkey"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2)
+            .as("avg_yearly"))
+      },
+      oracle = Some("""
+        SELECT round(sum(l_extendedprice) / CAST(7.0 AS DOUBLE), 2)
+                 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT CAST(0.2 AS DOUBLE) * avg(l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q18 shape — large-volume customers: a HAVING-filtered
+    // per-order quantity aggregate (big-order keys are rare) joined
+    // back to orders + customer, top-100 by order value. The aggregate
+    // runs FIRST so the joins see only qualifying keys, and the top-k
+    // plans as TakeOrderedAndProject — at 100× the agg is one
+    // partial+final pass over lineitem, the join input is the
+    // qualifying slice (not the fact table), and nothing global-sorts.
+    // ------------------------------------------------------------------
+    "q104_tpch_large_volume" -> Q(
+      fn = (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity")
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+          .filter(col("total_qty") > 200.0)
+        val ord = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+        big.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                 total_qty
+          FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING round(sum(l_quantity), 2) > 200.0)
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+        ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q19 shape — disjunctive predicate revenue: three (brand,
+    // size-range, quantity-range) conjunctions OR-ed together. Because
+    // the disjunction references BOTH sides, Catalyst cannot push any
+    // of it below the join on its own — so the IMPLIED one-sided
+    // prefilters (brand IN the three brands, quantity within the
+    // union of the ranges) are stated explicitly. They are lossless
+    // (every disjunct entails them), reach the scans as PushedFilters,
+    // and the exact disjunction is re-checked post-join. One equi-join
+    // on the part key — the OR never degrades it to a nested loop.
+    // ------------------------------------------------------------------
+    "q105_tpch_disjunctive_revenue" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .filter(col("l_quantity").between(1, 50))
+        val part = t(s, dir, "part")
+          .select("p_partkey", "p_brand", "p_size")
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        val cond =
+          (col("p_brand") === "Brand#1" &&
+            col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 35)) ||
+          (col("p_brand") === "Brand#3" &&
+            col("p_size").between(20, 50) &&
+            col("l_quantity").between(25, 50))
+        li.join(part, col("l_partkey") === col("p_partkey"))
+          .filter(cond)
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))
+      },
+      oracle = Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 25 AND 50)""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q22 shape — global sales opportunity: customers above the
+    // positive-balance average (an in-plan scalar subquery —
+    // `Scalars.of` — so no join materializes for it) with NO orders
+    // (LEFT ANTI join), grouped by the trailing-2-digit "code" of
+    // c_name. The anti-join shuffles on the customer key; the average
+    // is one scan-side aggregate, never a driver round-trip. (This
+    // dataset gives every customer SOME order, so the spec's "never
+    // ordered" is realized as "dormant since 2000" — the anti side is
+    // the date-filtered slice, which also pushes the date to the scan.)
+    // ------------------------------------------------------------------
+    "q106_tpch_sales_opportunity" -> Q(
+      fn = (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"),
+            substring(col("c_name"), -2, 2).as("code"))
+        val avgBal = graft.plans.Scalars.of(
+          cust.filter(col("c_acctbal") > 0.0)
+            .agg(avg(col("c_acctbal")).as("avg_bal")))
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey")
+        cust.filter(col("c_acctbal") > avgBal)
+          .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("code"))
+          .agg(count(lit(1)).as("numcust"),
+            round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          .orderBy("code")
+      },
+      oracle = Some("""
+        SELECT substr(c_name, length(c_name) - 1, 2) AS code,
+               CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

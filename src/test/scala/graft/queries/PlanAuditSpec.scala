@@ -102,6 +102,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(l_returnflag,R)"), p.take(3000))
   }
 
+  test("q99: EXISTS realizes as one hash LEFT-SEMI join (residual " +
+      "non-equi rides the equi key), date window pushed to orders scan") {
+    val p = plan("q99_tpch_order_priority")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
+  }
+
+  test("q100: fixed-size nation/region dims broadcast; region filter " +
+      "pushed; growing dims stay shuffled equi-joins") {
+    val p = plan("q100_tpch_market_share")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("EqualTo(r_name,ASIA)"), p.take(3000))
+  }
+
+  test("q101: zero-order customers survive the outer join; both aggs " +
+      "are partial+final") {
+    val p = plan("q101_tpch_custdist")
+    assert(p.contains("LeftOuter"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
+  test("q102/q106: decorrelated scalar aggregates ride in-plan " +
+      "subqueries — no unkeyed window, no 1-row join, no nested loop") {
+    for (name <- Seq("q102_tpch_top_supplier", "q106_tpch_sales_opportunity")) {
+      val p = plan(name)
+      assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+        s"$name: ${p.take(2000)}")
+      assert(!p.contains("Window"), s"$name: ${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$name: ${p.take(2000)}")
+    }
+    assert(plan("q106_tpch_sales_opportunity").contains("LeftAnti"))
+  }
+
+  test("q104: agg-before-join top-100 plans as TakeOrderedAndProject") {
+    val p = plan("q104_tpch_large_volume")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q105: the disjunction never degrades the part join below an " +
+      "equi-join; the implied one-sided prefilters reach the scans") {
+    val p = plan("q105_tpch_disjunctive_revenue")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("In(p_brand"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(l_quantity"), p.take(3000))
+  }
+
   test("q65: PII scrub is a pure scan-side projection — no join, no agg") {
     val p = plan("q65_pii_redact")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
