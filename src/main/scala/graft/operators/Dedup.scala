@@ -608,4 +608,58 @@ object Dedup {
       .select("a_id", "b_id", "cosine")
     if (probes > 1) pairs.distinct() else pairs
   }
+
+  /** Duplicate-span scrub (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — the
+    * EXACTSUBSTR variant realized at word-n-gram granularity): a token
+    * position is duplicated iff it is covered by at least one n-gram
+    * of its document that also occurs in ANOTHER document, and the
+    * scrubbed text is the original with all duplicated positions
+    * excised. Unlike the doc-level dedup families (which drop or
+    * reweight whole documents), this REWRITES documents, keeping their
+    * unique remainder — the treatment for boilerplate stitched into
+    * otherwise-novel pages.
+    *
+    * Spark spelling, all keyed and per-doc bounded:
+    *   1. positional gram instances via [[SK.wordNgrams]] + posexplode
+    *      (array index IS the start position);
+    *   2. gram document-frequency on the per-doc DISTINCT gram set —
+    *      partial+final count on the gram key, `>= 2` keeps only
+    *      corpus-duplicated grams (their count is bounded by the
+    *      corpus, not the token stream);
+    *   3. duplicated START positions per doc: instance-level equi-join
+    *      on the gram, collect_set per doc (bounded by doc length —
+    *      the per-document-in-memory contract shared with every
+    *      text operator here);
+    *   4. coverage + excision as pure codegen'd ARRAY expressions on
+    *      the id-keyed join-back: covered = ∪ [s, s+n-1], kept = the
+    *      positions outside it, scrubbed = concat_ws over kept — no
+    *      token-level explode ever reaches a shuffle, no window.
+    *
+    * Output: (id, n_tokens, n_dup_tokens, scrubbed). Docs shorter than
+    * n have no grams and pass through unscrubbed.
+    */
+  def dupSpanScrub(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      spread: Boolean = true): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val grams = maybeSpread(base, spread).select(col("id"),
+      posexplode(SK.wordNgrams(col("text"), n)).as(Seq("gstart", "gram")))
+    val dupGrams = grams.select("gram", "id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2).select("gram")
+    val dupStarts = grams.join(dupGrams, Seq("gram"))
+      .groupBy("id").agg(collect_set(col("gstart")).as("starts"))
+    base.join(dupStarts, Seq("id"), "left_outer")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("covered", array_distinct(flatten(transform(
+        coalesce(col("starts"), array().cast("array<int>")),
+        s => sequence(s, s + lit(n - 1))))))
+      .select(
+        col("id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_dup_tokens"),
+        concat_ws(" ", filter(col("tk"),
+          (t, i) => !array_contains(col("covered"), i))).as("scrubbed"))
+  }
 }

@@ -1513,7 +1513,54 @@ object LlmOps {
                FROM ech GROUP BY doc_id, chunk)
         SELECT doc_id, chunk, CAST(n_tokens AS BIGINT) AS n_tokens,
                chunk_text
-        FROM ch ORDER BY doc_id, chunk"""))
+        FROM ch ORDER BY doc_id, chunk""")),
+
+    // ------------------------------------------------------------------
+    // Duplicate-span scrub (Lee et al. 2021 EXACTSUBSTR at word-8-gram
+    // granularity): positions covered by a cross-document-duplicated
+    // 8-gram are EXCISED and the document rewritten — the treatment
+    // for boilerplate stitched into otherwise-novel pages, where
+    // doc-level dedup would either drop the whole page or keep the
+    // boilerplate. Exact-text equality of the rewritten corpus is the
+    // gate. Gram recipe matches q75/q76 (single-space split).
+    // ------------------------------------------------------------------
+    "q107_dup_span_scrub" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Dedup
+        Dedup.dupSpanScrub(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH s AS (SELECT doc_id, string_split(text,' ') AS tk
+                   FROM documents),
+        gi AS (SELECT doc_id,
+                      unnest([{'gs': i,
+                               'g': array_to_string(tk[i+1:i+8],' ')}
+                              for i in range(len(tk)-7)]) AS u
+               FROM s),
+        g AS (SELECT doc_id, u.gs AS gstart, u.g AS gram FROM gi),
+        gdf AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS d
+                                  FROM g GROUP BY 1) WHERE d >= 2),
+        ds AS (SELECT DISTINCT g.doc_id, g.gstart
+               FROM g JOIN gdf USING (gram)),
+        ti AS (SELECT doc_id,
+                      unnest([{'p': i, 't': tk[i+1]}
+                              for i in range(len(tk))]) AS u
+               FROM s),
+        tp AS (SELECT doc_id, u.p AS pos, u.t AS tok FROM ti),
+        fl AS (SELECT tp.doc_id, tp.pos, tp.tok,
+                      EXISTS (SELECT 1 FROM ds
+                              WHERE ds.doc_id = tp.doc_id
+                                AND ds.gstart BETWEEN tp.pos - 7
+                                                  AND tp.pos) AS dup
+               FROM tp)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (dup) AS BIGINT) AS n_dup_tokens,
+               coalesce(string_agg(tok, ' ' ORDER BY pos)
+                        FILTER (NOT dup), '') AS scrubbed
+        FROM fl GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
 

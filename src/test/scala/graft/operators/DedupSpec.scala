@@ -334,4 +334,50 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((1L, 2L)))
   }
+
+  test("dupSpanScrub: cross-doc duplicated spans excised, unique text " +
+      "kept, short docs pass through") {
+    import spark.implicits._
+    val shared = "a b c" // the duplicated 3-gram, planted in docs 1+2
+    val df = Seq(
+      (1L, s"u1 u2 $shared u3 u4"),
+      (2L, s"v1 $shared v2 v3 v4"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7"), // fully unique → untouched
+      (4L, "t1 t2"),                // shorter than n → no grams
+      (5L, shared))                 // exactly the dup gram → scrubs to ""
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanScrub(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((7L, 3L, "u1 u2 u3 u4")))
+    assert(out(2L) === ((7L, 3L, "v1 v2 v3 v4")))
+    assert(out(3L) === ((7L, 0L, "w1 w2 w3 w4 w5 w6 w7")))
+    assert(out(4L) === ((2L, 0L, "t1 t2")))
+    assert(out(5L) === ((3L, 3L, "")))
+  }
+
+  test("dupSpanScrub: overlapping duplicated grams merge their cover; " +
+      "token accounting is consistent on the corpus") {
+    // "x1 x2 x3 x4" in both docs duplicates BOTH 3-grams; their covers
+    // overlap on x2 x3 and the whole 4-token run is excised once
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p1 x1 x2 x3 x4 p2"),
+      (2L, "q1 q2 x1 x2 x3 x4"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanScrub(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((6L, 4L, "p1 p2")))
+    assert(out(2L) === ((6L, 4L, "q1 q2")))
+    // corpus-level invariant: kept tokens + dup tokens == all tokens
+    val agg = Dedup.dupSpanScrub(docs, "doc_id", "text", n = 8)
+      .select(
+        sum(col("n_tokens")).as("all"),
+        sum(col("n_dup_tokens")).as("dup"),
+        sum(when(col("scrubbed") === "", 0)
+          .otherwise(size(split(col("scrubbed"), " ")))).as("kept"))
+      .collect().head
+    assert(agg.getLong(0) === agg.getLong(1) + agg.getLong(2))
+  }
 }
