@@ -134,6 +134,171 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF-PQ ANN (Jégou et al. 2011; the faiss `IVFPQ + refine`
+    * pipeline): coarse IVF cells prune the corpus, PRODUCT-QUANTIZED
+    * codes stand in for the raw vectors inside the probed cells, and
+    * an exact re-rank of the ADC shortlist restores true cosines.
+    *
+    * Why this is THE 100 TB ANN shape: the candidate join shuffles
+    * `m`-byte-class codes (m·4 B here, dim·8 B raw — 16× less at the
+    * defaults) instead of embeddings, per-pair scoring is an O(m)
+    * table walk (the per-query O(dim·ksub) ADC table is built ONCE
+    * per query row by [[SK.pqAdcTable]]), and only the
+    * `rerankFactor·k`-row shortlist per query ever touches raw
+    * vectors again — via an id-keyed equi-join that broadcasts the
+    * shortlist, not the corpus. Both models (coarse centroids + m
+    * sub-codebooks) train driver-locally on the ONE bounded
+    * hash-ordered sample shared with [[ivfTopK]] ([[trainingSample]]),
+    * so model building costs one corpus pass total.
+    *
+    * Recall levers, by error source: `nProbe` (coarse-cell miss),
+    * `rerankFactor` (ADC-ordering miss inside probed cells), `m`/
+    * `ksub` (quantization noise). The exact re-rank means reported
+    * cosines are always TRUE cosines — approximation can only affect
+    * WHICH neighbors surface, never a reported similarity (the same
+    * candidates-vs-verify split as the dedup families).
+    */
+  def ivfPqTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4,
+      spread: Boolean = true, seed: Long = 42L,
+      lloydIters: Int = 2, trainPerCell: Int = 256): DataFrame = {
+    require(rerankFactor >= 1, "rerankFactor must be at least 1")
+    val c = maybeSpread(corpus, spread)
+      .select(col(cIdCol).as("neighbor_id"), V.toDouble(col(cVecCol)).as("cv"))
+    val train = trainingSample(c, "neighbor_id", "cv", nCells * trainPerCell)
+    val coarse = centroidsFrom(train, nCells, seed, lloydIters)
+    val cbs = pqCodebooksFrom(train, m, ksub, seed)
+    val ksubMax = cbs.map(_.length).max
+    // ||reconstruction||² per codeword, flat [j·ksubMax + c] — the
+    // PQ estimate of the corpus norm, recovered from the code alone
+    val normsSq = typedLit((0 until m).flatMap { j =>
+      (0 until ksubMax).map { cc =>
+        if (cc < cbs(j).length) cbs(j)(cc).map(x => x * x).sum else 0.0
+      }
+    })
+
+    val encoded = c.select(col("neighbor_id"),
+        element_at(SK.nearestCells(col("cv"), coarse, 1), 1).as("cell"),
+        SK.pqEncode(col("cv"), cbs).as("code"))
+      .withColumn("rn", sqrt(aggregate(
+        zip_with(col("code"), sequence(lit(0), lit(m - 1)),
+          (cd, j) => element_at(normsSq, j * ksubMax + cd + 1)),
+        lit(0.0), _ + _)))
+
+    val q = queries.select(col(qIdCol).as("query_id"),
+        V.toDouble(col(qVecCol)).as("qv"))
+      .withColumn("qn", sqrt(DotProduct(col("qv"), col("qv"))))
+      .withColumn("tbl", SK.pqAdcTable(col("qv"), cbs))
+      .withColumn("cell", explode(SK.nearestCells(col("qv"), coarse, nProbe)))
+
+    val adc = encoded.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adot", aggregate(
+        zip_with(col("code"), sequence(lit(0), lit(m - 1)),
+          (cd, j) => element_at(col("tbl"), j * ksubMax + cd + 1)),
+        lit(0.0), _ + _))
+      .withColumn("acos",
+        when(col("rn") > 0.0 && col("qn") > 0.0,
+          col("adot") / (col("qn") * col("rn"))).otherwise(lit(-2.0)))
+
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val shortlist = adc
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerankFactor)
+      .select("query_id", "neighbor_id", "qv", "qn")
+
+    val scored = shortlist.join(c, Seq("neighbor_id"))
+      .withColumn("cn", sqrt(DotProduct(col("cv"), col("cv"))))
+      .withColumn("cosine",
+        DotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    topK(scored, k)
+  }
+
+  /** Per-subspace PQ codebooks from the training sample: the vector
+    * splits into `m` contiguous subspaces and each gets an
+    * independent L2 k-means codebook of (at most) `ksub` entries —
+    * plain driver loops over the model-sized sample, the same
+    * contract as [[centroidsFrom]]. Deterministic under `seed` (one
+    * derived seed per subspace). A sample with fewer than `ksub`
+    * distinct subvectors yields a shorter codebook (the encoder and
+    * ADC table handle that by construction). */
+  private[operators] def pqCodebooksFrom(
+      train: Array[Array[Double]], m: Int, ksub: Int, seed: Long,
+      iters: Int = 4): Array[Array[Array[Double]]] = {
+    require(train.nonEmpty, "pq codebooks: empty training sample")
+    val dim = train(0).length
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    require(ksub > 1, "ksub must be at least 2")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      l2Kmeans(train.map(_.slice(j * dsub, (j + 1) * dsub)), ksub,
+        seed + j, iters)
+    }
+  }
+
+  /** Standard L2 k-means on a driver-side point set: k-means++
+    * seeding (Arthur & Vassilvitskii 2007) + `iters` Lloyd passes
+    * with empty-cell carry-forward (same policy as [[lloydStep]]).
+    * Returns at most `k` centroids — fewer when the points admit
+    * fewer distinct seeds. */
+  private def l2Kmeans(
+      pts: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int): Array[Array[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    chosen += pts(rnd.nextInt(pts.length))
+    val minD2 = pts.map(d2(_, chosen.head))
+    while (chosen.size < math.min(k, pts.length) && minD2.exists(_ > 0)) {
+      val total = minD2.sum
+      var r = rnd.nextDouble() * total
+      var i = 0
+      while (i < pts.length - 1 && r >= minD2(i)) { r -= minD2(i); i += 1 }
+      val pick = if (minD2(i) > 0) i else minD2.indexWhere(_ > 0)
+      chosen += pts(pick)
+      var p = 0
+      while (p < pts.length) {
+        val d = d2(pts(p), chosen.last)
+        if (d < minD2(p)) minD2(p) = d
+        p += 1
+      }
+    }
+    var cents = chosen.toArray
+    val dim = pts(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](cents.length, dim)
+      val counts = new Array[Long](cents.length)
+      pts.foreach { p =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          val d = d2(p, cents(ci))
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        var d = 0
+        while (d < dim) { sums(best)(d) += p(d); d += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(cents.length) { ci =>
+        if (counts(ci) > 0) Array.tabulate(dim)(d => sums(ci)(d) / counts(ci))
+        else cents(ci)
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** K-means centroid model over a prepared (`idCol`, `vecCol`:
     * array<double>) frame — the shared clustering engine behind
     * [[ivfTopK]]'s cell index and `Dedup.semanticPairs`' SemDeDup
@@ -175,13 +340,28 @@ object Similarity {
       trainPerCell: Int = 256): Array[Array[Double]] = {
     require(nCells > 0, "nCells must be positive")
     require(trainPerCell >= 4, "trainPerCell must be at least 4")
-    val cap = nCells * trainPerCell
-    val train: Array[Array[Double]] = corpus
+    centroidsFrom(
+      trainingSample(corpus, idCol, vecCol, nCells * trainPerCell),
+      nCells, seed, lloydIters)
+  }
+
+  /** The bounded deterministic training sample both model trainers
+    * draw from: the first `cap` rows of the xxhash64(id) order — ONE
+    * corpus action, model-sized by construction (cap · dim doubles).
+    * Exposed separately so [[ivfPqTopK]] trains its coarse centroids
+    * AND its PQ codebooks from a single collect. */
+  private[operators] def trainingSample(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cap: Int): Array[Array[Double]] =
+    corpus
       .select(col(idCol).as("__mid"), col(vecCol).as("__mv"))
       .orderBy(xxhash64(col("__mid")), col("__mid"))
       .limit(cap)
       .collect().map(_.getSeq[Double](1).toArray)
 
+  private[operators] def centroidsFrom(
+      train: Array[Array[Double]],
+      nCells: Int, seed: Long, lloydIters: Int): Array[Array[Double]] = {
     // candidate pool: the sample's prefix (same hash order)
     val pool: Array[Array[Double]] =
       train.take(math.max(nCells * 4, nCells))

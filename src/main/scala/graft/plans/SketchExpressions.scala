@@ -269,6 +269,125 @@ case class NearestCells(
   override def prettyName: String = "nearest_cells"
 }
 
+/** Product-quantization encoder (Jégou et al. 2011, "Product
+  * Quantization for Nearest Neighbor Search"): the vector is split
+  * into `codebooks.length` contiguous subspaces and each subvector is
+  * mapped to the index of its L2-NEAREST sub-centroid (ties to the
+  * lowest index). Output is the m-byte-class code array — the 32×
+  * compressed representation that shuffles and stores in place of the
+  * raw vector at scale. The codebook rides the expression as a
+  * literal model (m × ksub × dsub doubles — model-sized, same
+  * contract as [[NearestCells]]'s centroids).
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_encode: empty codebook")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val dim: Int = codebooks.map(_.head.length).sum
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim ${v.numElements()} != codebook dim $dim")
+    val m = codebooks.length
+    val codes = new Array[Any](m)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val dsub = cb(0).length
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d2 = 0.0
+        var d = 0
+        while (d < dsub) {
+          val x = v.getDouble(off + d) - cent(d)
+          d2 += x * x
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      codes(j) = best
+      off += dsub
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+/** ADC (asymmetric-distance) lookup table for one QUERY vector: entry
+  * [j·ksub + c] is dot(q_j, codebooks[j][c]). Computed once per query
+  * row — O(dim·ksub) — so scoring a candidate from its PQ code is an
+  * O(m) table walk instead of an O(dim) dot product; this is the
+  * classic IVFADC split of per-query and per-pair cost. */
+case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_adc_table: empty codebook")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_table expects array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val dim: Int = codebooks.map(_.head.length).sum
+  @transient private lazy val ksub: Int = codebooks.map(_.length).max
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"pq_adc_table: vector dim ${v.numElements()} != codebook dim $dim")
+    val m = codebooks.length
+    val out = new Array[Any](m * ksub)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val dsub = cb(0).length
+      var c = 0
+      while (c < ksub) {
+        var acc = 0.0
+        if (c < cb.length) {
+          val cent = cb(c)
+          var d = 0
+          while (d < dsub) { acc += v.getDouble(off + d) * cent(d); d += 1 }
+        }
+        out(j * ksub + c) = acc
+        c += 1
+      }
+      off += dsub
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAdcTable =
+    copy(child = c)
+  override def prettyName: String = "pq_adc_table"
+}
+
 /** 64-bit SimHash of a document: whitespace-tokenize, per-token 64-bit
   * hash, per-bit majority vote. Delegates to the same Scala kernel the
   * specs use as ground truth (`HashFunctions.simhash64` over
@@ -402,6 +521,12 @@ object SketchExpressions {
 
   def nearestCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     GraftSqlBridge.column(NearestCells(GraftSqlBridge.expression(vec), centroids, nProbe))
+
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(vec), codebooks))
+
+  def pqAdcTable(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(PqAdcTable(GraftSqlBridge.expression(vec), codebooks))
 
   def wordShingles(text: Column, n: Int): Column =
     GraftSqlBridge.column(WordShinglesExpr(GraftSqlBridge.expression(text), n))

@@ -435,6 +435,21 @@ object LlmOps {
           .orderBy("query_id", "rank")
       }),
 
+    // IVF-PQ ANN (rows-only like q28/q29 — the hash/model space is
+    // engine-local): coarse cells prune, product-quantized codes
+    // stand in for vectors inside probed cells, exact re-rank of the
+    // ADC shortlist restores true cosines. Content-golden in
+    // EntrySpec; recall gates in SimilaritySpec.
+    "q108_sim_topk_ivfpq" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfPqTopK(
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          emb, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
     // ------------------------------------------------- text analysis
     "q30_text_quality" -> Q(
       fn = (s, dir) => {

