@@ -226,4 +226,61 @@ object EventAnalytics {
     counts.withColumn("prob",
       col("n").cast("double") / sum(col("n")).over(perFrom))
   }
+
+  /** LAST-TOUCH attribution: each conversion event is credited to the
+    * user's most recent touch event at or before it, within a
+    * lookback window — the standard marketing-attribution join (an
+    * as-of join specialized to one event stream). Exact integral
+    * semantics: `tsCol` is a raw epoch-NANOS long, the winning touch
+    * is max (ts, id) among `touch.ts <= conv.ts` (ties at the same
+    * nanosecond break by id, so both engines agree bit-for-bit), and
+    * the lookback gate is long arithmetic.
+    *
+    * Shape: ONE user-keyed window pass over the filtered touch+conv
+    * stream. Touch rows sort before conversion rows at equal (ts) via
+    * the side flag, so a same-instant touch is visible to its
+    * conversion; `last(struct, ignoreNulls)` carries the winning
+    * touch ROW atomically (same contract as [[AsOfJoin]] — a stale
+    * payload can never pair with a newer ts). Per-row state is one
+    * struct; no event list, no corpus window, no self-join — at 100×
+    * this is a single shuffle on the user key.
+    *
+    * Output: one row per conversion — (conv_id, user, value,
+    * touch_id, touch_type, lag_seconds), the touch columns null when
+    * no touch is inside the lookback.
+    */
+  def lastTouchAttribution(
+      events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, valueCol: String,
+      touchTypes: Seq[String], convType: String,
+      lookbackNs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "lastTouchAttribution needs touch types")
+    require(lookbackNs > 0, "lookbackNs must be positive")
+    val base = events
+      .filter(col(typeCol).isin(touchTypes: _*) || col(typeCol) === convType)
+      .withColumn("__side",
+        when(col(typeCol) === convType, 1).otherwise(0))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col("__side").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touchRow = when(col("__side") === 0, struct(
+      col(tsCol).as("t_ts"), col(idCol).as("t_id"),
+      col(typeCol).as("t_type")))
+    base
+      .withColumn("__touch", last(touchRow, ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .withColumn("__touch",
+        when(col(tsCol) - col("__touch").getField("t_ts") <= lookbackNs,
+          col("__touch")))
+      .withColumn("__lag_ns", col(tsCol) - col("__touch").getField("t_ts"))
+      .select(
+        col(idCol).as("conv_id"),
+        col(userCol).as("user_id"),
+        col(valueCol).as("value"),
+        col("__touch").getField("t_id").as("touch_id"),
+        col("__touch").getField("t_type").as("touch_type"),
+        // integral `div` — never a double on the lag path (nanos are
+        // the exactness contract shared with q82/q95)
+        expr("__lag_ns div 1000000000").as("lag_seconds"))
+  }
 }

@@ -324,6 +324,44 @@ object Advanced {
                      / sum(n) OVER (PARTITION BY from_type), 6) AS prob
         FROM cnt ORDER BY from_type, to_type""")),
 
+    // Last-touch attribution: every purchase credited to the user's
+    // most recent click/view within a 24 h lookback. One user-keyed
+    // window pass (an as-of join specialized to one stream); winning
+    // touch = max (nanos, event_id) — exact integral ordering, same
+    // contract as q82. The oracle decorrelates to the identical
+    // greatest-row-per-group subquery.
+    "q109_last_touch_attribution" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.EventAnalytics
+        val ev = Tables(s, dir, "events") // ts read as raw nanos long
+        EventAnalytics.lastTouchAttribution(ev,
+          "user_id", "event_type", "ts", "event_id", "value",
+          touchTypes = Seq("click", "view"), convType = "purchase",
+          lookbackNs = 86400L * 1000000000L)
+          .select(col("conv_id"), col("user_id"),
+            round(col("value"), 2).as("value"),
+            col("touch_id"), col("touch_type"), col("lag_seconds"))
+          .orderBy("conv_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns, value
+          FROM events),
+        p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        t AS (SELECT * FROM e WHERE event_type IN ('click', 'view')),
+        m AS (
+          SELECT p.event_id AS conv_id, p.user_id, p.value, p.tns,
+                 (SELECT t.event_id FROM t
+                  WHERE t.user_id = p.user_id AND t.tns <= p.tns
+                    AND p.tns - t.tns <= 86400000000000
+                  ORDER BY t.tns DESC, t.event_id DESC LIMIT 1) AS touch_id
+          FROM p)
+        SELECT m.conv_id, m.user_id, round(m.value, 2) AS value,
+               m.touch_id, t2.event_type AS touch_type,
+               (m.tns - t2.tns) // 1000000000 AS lag_seconds
+        FROM m LEFT JOIN t t2 ON m.touch_id = t2.event_id
+        ORDER BY conv_id""")),
+
     "q42_skew_join" -> Q(
       fn = (s, dir) => {
         val ev = Tables(s, dir, "events")

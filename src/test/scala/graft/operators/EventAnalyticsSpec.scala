@@ -147,4 +147,43 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 0.5)), // from b: user 1's b->a, user 3's b->c
       ("b", "c") -> ((1L, 0.5))))
   }
+
+  test("lastTouch: latest in-window touch wins; same-instant touch " +
+      "counts; nanosecond ties break by id; lookback nulls out") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val ev = Seq(
+      // user 1: touch at t=10s, touch at t=20s, purchase at t=25s
+      //         → credited to the 20 s touch, lag 5 s
+      (101L, 1L, "click", 10 * ns, 1.0),
+      (102L, 1L, "view", 20 * ns, 1.0),
+      (103L, 1L, "purchase", 25 * ns, 9.99),
+      // user 2: touch at the SAME nanosecond as the purchase → counts
+      //         (<=), lag 0; two touches at that instant → higher
+      //         event_id wins
+      (201L, 2L, "click", 40 * ns, 1.0),
+      (202L, 2L, "view", 40 * ns, 1.0),
+      (203L, 2L, "purchase", 40 * ns, 5.0),
+      // user 3: only touch is outside the 100 s lookback → unattributed
+      (301L, 3L, "click", 10 * ns, 1.0),
+      (302L, 3L, "purchase", 200 * ns, 3.0),
+      // user 4: purchase BEFORE any touch → unattributed
+      (401L, 4L, "purchase", 10 * ns, 2.0),
+      (402L, 4L, "click", 20 * ns, 1.0),
+      // noise: ignored event type between touch and purchase
+      (104L, 1L, "error", 22 * ns, 0.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventAnalytics.lastTouchAttribution(ev,
+      "user_id", "event_type", "ts", "event_id", "value",
+      touchTypes = Seq("click", "view"), convType = "purchase",
+      lookbackNs = 100 * ns)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.getString(4)), Option(r.get(5)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out(103L) === ((Some(102L), Some("view"), Some(5L))))
+    assert(out(203L) === ((Some(202L), Some("view"), Some(0L))))
+    assert(out(302L) === ((None, None, None)))
+    assert(out(401L) === ((None, None, None)))
+  }
 }
