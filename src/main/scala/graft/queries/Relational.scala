@@ -1332,6 +1332,96 @@ object Relational {
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-01-01')
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q21 shape — suppliers who kept orders waiting: late
+    // (shipped > 60 days after order) line items on MULTI-supplier
+    // orders where the supplier is the ONLY late one. The spec's
+    // correlated EXISTS / NOT EXISTS pair decorrelates into two
+    // per-order aggregates (distinct-supplier count ≥ 2; late-supplier
+    // count = 1) joined back on the order key — each a single
+    // partial+final pass, no per-row rescan of the fact table, every
+    // shuffle keyed by order or supplier. Top-100 suppliers plan as
+    // TakeOrderedAndProject. (No commit/receipt dates in this schema —
+    // "late" is the shipped-long-after-order proxy, as in q99.)
+    // ------------------------------------------------------------------
+    "q110_tpch_waiting_suppliers" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+        val late = li
+          .join(ord, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select("l_orderkey", "l_suppkey").distinct()
+        val multi = li.groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+          .filter(col("n_supp") >= 2).select("l_orderkey")
+        val lone = late.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_late"))
+          .filter(col("n_late") === 1).select("l_orderkey")
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
+        late.join(multi, Seq("l_orderkey"))
+          .join(lone, Seq("l_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+          .orderBy("s_name")
+      },
+      oracle = Some("""
+        WITH late AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        multi AS (SELECT l_orderkey FROM lineitem
+                  GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 2),
+        lone AS (SELECT l_orderkey FROM late
+                 GROUP BY 1 HAVING count(*) = 1)
+        SELECT * FROM (
+          SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+          FROM late JOIN multi USING (l_orderkey)
+                    JOIN lone  USING (l_orderkey)
+          JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY s_name
+          ORDER BY numwait DESC, s_name LIMIT 100)
+        ORDER BY s_name""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q16 shape — supplier diversity per part class: distinct
+    // suppliers per (brand, size bucket), excluding a blocklist of
+    // suppliers (negative balance stands in for the spec's complaint
+    // filter). The NOT IN realizes as a LEFT ANTI join against the
+    // tiny blocklist BEFORE the part join; the (part, supplier)
+    // distinct reconstructs the partsupp relation this schema lacks
+    // from lineitem — one distinct shuffle, then a distinct-count agg.
+    // ------------------------------------------------------------------
+    "q111_tpch_supplier_diversity" -> Q(
+      fn = (s, dir) => {
+        val bad = t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+        val ps = t(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct()
+        val part = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+        ps.join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(part, col("l_partkey") === col("p_partkey"))
+          .withColumn("size_bucket",
+            expr("CAST(p_size div 10 AS BIGINT)"))
+          .groupBy(col("p_brand"), col("size_bucket"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"),
+            col("size_bucket"))
+      },
+      oracle = Some("""
+        SELECT p_brand, CAST(p_size // 10 AS BIGINT) AS size_bucket,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0.0)
+        GROUP BY 1, 2
+        ORDER BY supplier_cnt DESC, p_brand, size_bucket"""))
   )
 }

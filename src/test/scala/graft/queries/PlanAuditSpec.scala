@@ -157,6 +157,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(l_quantity"), p.take(3000))
   }
 
+  test("q110: decorrelated EXISTS/NOT-EXISTS pair stays aggregate+join " +
+      "shaped — no nested loop, top-100 never global-sorts") {
+    val p = plan("q110_tpch_waiting_suppliers")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q111: the supplier blocklist realizes as a LEFT ANTI join") {
+    val p = plan("q111_tpch_supplier_diversity")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q65: PII scrub is a pure scan-side projection — no join, no agg") {
     val p = plan("q65_pii_redact")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
