@@ -380,4 +380,44 @@ class DedupSpec extends SparkSpec {
       .collect().head
     assert(agg.getLong(0) === agg.getLong(1) + agg.getLong(2))
   }
+
+  test("dupSpanScrub equals brute force on random small-vocab corpora") {
+    import spark.implicits._
+    // tiny vocabulary forces heavy cross-doc gram collisions — the
+    // regime where cover merging and df counting can go subtly wrong
+    val vocab = Array("a", "b", "c", "d", "e")
+    val n = 3
+    for (trial <- 0 until 5) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val corpus = (0L until 30L).map { id =>
+        val len = rnd.nextInt(13)
+        id -> Array.fill(len max 1)(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+      }
+      // brute force: mark every position covered by a gram whose
+      // DISTINCT-doc frequency is >= 2, excise, reassemble
+      val grams = corpus.map { case (id, t) =>
+        val tk = t.split(" ", -1)
+        id -> ((tk, if (tk.length < n) Array.empty[String]
+                else tk.sliding(n).map(_.mkString(" ")).toArray))
+      }.toMap
+      val df = grams.toSeq
+        .flatMap { case (id, (_, gs)) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet.size }
+      val want = corpus.map { case (id, _) =>
+        val (tk, gs) = grams(id)
+        val dup = Array.fill(tk.length)(false)
+        gs.zipWithIndex.foreach { case (g, i) =>
+          if (df(g) >= 2) (i until i + n).foreach(dup(_) = true) }
+        id -> ((tk.length.toLong, dup.count(identity).toLong,
+          tk.zipWithIndex.collect { case (t, i) if !dup(i) => t }
+            .mkString(" ")))
+      }.toMap
+      val got = Dedup.dupSpanScrub(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
 }

@@ -186,4 +186,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(302L) === ((None, None, None)))
     assert(out(401L) === ((None, None, None)))
   }
+
+  test("lastTouch equals brute force on random event streams with " +
+      "timestamp collisions") {
+    import spark.implicits._
+    val types = Array("click", "view", "purchase", "error", "signup")
+    val lb = 5L * 1000000000L
+    for (trial <- 0 until 5) {
+      val rnd = new scala.util.Random(2000 + trial)
+      // ts drawn from only 20 distinct seconds → plenty of exact ties,
+      // the case the (ts, id) ordering contract exists for
+      val ev = (0L until 60L).map { id =>
+        (id, rnd.nextInt(5).toLong, types(rnd.nextInt(types.length)),
+          rnd.nextInt(20).toLong * 1000000000L, rnd.nextDouble())
+      }
+      val touch = Set("click", "view")
+      val want = ev.filter(_._3 == "purchase").map { e =>
+        val cands = ev.filter(t => touch(t._3) && t._2 == e._2 &&
+          t._4 <= e._4 && e._4 - t._4 <= lb)
+        val best = cands.sortBy(t => (t._4, t._1)).lastOption
+        e._1 -> ((best.map(_._1), best.map(_._3),
+          best.map(t => (e._4 - t._4) / 1000000000L)))
+      }.toMap
+      val got = EventAnalytics.lastTouchAttribution(
+        ev.toDF("event_id", "user_id", "event_type", "ts", "value"),
+        "user_id", "event_type", "ts", "event_id", "value",
+        touchTypes = Seq("click", "view"), convType = "purchase",
+        lookbackNs = lb)
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.getString(4)),
+            Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
 }
