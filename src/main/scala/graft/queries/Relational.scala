@@ -1422,6 +1422,93 @@ object Relational {
         WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                 WHERE s_acctbal < 0.0)
         GROUP BY 1, 2
-        ORDER BY supplier_cnt DESC, p_brand, size_bucket"""))
+        ORDER BY supplier_cnt DESC, p_brand, size_bucket""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q9 shape — product-type profit by supplier nation and
+    // order year: a name-substring part filter cuts the fact chain
+    // first, profit is computed per row (revenue minus a retail-price
+    // cost proxy — this schema has no ps_supplycost) and aggregated
+    // per (nation, year). Nation broadcasts (fixed-size); part/
+    // supplier/orders stay shuffled equi-joins. The LIKE filter can't
+    // push as a parquet range but still prunes before every join.
+    // ------------------------------------------------------------------
+    "q112_tpch_product_profit" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount")
+        val part = t(s, dir, "part")
+          .filter(col("p_name").like("%widget%"))
+          .select("p_partkey", "p_retailprice")
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+        val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")
+        li.join(part, col("l_partkey") === col("p_partkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+          .groupBy(col("nation"), col("o_year"))
+          .agg(round(sum(profit), 2).as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      oracle = Some("""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(sum(l_extendedprice * (1.0 - l_discount)
+                         - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity),
+                     2) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q11 shape — important parts by shipped value for one
+    // nation's suppliers: GROUP BY part HAVING value > fraction × the
+    // GLOBAL value — the global total rides an in-plan scalar
+    // subquery over the SAME filtered aggregate (Spark plans the agg
+    // once per branch; the subquery branch is its own tiny stage, no
+    // 1-row join, no driver collect). Nation broadcasts pre-filtered
+    // to one row.
+    // ------------------------------------------------------------------
+    "q113_tpch_important_parts" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice")
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val nat = t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_1").select("n_nationkey")
+        val byPart = li
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice")).as("raw_val"))
+        val total = graft.plans.Scalars.of(
+          byPart.agg(sum(col("raw_val")).as("t")))
+        byPart.filter(col("raw_val") > lit(0.002) * total)
+          .select(col("l_partkey"),
+            round(col("raw_val"), 2).as("part_value"))
+          .orderBy(col("part_value").desc, col("l_partkey"))
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT l_partkey, sum(l_extendedprice) AS raw_val
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_1'
+          GROUP BY 1)
+        SELECT l_partkey, round(raw_val, 2) AS part_value
+        FROM v
+        WHERE raw_val > CAST(0.002 AS DOUBLE) * (SELECT sum(raw_val) FROM v)
+        ORDER BY part_value DESC, l_partkey"""))
   )
 }

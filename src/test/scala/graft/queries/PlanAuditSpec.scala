@@ -172,6 +172,20 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q112/q113: profit chain broadcasts only the fixed-size nation " +
+      "dim; the Q11 global fraction rides a scalar subquery") {
+    val p112 = plan("q112_tpch_product_profit")
+    assert(p112.contains("BroadcastHashJoin"), p112.take(2000))
+    assert(!p112.contains("CartesianProduct") &&
+      !p112.contains("BroadcastNestedLoopJoin"), p112.take(2000))
+    val p113 = plan("q113_tpch_important_parts")
+    assert(p113.contains("Subquery") || p113.contains("scalar-subquery"),
+      p113.take(2000))
+    assert(!p113.contains("Window"), p113.take(2000))
+    assert(!p113.contains("CartesianProduct") &&
+      !p113.contains("BroadcastNestedLoopJoin"), p113.take(2000))
+  }
+
   test("q65: PII scrub is a pure scan-side projection — no join, no agg") {
     val p = plan("q65_pii_redact")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
