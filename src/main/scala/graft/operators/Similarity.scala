@@ -218,6 +218,40 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Cluster-balanced (diversity) sampling — the embedding-space
+    * curation recipe: k-means cells partition the corpus by content
+    * region, then an EXACT, content-stable `perCell` rows are taken
+    * from each cell, so dense regions stop dominating the sample and
+    * sparse regions keep representation (cluster-stratified curation;
+    * the coverage-balancing complement of SemDeDup's within-cell
+    * pruning). Composes the audited primitives: the driver-local
+    * sample-trained [[centroidModel]] (one corpus pass), an in-plan
+    * nearest-cell assignment, and [[Sampling.takePerStratum]]'s
+    * two-phase per-stratum prefix rank (exact counts, no
+    * stratum-sized single-partition window, selection invariant to
+    * partitioning/engine by md5 rank). Output = input columns +
+    * `cell`.
+    */
+  def clusterBalancedSample(
+      df: DataFrame, idCol: String, vecCol: String,
+      perCell: Long, nCells: Int = 16, seed: Long = 42L,
+      lloydIters: Int = 2, spread: Boolean = true): DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    val prepared = maybeSpread(df, spread)
+      .withColumn("__v", V.toDouble(col(vecCol)))
+    val model = centroidModel(prepared, idCol, "__v", nCells, seed,
+      lloydIters)
+    val assigned = prepared
+      .withColumn("cell",
+        element_at(SK.nearestCells(col("__v"), model, 1), 1))
+      .drop("__v")
+    val take = model.indices.map(i => i.toString -> perCell).toMap
+    Sampling.takePerStratum(
+      assigned.withColumn("cell", col("cell").cast("string")),
+      idCol, "cell", take)
+      .withColumn("cell", col("cell").cast("int"))
+  }
+
   /** Per-subspace PQ codebooks from the training sample: the vector
     * splits into `m` contiguous subspaces and each gets an
     * independent L2 k-means codebook of (at most) `ksub` entries —

@@ -450,6 +450,20 @@ object LlmOps {
           .orderBy("query_id", "rank")
       }),
 
+    // Cluster-balanced diversity sample (rows-only — k-means cell
+    // space is engine-local): exact content-stable perCell rows from
+    // every embedding cluster, so dense regions stop dominating.
+    // Content-golden in EntrySpec; count/stability gates in
+    // SimilaritySpec.
+    "q114_cluster_balanced_sample" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+          perCell = 8, nCells = 16)
+          .select(col("vec_id"), col("cell"), col("label"))
+          .orderBy("vec_id")
+      }),
+
     // ------------------------------------------------- text analysis
     "q30_text_quality" -> Q(
       fn = (s, dir) => {

@@ -16,7 +16,8 @@ class EntrySpec extends SparkSpec {
       "q29_sim_topk_ivf",    // IVF centroid space not portable SQL
       "q43_dedup_winnowing", // winnowing hash space not portable SQL
       "q85_dedup_semantic",  // k-means cell space not portable SQL
-      "q108_sim_topk_ivfpq") // PQ codebook space not portable SQL
+      "q108_sim_topk_ivfpq", // PQ codebook space not portable SQL
+      "q114_cluster_balanced_sample") // k-means cell space not portable SQL
     val qs = SparkEntry.queries
     assert(qs.keySet.diff(SparkEntry.oracleSql.keySet) === rowsOnly)
     // every query must at least execute on the smallest scale factor
@@ -65,7 +66,8 @@ class EntrySpec extends SparkSpec {
       "q29_sim_topk_ivf" -> (100L, "448e5ffd52869eea5298cd61c7fea47a"),
       "q43_dedup_winnowing" -> (30L, "ea48356572fd552e30be8beb4601453b"),
       "q85_dedup_semantic" -> (13L, "903286c603f9ddf10add7529bc92b9be"),
-      "q108_sim_topk_ivfpq" -> (100L, "7c367948d594e8113aa092b899bb79c1"))
+      "q108_sim_topk_ivfpq" -> (100L, "7c367948d594e8113aa092b899bb79c1"),
+      "q114_cluster_balanced_sample" -> (128L, "dc88fd8b954b1d841d5b9aa99ed1bb31"))
     val got = golden.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.01"))
       name -> (df.count(), contentHash(df))

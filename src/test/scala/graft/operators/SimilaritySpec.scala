@@ -184,6 +184,32 @@ class SimilaritySpec extends SparkSpec {
       cb.forall(_.length == 2)))
   }
 
+  test("clusterBalancedSample: exact per-cell counts, content-stable " +
+      "selection, partitioning-invariant") {
+    val out = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      perCell = 8, nCells = 16).collect()
+    val byCell = out.groupBy(_.getAs[Int]("cell"))
+    assert(byCell.values.forall(_.length <= 8))
+    // cells with at least perCell members must contribute exactly
+    // perCell — compare against the full assignment
+    import org.apache.spark.sql.functions._
+    val all = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      perCell = Long.MaxValue, nCells = 16)
+    val cellSizes = all.groupBy(col("cell")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cellSizes.foreach { case (cell, size) =>
+      val took = byCell.get(cell).map(_.length).getOrElse(0)
+      assert(took === math.min(size, 8L).toInt, s"cell $cell")
+    }
+    // selection is content-stable: a different input partitioning
+    // (spread off) must pick the IDENTICAL rows
+    val again = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      perCell = 8, nCells = 16, spread = false)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet
+    assert(again === out.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet)
+  }
+
   test("ivfTopK leaves no persisted corpus behind (cache released after model)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Similarity.ivfTopK(queries, "vec_id", "embedding",
