@@ -1183,7 +1183,11 @@ object Relational {
     // brand filter cuts part BEFORE the fact join, and only the
     // filtered partkeys' lineitems flow into the avg (equivalent to
     // the spec's correlation because the correlation key IS the join
-    // key).
+    // key). The float threshold (0.2·avg) follows the TPC-H spec;
+    // per-part avgs are short sums whose engine-order ulp differences
+    // are ~1e-13 relative, orders below any realistic quantity
+    // boundary — the gate would only wobble if a quantity sat within
+    // ulps of the threshold, which round quantities never do.
     // ------------------------------------------------------------------
     "q103_tpch_small_qty_revenue" -> Q(
       fn = (s, dir) => {
@@ -1477,7 +1481,10 @@ object Relational {
     // subquery over the SAME filtered aggregate (Spark plans the agg
     // once per branch; the subquery branch is its own tiny stage, no
     // 1-row join, no driver collect). Nation broadcasts pre-filtered
-    // to one row.
+    // to one row. The HAVING threshold is a float comparison by spec
+    // (fraction × global sum); as in q103, a flip would need a part
+    // value within ulps of the boundary — prices make that
+    // astronomically unlikely, and the gate pins it at the gate SF.
     // ------------------------------------------------------------------
     "q113_tpch_important_parts" -> Q(
       fn = (s, dir) => {
