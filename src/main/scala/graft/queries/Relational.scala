@@ -1516,6 +1516,59 @@ object Relational {
         SELECT l_partkey, round(raw_val, 2) AS part_value
         FROM v
         WHERE raw_val > CAST(0.002 AS DOUBLE) * (SELECT sum(raw_val) FROM v)
-        ORDER BY part_value DESC, l_partkey"""))
+        ORDER BY part_value DESC, l_partkey"""))  ,
+
+    // ------------------------------------------------------------------
+    // TPC-H Q2 shape — best supplier per part in a region: the
+    // correlated per-part MIN subquery decorrelates into a per-part
+    // aggregate joined back on (part, min-value) — the same rewrite
+    // as q103, here over the region-filtered candidate set. The join
+    // on the min BALANCE is raw stored-value equality (no arithmetic
+    // touches it), so ties surface identically on both engines. The
+    // fixed-size nation/region dims broadcast; the (part, supplier)
+    // relation is the q111 lineitem-distinct reconstruction.
+    // ------------------------------------------------------------------
+    "q115_tpch_best_supplier" -> Q(
+      fn = (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct()
+        val sup = t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"),
+            col("n_name").as("nation"))
+        val reg = t(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")
+        val parts = t(s, dir, "part")
+          .filter(col("p_size") === 10).select("p_partkey")
+        val cand = ps
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .join(parts, col("l_partkey") === col("p_partkey"))
+        val best = cand.groupBy(col("p_partkey").as("b_key"))
+          .agg(min(col("s_acctbal")).as("min_bal"))
+        cand.join(best, col("l_partkey") === col("b_key") &&
+            col("s_acctbal") === col("min_bal"))
+          .select(col("l_partkey"), col("l_suppkey"), col("s_name"),
+            col("nation"), round(col("s_acctbal"), 2).as("s_acctbal"))
+          .orderBy("l_partkey", "l_suppkey")
+      },
+      oracle = Some("""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        cand AS (
+          SELECT ps.l_partkey, ps.l_suppkey, s_acctbal, s_name,
+                 n_name AS nation
+          FROM ps JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          JOIN part   ON l_partkey = p_partkey
+          WHERE r_name = 'ASIA' AND p_size = 10),
+        best AS (SELECT l_partkey AS b_key, min(s_acctbal) AS min_bal
+                 FROM cand GROUP BY 1)
+        SELECT l_partkey, l_suppkey, s_name, nation,
+               round(s_acctbal, 2) AS s_acctbal
+        FROM cand JOIN best ON l_partkey = b_key AND s_acctbal = min_bal
+        ORDER BY l_partkey, l_suppkey"""))
   )
 }

@@ -186,6 +186,16 @@ class PlanAuditSpec extends SparkSpec {
       !p113.contains("BroadcastNestedLoopJoin"), p113.take(2000))
   }
 
+  test("q115: per-part MIN decorrelates to an aggregate join-back; " +
+      "fixed-size dims broadcast; no nested loop") {
+    val p = plan("q115_tpch_best_supplier")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("EqualTo(r_name,ASIA)"), p.take(3000))
+    assert(p.contains("EqualTo(p_size,10)"), p.take(3000))
+  }
+
   test("q65: PII scrub is a pure scan-side projection — no join, no agg") {
     val p = plan("q65_pii_redact")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
