@@ -464,6 +464,40 @@ object LlmOps {
           .orderBy("vec_id")
       }),
 
+    // Streaming continuous-prep capstone: two micro-batch replays of
+    // the prep pipeline (quality gate + first-occurrence fingerprint
+    // dedup, lowest (batch, id) wins) must equal the batch-twin the
+    // oracle computes directly — gating the foreachBatch path, the
+    // fingerprint anti-join against the accepted store, and the
+    // replay-idempotent slice protocol end-to-end.
+    "q116_prep_ingest_parity" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val acceptedDir = java.nio.file.Files
+          .createTempDirectory("graft-q116-accepted").toString
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        Streaming.prepIngestBatch(docs.filter(col("doc_id") % 2 === 0),
+          0L, acceptedDir, "doc_id", "text", minTokens = 50L)
+        Streaming.prepIngestBatch(docs.filter(col("doc_id") % 2 =!= 0),
+          1L, acceptedDir, "doc_id", "text", minTokens = 50L)
+        s.read.option("basePath", acceptedDir).parquet(acceptedDir)
+          .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id % 2 AS b,
+                 md5(regexp_replace(lower(text), '[^\p{L}\p{N} ]', '', 'g'))
+                   AS fp
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 50),
+        r AS (SELECT doc_id, b,
+                     row_number() OVER (PARTITION BY fp
+                                        ORDER BY b, doc_id) AS rn
+              FROM d)
+        SELECT doc_id, CAST(b AS BIGINT) AS batch_id
+        FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
     // ------------------------------------------------- text analysis
     "q30_text_quality" -> Q(
       fn = (s, dir) => {

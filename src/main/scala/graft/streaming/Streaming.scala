@@ -225,6 +225,64 @@ object Streaming {
     writeBatch(sel, corpusPath, "parquet", batchId)
   }
 
+  /** Continuous training-data PREPARATION: the ingest-side composition
+    * of the batch prep pipeline — each arriving micro-batch is
+    * quality-gated (token count ≥ `minTokens`) and only FIRST
+    * occurrences of a content fingerprint are admitted: lowest id
+    * wins within the batch, and anything already in the accepted
+    * store is dropped (first-batch-wins across batches). Accepted
+    * docs land as replay-idempotent `batch_id=N` slices carrying
+    * their fingerprint, so the cross-batch check is a fingerprint
+    * LEFT ANTI join against a partition-pruned static table — per-
+    * batch cost scales with the batch (the [[dedupIngest]] contract),
+    * and the stored `fp` column means the old corpus' text is never
+    * re-read or re-hashed.
+    *
+    * Same file protocol as [[ingestDedupBatch]]: explicit schema on
+    * the store read (an empty/pre-created dir reads as zero rows),
+    * `batch_id != current` excludes a half-written own slice on
+    * replay, and the slice overwrite makes replays idempotent.
+    */
+  def prepIngest(
+      stream: DataFrame, acceptedPath: String,
+      idCol: String, textCol: String, minTokens: Long)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      prepIngestBatch(batch, batchId, acceptedPath, idCol, textCol,
+        minTokens)
+    }
+
+  /** The per-batch step — separated so tests and manual backfills can
+    * replay a batch directly and observe idempotence. */
+  def prepIngestBatch(
+      batch: DataFrame, batchId: Long, acceptedPath: String,
+      idCol: String, textCol: String, minTokens: Long): Unit = {
+    import graft.functions.{TextFunctions => T}
+    val spark = batch.sparkSession
+    val qual = batch.select(col(idCol), col(textCol))
+      .filter(T.tokenCount(col(textCol)) >= minTokens)
+      .withColumn("fp", T.fingerprint(col(textCol)))
+    // within-batch winners: lowest id per fingerprint (one keyed agg +
+    // join-back — the q22 exact-dedup shape)
+    val keep = qual.groupBy(col("fp")).agg(min(col(idCol)).as("__keep"))
+    val winners = qual.join(keep, Seq("fp"))
+      .filter(col(idCol) === col("__keep")).drop("__keep")
+    val root = new org.apache.hadoop.fs.Path(acceptedPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val storeSchema = org.apache.spark.sql.types.StructType(
+      winners.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "batch_id", org.apache.spark.sql.types.LongType, nullable = true))
+    val oldFps =
+      if (fs.exists(root))
+        spark.read.option("basePath", acceptedPath).schema(storeSchema)
+          .parquet(acceptedPath)
+          .filter(col("batch_id") =!= batchId)
+          .select(col("fp"))
+      else winners.select(col("fp")).limit(0)
+    val accepted = winners.join(oldFps, Seq("fp"), "left_anti")
+    writeBatch(accepted, acceptedPath, "parquet", batchId)
+  }
+
   // ------------------------------------------------------- sessionize
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -404,4 +404,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 4.0)))
   }
+
+  test("prepIngestBatch: quality gate + first-occurrence dedup across " +
+      "batches; idempotent replay; empty pre-created store dir") {
+    import spark.implicits._
+    val acceptedDir = java.nio.file.Files
+      .createTempDirectory("graft-prep-accepted").toString // pre-created, EMPTY
+    def accepted(): Set[(Long, Long)] =
+      spark.read.option("basePath", acceptedDir).parquet(acceptedDir)
+        .select(col("doc_id"), col("batch_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 0 against the empty store: doc 1 passes; doc 2 is a
+    // within-batch duplicate of 1 (same fingerprint after
+    // normalization); doc 3 fails the 3-token quality gate
+    Streaming.prepIngestBatch(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "Alpha, beta GAMMA delta!"),
+      (3L, "too short")).toDF("doc_id", "text"),
+      0L, acceptedDir, "doc_id", "text", minTokens = 3L)
+    assert(accepted() === Set((1L, 0L)))
+    // batch 1: doc 4 duplicates the stored fingerprint → dropped;
+    // doc 5 is new → admitted
+    Streaming.prepIngestBatch(Seq(
+      (4L, "alpha beta gamma delta"),
+      (5L, "epsilon zeta eta theta")).toDF("doc_id", "text"),
+      1L, acceptedDir, "doc_id", "text", minTokens = 3L)
+    assert(accepted() === Set((1L, 0L), (5L, 1L)))
+    // replay batch 1 (post-failure restart): own slice excluded from
+    // the old side, output replaced not appended, nothing duplicated
+    Streaming.prepIngestBatch(Seq(
+      (4L, "alpha beta gamma delta"),
+      (5L, "epsilon zeta eta theta")).toDF("doc_id", "text"),
+      1L, acceptedDir, "doc_id", "text", minTokens = 3L)
+    assert(accepted() === Set((1L, 0L), (5L, 1L)))
+  }
 }
