@@ -202,6 +202,19 @@ class PlanAuditSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q107/q108/q114: the new LLM ops stay keyed — no nested loop, " +
+      "no cartesian, no corpus-wide window") {
+    for (name <- Seq("q107_dup_span_scrub", "q108_sim_topk_ivfpq",
+        "q114_cluster_balanced_sample")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$name: ${p.take(2000)}")
+    }
+    // q107's only aggregations are gram- or doc-keyed; its excision is
+    // array expressions — no window operator at all
+    assert(!plan("q107_dup_span_scrub").contains("Window"))
+  }
+
   test("q68: corpus size enters as a scalar subquery, never a 1-row join") {
     val p = plan("q68_tfidf_keywords")
     assert(p.contains("Subquery") || p.contains("scalar-subquery"),
