@@ -57,6 +57,11 @@ object GraftExtensions {
       "graft_word_shingles(text, n) - distinct word n-gram shingles",
       args => { arity(args, 2, "graft_word_shingles")
         WordShinglesExpr(args.head, intLit(args, 1, "graft_word_shingles")) }),
+    ("graft_word_ngrams",
+      "graft_word_ngrams(text, n) - ALL word n-grams in position order " +
+        "(multiset; the repetition/decontam/span-scrub kernel)",
+      args => { arity(args, 2, "graft_word_ngrams")
+        WordNgramsExpr(args.head, intLit(args, 1, "graft_word_ngrams")) }),
     ("graft_char_shingles",
       "graft_char_shingles(text, n) - distinct char n-gram shingles",
       args => { arity(args, 2, "graft_char_shingles")

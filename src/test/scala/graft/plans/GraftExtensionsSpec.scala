@@ -24,6 +24,7 @@ class GraftExtensionsSpec extends SparkSpec {
       SELECT id,
              graft_simhash64(text) AS sh,
              graft_word_shingles(text, 3) AS ws,
+             graft_word_ngrams(text, 3) AS wn,
              graft_minhash_sig(graft_word_shingles(text, 3), 16) AS sig,
              graft_minhash_band_keys(
                graft_minhash_sig(graft_word_shingles(text, 3), 16), 4) AS bk,
@@ -32,6 +33,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val api = df.select(col("id"),
       SketchExpressions.simhash64(col("text")).as("sh"),
       SketchExpressions.wordShingles(col("text"), 3).as("ws"),
+      SketchExpressions.wordNgrams(col("text"), 3).as("wn"),
       SketchExpressions.minhashSig(
         SketchExpressions.wordShingles(col("text"), 3), 16).as("sig"),
       SketchExpressions.minhashBandKeys(
