@@ -636,6 +636,14 @@ object Dedup {
     *      positions outside it, scrubbed = concat_ws over kept — no
     *      token-level explode ever reaches a shuffle, no window.
     *
+    * Conscious cost trade: the gram explode lineage is consumed TWICE
+    * (once for the gram-df aggregate, once for the instance join), so
+    * the O(len) text shingling runs two passes — the repo's no-persist
+    * stance (nothing cached that an executor loss would strand, same
+    * as the prefix-index dedup family, which re-derives its index the
+    * same way). A caller scrubbing one corpus many times should
+    * persist its own `(id, gstart, gram)` projection first.
+    *
     * Output: (id, n_tokens, n_dup_tokens, scrubbed). Docs shorter than
     * n have no grams and pass through unscrubbed.
     */

@@ -255,6 +255,10 @@ object EventAnalytics {
       touchTypes: Seq[String], convType: String,
       lookbackNs: Long): DataFrame = {
     require(touchTypes.nonEmpty, "lastTouchAttribution needs touch types")
+    require(!touchTypes.contains(convType),
+      s"convType '$convType' must not also be a touch type: the side " +
+        "split would silently reclassify every conversion as " +
+        "non-attributable instead of crediting earlier conversions")
     require(lookbackNs > 0, "lookbackNs must be positive")
     val base = events
       .filter(col(typeCol).isin(touchTypes: _*) || col(typeCol) === convType)

@@ -188,11 +188,13 @@ object Similarity {
           (cd, j) => element_at(normsSq, j * ksubMax + cd + 1)),
         lit(0.0), _ + _)))
 
-    val q = queries.select(col(qIdCol).as("query_id"),
+    val qBase = queries.select(col(qIdCol).as("query_id"),
         V.toDouble(col(qVecCol)).as("qv"))
       .withColumn("qn", sqrt(DotProduct(col("qv"), col("qv"))))
+    val q = qBase
       .withColumn("tbl", SK.pqAdcTable(col("qv"), cbs))
       .withColumn("cell", explode(SK.nearestCells(col("qv"), coarse, nProbe)))
+      .select("query_id", "qn", "tbl", "cell")
 
     val adc = encoded.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -204,17 +206,31 @@ object Similarity {
         when(col("rn") > 0.0 && col("qn") > 0.0,
           col("adot") / (col("qn") * col("rn"))).otherwise(lit(-2.0)))
 
+    // the shortlist window ranks a SLIM projection — (query, candidate,
+    // score) only — so the exchange it needs never carries the raw
+    // query vector per candidate row (that would re-inflate the shuffle
+    // to raw-vector volume, defeating the code-sized-shuffle contract);
+    // qv/qn come back via a broadcast of the tiny query frame
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("acos").desc, col("neighbor_id"))
     val shortlist = adc
+      .select("query_id", "neighbor_id", "acos")
       .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= k * rerankFactor)
-      .select("query_id", "neighbor_id", "qv", "qn")
+      .select("query_id", "neighbor_id")
+      .join(broadcast(qBase), Seq("query_id"))
 
-    val scored = shortlist.join(c, Seq("neighbor_id"))
+    // the corpus side stays in place: the rerankFactor·k-per-query
+    // shortlist is the broadcast side, never the corpus. The re-rank
+    // guards zero norms like the ADC stage (-2.0 sentinel) — an
+    // all-zeros embedding must rank LAST, not surface as a NaN cosine
+    // (Spark orders NaN above every double).
+    val scored = c.join(broadcast(shortlist), Seq("neighbor_id"))
       .withColumn("cn", sqrt(DotProduct(col("cv"), col("cv"))))
       .withColumn("cosine",
-        DotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        when(col("cn") > 0.0 && col("qn") > 0.0,
+          DotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(lit(-2.0)))
     topK(scored, k)
   }
 

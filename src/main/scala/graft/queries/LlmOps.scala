@@ -16,6 +16,23 @@ import graft.functions.{TextFunctions => T}
   */
 object LlmOps {
 
+  /** The ingest-parity queries (q94/q116) replay their micro-batches
+    * into per-run temp dirs; the result is materialized EAGERLY
+    * (localCheckpoint) so the dirs can be deleted before returning —
+    * repeated gate/bench sweeps must not accumulate orphaned slices
+    * under the system temp dir. */
+  private def materializeAndClean(
+      df: org.apache.spark.sql.DataFrame, dirs: String*)
+      : org.apache.spark.sql.DataFrame = {
+    val out = df.localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    dirs.foreach(d => rm(new java.io.File(d)))
+    out
+  }
+
   val defs: Map[String, Q] = Map(
 
     // ---------------------------------------------------------- dedup
@@ -133,9 +150,11 @@ object LlmOps {
           0L, corpusDir, pairsDir, "doc_id", "text", n = 3, threshold = 0.5)
         Streaming.ingestDedupBatch(docs.filter(col("doc_id") % 2 =!= 0),
           1L, corpusDir, pairsDir, "doc_id", "text", n = 3, threshold = 0.5)
-        s.read.option("basePath", pairsDir).parquet(pairsDir)
-          .select("a_id", "b_id", "jaccard")
-          .orderBy("a_id", "b_id")
+        materializeAndClean(
+          s.read.option("basePath", pairsDir).parquet(pairsDir)
+            .select("a_id", "b_id", "jaccard")
+            .orderBy("a_id", "b_id"),
+          corpusDir, pairsDir)
       },
       oracle = Some("""
         WITH s AS (
@@ -480,9 +499,12 @@ object LlmOps {
           0L, acceptedDir, "doc_id", "text", minTokens = 50L)
         Streaming.prepIngestBatch(docs.filter(col("doc_id") % 2 =!= 0),
           1L, acceptedDir, "doc_id", "text", minTokens = 50L)
-        s.read.option("basePath", acceptedDir).parquet(acceptedDir)
-          .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
-          .orderBy("doc_id")
+        materializeAndClean(
+          s.read.option("basePath", acceptedDir).parquet(acceptedDir)
+            .select(col("doc_id"),
+              col("batch_id").cast("long").as("batch_id"))
+            .orderBy("doc_id"),
+          acceptedDir)
       },
       oracle = Some("""
         WITH d AS (

@@ -169,6 +169,28 @@ class SimilaritySpec extends SparkSpec {
     assert(deep > 0.8, s"full-probe deep-rerank IVF-PQ recall@5 = $deep")
   }
 
+  test("IVF-PQ: a zero-norm corpus vector ranks LAST (sentinel), " +
+      "never first with a NaN cosine") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 64
+    val tiny = (0L until 6L).map { i =>
+      (i, Array.tabulate(dim)(d => (math.sin(i * dim + d) + 1.1).toFloat))
+    } :+ (99L, Array.fill(dim)(0.0f)) // the all-zeros row
+    val df = tiny.toDF("vec_id", "embedding")
+    val rows = Similarity.ivfPqTopK(
+      df.filter(col("vec_id") === 0), "vec_id", "embedding",
+      df, "vec_id", "embedding", k = 6, nCells = 2, nProbe = 2,
+      rerankFactor = 2)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.forall(r => !r.getAs[Double]("cosine").isNaN))
+    // if the zero vector surfaces at all, it is the worst-ranked row
+    rows.find(_.getAs[Long]("neighbor_id") == 99L).foreach { r =>
+      assert(r.getAs[Long]("rank") === rows.length.toLong)
+      assert(r.getAs[Double]("cosine") === -2.0)
+    }
+  }
+
   test("pq codebooks: deterministic under seed; encode maps each " +
       "subvector to its L2-nearest codeword") {
     val train = Array.tabulate(64)(i =>

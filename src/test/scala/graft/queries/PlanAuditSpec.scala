@@ -213,6 +213,10 @@ class PlanAuditSpec extends SparkSpec {
     // q107's only aggregations are gram- or doc-keyed; its excision is
     // array expressions — no window operator at all
     assert(!plan("q107_dup_span_scrub").contains("Window"))
+    // q108's re-rank must broadcast the shortlist/query side — a
+    // sort-merge there would shuffle the whole corpus on neighbor_id,
+    // exactly the corpus-scale exchange IVF-PQ exists to avoid
+    assert(plan("q108_sim_topk_ivfpq").contains("BroadcastHashJoin"))
   }
 
   test("q68: corpus size enters as a scalar subquery, never a 1-row join") {
