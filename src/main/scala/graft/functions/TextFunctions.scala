@@ -130,4 +130,48 @@ object TextFunctions {
     val best = array_max(scored)
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
+
+  // ------------------------------------------------------------- BPE
+
+  /** Code-point symbols of a word — the BPE base alphabet. Code points
+    * (not chars) so astral-plane text can never split a surrogate
+    * pair into two half-symbols. */
+  private[graft] def bpeSymbols(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** One merge applied to a symbol sequence: a single left-to-right
+    * pass replacing non-overlapping adjacent (l, r) with l+r — the
+    * SAME primitive drives training (graft.operators.TextStats
+    * .bpeTrain) and encoding ([[bpeSegmentToken]]), so the two can
+    * never disagree on segmentation. */
+  private[graft] def bpeMergePair(
+      syms: Array[String], l: String, r: String): Array[String] = {
+    if (syms.length < 2) return syms
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** A token segmented by an ordered merge list (applied in learned
+    * rank order — exactly the training-time replay, Sennrich et al.
+    * 2016). Concatenating the result always reproduces the token. */
+  private[graft] def bpeSegmentToken(
+      token: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms = bpeSymbols(token)
+    merges.foreach { case (l, r) => syms = bpeMergePair(syms, l, r) }
+    syms
+  }
 }

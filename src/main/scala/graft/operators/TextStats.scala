@@ -317,4 +317,69 @@ object TextStats {
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           e => e.getField("tok"))).as("chunk_text"))
   }
+
+  /** BPE merge learning (Sennrich et al., ACL 2016): learns `nMerges`
+    * byte-pair merges and returns the ordered merge table
+    * (rank, left, right, merged, pair_count).
+    *
+    * The scale split is the one every production BPE trainer uses:
+    * pair statistics are NOT computed on the token stream but on the
+    * aggregated WORD-FREQUENCY table — one distributed partial+final
+    * count over the corpus, `minCount` pruning the long tail, then
+    * the top `maxWords` by (count, word) collected to the driver
+    * (TakeOrderedAndProject; the collect is maxWords·|word| bytes —
+    * the same bounded-model contract as the centroid sample, stated
+    * here because vocabularies, unlike corpora, are cappable by
+    * contract). The merge loop itself is driver-local over that
+    * table — each round re-counts adjacent pairs weighted by word
+    * frequency and merges the max-(count, then lexicographically
+    * first) pair, so the result is fully deterministic.
+    *
+    * The merge primitive is shared with the encode path
+    * ([[graft.functions.TextFunctions.bpeMergePair]]) — training
+    * replay and encoding can never disagree on segmentation.
+    */
+  def bpeTrain(
+      df: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L, maxWords: Int = 65536): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    require(maxWords > 0, "maxWords must be positive")
+    val spark = df.sparkSession
+    val words: Array[(String, Long)] = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var seqs: Array[(Array[String], Long)] =
+      words.map { case (w, c) => (T.bpeSymbols(w), c) }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((rank.toLong, l, r, c))
+        seqs = seqs.map { case (syms, wc) => (T.bpeMergePair(syms, l, r), wc) }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq
+      .map { case (rk, l, r, c) => (rk, l, r, l + r, c) }
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
 }

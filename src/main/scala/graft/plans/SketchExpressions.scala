@@ -269,6 +269,43 @@ case class NearestCells(
   override def prettyName: String = "nearest_cells"
 }
 
+/** BPE subword segmentation with a learned merge table: whitespace
+  * tokens are split to code-point symbols and the merges replay in
+  * rank order (the training-time loop, via the SHARED
+  * `TextFunctions.bpeMergePair` primitive — encoder and trainer
+  * cannot disagree). Output: the document's subword units in order;
+  * concatenating a token's units always reproduces the token. The
+  * merge table rides the expression as a literal model (same contract
+  * as [[NearestCells]]/[[PqEncode]]).
+  */
+case class BpeEncodeExpr(child: Expression, merges: Array[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val out = Array.newBuilder[Any]
+    var i = 0
+    while (i < toks.length) {
+      graft.functions.TextFunctions.bpeSegmentToken(toks(i), merges.toSeq)
+        .foreach(s => out += UTF8String.fromString(s))
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncodeExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_encode"
+}
+
 /** Product-quantization encoder (Jégou et al. 2011, "Product
   * Quantization for Nearest Neighbor Search"): the vector is split
   * into `codebooks.length` contiguous subspaces and each subvector is
@@ -524,6 +561,9 @@ object SketchExpressions {
 
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(vec), codebooks))
+
+  def bpeEncode(text: Column, merges: Array[(String, String)]): Column =
+    GraftSqlBridge.column(BpeEncodeExpr(GraftSqlBridge.expression(text), merges))
 
   def pqAdcTable(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     GraftSqlBridge.column(PqAdcTable(GraftSqlBridge.expression(vec), codebooks))

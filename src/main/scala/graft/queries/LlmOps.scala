@@ -520,6 +520,19 @@ object LlmOps {
         SELECT doc_id, CAST(b AS BIGINT) AS batch_id
         FROM r WHERE rn = 1 ORDER BY doc_id""")),
 
+    // BPE merge learning (rows-only: the iterative merge loop is not
+    // expressible as a SQL oracle — recursive CTEs cannot thread the
+    // evolving symbol table). Deterministic under the (count, lexico)
+    // tie-break; content-golden in EntrySpec; hand-computed classic
+    // fixture + encode round-trip in TextStatsSpec.
+    "q117_bpe_train" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.bpeTrain(Tables(s, dir, "documents"), "text",
+          nMerges = 40, minCount = 2L, maxWords = 4096)
+          .orderBy("rank")
+      }),
+
     // ------------------------------------------------- text analysis
     "q30_text_quality" -> Q(
       fn = (s, dir) => {

@@ -17,7 +17,8 @@ class EntrySpec extends SparkSpec {
       "q43_dedup_winnowing", // winnowing hash space not portable SQL
       "q85_dedup_semantic",  // k-means cell space not portable SQL
       "q108_sim_topk_ivfpq", // PQ codebook space not portable SQL
-      "q114_cluster_balanced_sample") // k-means cell space not portable SQL
+      "q114_cluster_balanced_sample", // k-means cell space not portable SQL
+      "q117_bpe_train")      // iterative merge loop not expressible in SQL
     val qs = SparkEntry.queries
     assert(qs.keySet.diff(SparkEntry.oracleSql.keySet) === rowsOnly)
     // every query must at least execute on the smallest scale factor
@@ -67,7 +68,8 @@ class EntrySpec extends SparkSpec {
       "q43_dedup_winnowing" -> (30L, "ea48356572fd552e30be8beb4601453b"),
       "q85_dedup_semantic" -> (13L, "903286c603f9ddf10add7529bc92b9be"),
       "q108_sim_topk_ivfpq" -> (100L, "7c367948d594e8113aa092b899bb79c1"),
-      "q114_cluster_balanced_sample" -> (128L, "dc88fd8b954b1d841d5b9aa99ed1bb31"))
+      "q114_cluster_balanced_sample" -> (128L, "dc88fd8b954b1d841d5b9aa99ed1bb31"),
+      "q117_bpe_train" -> (40L, "588bc949b7bb473a33ae2c7b58bd9d02"))
     val got = golden.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.01"))
       name -> (df.count(), contentHash(df))

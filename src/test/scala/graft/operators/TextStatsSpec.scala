@@ -155,4 +155,59 @@ class TextStatsSpec extends SparkSpec {
     // A∩B = {a b}: jaccard 1/3, containment 1/2; C shares nothing
     assert(got === Map(("A", "B") -> ((1L, 0.3333, 0.5))))
   }
+
+  test("bpeTrain: classic fixture learns the hand-computed merges in " +
+      "order; deterministic") {
+    import spark.implicits._
+    // the Sennrich-style corpus: word frequencies
+    //   low:5  lower:2  newest:6  widest:3
+    // pair counts round 1: (e,s)=9, (s,t)=9, (l,o)=7, (o,w)=7, ...
+    // tie (e,s) vs (s,t) breaks lexicographically -> (e,s) first,
+    // then (es,t)=9, then (l,o)=7 / (o,w)=7 -> (l,o) first
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextStats.bpeTrain(df, "text", nMerges = 4, minCount = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(merges.toSeq === Seq(
+      (0L, "e", "s", "es", 9L),
+      (1L, "es", "t", "est", 9L),
+      (2L, "l", "o", "lo", 7L),
+      (3L, "lo", "w", "low", 7L)))
+    val again = TextStats.bpeTrain(df, "text", nMerges = 4, minCount = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again === merges.map(m => m._1 -> m._4).toMap)
+  }
+
+  test("bpeEncode: segmentation replays training; concatenation " +
+      "reproduces tokens; more merges never add symbols") {
+    import spark.implicits._
+    import graft.plans.{SketchExpressions => SK}
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val train = Seq((1L, text)).toDF("doc_id", "text")
+    def mergesOf(n: Int): Array[(String, String)] =
+      TextStats.bpeTrain(train, "text", nMerges = n, minCount = 1L)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+    val m4 = mergesOf(4)
+    val enc = Seq((1L, "lowest low")).toDF("id", "text")
+      .select(SK.bpeEncode(col("text"), m4).as("units"))
+      .collect()(0).getSeq[String](0)
+    // "lowest" -> lo+w merged to "low"? replay: e s->es, es t->est,
+    // l o->lo, lo w->low  =>  low + est ; "low" -> low
+    assert(enc === Seq("low", "est", "low"))
+    assert(enc.mkString("") === "lowestlow")
+    // monotonicity: deeper merge tables can only coarsen
+    val n2 = Seq((1L, "lowest low")).toDF("id", "text")
+      .select(SK.bpeEncode(col("text"), mergesOf(2)).as("u"))
+      .collect()(0).getSeq[String](0)
+    assert(enc.length <= n2.length)
+    // unicode safety: astral-plane code points stay whole symbols
+    val uni = Seq((1L, "a😀b")).toDF("id", "text")
+      .select(SK.bpeEncode(col("text"), Array.empty[(String, String)]).as("u"))
+      .collect()(0).getSeq[String](0)
+    assert(uni === Seq("a", "😀", "b"))
+  }
 }
