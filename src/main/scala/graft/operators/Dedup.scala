@@ -566,10 +566,19 @@ object Dedup {
     * corpus count — an unavoidable driver-side integer (it sizes the
     * model arrays), grouped with the model-building actions the
     * centroid engine already runs; everything corpus-sized stays
-    * distributed. Cell sizes are data-dependent (k-means cells, not
-    * hash buckets): moderate imbalance is AQE-skew-split territory,
-    * and the cell histogram is one groupBy away when a corpus needs
-    * monitoring.
+    * distributed. The auto-size is CLAMPED to `MaxAutoCells` (2048):
+    * the centroid model trains driver-locally, and its cost grows
+    * with nCells · sample — unclamped, a 10M-vector corpus would
+    * auto-size ~20k cells and turn the driver step into the job.
+    * Past the clamp (n ≳ MaxAutoCells·targetCellSize ≈ 1M vectors at
+    * the defaults) cell sizes grow with n/2048 and the within-cell
+    * pair cost bends up accordingly — at that scale pass an explicit
+    * `nCells` (accepting the documented driver Lloyd cost) or shard
+    * the corpus before pairing; the training COLLECT itself stays
+    * bounded regardless ([[Similarity.MaxTrainVectors]]). Cell sizes
+    * are data-dependent (k-means cells, not hash buckets): moderate
+    * imbalance is AQE-skew-split territory, and the cell histogram is
+    * one groupBy away when a corpus needs monitoring.
     *
     * `probes` > 1 soft-assigns every vector to its `probes` nearest
     * cells (multi-probe, the standard recall lever for boundary
@@ -577,6 +586,10 @@ object Dedup {
     * in several shared cells is deduplicated exactly (same rounded
     * cosine in every cell) by a final distinct.
     */
+  /** Auto-size ceiling for [[semanticPairs]]' cell count — see its
+    * scaladoc for the regime argument. */
+  private[operators] val MaxAutoCells: Int = 2048
+
   def semanticPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 0, targetCellSize: Int = 512,
@@ -588,7 +601,8 @@ object Dedup {
       .select(col(idCol).as("id"), V.toDouble(col(vecCol)).as("v"))
     val k =
       if (nCells > 0) nCells
-      else math.max(4L, df.count() / targetCellSize).toInt
+      else math.min(MaxAutoCells.toLong,
+        math.max(4L, df.count() / targetCellSize)).toInt
     val centroids = Similarity.centroidModel(c, "id", "v",
       k, seed, lloydIters)
     val assigned = c

@@ -88,9 +88,16 @@ object Sampling {
       .orderBy(col("__h"), col(keyCol))
     val byStratum = Window.partitionBy(col(stratumCol))
       .orderBy(col("__bucket"))
-    // ledger join keys are NULL-SAFE (<=>): a null stratum is a valid
-    // window partition in the old single-window spelling, and a plain
-    // equi-join would silently drop its rows (null never equi-matches)
+    // ledger join keys are NULL-SAFE (<=>) on BOTH columns: a null
+    // stratum is a valid window partition in the old single-window
+    // spelling, and a null KEY yields md5(null) = null → a null
+    // bucket — either would be silently dropped by a plain equi-join
+    // (null never equi-matches) while still being counted in the
+    // ledger, shifting __base and shorting the sample. Null-key rows
+    // rank FIRST within their stratum (Spark sorts the null bucket
+    // before every hex bucket), deterministically by the key
+    // tie-break; callers needing the weightedTake exclude-nulls
+    // contract should filter before sampling.
     val ledger = keyed.groupBy(col(stratumCol), col("__bucket"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__base", coalesce(
@@ -104,13 +111,10 @@ object Sampling {
     keyed
       .withColumn("__rbk", row_number().over(inBucket))
       .join(broadcast(ledger),
-        col(stratumCol) <=> col("__ls") && col("__bucket") === col("__lb"))
+        col(stratumCol) <=> col("__ls") && col("__bucket") <=> col("__lb"))
       .drop("__ls", "__lb")
       .withColumn("__rk", col("__base") + col("__rbk"))
   }
-
-  private def stratumRankCols =
-    Seq("__h", "__bucket", "__rbk", "__base", "__n", "__rk")
 
   /** Exact per-stratum deterministic sampling: within each stratum,
     * rows rank by md5(key) (content-stable total order; key as
@@ -129,7 +133,6 @@ object Sampling {
     require(frac >= 0.0 && frac <= 1.0, "fraction must be in [0,1]")
     withStratumRank(df, keyCol, stratumCol)
       .filter(col("__rk") <= exactCeil(frac, col("__n")))
-      .drop(stratumRankCols: _*)
       .select(df.columns.map(col): _*)
   }
 
@@ -156,7 +159,6 @@ object Sampling {
     }
     withStratumRank(df, keyCol, stratumCol)
       .filter(col("__rk") <= ceil(fracCol * col("__n")))
-      .drop(stratumRankCols: _*)
       .select(df.columns.map(col): _*)
   }
 
@@ -180,7 +182,6 @@ object Sampling {
     }
     withStratumRank(df, keyCol, stratumCol)
       .filter(col("__rk") <= kCol)
-      .drop(stratumRankCols: _*)
       .select(df.columns.map(col): _*)
   }
 
@@ -263,6 +264,18 @@ object Sampling {
       frac: Double, nBuckets: Int = 32): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, "fraction must be in [0,1]")
     require(nBuckets >= 2, "nBuckets must be at least 2")
+    // the range-bucketing casts the score to double for the boundary
+    // sketch — a non-numeric orderable score (date, string) would
+    // either fail analysis or silently collapse every row into one
+    // bucket (cast → null), resurrecting the single-task sort this
+    // spelling exists to avoid. Fail loudly instead; non-numeric
+    // scores should be mapped to a numeric rank by the caller.
+    df.schema(scoreCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case t => throw new IllegalArgumentException(
+        s"dropBottomFraction needs a NUMERIC score column; " +
+          s"'$scoreCol' is ${t.simpleString}")
+    }
     import org.apache.spark.sql.expressions.Window
     val score = col(scoreCol)
     // Boundary sketch accuracy is deliberately LOW (and the bucket

@@ -168,7 +168,9 @@ object Similarity {
     require(rerankFactor >= 1, "rerankFactor must be at least 1")
     val c = maybeSpread(corpus, spread)
       .select(col(cIdCol).as("neighbor_id"), V.toDouble(col(cVecCol)).as("cv"))
-    val train = trainingSample(c, "neighbor_id", "cv", nCells * trainPerCell)
+    val train = trainingSample(c, "neighbor_id", "cv",
+      math.min(nCells.toLong * trainPerCell,
+        math.max(MaxTrainVectors, nCells).toLong).toInt)
     val coarse = centroidsFrom(train, nCells, seed, lloydIters)
     val cbs = pqCodebooksFrom(train, m, ksub, seed)
     val ksubMax = cbs.map(_.length).max
@@ -384,14 +386,27 @@ object Similarity {
     * ~1/sqrt(trainPerCell) per cell — recall-neutral at the defaults,
     * and gated by the recall specs.
     */
+  /** Absolute ceiling on the driver-side training sample. The
+    * per-cell budget (`trainPerCell`) alone is NOT a bound when the
+    * caller auto-sizes nCells from the corpus (SemDeDup's fixed cell
+    * size makes nCells ∝ n, so nCells·trainPerCell ∝ n — collecting
+    * half the corpus is exactly the driver materialization this
+    * engine forbids). Above the ceiling the effective per-cell budget
+    * shrinks (more sampling noise per cell — recall-gated, and the
+    * multi-probe lever compensates); driver memory is bounded at
+    * MaxTrainVectors · dim · 8 B regardless of corpus or cell count. */
+  private[operators] val MaxTrainVectors: Int = 1 << 18
+
   private[operators] def centroidModel(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, seed: Long, lloydIters: Int,
       trainPerCell: Int = 256): Array[Array[Double]] = {
     require(nCells > 0, "nCells must be positive")
     require(trainPerCell >= 4, "trainPerCell must be at least 4")
+    val cap = math.min(nCells.toLong * trainPerCell,
+      math.max(MaxTrainVectors, nCells).toLong).toInt
     centroidsFrom(
-      trainingSample(corpus, idCol, vecCol, nCells * trainPerCell),
+      trainingSample(corpus, idCol, vecCol, cap),
       nCells, seed, lloydIters)
   }
 

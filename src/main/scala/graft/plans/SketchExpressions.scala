@@ -882,6 +882,21 @@ case class SampleKeyExpr(key: Expression, weight: Expression, maxWeight: Int)
 
   override def dataType: DataType = StringType
 
+  // Explicit null semantics matching the weightedTake Column contract
+  // (whose scaladoc documents WHY): a NULL key has no content identity
+  // and engines disagree on null sort position (Spark nulls-first
+  // would ALWAYS select it, DuckDB nulls-last never) — so it maps to
+  // the max-hex sentinel, sorting LAST on any engine (= weightedTake's
+  // exclusion, realized orderably). A NULL weight clamps to 1 replica,
+  // exactly like the Column spelling's greatest(1, ...) null skip.
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val k = key.eval(input)
+    if (k == null) return SampleKeyExpr.NullKeySentinel
+    val w = weight.eval(input)
+    nullSafeEval(k, if (w == null) java.lang.Double.valueOf(1.0) else w)
+  }
+
   override def nullSafeEval(k: Any, w: Any): Any = {
     val keyStr = k.asInstanceOf[UTF8String].toString
     val wd = w match {
@@ -906,4 +921,11 @@ case class SampleKeyExpr(key: Expression, weight: Expression, maxWeight: Int)
       newLeft: Expression, newRight: Expression): SampleKeyExpr =
     copy(key = newLeft, weight = newRight)
   override def prettyName: String = "graft_sample_key"
+}
+
+object SampleKeyExpr {
+  /** Greater than every md5 hex string on any engine — the null-key
+    * "never selected" realization. */
+  private[plans] val NullKeySentinel: UTF8String =
+    UTF8String.fromString("g" * 32)
 }

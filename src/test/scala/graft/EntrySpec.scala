@@ -39,10 +39,16 @@ class EntrySpec extends SparkSpec {
       .collect()
       .map { r =>
         cols.indices.map { i =>
+          // Locale.ROOT: the default-locale f"" interpolator renders
+          // 0.5 as "0,500000" under e.g. de_DE and silently breaks
+          // every pinned hash
           r.get(i) match {
             case null => "NULL"
-            case d: Double => f"$d%.6f"
-            case f: Float => f"${f.toDouble}%.6f"
+            case d: Double =>
+              String.format(java.util.Locale.ROOT, "%.6f", d)
+            case f: Float =>
+              String.format(java.util.Locale.ROOT, "%.6f",
+                java.lang.Double.valueOf(f.toDouble))
             case x => x.toString
           }
         }.mkString("|")

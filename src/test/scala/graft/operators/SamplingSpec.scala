@@ -222,4 +222,32 @@ class SamplingSpec extends SparkSpec {
     assert(all === Map("train" -> total))
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() === 0L)
   }
+
+  test("stratum rank keeps NULL-key rows: frac=1.0 returns every row, " +
+      "exact counts stay exact with nulls present") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), "a"), (Option(2L), "a"), (None, "a"), (None, "a"),
+      (Option(3L), "b"), (None, "b"))
+      .toDF("k", "s")
+    // a full stratified sample must be the identity — null keys
+    // included (they rank first, deterministically)
+    assert(Sampling.stratifiedSample(df, "k", "s", 1.0).count() === 6L)
+    // exact-count takes must not be shorted by null-key rows occupying
+    // ledger slots: stratum a has 4 rows (2 null-key) — take 4 = all 4
+    val got = Sampling.takePerStratum(df, "k", "s",
+      Map("a" -> 4L, "b" -> 2L))
+      .groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 4L, "b" -> 2L))
+  }
+
+  test("dropBottomFraction rejects non-numeric score columns loudly") {
+    import spark.implicits._
+    val df = Seq((1L, "low"), (2L, "high")).toDF("id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.dropBottomFraction(df, "score", "id", 0.5)
+    }
+    assert(e.getMessage.contains("NUMERIC"))
+  }
 }

@@ -64,6 +64,17 @@ class GraftExtensionsSpec extends SparkSpec {
     val k8exact = spark.sql(
       "SELECT graft_sample_key('x', 8, 16) AS k").head().getString(0)
     assert(k8 === k8exact)
+    // null semantics match weightedTake's contract on EVERY engine:
+    // a null key sorts LAST (the max-hex sentinel — "never selected",
+    // not Spark-nulls-first "always selected"); a null weight clamps
+    // to one replica
+    val nulls = spark.sql("""
+      SELECT graft_sample_key(CAST(NULL AS STRING), 3, 8) AS nk,
+             graft_sample_key('x', CAST(NULL AS DOUBLE), 8) AS nw,
+             graft_sample_key('x', 1, 8) AS w1,
+             graft_sample_key('y', 99, 8) AS anyk""").head()
+    assert(nulls.getString(0) > nulls.getString(3)) // sentinel sorts last
+    assert(nulls.getString(1) === nulls.getString(2)) // null w == w 1
   }
 
   test("register: scalar kernels evaluate correctly from SQL") {
