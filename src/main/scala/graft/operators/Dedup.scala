@@ -335,7 +335,12 @@ object Dedup {
     * bloom filters have no false negatives, and its false positives
     * are discarded by the exact equi-join that follows — the result is
     * bit-identical with the option on or off (spec-pinned), only the
-    * shuffled volume changes.
+    * shuffled volume changes. Conscious cost: the TEST index lineage
+    * is consumed twice (the bloom aggregate and the join probe), so
+    * the test corpus shingles twice — cheap by the same contract that
+    * makes the bloom worthwhile (test/eval corpora are small relative
+    * to train), and the no-persist stance holds; a caller with an
+    * unusually large test side should persist its index first.
     */
   def exactNgramDecontam(
       train: DataFrame, test: DataFrame, idCol: String, textCol: String,
