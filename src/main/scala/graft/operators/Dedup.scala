@@ -548,6 +548,10 @@ object Dedup {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** Auto-size ceiling for [[semanticPairs]]' cell count — see its
+    * scaladoc for the regime argument. */
+  private[operators] val MaxAutoCells: Int = 2048
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540 — public literature): k-means
@@ -591,10 +595,6 @@ object Dedup {
     * in several shared cells is deduplicated exactly (same rounded
     * cosine in every cell) by a final distinct.
     */
-  /** Auto-size ceiling for [[semanticPairs]]' cell count — see its
-    * scaladoc for the regime argument. */
-  private[operators] val MaxAutoCells: Int = 2048
-
   def semanticPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 0, targetCellSize: Int = 512,

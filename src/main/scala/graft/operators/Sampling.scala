@@ -77,27 +77,33 @@ object Sampling {
     *      corpus.
     *
     * Emits `__rk` (1-based rank in the stratum's md5 order, key as
-    * tie-break) and `__n` (stratum size); callers filter and drop. */
+    * tie-break) and `__n` (stratum size); callers filter and drop.
+    *
+    * NULL-key rows are EXCLUDED before ranking — the module-wide null
+    * policy ([[weightedTake]] documents why): a null key has no
+    * content identity, so no deterministic content-stable order
+    * exists for it (any two null-key rows tie on every sort key, and
+    * rank among ties is partition-order dependent — the
+    * nondeterminism these samplers exist to eliminate). `__n` counts
+    * rankable rows only; callers who need null-key rows kept should
+    * coalesce the key to a surrogate before sampling. */
   private def withStratumRank(
       df: DataFrame, keyCol: String, stratumCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = df
+      .filter(col(keyCol).isNotNull)
       .withColumn("__h", md5(col(keyCol).cast("string")))
       .withColumn("__bucket", substring(col("__h"), 1, 2))
     val inBucket = Window.partitionBy(col(stratumCol), col("__bucket"))
       .orderBy(col("__h"), col(keyCol))
     val byStratum = Window.partitionBy(col(stratumCol))
       .orderBy(col("__bucket"))
-    // ledger join keys are NULL-SAFE (<=>) on BOTH columns: a null
-    // stratum is a valid window partition in the old single-window
-    // spelling, and a null KEY yields md5(null) = null → a null
-    // bucket — either would be silently dropped by a plain equi-join
-    // (null never equi-matches) while still being counted in the
-    // ledger, shifting __base and shorting the sample. Null-key rows
-    // rank FIRST within their stratum (Spark sorts the null bucket
-    // before every hex bucket), deterministically by the key
-    // tie-break; callers needing the weightedTake exclude-nulls
-    // contract should filter before sampling.
+    // the STRATUM join key stays NULL-SAFE (<=>): a null stratum is a
+    // valid window partition in the old single-window spelling, and a
+    // plain equi-join would silently drop its rows. (Null KEYS are
+    // excluded above, so the bucket column is never null — but <=> is
+    // kept on both keys so the join can never re-grow a silent-drop
+    // path if the exclusion moves.)
     val ledger = keyed.groupBy(col(stratumCol), col("__bucket"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__base", coalesce(
@@ -269,10 +275,13 @@ object Sampling {
     // either fail analysis or silently collapse every row into one
     // bucket (cast → null), resurrecting the single-task sort this
     // spelling exists to avoid. Fail loudly instead; non-numeric
-    // scores should be mapped to a numeric rank by the caller.
-    df.schema(scoreCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => ()
-      case t => throw new IllegalArgumentException(
+    // scores should be mapped to a numeric rank by the caller. The
+    // lookup is case-INsensitive like Spark's own column resolution
+    // (a case-variant name must not trip an unrelated error here).
+    df.schema.fields.find(_.name.equalsIgnoreCase(scoreCol))
+      .map(_.dataType) match {
+      case Some(_: org.apache.spark.sql.types.NumericType) | None => ()
+      case Some(t) => throw new IllegalArgumentException(
         s"dropBottomFraction needs a NUMERIC score column; " +
           s"'$scoreCol' is ${t.simpleString}")
     }

@@ -169,8 +169,7 @@ object Similarity {
     val c = maybeSpread(corpus, spread)
       .select(col(cIdCol).as("neighbor_id"), V.toDouble(col(cVecCol)).as("cv"))
     val train = trainingSample(c, "neighbor_id", "cv",
-      math.min(nCells.toLong * trainPerCell,
-        math.max(MaxTrainVectors, nCells).toLong).toInt)
+      trainCap(nCells, trainPerCell))
     val coarse = centroidsFrom(train, nCells, seed, lloydIters)
     val cbs = pqCodebooksFrom(train, m, ksub, seed)
     val ksubMax = cbs.map(_.length).max
@@ -386,6 +385,16 @@ object Similarity {
     * ~1/sqrt(trainPerCell) per cell — recall-neutral at the defaults,
     * and gated by the recall specs.
     */
+  private[operators] def centroidModel(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long, lloydIters: Int,
+      trainPerCell: Int = 256): Array[Array[Double]] = {
+    centroidsFrom(
+      trainingSample(corpus, idCol, vecCol,
+        trainCap(nCells, trainPerCell)),
+      nCells, seed, lloydIters)
+  }
+
   /** Absolute ceiling on the driver-side training sample. The
     * per-cell budget (`trainPerCell`) alone is NOT a bound when the
     * caller auto-sizes nCells from the corpus (SemDeDup's fixed cell
@@ -394,20 +403,23 @@ object Similarity {
     * engine forbids). Above the ceiling the effective per-cell budget
     * shrinks (more sampling noise per cell — recall-gated, and the
     * multi-probe lever compensates); driver memory is bounded at
-    * MaxTrainVectors · dim · 8 B regardless of corpus or cell count. */
+    * MaxTrainVectors · dim · 8 B regardless of corpus or cell count —
+    * made ABSOLUTE by [[trainCap]]'s loud rejection of nCells beyond
+    * the ceiling (a sample smaller than nCells could not even seed
+    * the model). */
   private[operators] val MaxTrainVectors: Int = 1 << 18
 
-  private[operators] def centroidModel(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, seed: Long, lloydIters: Int,
-      trainPerCell: Int = 256): Array[Array[Double]] = {
+  /** The shared sample-size bound for both model trainers — one
+    * definition so the ceiling cannot drift between the IVF and PQ
+    * paths. */
+  private[operators] def trainCap(nCells: Int, trainPerCell: Int): Int = {
     require(nCells > 0, "nCells must be positive")
     require(trainPerCell >= 4, "trainPerCell must be at least 4")
-    val cap = math.min(nCells.toLong * trainPerCell,
-      math.max(MaxTrainVectors, nCells).toLong).toInt
-    centroidsFrom(
-      trainingSample(corpus, idCol, vecCol, cap),
-      nCells, seed, lloydIters)
+    require(nCells <= MaxTrainVectors,
+      s"nCells=$nCells exceeds the driver-local training ceiling " +
+        s"($MaxTrainVectors): a bounded sample cannot seed that many " +
+        "centroids — reduce nCells or shard the corpus")
+    math.min(nCells.toLong * trainPerCell, MaxTrainVectors.toLong).toInt
   }
 
   /** The bounded deterministic training sample both model trainers

@@ -882,12 +882,16 @@ case class SampleKeyExpr(key: Expression, weight: Expression, maxWeight: Int)
 
   override def dataType: DataType = StringType
 
-  // Explicit null semantics matching the weightedTake Column contract
-  // (whose scaladoc documents WHY): a NULL key has no content identity
-  // and engines disagree on null sort position (Spark nulls-first
-  // would ALWAYS select it, DuckDB nulls-last never) — so it maps to
-  // the max-hex sentinel, sorting LAST on any engine (= weightedTake's
-  // exclusion, realized orderably). A NULL weight clamps to 1 replica,
+  // Explicit null semantics matching the weightedTake Column
+  // contract's INTENT (its scaladoc documents why null keys must
+  // never be preferred): a NULL key has no content identity and
+  // engines disagree on null sort position (Spark nulls-first would
+  // ALWAYS select it, DuckDB nulls-last never) — so it maps to the
+  // max-hex sentinel, sorting LAST on any engine. Not byte-identical
+  // to weightedTake for null keys: weightedTake FILTERS them (k = n
+  // still excludes them; LIMIT n here would include them last) — the
+  // orderable-expression form cannot drop rows, least-preferred is
+  // its closest realization. A NULL weight clamps to 1 replica,
   // exactly like the Column spelling's greatest(1, ...) null skip.
   override def nullable: Boolean = false
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {

@@ -223,23 +223,27 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() === 0L)
   }
 
-  test("stratum rank keeps NULL-key rows: frac=1.0 returns every row, " +
-      "exact counts stay exact with nulls present") {
+  test("stratum rank excludes NULL-key rows uniformly: ranks and " +
+      "counts cover exactly the rankable rows, nothing shorts") {
     import spark.implicits._
     val df = Seq(
       (Option(1L), "a"), (Option(2L), "a"), (None, "a"), (None, "a"),
       (Option(3L), "b"), (None, "b"))
       .toDF("k", "s")
-    // a full stratified sample must be the identity — null keys
-    // included (they rank first, deterministically)
-    assert(Sampling.stratifiedSample(df, "k", "s", 1.0).count() === 6L)
-    // exact-count takes must not be shorted by null-key rows occupying
-    // ledger slots: stratum a has 4 rows (2 null-key) — take 4 = all 4
+    // null keys have no content identity → excluded like weightedTake
+    // (the module-wide policy); frac=1.0 returns every RANKABLE row.
+    // The regression this pins: null-key rows used to occupy ledger
+    // slots while being dropped by the join, silently shorting the
+    // non-null sample below its exact share.
+    val full = Sampling.stratifiedSample(df, "k", "s", 1.0)
+      .collect().map(r => (r.get(0), r.getString(1)))
+    assert(full.length === 3 && full.forall(_._1 != null))
+    // exact-count takes are satisfied entirely from rankable rows
     val got = Sampling.takePerStratum(df, "k", "s",
-      Map("a" -> 4L, "b" -> 2L))
-      .groupBy("s").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got === Map("a" -> 4L, "b" -> 2L))
+      Map("a" -> 2L, "b" -> 1L))
+      .collect().map(r => (r.get(0), r.getString(1)))
+    assert(got.length === 3 && got.forall(_._1 != null))
+    assert(got.count(_._2 == "a") === 2 && got.count(_._2 == "b") === 1)
   }
 
   test("dropBottomFraction rejects non-numeric score columns loudly") {
