@@ -16,12 +16,23 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as a raw nanos long instead. Use `eventsTs`
-      // for a proper TimestampType column.
+      // the generated events.ts has shipped as both parquet INT64
+      // TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+      // nanosAsLong reads it as a raw long) and as TIMESTAMP(MICROS)
+      // (read as TIMESTAMP_NTZ). Normalize BOTH to the contract every
+      // consumer here codes against: `ts` = epoch NANOS as a long.
+      // Sessions run in UTC, so the NTZ→timestamp cast is a no-op
+      // numerically and ns = us * 1000 is exact in long arithmetic.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    spark.read.parquet(s"$dir/$name.parquet")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => raw
+        case _ =>
+          import org.apache.spark.sql.functions._
+          raw.withColumn("ts",
+            expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      }
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
   /** events with `ts` as a microsecond-precision TimestampType column

@@ -45,19 +45,29 @@ object Dedup {
     * Shingles are array_distinct upstream so (id, k) is unique.
     * `charLevel` switches to character n-grams — the tokenization for
     * unsegmented scripts (CJK etc.), where whitespace shingling would
-    * silently index whole sentences as single shingles. */
-  private def shingleIndex(
+    * silently index whole sentences as single shingles.
+    *
+    * `private[graft]` (not private): the streaming ingest path
+    * ([[graft.streaming.Streaming.ingestDedupBatch]]) persists exactly
+    * these rows as its shingle-index sidecar, and the key derivation must
+    * be THE single definition — a re-derived hash in the streaming layer
+    * could silently diverge. `carry` forwards extra columns (e.g. a
+    * provenance batch id) through the explode untouched. */
+  private[graft] def shingleIndex(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, partitionCol: Option[String],
       charLevel: Boolean = false,
-      spread: Boolean = true): DataFrame = {
+      spread: Boolean = true,
+      carry: Seq[String] = Nil): DataFrame = {
     val sh = if (charLevel) T.charShingles(col(textCol), n)
       else T.wordShingles(col(textCol), n)
     maybeSpread(df, spread).select(
-      col(idCol).as("id"),
-      partitionCol.map(col).getOrElse(lit("")).as("part"),
-      explode(sh).as("shingle"))
-      .select(col("id"), xxhash64(col("part"), col("shingle")).as("k"))
+      col(idCol).as("id") +:
+        partitionCol.map(col).getOrElse(lit("")).as("part") +:
+        explode(sh).as("shingle") +:
+        carry.map(col): _*)
+      .select(col("id") +: xxhash64(col("part"), col("shingle")).as("k") +:
+        carry.map(col): _*)
   }
 
   /** Prefix-filtered candidate index (PPJoin-style, Xiao et al. /
@@ -341,11 +351,23 @@ object Dedup {
     * makes the bloom worthwhile (test/eval corpora are small relative
     * to train), and the no-persist stance holds; a caller with an
     * unusually large test side should persist its index first.
+    *
+    * `bloomExpectedGrams` sizes the filter (default 2^22 — bits scale
+    * 8× the estimate via the aggregate's sizing rule, ~2% FPP at the
+    * estimate). An UNDER-sized filter stays bit-identical (the exact
+    * join discards the extra false positives) but quietly degrades
+    * toward pass-through, evaporating the shuffle cut the option
+    * exists for — size it at or above the distinct test-gram count.
+    * Spark clamps the estimate to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+    * 4M) and the bits to `...maxNumBits`; raise those confs in step
+    * for larger test corpora.
     */
   def exactNgramDecontam(
       train: DataFrame, test: DataFrame, idCol: String, textCol: String,
       n: Int, partitionCol: Option[String] = None,
-      spread: Boolean = true, bloomPrefilter: Boolean = false): DataFrame = {
+      spread: Boolean = true, bloomPrefilter: Boolean = false,
+      bloomExpectedGrams: Long = 1L << 22): DataFrame = {
     val ti = shingleIndex(train, idCol, textCol, n, partitionCol,
       spread = spread)
     val si = shingleIndex(test, idCol, textCol, n, partitionCol,
@@ -364,7 +386,9 @@ object Dedup {
         import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
         import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
         val bfAgg = si.agg(GraftSqlBridge.column(
-          new BloomFilterAggregate(GraftSqlBridge.expression(col("k")))
+          new BloomFilterAggregate(GraftSqlBridge.expression(col("k")),
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              bloomExpectedGrams))
             .toAggregateExpression()).as("bf"))
         trainGrams.filter(GraftSqlBridge.column(BloomFilterMightContain(
           GraftSqlBridge.expression(graft.plans.Scalars.of(bfAgg)),
@@ -417,7 +441,30 @@ object Dedup {
       shingleIndex(newDf, idCol, textCol, n, partitionCol, charLevel, spread)
     val oi =
       shingleIndex(oldOnly, idCol, textCol, n, partitionCol, charLevel, spread)
-    val newPrefix = prefixIndex(ni, threshold, maxDocFreq, ratio)
+    incrementalJaccardPairsIndexed(ni, oi, threshold, maxDocFreq, ratio)
+  }
+
+  /** The incremental candidate/verify core over PREBUILT (id, k) indexes —
+    * the new batch's index `ni` and the old corpus' index `oi` (already
+    * excluding ids superseded by the new batch). Split out so the
+    * continuous-ingest path ([[graft.streaming.Streaming.ingestDedupBatch]])
+    * can feed `oi` from its persisted shingle-index sidecar instead of
+    * re-shingling the accumulated corpus every batch — the step that turns
+    * per-batch cost from O(corpus) shingling into an equi-join against a
+    * static columnar table.
+    *
+    * Verification reads the index RESTRICTED to ids that appear in some
+    * candidate pair (a semi-join): identical output — verify only ever
+    * looks up pair members, and per-doc `sz`/array content come from all
+    * of that doc's index rows either way — but the per-doc compaction
+    * aggregate ([[docSets]]) now shuffles only candidate-touching docs
+    * instead of the whole corpus index, which is what keeps the verify
+    * stage batch-proportional in the incremental setting. */
+  private[graft] def incrementalJaccardPairsIndexed(
+      ni: DataFrame, oi: DataFrame, threshold: Double,
+      maxDocFreq: Option[Int],
+      maxDocFreqRatio: Option[Double]): DataFrame = {
+    val newPrefix = prefixIndex(ni, threshold, maxDocFreq, maxDocFreqRatio)
     val nnCands = candidatePairs(newPrefix)
     val noCands = oi.select(col("k"), col("id").as("o_id"))
       .join(newPrefix.select(col("k"), col("id").as("n_id")), Seq("k"))
@@ -425,8 +472,11 @@ object Dedup {
       .select(least(col("o_id"), col("n_id")).as("a_id"),
         greatest(col("o_id"), col("n_id")).as("b_id"))
       .distinct()
-    verifyPairs(nnCands.union(noCands).distinct(),
-      ni.union(oi), threshold)
+    val cands = nnCands.union(noCands).distinct()
+    val candIds = cands.select(col("a_id").as("id"))
+      .union(cands.select(col("b_id").as("id"))).distinct()
+    verifyPairs(cands,
+      ni.union(oi).join(candIds, Seq("id"), "left_semi"), threshold)
   }
 
   /** Winnowing-fingerprint near-dup pairs (rolling-hash document

@@ -287,6 +287,19 @@ object Sampling {
     }
     import org.apache.spark.sql.expressions.Window
     val score = col(scoreCol)
+    // The scored projection is MATERIALIZED ONCE behind a round-robin
+    // exchange: three consumers need it (the boundary sketch's scalar
+    // subquery, the bucket-count ledger, and the rank window), and
+    // without a common exchange each would re-evaluate the input
+    // lineage — for a corpus-relative gate the score is typically the
+    // expensive part (tokenization/regex over text), so that tripled
+    // the dominant cost (the r5→r6 bench caught it at 7×). All three
+    // plans reference the SAME exchange subtree, so ReuseExchange (and
+    // subquery reuse) computes the score exactly once at shuffle-map
+    // time; the price is one round-robin shuffle of the projected rows
+    // — the same exchange the rank window needs anyway.
+    val scored = Spread(
+      df.withColumn("__score", score.cast("double")), spread = true)
     // Boundary sketch accuracy is deliberately LOW (and the bucket
     // count modest): boundaries only balance the buckets — per-bucket
     // counts below are exact, so sketch error never changes the
@@ -295,13 +308,13 @@ object Sampling {
     // an expensive score expression into a 20x regression).
     val probs = array((1 until nBuckets)
       .map(i => lit(i.toDouble / nBuckets)): _*)
-    val bndAgg = df.agg(
-      percentile_approx(score.cast("double"), probs, lit(100)).as("b"))
-    val bucketed = df
+    val bndAgg = scored.agg(
+      percentile_approx(col("__score"), probs, lit(100)).as("b"))
+    val bucketed = scored
       .withColumn("__bnds", graft.plans.Scalars.of(bndAgg))
       .withColumn("__bucket",
         when(score.isNull, lit(-1)).otherwise(
-          size(filter(col("__bnds"), b => b <= score.cast("double")))))
+          size(filter(col("__bnds"), b => b <= col("__score")))))
       .drop("__bnds")
     val inBucket = Window.partitionBy(col("__bucket"))
       .orderBy(score, col(tieCol))
@@ -318,6 +331,6 @@ object Sampling {
       .withColumn("__rk", row_number().over(inBucket))
       .join(broadcast(ledger), "__bucket")
       .filter(col("__base") + col("__rk") > exactCeil(frac, col("__total")))
-      .drop("__bucket", "__rk", "__base", "__total")
+      .drop("__bucket", "__rk", "__base", "__total", "__score")
   }
 }

@@ -157,6 +157,16 @@ object Similarity {
     * cosines are always TRUE cosines — approximation can only affect
     * WHICH neighbors surface, never a reported similarity (the same
     * candidates-vs-verify split as the dedup families).
+    *
+    * Query-side size contract (this tier's broadcast is HEAVIER than
+    * lsh/ivf's): the broadcast query frame is exploded to `nProbe`
+    * rows per query and each row carries its ADC table — so
+    * |queries| · nProbe · (m · ksub · 8 B) must fit a broadcast
+    * (defaults: 4 KiB per probe row → ~4 GiB per million query-probe
+    * rows). "Queries are the small side" is the contract exactly as in
+    * the other tiers, but here small means COUNT, not just bytes — a
+    * million-query batch should be split into chunks, or the roles
+    * inverted, before this broadcast is the bottleneck.
     */
   def ivfPqTopK(
       queries: DataFrame, qIdCol: String, qVecCol: String,

@@ -289,12 +289,18 @@ case class BpeEncodeExpr(child: Expression, merges: Array[(String, String)])
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // the merge table is immutable for the expression's life; converting
+  // it per TOKEN (it is consulted once per token of every row) showed up
+  // as avoidable allocation on the hot eval path. @transient: rebuilt
+  // lazily after task-side deserialization.
+  @transient private lazy val mergeSeq: Seq[(String, String)] = merges.toSeq
+
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     val out = Array.newBuilder[Any]
     var i = 0
     while (i < toks.length) {
-      graft.functions.TextFunctions.bpeSegmentToken(toks(i), merges.toSeq)
+      graft.functions.TextFunctions.bpeSegmentToken(toks(i), mergeSeq)
         .foreach(s => out += UTF8String.fromString(s))
       i += 1
     }

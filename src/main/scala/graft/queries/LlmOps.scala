@@ -172,14 +172,19 @@ object LlmOps {
               >= 0.5
         ORDER BY a_id, b_id""")),
 
-    // SimHash hash space isn't portable SQL → rows-only here; recall of
-    // the planted near-dup pairs is asserted in DedupSpec.
+    // ORACLE-GATED (promoted from rows-only in r6): the SimHash kernel
+    // is FNV-1a + splitmix64 — emulated in DuckDB via HUGEINT mod-2^64
+    // arithmetic ([[PortableHashSql]]), and the oracle brute-forces all
+    // pairs because 4×16-bit banding is recall-complete at hamming <= 3
+    // (pigeonhole): banding changes cost, never the answer. Recall of
+    // the planted near-dup pairs is additionally asserted in DedupSpec.
     "q25_dedup_simhash" -> Q(
       fn = (s, dir) => {
         Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3)
           .orderBy("a_id", "b_id")
-      }),
+      },
+      oracle = Some(PortableHashSql.simhashPairsSql)),
 
     // Character-level n-gram Jaccard over the unsegmented-script slice
     // (zh) — the tokenization CJK dedup needs; whitespace shingles
@@ -320,14 +325,19 @@ object LlmOps {
                round(sum(w * n_chars), 2) AS effective_chars
         FROM wdoc GROUP BY source ORDER BY source""")),
 
-    // Winnowing hash space isn't portable SQL → rows-only; the
-    // winnowing guarantee + overlap semantics are asserted in DedupSpec.
+    // ORACLE-GATED (promoted from rows-only in r6): the rolling-hash
+    // fingerprint replays in DuckDB as the algebraically-equal direct
+    // polynomial mod 2^64 + splitmix64 ([[PortableHashSql]]), window
+    // minima with rightmost tie-break and the candidate df-cap both
+    // mirrored. The winnowing guarantee + overlap semantics are
+    // additionally asserted in DedupSpec.
     "q43_dedup_winnowing" -> Q(
       fn = (s, dir) => {
         Dedup.winnowingPairs(Tables(s, dir, "documents"), "doc_id", "text",
           k = 8, w = 8, minOverlap = 0.5)
           .orderBy("a_id", "b_id")
-      }),
+      },
+      oracle = Some(PortableHashSql.winnowingPairsSql())),
 
     // SemDeDup semantic dedup: cluster-then-compare. K-means cell
     // assignment isn't portable SQL → rows-only; precision-1 subset
@@ -520,18 +530,79 @@ object LlmOps {
         SELECT doc_id, CAST(b AS BIGINT) AS batch_id
         FROM r WHERE rn = 1 ORDER BY doc_id""")),
 
-    // BPE merge learning (rows-only: the iterative merge loop is not
-    // expressible as a SQL oracle — recursive CTEs cannot thread the
-    // evolving symbol table). Deterministic under the (count, lexico)
-    // tie-break; content-golden in EntrySpec; hand-computed classic
-    // fixture + encode round-trip in TextStatsSpec.
+    // BPE merge learning — ORACLE-GATED: the merge loop is fully
+    // deterministic under the (count desc, then lexicographic) tie
+    // break, and DuckDB's recursive CTEs are permissive enough to
+    // replay it exactly — the recursive term may aggregate over and
+    // self-join the working table, so each iteration re-counts adjacent
+    // pairs over the evolving symbol sequences and applies the argmax
+    // merge. Symbol sequences thread through the recursion as
+    // delimiter-wrapped strings (each symbol wrapped in U+001F, pairs
+    // keyed with U+001E): `replace` on the wrapped spelling consumes
+    // both wrapped symbols per hit and rescans AFTER the replacement —
+    // exactly bpeMergePair's non-overlapping left-to-right pass
+    // (overlap check: "␟a␟␟a␟␟a␟" merged on (a,a) yields [aa, a], and
+    // the four-a case yields [aa, aa]). Contract: the corpus must not
+    // contain U+001E/U+001F (true of the synthetic tables); the Spark
+    // side is array-based and has no such constraint. Also
+    // content-golden in EntrySpec; hand-computed classic fixture +
+    // encode round-trip in TextStatsSpec.
     "q117_bpe_train" -> Q(
       fn = (s, dir) => {
         import graft.operators.TextStats
         TextStats.bpeTrain(Tables(s, dir, "documents"), "text",
           nMerges = 40, minCount = 2L, maxWords = 4096)
           .orderBy("rank")
-      }),
+      },
+      oracle = Some("""
+        WITH RECURSIVE
+        words AS (
+          SELECT w, count(*)::BIGINT AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY w HAVING count(*) >= 2
+          ORDER BY c DESC, w LIMIT 4096),
+        seqs0 AS (
+          SELECT c,
+                 chr(31) || array_to_string(regexp_extract_all(w, '(?s).'),
+                                            chr(31) || chr(31)) || chr(31)
+                   AS s
+          FROM words),
+        rec AS (
+          SELECT 0 AS it, 'w' AS kind, c, s,
+                 NULL::VARCHAR AS l, NULL::VARCHAR AS r, NULL::BIGINT AS pc
+          FROM seqs0
+          UNION ALL
+          (
+            WITH prev AS (SELECT it, c, s FROM rec
+                          WHERE kind = 'w' AND it < 40),
+            pairs AS (
+              SELECT string_split(p, chr(30))[1] AS l,
+                     string_split(p, chr(30))[2] AS r,
+                     sum(c)::BIGINT AS pc
+              FROM (
+                SELECT c, unnest([syms[i] || chr(30) || syms[i+1]
+                                  for i in range(1, len(syms))]) AS p
+                FROM (SELECT c, string_split(trim(s, chr(31)),
+                                             chr(31) || chr(31)) AS syms
+                      FROM prev)
+                WHERE len(syms) > 1)
+              GROUP BY 1, 2),
+            best AS (SELECT l, r, pc FROM pairs ORDER BY pc DESC, l, r
+                     LIMIT 1)
+            SELECT p.it + 1, 'w', p.c,
+                   replace(p.s,
+                           chr(31) || b.l || chr(31) || chr(31) || b.r
+                             || chr(31),
+                           chr(31) || b.l || b.r || chr(31)),
+                   NULL, NULL, NULL
+            FROM prev p CROSS JOIN best b
+            UNION ALL
+            SELECT p0.it, 'm', NULL, NULL, b.l, b.r, b.pc
+            FROM (SELECT max(it) AS it FROM prev) p0 CROSS JOIN best b
+          ))
+        SELECT it::BIGINT AS "rank", l AS "left", r AS "right",
+               l || r AS merged, pc AS pair_count
+        FROM rec WHERE kind = 'm' ORDER BY "rank"""")),
 
     // ------------------------------------------------- text analysis
     "q30_text_quality" -> Q(

@@ -1569,6 +1569,73 @@ object Relational {
         SELECT l_partkey, l_suppkey, s_name, nation,
                round(s_acctbal, 2) AS s_acctbal
         FROM cand JOIN best ON l_partkey = b_key AND s_acctbal = min_bal
-        ORDER BY l_partkey, l_suppkey"""))
+        ORDER BY l_partkey, l_suppkey""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q6 analogue (forecasting revenue change) — EXPRESSIBLE as of
+    // round 6: the regenerated testdata added l_discount/l_tax. The
+    // whole query is one scan with every predicate (date window,
+    // discount band, quantity cap) reaching parquet as PushedFilters,
+    // then a single partial+final aggregate — no join, no shuffle beyond
+    // the one-row final agg. The 100 TB plan IS this plan.
+    // ------------------------------------------------------------------
+    "q118_tpch_forecast_revenue" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(
+            round(sum(col("l_extendedprice") * col("l_discount")), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      oracle = Some("""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q1 in FULL (q01 predates l_discount/l_tax and kept the
+    // reduced measure set): disc_price and charge exercise the new
+    // columns; still one scan + one grouped partial+final aggregate
+    // over a 4-value grouping key.
+    // ------------------------------------------------------------------
+    "q119_tpch_pricing_full" -> Q(
+      fn = (s, dir) => {
+        val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(disc), 2).as("sum_disc_price"),
+            round(sum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                 AS sum_disc_price,
+               round(sum(l_extendedprice * (1.0 - l_discount)
+                         * (1.0 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""))
   )
 }

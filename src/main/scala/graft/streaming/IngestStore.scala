@@ -1,0 +1,303 @@
+package graft.streaming
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** File protocol for the continuous-ingest stores ([[Streaming.dedupIngest]]
+  * / [[Streaming.prepIngest]]): replay-idempotent per-batch slices plus the
+  * two maintenance devices that keep per-batch cost from growing with the
+  * accumulated corpus — periodic slice COMPACTION (bounds the file/partition
+  * count) and a generational BLOOM sidecar (lets the cross-batch anti-join
+  * probe a sketch before touching parquet).
+  *
+  * Layout of a store rooted at `path`:
+  *
+  *   - `batch_id=N/` (N >= 0) — one slice per micro-batch, written with
+  *     overwrite semantics so a replayed batch REPLACES its own previous
+  *     partial output (the [[Streaming.exactlyOnceFileSink]] recipe).
+  *   - `batch_id=-B/` (B >= 1) — the compacted BASE: all rows of slices
+  *     `< B`, consolidated into one partition. Each row keeps its original
+  *     batch id in the data column [[IngestStore.SrcBatchCol]]; [[read]]
+  *     coalesces it back so consumers always see true batch ids.
+  *   - `_graft_boundary` — one-line text file holding B, committed via
+  *     write-to-temp + atomic rename. Absent means B = 0 (no base). A base
+  *     directory is VISIBLE only once this marker names it, which is what
+  *     makes compaction crash-safe: a half-written base from a failed
+  *     attempt is just an unreferenced directory that the retry overwrites.
+  *   - `_bloom/upto=N.bin` — optional sidecar: a serialized
+  *     [[org.apache.spark.util.sketch.BloomFilter]] over `xxhash64(key)`
+  *     of every row in slices `<= N` (and the base). Generational:
+  *     sidecar N = sidecar M (the latest predecessor) ∪ the batch-N keys,
+  *     so rebuilding N on replay re-reads M — still on disk — and is
+  *     idempotent (bloom merge is a bitwise OR).
+  *
+  * Underscore-prefixed names are invisible to Spark's file listing, so a
+  * plain `spark.read.parquet(path)` over the store sees only data.
+  *
+  * Crash-safety relies on single-writer (Structured Streaming runs one
+  * foreachBatch at a time per query) and on atomic rename for the marker
+  * commit — true on local filesystems and HDFS; object stores without
+  * atomic rename should point the marker at a consistent metadata layer.
+  * External readers racing a compaction may observe a transient listing
+  * of already-absorbed slices; [[read]] filters them out by boundary, but
+  * a reader holding a pre-compaction listing can hit deleted files and
+  * should retry — the standard caveat for file stores without snapshot
+  * isolation.
+  */
+object IngestStore {
+
+  /** Data column inside the compacted base preserving each row's original
+    * batch id (the partition value of the base is the boundary, not the
+    * row's provenance). */
+  val SrcBatchCol = "graft_src_batch"
+
+  private val BoundaryFile = "_graft_boundary"
+  private val BloomDir = "_bloom"
+
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The compaction boundary B: slices `< B` have been absorbed into the
+    * base `batch_id=-B`. 0 when the store has never been compacted (or
+    * does not exist yet). */
+  def boundary(spark: SparkSession, path: String): Long = {
+    val (fs, root) = fsOf(spark, path)
+    val marker = new Path(root, BoundaryFile)
+    if (!fs.exists(marker)) 0L
+    else {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def commitBoundary(fs: FileSystem, root: Path, b: Long): Unit = {
+    val tmp = new Path(root, s".$BoundaryFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+    // rename is the atomic commit; target may exist from the prior
+    // generation, so remove it first (single-writer makes this safe)
+    val marker = new Path(root, BoundaryFile)
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"could not commit boundary $b at $root")
+  }
+
+  /** Live batch ids present as slice directories (`batch_id=N`, N >= 0),
+    * whether or not absorbed-and-not-yet-deleted; callers filter by
+    * [[boundary]]. Empty for a missing store. */
+  def sliceIds(spark: SparkSession, path: String): Seq[Long] = {
+    val (fs, root) = fsOf(spark, path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch_id=") =>
+        s.stripPrefix("batch_id=").toLong }
+      .filter(_ >= 0L)
+  }
+
+  /** The set of batch ids whose rows the store currently holds (base
+    * coverage `[0, B)` plus un-absorbed slices), excluding `excludeBatch`.
+    * Used to check that two co-maintained stores (corpus + index, store +
+    * bloom sidecar) cover the same history before trusting a sidecar. */
+  def coveredBatches(
+      spark: SparkSession, path: String, excludeBatch: Long): Set[Long] = {
+    val b = boundary(spark, path)
+    val live = sliceIds(spark, path).filter(_ >= b)
+    ((0L until b) ++ live).toSet - excludeBatch
+  }
+
+  /** Read the store's current content: base + live slices, minus
+    * `excludeBatch` (a replaying batch excludes its own possibly
+    * half-written slice). Supplies an EXPLICIT schema — inference inside a
+    * stream's batch function is fragile (an existing-but-empty dir has
+    * nothing to infer from and would kill batch 0) — and returns
+    * `dataSchema`'s columns plus a true `batch_id` (base rows get their
+    * preserved original id back). A missing store reads as zero rows. */
+  def read(
+      spark: SparkSession, path: String, dataSchema: StructType,
+      excludeBatch: Long = Long.MinValue): DataFrame = {
+    val (fs, root) = fsOf(spark, path)
+    val full = StructType(
+      dataSchema.fields :+
+        StructField(SrcBatchCol, LongType, nullable = true) :+
+        StructField("batch_id", LongType, nullable = true))
+    if (!fs.exists(root))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(dataSchema.fields :+
+          StructField("batch_id", LongType, nullable = true)))
+    else {
+      val b = boundary(spark, path)
+      spark.read.option("basePath", path).schema(full).parquet(path)
+        // partition-pruned: absorbed-but-not-yet-deleted slices and
+        // uncommitted base attempts are never read
+        .filter(col("batch_id") =!= lit(excludeBatch) &&
+          (col("batch_id") === lit(-b) || col("batch_id") >= lit(b)))
+        .withColumn("batch_id", coalesce(col(SrcBatchCol), col("batch_id")))
+        .drop(SrcBatchCol)
+    }
+  }
+
+  /** Reader for downstream consumers (no explicit schema needed once the
+    * store has data): same base+slice resolution as [[read]], with true
+    * batch ids restored. This is the API form of the accepted-store
+    * contract — use it instead of a raw `spark.read.parquet(path)`, which
+    * would surface the base's synthetic `batch_id=-B` partition value. */
+  def readStore(spark: SparkSession, path: String): DataFrame = {
+    val b = boundary(spark, path)
+    val df = spark.read.option("basePath", path).parquet(path)
+      .filter(col("batch_id") === lit(-b) || col("batch_id") >= lit(b))
+    val restored =
+      if (df.columns.contains(SrcBatchCol))
+        df.withColumn("batch_id",
+          coalesce(col(SrcBatchCol), col("batch_id").cast(LongType)))
+          .drop(SrcBatchCol)
+      else df.withColumn("batch_id", col("batch_id").cast(LongType))
+    restored
+  }
+
+  /** Absorb the base and every slice `< upTo` into a new base
+    * `batch_id=-upTo`, commit the boundary, then garbage-collect the
+    * absorbed directories. Physical-only: row content (including original
+    * batch ids) is preserved exactly; only the file layout changes.
+    * Idempotent under replay — a boundary already at/past `upTo` reduces
+    * the call to a GC retry — and crash-safe at every step:
+    * a failure before the commit leaves the old generation fully intact
+    * (the half-written base is unreferenced); a failure after the commit
+    * leaves only garbage directories that [[read]] already ignores and the
+    * next call deletes. */
+  def compact(
+      spark: SparkSession, path: String, dataSchema: StructType,
+      upTo: Long): Unit = {
+    require(upTo > 0, s"compaction boundary must be positive, got $upTo")
+    val (fs, root) = fsOf(spark, path)
+    if (!fs.exists(root)) return
+    val b0 = boundary(spark, path)
+    if (b0 < upTo) {
+      val absorbable = sliceIds(spark, path).exists(n => n >= b0 && n < upTo)
+      if (b0 > 0 || absorbable)
+        seedBase(spark, path,
+          read(spark, path, dataSchema).filter(col("batch_id") < lit(upTo)),
+          upTo)
+    }
+    gc(fs, root, boundary(spark, path))
+  }
+
+  /** Write `rows` (data columns + a true `batch_id` column, all ids
+    * `< upTo`) as the committed base `batch_id=-upTo` and GC everything it
+    * supersedes. [[compact]] is this applied to the store's own content;
+    * callers use it directly to SEED a derived store (e.g. a shingle-index
+    * sidecar catching up to a corpus store that predates it) with a base
+    * equivalent to slices `[0, upTo)` it never saw as batches. Crash-safe
+    * by the same marker-commit argument as [[compact]]. */
+  def seedBase(
+      spark: SparkSession, path: String, rows: DataFrame,
+      upTo: Long): Unit = {
+    require(upTo > 0, s"base boundary must be positive, got $upTo")
+    val (fs, root) = fsOf(spark, path)
+    rows.withColumnRenamed("batch_id", SrcBatchCol)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/batch_id=${-upTo}")
+    commitBoundary(fs, root, upTo)
+    gc(fs, root, upTo)
+  }
+
+  /** Delete directories superseded by the committed boundary: slices
+    * `< b` and any base generation other than `-b`. Pure garbage
+    * collection — every deleted directory's rows are already in the
+    * committed base — so retries are harmless. */
+  private def gc(fs: FileSystem, root: Path, b: Long): Unit =
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .filter { st =>
+        val name = st.getPath.getName
+        name.startsWith("batch_id=") && {
+          val v = name.stripPrefix("batch_id=").toLong
+          (v >= 0L && v < b) || (v < 0L && v != -b)
+        }
+      }
+      .foreach(st => fs.delete(st.getPath, true))
+
+  // ------------------------------------------------------ bloom sidecar
+
+  /** The latest bloom sidecar strictly older than `beforeBatch`
+    * (a replaying batch must seed from its PREDECESSOR's sidecar, never
+    * its own), as (coveredUpToBatchId, filter). */
+  def latestBloom(
+      spark: SparkSession, path: String,
+      beforeBatch: Long): Option[(Long, BloomFilter)] = {
+    val (fs, root) = fsOf(spark, path)
+    val dir = new Path(root, BloomDir)
+    if (!fs.exists(dir)) return None
+    val ids = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("upto=") && s.endsWith(".bin") =>
+        s.stripPrefix("upto=").stripSuffix(".bin").toLong }
+      .filter(_ < beforeBatch)
+    if (ids.isEmpty) None
+    else {
+      val id = ids.max
+      val in = fs.open(new Path(dir, s"upto=$id.bin"))
+      try Some((id, BloomFilter.readFrom(in))) finally in.close()
+    }
+  }
+
+  /** Commit sidecar `upto=N` (write-to-temp + rename) and GC sidecars no
+    * replay can need anymore (everything older than N's predecessor). */
+  def writeBloom(
+      spark: SparkSession, path: String, upto: Long,
+      bf: BloomFilter): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    val dir = new Path(root, BloomDir)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".upto=$upto.tmp")
+    val out = fs.create(tmp, true)
+    try bf.writeTo(out) finally out.close()
+    val target = new Path(dir, s"upto=$upto.bin")
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"could not commit bloom upto=$upto")
+    val ids = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("upto=") && s.endsWith(".bin") =>
+        s.stripPrefix("upto=").stripSuffix(".bin").toLong }
+    val keep = (ids.filter(_ < upto).sorted.lastOption.toSeq :+ upto).toSet
+    ids.filterNot(keep).foreach(id =>
+      fs.delete(new Path(dir, s"upto=$id.bin"), false))
+  }
+
+  /** Codegen'd sketch probe: `might_contain(bloom, xxhash64(value))` as a
+    * Column, with the serialized filter inlined as a binary literal (the
+    * internal expression's analysis check requires a constant there). The
+    * filter must have been built over `xxhash64(value)` longs — both
+    * sides then go through the sketch's putLong/mightContainLong path, so
+    * no false negatives are possible and the probe is lossless wherever
+    * an exact check follows. */
+  def mightContain(bf: BloomFilter, value: Column): Column = {
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    GraftSqlBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray),
+      GraftSqlBridge.expression(xxhash64(value))))
+  }
+
+  /** Build a bloom over `xxhash64(value)` of `df`'s rows, sized by the
+    * caller's (expectedItems, fpp) contract — the knobs must stay
+    * CONSTANT over a store's life, because generational sidecars merge
+    * (bitwise OR) and blooms only merge when identically sized. */
+  def buildBloom(
+      df: DataFrame, value: Column, expectedItems: Long,
+      fpp: Double): BloomFilter =
+    df.stat.bloomFilter(xxhash64(value), expectedItems, fpp)
+}

@@ -159,8 +159,7 @@ object Streaming {
   // --------------------------------------- continuous-ingest dedup
 
   /** Continuous-ingest near-dup detection: every arriving micro-batch
-    * is checked against ITSELF and the accumulated corpus via
-    * [[graft.operators.Dedup.incrementalJaccardPairs]] (new×new +
+    * is checked against ITSELF and the accumulated corpus (new×new +
     * new×old — the quadratic old×old bulk is structurally skipped;
     * those pairs surfaced when their docs were themselves the new
     * batch), flagged pairs are appended to `pairsPath` and the batch
@@ -169,118 +168,237 @@ object Streaming {
     * [[exactlyOnceFileSink]] idempotence recipe). Replay safety also
     * requires excluding the current batch's own slice from the "old"
     * corpus read — a half-written slice from a failed attempt would
-    * otherwise self-join the batch — hence the corpus scan filters
-    * `batch_id != current` on the partition column (partition-pruned:
-    * the excluded slice is never read).
+    * otherwise self-join the batch — which [[IngestStore.read]] does on
+    * the partition column (pruned: the excluded slice is never read).
     *
-    * At scale the corpus side is exactly the incremental operator's
-    * design target: a static, partition-pruned parquet table joined
-    * once per batch on the new docs' prefix keys; per-batch cost
-    * scales with the batch, not the accumulated corpus size.
+    * Two maintenance devices keep per-batch cost from growing with the
+    * accumulated corpus (see [[IngestStore]] for the file protocol):
+    *
+    *   - the corpus' SHINGLE INDEX is persisted as a sidecar store
+    *     (`corpusPath/_shingle_index`, one slice per batch, built by the
+    *     same [[graft.operators.Dedup.shingleIndex]] the operators use),
+    *     so the new×old candidate join probes a static columnar (id, k)
+    *     table instead of re-shingling every old document each batch —
+    *     per-batch compute scales with the batch, not the corpus;
+    *   - every `compactEvery` batches, both stores are COMPACTED: slices
+    *     are absorbed into a single consolidated base partition, so the
+    *     file count (and per-batch listing cost) stays bounded by
+    *     `compactEvery` instead of growing one slice-directory (with up
+    *     to shuffle-partitions files) per batch forever.
+    *
+    * What remains proportional to corpus size is one columnar SCAN of
+    * the compacted index per batch (the candidate equi-join's probe
+    * side) — sequential parquet reads of two long columns, the part a
+    * 1000-executor cluster is good at — not corpus-sized SHINGLING or a
+    * corpus-sized aggregation: verification compacts per-doc arrays
+    * only for candidate-touching docs.
+    *
+    * Contracts: `n` must stay constant over a store's life (the stored
+    * index keys are n-dependent); document ids should be unique across
+    * the stream — an id re-ingested in the SAME batch as its update
+    * supersedes cleanly (new version replaces old in the check), but a
+    * re-ingest in a LATER batch leaves both versions' rows in the
+    * append-only store and subsequent batches would verify against the
+    * union of their shingles. A legacy corpus written before the index
+    * sidecar existed is migrated in place: the first batch that sees the
+    * coverage gap shingles the old corpus once and seeds the index store
+    * with a compacted base (crash-safe, one-time O(corpus) catch-up).
     */
   def dedupIngest(
       stream: DataFrame, corpusPath: String, pairsPath: String,
-      idCol: String, textCol: String, n: Int, threshold: Double)
+      idCol: String, textCol: String, n: Int, threshold: Double,
+      compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       ingestDedupBatch(batch, batchId, corpusPath, pairsPath,
-        idCol, textCol, n, threshold)
+        idCol, textCol, n, threshold, compactEvery)
     }
 
   /** The per-batch step — separated (like [[writeBatch]]) so tests and
     * manual backfills can replay a batch directly and observe
-    * idempotence.
-    *
-    * The old-corpus read supplies an EXPLICIT schema (the batch's own
-    * two selected columns + the `batch_id` partition column) rather
-    * than inferring one: inference inside a stream's batch function is
-    * fragile — an existing-but-empty corpus directory (pre-created by a
-    * deploy script, an object-store marker, or a failed first attempt
-    * that made the dir without files) has nothing to infer from and
-    * would kill batch 0 with UNABLE_TO_INFER_SCHEMA, and even on the
-    * happy path the first batch would silently define the contract.
-    * With the schema pinned, an empty or fileless directory reads as
-    * zero rows and the column types never drift from the stream's. */
+    * idempotence. All store reads go through [[IngestStore.read]]'s
+    * explicit-schema contract (an existing-but-empty directory reads as
+    * zero rows instead of killing batch 0 in schema inference). */
   def ingestDedupBatch(
       batch: DataFrame, batchId: Long, corpusPath: String,
       pairsPath: String, idCol: String, textCol: String,
-      n: Int, threshold: Double): Unit = {
+      n: Int, threshold: Double, compactEvery: Int = 16): Unit = {
+    import graft.operators.Dedup
     val spark = batch.sparkSession
     val sel = batch.select(col(idCol), col(textCol))
-    val root = new org.apache.hadoop.fs.Path(corpusPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val corpusSchema = org.apache.spark.sql.types.StructType(
-      sel.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "batch_id", org.apache.spark.sql.types.LongType, nullable = true))
-    val old =
-      if (fs.exists(root))
-        spark.read.option("basePath", corpusPath).schema(corpusSchema)
-          .parquet(corpusPath)
-          .filter(col("batch_id") =!= batchId)
+    val corpusSchema = sel.schema
+    // underscore prefix hides the sidecar from corpus-root reads (the
+    // hidden-name filter applies to DISCOVERED children, not to a path
+    // given explicitly as a read root — Spark logs a spurious "all paths
+    // were ignored" warning but lists and reads it; IngestStoreSpec's
+    // 20-batch case pins the behavior via the cross-batch pairs)
+    val indexPath = s"$corpusPath/_shingle_index"
+    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "id", sel.schema(idCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType, nullable = true)))
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      IngestStore.compact(spark, corpusPath, corpusSchema, upTo = batchId)
+      IngestStore.compact(spark, indexPath, idxSchema, upTo = batchId)
+    }
+    val ni = Dedup.shingleIndex(sel, idCol, textCol, n,
+      partitionCol = None)
+    val corpusCov = IngestStore.coveredBatches(spark, corpusPath, batchId)
+    var idxCov = IngestStore.coveredBatches(spark, indexPath, batchId)
+    if (idxCov != corpusCov && corpusCov.nonEmpty &&
+        corpusCov == (0L until (corpusCov.max + 1)).toSet) {
+      // one-time catch-up (legacy pre-sidecar corpus, or a crash between
+      // the two stores' writes): shingle the old corpus once and seed the
+      // index store with an equivalent compacted base
+      val oldWithBatch = IngestStore.read(
+        spark, corpusPath, corpusSchema, excludeBatch = batchId)
+      IngestStore.seedBase(spark, indexPath,
+        Dedup.shingleIndex(oldWithBatch, idCol, textCol, n,
+          partitionCol = None, carry = Seq("batch_id")),
+        upTo = corpusCov.max + 1)
+      idxCov = IngestStore.coveredBatches(spark, indexPath, batchId)
+    }
+    val pairs =
+      if (idxCov == corpusCov) {
+        val oldIdx = IngestStore
+          .read(spark, indexPath, idxSchema, excludeBatch = batchId)
+          .select(col("id"), col("k"))
+          // an id in the current batch supersedes its stored version
+          .join(sel.select(col(idCol).as("id")).distinct(),
+            Seq("id"), "left_anti")
+        Dedup.incrementalJaccardPairsIndexed(ni, oldIdx, threshold,
+          maxDocFreq = None, maxDocFreqRatio = None)
+      } else {
+        // non-contiguous corpus history (external surgery on the store):
+        // fall back to re-shingling the old corpus for this batch
+        val old = IngestStore
+          .read(spark, corpusPath, corpusSchema, excludeBatch = batchId)
           .select(col(idCol), col(textCol))
-      else sel.limit(0)
-    val pairs = graft.operators.Dedup.incrementalJaccardPairs(
-      sel, old, idCol, textCol, n, threshold)
+        Dedup.incrementalJaccardPairs(sel, old, idCol, textCol, n, threshold)
+      }
     writeBatch(pairs, pairsPath, "parquet", batchId)
     writeBatch(sel, corpusPath, "parquet", batchId)
+    writeBatch(ni, indexPath, "parquet", batchId)
   }
 
   /** Continuous training-data PREPARATION: the ingest-side composition
     * of the batch prep pipeline — each arriving micro-batch is
     * quality-gated (token count ≥ `minTokens`) and only FIRST
     * occurrences of a content fingerprint are admitted: lowest id
-    * wins within the batch, and anything already in the accepted
-    * store is dropped (first-batch-wins across batches). Accepted
-    * docs land as replay-idempotent `batch_id=N` slices carrying
-    * their fingerprint, so the cross-batch check is a fingerprint
-    * LEFT ANTI join against a partition-pruned static table — per-
-    * batch cost scales with the batch (the [[dedupIngest]] contract),
-    * and the stored `fp` column means the old corpus' text is never
-    * re-read or re-hashed.
+    * wins within the batch (exact duplicate rows collapse to one), and
+    * anything already in the accepted store is dropped
+    * (first-batch-wins across batches). Accepted docs land as
+    * replay-idempotent `batch_id=N` slices carrying their fingerprint,
+    * so the cross-batch check never re-reads or re-hashes old text.
     *
-    * Same file protocol as [[ingestDedupBatch]]: explicit schema on
-    * the store read (an empty/pre-created dir reads as zero rows),
-    * `batch_id != current` excludes a half-written own slice on
-    * replay, and the slice overwrite makes replays idempotent.
+    * Two maintenance devices keep per-batch cost from growing with the
+    * accumulated store (see [[IngestStore]] for the file protocol):
+    *
+    *   - a generational BLOOM sidecar over the stored fingerprints
+    *     screens the new batch BEFORE the store is touched: rows whose
+    *     fingerprint the sketch has never seen (the overwhelming
+    *     majority of a healthy stream) are admitted without any store
+    *     I/O, and only might-contain rows — true dups plus the sketch's
+    *     small false-positive slice — reach the exact fingerprint
+    *     anti-join. Lossless by construction: blooms have no false
+    *     negatives, and false positives are decided by the exact join
+    *     that follows, so output is bit-identical with the sidecar
+    *     present or absent (spec-pinned);
+    *   - every `compactEvery` batches the store is COMPACTED into a
+    *     consolidated base partition, bounding the file count (and the
+    *     exact join's worst-case scan) regardless of how many batches
+    *     the stream has processed. Original batch ids are preserved
+    *     through compaction — read the store back with
+    *     [[IngestStore.readStore]], which restores them.
+    *
+    * The sidecar's sizing knobs (`bloomExpectedItems`, `bloomFpp`) are
+    * a per-store CONSTANT (generations merge bitwise, and blooms only
+    * merge when identically sized): size `bloomExpectedItems` for the
+    * expected TOTAL corpus cardinality, not the batch — an undersized
+    * sketch degrades gracefully (false-positive rate rises, more rows
+    * take the exact-join path; never wrong output). A store predating
+    * the sidecar, or one whose sidecar fell behind (a crash between the
+    * slice and sidecar writes), is healed by one full single-column
+    * pass that seeds a fresh complete sidecar.
     */
   def prepIngest(
       stream: DataFrame, acceptedPath: String,
-      idCol: String, textCol: String, minTokens: Long)
+      idCol: String, textCol: String, minTokens: Long,
+      compactEvery: Int = 16,
+      bloomExpectedItems: Long = 1L << 22, bloomFpp: Double = 0.03)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       prepIngestBatch(batch, batchId, acceptedPath, idCol, textCol,
-        minTokens)
+        minTokens, compactEvery, bloomExpectedItems, bloomFpp)
     }
 
   /** The per-batch step — separated so tests and manual backfills can
     * replay a batch directly and observe idempotence. */
   def prepIngestBatch(
       batch: DataFrame, batchId: Long, acceptedPath: String,
-      idCol: String, textCol: String, minTokens: Long): Unit = {
+      idCol: String, textCol: String, minTokens: Long,
+      compactEvery: Int = 16,
+      bloomExpectedItems: Long = 1L << 22, bloomFpp: Double = 0.03): Unit = {
     import graft.functions.{TextFunctions => T}
     val spark = batch.sparkSession
     val qual = batch.select(col(idCol), col(textCol))
       .filter(T.tokenCount(col(textCol)) >= minTokens)
       .withColumn("fp", T.fingerprint(col(textCol)))
     // within-batch winners: lowest id per fingerprint (one keyed agg +
-    // join-back — the q22 exact-dedup shape)
+    // join-back — the q22 exact-dedup shape), then ONE row per
+    // fingerprint even if the winning id itself is duplicated in the
+    // batch (min raw text as the deterministic representative among
+    // normalization-equal variants)
     val keep = qual.groupBy(col("fp")).agg(min(col(idCol)).as("__keep"))
     val winners = qual.join(keep, Seq("fp"))
       .filter(col(idCol) === col("__keep")).drop("__keep")
-    val root = new org.apache.hadoop.fs.Path(acceptedPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val storeSchema = org.apache.spark.sql.types.StructType(
-      winners.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "batch_id", org.apache.spark.sql.types.LongType, nullable = true))
-    val oldFps =
-      if (fs.exists(root))
-        spark.read.option("basePath", acceptedPath).schema(storeSchema)
-          .parquet(acceptedPath)
-          .filter(col("batch_id") =!= batchId)
-          .select(col("fp"))
-      else winners.select(col("fp")).limit(0)
-    val accepted = winners.join(oldFps, Seq("fp"), "left_anti")
-    writeBatch(accepted, acceptedPath, "parquet", batchId)
+      .groupBy(col("fp"), col(idCol)).agg(min(col(textCol)).as(textCol))
+    val dataSchema = winners.schema
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      IngestStore.compact(spark, acceptedPath, dataSchema, upTo = batchId)
+    val covered = IngestStore.coveredBatches(spark, acceptedPath, batchId)
+    val sidecar = IngestStore.latestBloom(spark, acceptedPath,
+      beforeBatch = batchId)
+    val sidecarCoversStore =
+      sidecar.exists { case (upto, _) => covered.forall(_ <= upto) }
+    val oldFps = IngestStore
+      .read(spark, acceptedPath, dataSchema, excludeBatch = batchId)
+      .select(col("fp"))
+    val accepted = sidecar match {
+      case Some((_, bf)) if sidecarCoversStore =>
+        val probe = IngestStore.mightContain(bf, col("fp"))
+        winners.filter(!probe).unionByName(
+          winners.filter(probe).join(oldFps, Seq("fp"), "left_anti"))
+      case _ =>
+        winners.join(oldFps, Seq("fp"), "left_anti")
+    }
+    val acc = accepted.persist()
+    try {
+      writeBatch(acc, acceptedPath, "parquet", batchId)
+      val batchBloom = IngestStore.buildBloom(
+        acc, col("fp"), bloomExpectedItems, bloomFpp)
+      val merged = sidecar match {
+        case Some((_, bf)) if sidecarCoversStore =>
+          try bf.mergeInPlace(batchBloom)
+          catch {
+            // sizing knobs changed mid-stream: rebuild a fresh complete
+            // sidecar from the store + this batch
+            case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+              IngestStore.buildBloom(
+                oldFps.unionByName(acc.select(col("fp"))), col("fp"),
+                bloomExpectedItems, bloomFpp)
+          }
+        case _ =>
+          // bootstrap (first batch / pre-sidecar store / sidecar behind
+          // after a crash): one full single-column pass seeds a complete
+          // sidecar
+          IngestStore.buildBloom(
+            oldFps.unionByName(acc.select(col("fp"))), col("fp"),
+            bloomExpectedItems, bloomFpp)
+      }
+      IngestStore.writeBloom(spark, acceptedPath, batchId, merged)
+    } finally acc.unpersist()
   }
 
   // ------------------------------------------------------- sessionize

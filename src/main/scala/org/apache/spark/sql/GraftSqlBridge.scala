@@ -7,6 +7,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * graft's native Catalyst expressions (graft.plans) can be exposed as
   * Columns. The one sanctioned pattern for Spark extensions that add
   * expressions without a full SessionExtensions round-trip.
+  *
+  * VERSION CONTRACT: `org.apache.spark.sql.classic.*` is a
+  * Spark-INTERNAL namespace introduced in the 4.0 Connect/classic
+  * split and free to move between minor versions. Built and tested
+  * against Spark 4.1.x (the `/opt/spark/jars` unmanaged classpath);
+  * Spark 3.x lacks the namespace entirely (there,
+  * `Column(expr)`/`column.expr` were public), and a future 4.x that
+  * relocates `ExpressionUtils` will fail THIS file's compile first —
+  * by design, the one file to re-pin. Everything else in the repo
+  * reaches internals only through this object.
   */
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

@@ -10,15 +10,16 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query runs at sf0.001 and oracle coverage is intentional") {
+    // q25/q43/q117 were promoted to oracle gates in r6 (HUGEINT mod-2^64
+    // hash emulation / recursive-CTE merge replay); what remains
+    // rows-only is exactly the MODEL-dependent set — random hyperplanes
+    // and trained centroids/codebooks have no portable SQL spelling.
     val rowsOnly = Set(
-      "q25_dedup_simhash",   // simhash space not portable SQL
       "q28_sim_topk_lsh",    // hyperplane-LSH space not portable SQL
       "q29_sim_topk_ivf",    // IVF centroid space not portable SQL
-      "q43_dedup_winnowing", // winnowing hash space not portable SQL
       "q85_dedup_semantic",  // k-means cell space not portable SQL
       "q108_sim_topk_ivfpq", // PQ codebook space not portable SQL
-      "q114_cluster_balanced_sample", // k-means cell space not portable SQL
-      "q117_bpe_train")      // iterative merge loop not expressible in SQL
+      "q114_cluster_balanced_sample") // k-means cell space not portable SQL
     val qs = SparkEntry.queries
     assert(qs.keySet.diff(SparkEntry.oracleSql.keySet) === rowsOnly)
     // every query must at least execute on the smallest scale factor
@@ -60,13 +61,15 @@ class EntrySpec extends SparkSpec {
   }
 
   test("rows-only queries pin golden CONTENT (row count + result md5) at the gate SF") {
-    // q25/q28/q29/q43/q85 have no DuckDB oracle (non-portable hash
-    // spaces), so the driver only checks rows > 0 for them. Their hash
-    // spaces are deterministic (fixed seeds), so the full sf0.01 result
+    // q28/q29/q85/q108/q114 have no DuckDB oracle (model-dependent
+    // spaces), so the driver only checks rows > 0 for them. Their
+    // models are deterministic (fixed seeds), so the full sf0.01 result
     // is a stable golden: a silent behavior change — even a pair-set
     // substitution at EQUAL cardinality — can't hide behind
-    // `no_oracle`. Recall/guarantee semantics are separately gated in
-    // DedupSpec/SimilaritySpec.
+    // `no_oracle`. q25/q43/q117 gained real oracles in r6 but KEEP
+    // their goldens: double-pinning costs one spec run and guards the
+    // oracle and the kernel from drifting together. Recall/guarantee
+    // semantics are separately gated in DedupSpec/SimilaritySpec.
     val golden = Map(
       "q25_dedup_simhash" -> (23L, "5e97c514a610c8d353f8486f1d399373"),
       "q28_sim_topk_lsh" -> (100L, "84ddb65371a182c43aa6adb628d3b96e"),

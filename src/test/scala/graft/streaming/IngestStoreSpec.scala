@@ -1,0 +1,232 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Gates for the ingest-store maintenance protocol ([[IngestStore]]):
+  * bounded file growth under compaction, exact content preservation
+  * (including original batch ids), replay idempotence ACROSS a
+  * compaction, bloom-sidecar losslessness, and the legacy-store healing
+  * paths. The long-run cases (≥20 batches) are the round-6 verdict
+  * gate: per-batch cost must stop scaling with total corpus size. */
+class IngestStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def storeDirs(path: String): Seq[String] = {
+    val d = new java.io.File(path)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().toSeq.filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("batch_id="))
+  }
+
+  test("prepIngest over 25 batches with compaction: bounded store, " +
+      "exact content, replay idempotent across a compaction") {
+    val dir = tmp("graft-prep-25")
+    // batch b carries docs (10b, 10b+1): 10b is always-new content,
+    // 10b+1 duplicates batch (b-1)'s new content for odd b (cross-batch
+    // dup → dropped), or is a within-batch dup of 10b for even b>0
+    def text(seed: Long) = s"unique content piece $seed " +
+      (1 to 10).map(i => s"w$i").mkString(" ")
+    def batchDf(b: Long) = {
+      val fresh = (10 * b, text(b))
+      val second =
+        if (b == 0) (1L, text(0)) // within-batch dup of doc 0 (higher id)
+        else if (b % 2 == 1) (10 * b + 1, text(b - 1)) // cross-batch dup
+        else (10 * b + 1, text(b)) // within-batch dup
+      Seq(fresh, second).toDF("doc_id", "text")
+    }
+    (0L to 24L).foreach { b =>
+      Streaming.prepIngestBatch(batchDf(b), b, dir, "doc_id", "text",
+        minTokens = 5L, compactEvery = 8, bloomExpectedItems = 1L << 12)
+    }
+    def content(): Set[(Long, Long)] =
+      IngestStore.readStore(spark, dir)
+        .select(col("doc_id"), col("batch_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the first occurrence of each distinct content survives, with
+    // its ORIGINAL batch id — compaction must not have rewritten history
+    val expected = (0L to 24L).map(b => (10 * b, b)).toSet
+    assert(content() === expected)
+    // compaction at batches 8, 16, 24 → at most base + slices since the
+    // last boundary (24) + the current slice; assert a hard bound far
+    // below the 25+ dirs an uncompacted store would hold
+    val dirs = storeDirs(dir)
+    assert(dirs.size <= 4, s"store not bounded: $dirs")
+    assert(dirs.contains("batch_id=-24"))
+    // bloom sidecar: current + predecessor only
+    val blooms = new java.io.File(dir, "_bloom").listFiles()
+      .map(_.getName).filter(_.endsWith(".bin"))
+    assert(blooms.length <= 2, blooms.mkString(","))
+    // replay the last batch (post-failure restart) — content unchanged
+    Streaming.prepIngestBatch(batchDf(24), 24L, dir, "doc_id", "text",
+      minTokens = 5L, compactEvery = 8, bloomExpectedItems = 1L << 12)
+    assert(content() === expected)
+    // and replay ACROSS the compaction boundary: batch 24 triggered the
+    // boundary move to 24; replaying it again must re-run the compaction
+    // as a no-op GC retry, not double-absorb or lose slices
+    Streaming.prepIngestBatch(batchDf(24), 24L, dir, "doc_id", "text",
+      minTokens = 5L, compactEvery = 8, bloomExpectedItems = 1L << 12)
+    assert(content() === expected)
+  }
+
+  test("prepIngest: bloom prefilter is lossless — content identical " +
+      "with the sidecar deleted (exact-join fallback) and healed after") {
+    val dirA = tmp("graft-prep-bloomless")
+    val dirB = tmp("graft-prep-bloomful")
+    def batchDf(b: Long) = Seq(
+      (10 * b, s"batch $b fresh content " + (1 to 8).mkString(" ")),
+      (10 * b + 1, s"batch 0 fresh content " + (1 to 8).mkString(" ")))
+      .toDF("doc_id", "text")
+    (0L to 5L).foreach { b =>
+      Streaming.prepIngestBatch(batchDf(b), b, dirA, "doc_id", "text", 5L,
+        bloomExpectedItems = 1L << 12)
+      Streaming.prepIngestBatch(batchDf(b), b, dirB, "doc_id", "text", 5L,
+        bloomExpectedItems = 1L << 12)
+      // store A: delete the sidecar between batches → every cross-batch
+      // check takes the exact-anti-join fallback, and the LAST batch
+      // (no delete after it) re-seeds a complete sidecar from a full pass
+      if (b < 5L) {
+        val bloomDir = new java.io.File(dirA, "_bloom")
+        if (bloomDir.exists()) bloomDir.listFiles().foreach(_.delete())
+      }
+    }
+    def content(dir: String): Set[(Long, Long)] =
+      IngestStore.readStore(spark, dir)
+        .select(col("doc_id"), col("batch_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(content(dirA) === content(dirB))
+    // doc 1 (batch 0's second doc) duplicates doc 0's content → only the
+    // min id survived; later batches' +1 docs duplicate batch 0 content
+    assert(content(dirB) ===
+      ((1L to 5L).map(b => (10 * b, b)).toSet + ((0L, 0L))))
+    // store A healed: a complete sidecar exists again after the last batch
+    assert(IngestStore.latestBloom(spark, dirA, beforeBatch = 99L).nonEmpty)
+  }
+
+  test("prepIngest: exact duplicate rows within a batch write ONE copy") {
+    val dir = tmp("graft-prep-duprows")
+    val batch = Seq(
+      (7L, "alpha beta gamma delta epsilon"),
+      (7L, "alpha beta gamma delta epsilon"),
+      (7L, "Alpha beta gamma delta epsilon!")) // normalization-equal
+      .toDF("doc_id", "text")
+    Streaming.prepIngestBatch(batch, 0L, dir, "doc_id", "text", 3L)
+    val rows = IngestStore.readStore(spark, dir).collect()
+    assert(rows.length === 1)
+    // deterministic representative: min raw text among the id's variants
+    assert(rows.head.getAs[String]("text") ===
+      "Alpha beta gamma delta epsilon!")
+  }
+
+  test("dedupIngest over 20 batches with compaction: per-batch pairs " +
+      "equal a full recompute, stores bounded, replay idempotent") {
+    val corpusDir = tmp("graft-dedup20-corpus")
+    val pairsDir = tmp("graft-dedup20-pairs")
+    // doc b: shingles drift one word per batch → J(b, b+1) = high,
+    // J(b, b+2) lower; distinctive tail keeps unrelated batches apart
+    def text(b: Long) = (b to b + 9).map(i => s"tok$i").mkString(" ")
+    (0L to 19L).foreach { b =>
+      Streaming.ingestDedupBatch(
+        Seq((b, text(b))).toDF("doc_id", "text"),
+        b, corpusDir, pairsDir, "doc_id", "text",
+        n = 3, threshold = 0.5, compactEvery = 8)
+    }
+    // union of per-batch pair slices == full-corpus recompute (every
+    // pair surfaces exactly once, when its later doc arrives)
+    val streamed = spark.read.option("basePath", pairsDir).parquet(pairsDir)
+      .select("a_id", "b_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = graft.operators.Dedup.ngramJaccardPairs(
+      (0L to 19L).map(b => (b, text(b))).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === full)
+    assert(full.nonEmpty) // the fixture really does produce near-dups
+    // bounded layout for corpus AND the index sidecar
+    assert(storeDirs(corpusDir).size <= 6, storeDirs(corpusDir).toString)
+    assert(storeDirs(s"$corpusDir/_shingle_index").size <= 6)
+    // replay the last batch across the compaction boundary
+    Streaming.ingestDedupBatch(
+      Seq((19L, text(19))).toDF("doc_id", "text"),
+      19L, corpusDir, pairsDir, "doc_id", "text",
+      n = 3, threshold = 0.5, compactEvery = 8)
+    val replayed = spark.read.option("basePath", pairsDir).parquet(pairsDir)
+      .select("a_id", "b_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(replayed === full)
+    assert(IngestStore.readStore(spark, corpusDir).count() === 20L)
+  }
+
+  test("dedupIngest: legacy corpus without an index sidecar is migrated " +
+      "in place (catch-up seed), then served from the index") {
+    val corpusDir = tmp("graft-dedup-legacy-corpus")
+    val pairsDir = tmp("graft-dedup-legacy-pairs")
+    // pre-sidecar layout: corpus slices only (what the round-5 code
+    // wrote) — batches 0..2
+    (0L to 2L).foreach { b =>
+      Streaming.writeBatch(
+        Seq((b, (b to b + 9).map(i => s"tok$i").mkString(" ")))
+          .toDF("doc_id", "text"),
+        corpusDir, "parquet", b)
+    }
+    assert(!new java.io.File(s"$corpusDir/_shingle_index").exists())
+    // batch 3 sees the coverage gap, seeds the index base, and must
+    // still report exactly the pairs touching doc 3
+    Streaming.ingestDedupBatch(
+      Seq((3L, (3L to 12L).map(i => s"tok$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      3L, corpusDir, pairsDir, "doc_id", "text", n = 3, threshold = 0.5)
+    val pairs = spark.read.option("basePath", pairsDir).parquet(pairsDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = graft.operators.Dedup.incrementalJaccardPairs(
+      Seq((3L, (3L to 12L).map(i => s"tok$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      (0L to 2L).map(b => (b, (b to b + 9).map(i => s"tok$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, threshold = 0.5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === expected)
+    // the index store now covers the corpus (base seeded over 0..2 plus
+    // batch 3's slice)
+    assert(IngestStore.coveredBatches(spark, s"$corpusDir/_shingle_index",
+      excludeBatch = Long.MinValue) ===
+      IngestStore.coveredBatches(spark, corpusDir,
+        excludeBatch = Long.MinValue))
+  }
+
+  test("IngestStore.compact: content and provenance preserved; " +
+      "uncommitted base generations are invisible; GC is retried") {
+    val dir = tmp("graft-store-unit")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    (0L to 4L).foreach { b =>
+      Streaming.writeBatch(Seq(100 * b).toDF("v"), dir, "parquet", b)
+    }
+    // an UNCOMMITTED base attempt (crash before the marker commit) must
+    // be invisible to readers
+    Seq(-1L).toDF("v").write.parquet(s"$dir/batch_id=-3")
+    val before = IngestStore.read(spark, dir, schema)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before === (0L to 4L).map(b => (100 * b, b)).toSet)
+    IngestStore.compact(spark, dir, schema, upTo = 4L)
+    // absorbed slices 0..3 gone, stale base gone, slice 4 live
+    assert(storeDirs(dir).toSet === Set("batch_id=-4", "batch_id=4"))
+    val after = IngestStore.read(spark, dir, schema)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before)
+    // a stale absorbed slice resurfacing (partial GC crash) is ignored
+    // by read and deleted by the next compaction
+    Streaming.writeBatch(Seq(0L).toDF("v"), dir, "parquet", 2L)
+    assert(IngestStore.read(spark, dir, schema)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === before)
+    IngestStore.compact(spark, dir, schema, upTo = 4L) // GC retry path
+    assert(storeDirs(dir).toSet === Set("batch_id=-4", "batch_id=4"))
+  }
+}
