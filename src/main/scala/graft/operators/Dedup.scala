@@ -453,17 +453,24 @@ object Dedup {
     * per-batch cost from O(corpus) shingling into an equi-join against a
     * static columnar table.
     *
-    * Verification reads the index RESTRICTED to ids that appear in some
-    * candidate pair (a semi-join): identical output — verify only ever
-    * looks up pair members, and per-doc `sz`/array content come from all
-    * of that doc's index rows either way — but the per-doc compaction
-    * aggregate ([[docSets]]) now shuffles only candidate-touching docs
-    * instead of the whole corpus index, which is what keeps the verify
-    * stage batch-proportional in the incremental setting. */
+    * `restrictOldSide` (the ingest path's setting): verification reads
+    * the OLD index restricted to docs sharing at least one key with the
+    * new batch — a provable superset of every candidate's old member
+    * (candidates share a prefix key, prefixes are keys). The restriction
+    * is two semi-joins against the batch's (small) key set, so the
+    * per-doc compaction aggregate ([[docSets]]) shuffles only
+    * batch-touching docs instead of the whole corpus index — the term
+    * that otherwise makes per-batch cost corpus-proportional. It is a
+    * SUPERSET restriction computed from the indexes directly, not from
+    * the candidate pairs, so the candidate subtree is never evaluated
+    * twice. Leave false for bulk incremental runs where the "new" side
+    * is corpus-sized (most old docs are touched anyway and the two
+    * semi-joins are pure overhead). */
   private[graft] def incrementalJaccardPairsIndexed(
       ni: DataFrame, oi: DataFrame, threshold: Double,
       maxDocFreq: Option[Int],
-      maxDocFreqRatio: Option[Double]): DataFrame = {
+      maxDocFreqRatio: Option[Double],
+      restrictOldSide: Boolean = false): DataFrame = {
     val newPrefix = prefixIndex(ni, threshold, maxDocFreq, maxDocFreqRatio)
     val nnCands = candidatePairs(newPrefix)
     val noCands = oi.select(col("k"), col("id").as("o_id"))
@@ -472,11 +479,16 @@ object Dedup {
       .select(least(col("o_id"), col("n_id")).as("a_id"),
         greatest(col("o_id"), col("n_id")).as("b_id"))
       .distinct()
-    val cands = nnCands.union(noCands).distinct()
-    val candIds = cands.select(col("a_id").as("id"))
-      .union(cands.select(col("b_id").as("id"))).distinct()
-    verifyPairs(cands,
-      ni.union(oi).join(candIds, Seq("id"), "left_semi"), threshold)
+    val oldVerify =
+      if (!restrictOldSide) oi
+      else {
+        val touchedIds = oi
+          .join(ni.select(col("k")).distinct(), Seq("k"), "left_semi")
+          .select(col("id")).distinct()
+        oi.join(touchedIds, Seq("id"), "left_semi")
+      }
+    verifyPairs(nnCands.union(noCands).distinct(),
+      ni.union(oldVerify), threshold)
   }
 
   /** Winnowing-fingerprint near-dup pairs (rolling-hash document

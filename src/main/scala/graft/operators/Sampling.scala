@@ -246,17 +246,19 @@ object Sampling {
     * the scale-killer). Instead, the [[Packing.packSequences]]
     * two-phase trick adapted to an arbitrary sort key:
     *
-    *   1. an in-plan `approx_percentile` sketch of `scoreCol` yields
-    *      `nBuckets`-1 RANGE boundaries (a scalar subquery — no driver
-    *      action). Bucket order == score order by construction; the
-    *      sketch's error moves rows between ADJACENT buckets but the
-    *      per-bucket counts below are exact, so placement only affects
-    *      balance, never the result;
+    *   1. an in-plan `approx_percentile` sketch over a deterministic
+    *      hash-sample yields `nBuckets`-1 RANGE boundaries (a scalar
+    *      subquery — no driver action). Bucket order == score order by
+    *      construction; sketch and sample error move rows between
+    *      ADJACENT buckets but the per-bucket counts below are exact,
+    *      so placement only affects balance, never the result;
     *   2. `row_number` within each range bucket is an ordinary
     *      partitioned window — parallel across buckets;
-    *   3. per-bucket counts (≤ nBuckets rows, model-sized) get the
-    *      only single-partition window, and broadcast back as each
-    *      bucket's base rank; global rank = base + within-bucket rank.
+    *   3. per-bucket counts ride a one-row (bucket -> count) map
+    *      scalar subquery (model-sized: <= nBuckets+1 entries); each
+    *      row's base rank is an O(nBuckets) prefix walk of that map,
+    *      so the plan has NO single-partition window and no ledger
+    *      join at all; global rank = base + within-bucket rank.
     *
     * Degenerate distributions (one score value dominating) collapse
     * adjacent boundaries and that value's rows land in one bucket —
@@ -287,50 +289,62 @@ object Sampling {
     }
     import org.apache.spark.sql.expressions.Window
     val score = col(scoreCol)
-    // The scored projection is MATERIALIZED ONCE behind a round-robin
-    // exchange: three consumers need it (the boundary sketch's scalar
-    // subquery, the bucket-count ledger, and the rank window), and
-    // without a common exchange each would re-evaluate the input
-    // lineage — for a corpus-relative gate the score is typically the
-    // expensive part (tokenization/regex over text), so that tripled
-    // the dominant cost (the r5→r6 bench caught it at 7×). All three
-    // plans reference the SAME exchange subtree, so ReuseExchange (and
-    // subquery reuse) computes the score exactly once at shuffle-map
-    // time; the price is one round-robin shuffle of the projected rows
-    // — the same exchange the rank window needs anyway.
-    val scored = Spread(
-      df.withColumn("__score", score.cast("double")), spread = true)
-    // Boundary sketch accuracy is deliberately LOW (and the bucket
-    // count modest): boundaries only balance the buckets — per-bucket
-    // counts below are exact, so sketch error never changes the
-    // result — while a high-accuracy sketch is a real cost (the r5
-    // bench caught a 127-quantile accuracy-10000 spelling recomputing
-    // an expensive score expression into a 20x regression).
+    // Boundary sketch over a DETERMINISTIC ~6% hash-sample of rows (on
+    // the tie column, so the score expression is evaluated only for
+    // sampled rows): boundaries only balance the buckets — per-bucket
+    // counts below are exact, so neither sketch error nor sample error
+    // can ever change the result, only skew the bucket sizes. (The r5
+    // full-input sketch was one of three full score evaluations; the
+    // r6 bench showed q63's cost at sf0.1 is stage overhead + score
+    // evaluation, so both are minimized: two full evaluations total —
+    // the ledger and the rank shuffle — and the sketch rides the
+    // cheap sampled scan. An empty sample, possible only on tiny
+    // inputs, degrades to one bucket — exact, just unbalanced.)
     val probs = array((1 until nBuckets)
       .map(i => lit(i.toDouble / nBuckets)): _*)
-    val bndAgg = scored.agg(
-      percentile_approx(col("__score"), probs, lit(100)).as("b"))
-    val bucketed = scored
+    val bndAgg = df
+      .filter(pmod(xxhash64(col(tieCol)), lit(16)) === 0)
+      .agg(percentile_approx(score.cast("double"), probs, lit(100)).as("b"))
+    val bucketed = df
       .withColumn("__bnds", graft.plans.Scalars.of(bndAgg))
       .withColumn("__bucket",
-        when(score.isNull, lit(-1)).otherwise(
-          size(filter(col("__bnds"), b => b <= col("__score")))))
+        when(score.isNull, lit(-1)).otherwise(when(col("__bnds").isNull,
+          lit(0)).otherwise(
+          size(filter(col("__bnds"), b => b <= score.cast("double"))))))
       .drop("__bnds")
+    // The bucket-count ledger is ONE one-row scalar subquery — a
+    // (bucket -> count) map plus the total — instead of an aggregate
+    // joined back via windows + broadcast: each row derives its
+    // bucket's base rank with an O(nBuckets) codegen'd prefix walk of
+    // the map literal. This removes the ledger's two single-partition
+    // windows and the broadcast join from the plan (r5 shape), cutting
+    // the stage count by half; the map is model-sized (<= nBuckets+1
+    // entries) by construction.
+    val ledgerAgg = bucketed
+      .groupBy(col("__bucket")).agg(count(lit(1)).as("__cnt"))
+      .agg(
+        map_from_entries(collect_list(
+          struct(col("__bucket"), col("__cnt")))).as("m"),
+        sum(col("__cnt")).as("total"))
+      // scalar subqueries are single-column: pack (map, total) in a struct
+      .select(struct(col("m"), col("total")).as("s"))
+    val ledger = graft.plans.Scalars.of(ledgerAgg)
+    // statically unrolled prefix walk (bucket ids are compile-time
+    // bounded by nBuckets): subquery expressions are not allowed inside
+    // higher-order-function lambdas, so the walk is a flat sum of
+    // `when` terms — one per possible predecessor bucket (incl. the
+    // null bucket -1, which sorts first), each a codegen'd map lookup
+    val base = (-1 until nBuckets - 1).map(b =>
+      when(col("__bucket") > b,
+        coalesce(element_at(ledger.getField("m"), lit(b)), lit(0L)))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
     val inBucket = Window.partitionBy(col("__bucket"))
       .orderBy(score, col(tieCol))
-    val ledger = bucketed.groupBy(col("__bucket"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__base", coalesce(
-        sum(col("__cnt")).over(Window.orderBy(col("__bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__total",
-        sum(col("__cnt")).over(Window.orderBy(col("__bucket"))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("__bucket"), col("__base"), col("__total"))
     bucketed
       .withColumn("__rk", row_number().over(inBucket))
-      .join(broadcast(ledger), "__bucket")
-      .filter(col("__base") + col("__rk") > exactCeil(frac, col("__total")))
-      .drop("__bucket", "__rk", "__base", "__total", "__score")
+      .filter(base + col("__rk") >
+        exactCeil(frac, ledger.getField("total")))
+      .drop("__bucket", "__rk")
   }
 }

@@ -278,17 +278,25 @@ object IngestStore {
   }
 
   /** Codegen'd sketch probe: `might_contain(bloom, xxhash64(value))` as a
-    * Column, with the serialized filter inlined as a binary literal (the
-    * internal expression's analysis check requires a constant there). The
-    * filter must have been built over `xxhash64(value)` longs — both
-    * sides then go through the sketch's putLong/mightContainLong path, so
-    * no false negatives are possible and the probe is lossless wherever
-    * an exact check follows. */
-  def mightContain(bf: BloomFilter, value: Column): Column = {
+    * Column. The serialized filter rides a ONE-ROW scalar subquery (the
+    * other form the internal expression's analysis check accepts)
+    * rather than a binary literal: a literal of sketch size (~1 MiB at
+    * the default knobs) gets re-hashed and re-compared by every plan
+    * transform the optimizer runs, which showed up as seconds of pure
+    * driver-side planning per micro-batch. The filter must have been
+    * built over `xxhash64(value)` longs — both sides then go through
+    * the sketch's putLong/mightContainLong path, so no false negatives
+    * are possible and the probe is lossless wherever an exact check
+    * follows. */
+  def mightContain(
+      spark: SparkSession, bf: BloomFilter, value: Column): Column = {
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
+    import spark.implicits._
+    val oneRow = spark.createDataset(Seq(bos.toByteArray)).toDF("bf")
+      .agg(first(col("bf")).as("bf"))
     GraftSqlBridge.column(BloomFilterMightContain(
-      Literal(bos.toByteArray),
+      GraftSqlBridge.expression(graft.plans.Scalars.of(oneRow)),
       GraftSqlBridge.expression(xxhash64(value))))
   }
 

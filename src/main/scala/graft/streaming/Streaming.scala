@@ -242,8 +242,17 @@ object Streaming {
       IngestStore.compact(spark, corpusPath, corpusSchema, upTo = batchId)
       IngestStore.compact(spark, indexPath, idxSchema, upTo = batchId)
     }
-    val ni = Dedup.shingleIndex(sel, idCol, textCol, n,
-      partitionCol = None)
+    // the batch's index slice is written FIRST and the pairs job reads
+    // it back from parquet: candidate generation + verification
+    // reference the batch index many times (prefix ranking, the
+    // self-join, the union for verify), and each reference would
+    // otherwise re-run the scan+shingle+explode lineage — materializing
+    // once turns those into cheap columnar re-reads (measured ~2x on
+    // the parity gate). Idempotent like every slice write.
+    writeBatch(Dedup.shingleIndex(sel, idCol, textCol, n,
+      partitionCol = None), indexPath, "parquet", batchId)
+    val ni = spark.read.schema(idxSchema)
+      .parquet(s"$indexPath/batch_id=$batchId")
     val corpusCov = IngestStore.coveredBatches(spark, corpusPath, batchId)
     var idxCov = IngestStore.coveredBatches(spark, indexPath, batchId)
     if (idxCov != corpusCov && corpusCov.nonEmpty &&
@@ -268,7 +277,8 @@ object Streaming {
           .join(sel.select(col(idCol).as("id")).distinct(),
             Seq("id"), "left_anti")
         Dedup.incrementalJaccardPairsIndexed(ni, oldIdx, threshold,
-          maxDocFreq = None, maxDocFreqRatio = None)
+          maxDocFreq = None, maxDocFreqRatio = None,
+          restrictOldSide = true)
       } else {
         // non-contiguous corpus history (external surgery on the store):
         // fall back to re-shingling the old corpus for this batch
@@ -279,7 +289,6 @@ object Streaming {
       }
     writeBatch(pairs, pairsPath, "parquet", batchId)
     writeBatch(sel, corpusPath, "parquet", batchId)
-    writeBatch(ni, indexPath, "parquet", batchId)
   }
 
   /** Continuous training-data PREPARATION: the ingest-side composition
@@ -326,7 +335,7 @@ object Streaming {
       stream: DataFrame, acceptedPath: String,
       idCol: String, textCol: String, minTokens: Long,
       compactEvery: Int = 16,
-      bloomExpectedItems: Long = 1L << 22, bloomFpp: Double = 0.03)
+      bloomExpectedItems: Long = 1L << 20, bloomFpp: Double = 0.03)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       prepIngestBatch(batch, batchId, acceptedPath, idCol, textCol,
@@ -339,7 +348,7 @@ object Streaming {
       batch: DataFrame, batchId: Long, acceptedPath: String,
       idCol: String, textCol: String, minTokens: Long,
       compactEvery: Int = 16,
-      bloomExpectedItems: Long = 1L << 22, bloomFpp: Double = 0.03): Unit = {
+      bloomExpectedItems: Long = 1L << 20, bloomFpp: Double = 0.03): Unit = {
     import graft.functions.{TextFunctions => T}
     val spark = batch.sparkSession
     val qual = batch.select(col(idCol), col(textCol))
@@ -367,7 +376,7 @@ object Streaming {
       .select(col("fp"))
     val accepted = sidecar match {
       case Some((_, bf)) if sidecarCoversStore =>
-        val probe = IngestStore.mightContain(bf, col("fp"))
+        val probe = IngestStore.mightContain(spark, bf, col("fp"))
         winners.filter(!probe).unionByName(
           winners.filter(probe).join(oldFps, Seq("fp"), "left_anti"))
       case _ =>
@@ -376,11 +385,13 @@ object Streaming {
     val acc = accepted.persist()
     try {
       writeBatch(acc, acceptedPath, "parquet", batchId)
-      val batchBloom = IngestStore.buildBloom(
-        acc, col("fp"), bloomExpectedItems, bloomFpp)
+      // exactly ONE bloom-build job per batch: the aggregation merges a
+      // filter-sized buffer per task, so building twice (or building
+      // over the full store when the batch suffices) is real cost
       val merged = sidecar match {
         case Some((_, bf)) if sidecarCoversStore =>
-          try bf.mergeInPlace(batchBloom)
+          try bf.mergeInPlace(IngestStore.buildBloom(
+            acc, col("fp"), bloomExpectedItems, bloomFpp))
           catch {
             // sizing knobs changed mid-stream: rebuild a fresh complete
             // sidecar from the store + this batch

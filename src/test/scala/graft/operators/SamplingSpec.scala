@@ -74,18 +74,17 @@ class SamplingSpec extends SparkSpec {
       val expected = rows.sortBy { case (id, s) => (s, id) }
         .drop(math.ceil(0.1 * rows.size).toInt).map(_._1).toSet
       assert(gated.select("id").as[Long].collect().toSet === expected)
-      // plan contract: the ONLY unpartitioned window sits above the
-      // model-sized bucket ledger (an aggregate), never the corpus
+      // plan contract (tightened in r6): NO unpartitioned window
+      // anywhere — the bucket ledger rides a one-row map scalar
+      // subquery now, so the r5 aggregate-sized ledger window is gone
+      // too — and the corpus-sized rank window is partitioned (by
+      // range bucket)
       val plan = gated.queryExecution.executedPlan
       val unpartitioned = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
-      assert(unpartitioned.nonEmpty, "expected the ledger window")
-      unpartitioned.foreach { w =>
-        assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
-          s"single-partition window over non-aggregated input:\n$w")
-      }
-      // and the corpus-sized rank window is partitioned (by range bucket)
+      assert(unpartitioned.isEmpty,
+        s"unexpected single-partition window:\n${unpartitioned.headOption}")
       val partitioned = plan.collect {
         case w: WindowExec if w.partitionSpec.nonEmpty => w
       }
