@@ -510,9 +510,12 @@ object LlmOps {
         Streaming.prepIngestBatch(docs.filter(col("doc_id") % 2 =!= 0),
           1L, acceptedDir, "doc_id", "text", minTokens = 50L)
         materializeAndClean(
-          s.read.option("basePath", acceptedDir).parquet(acceptedDir)
-            .select(col("doc_id"),
-              col("batch_id").cast("long").as("batch_id"))
+          // the API form of the accepted-store contract: readStore
+          // resolves base + live slices and restores true batch ids
+          // (a raw parquet read would surface the compacted base's
+          // synthetic batch_id=-B partition value)
+          graft.streaming.IngestStore.readStore(s, acceptedDir)
+            .select(col("doc_id"), col("batch_id"))
             .orderBy("doc_id"),
           acceptedDir)
       },
