@@ -83,12 +83,18 @@ object IngestStore {
     val tmp = new Path(root, s".$BoundaryFile.tmp")
     val out = fs.create(tmp, true)
     try out.write(b.toString.getBytes("UTF-8")) finally out.close()
-    // rename is the atomic commit; target may exist from the prior
-    // generation, so remove it first (single-writer makes this safe)
-    val marker = new Path(root, BoundaryFile)
-    if (fs.exists(marker)) fs.delete(marker, false)
-    if (!fs.rename(tmp, marker))
-      throw new java.io.IOException(s"could not commit boundary $b at $root")
+    // OVERWRITING rename is the atomic commit. A delete-then-rename
+    // spelling has a crash window in which NO marker exists — and a
+    // missing marker reads as boundary 0, which hides every committed
+    // base and would let the next compaction re-seed from incomplete
+    // content and GC the real base (permanent loss). FileContext.rename
+    // with Options.Rename.OVERWRITE is atomic on local filesystems and
+    // HDFS, so the marker transitions old-value -> new-value with no
+    // absent state.
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri,
+      fs.getConf)
+      .rename(tmp, new Path(root, BoundaryFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Live batch ids present as slice directories (`batch_id=N`, N >= 0),
@@ -105,15 +111,35 @@ object IngestStore {
       .filter(_ >= 0L)
   }
 
-  /** The set of batch ids whose rows the store currently holds (base
-    * coverage `[0, B)` plus un-absorbed slices), excluding `excludeBatch`.
-    * Used to check that two co-maintained stores (corpus + index, store +
-    * bloom sidecar) cover the same history before trusting a sidecar. */
-  def coveredBatches(
-      spark: SparkSession, path: String, excludeBatch: Long): Set[Long] = {
+  /** The batch ids whose rows a store currently holds, in CANONICAL
+    * COMPACT form: covered = `[0, prefix)` ∪ `rest`, where `prefix` is
+    * the largest P with every batch below P covered and `rest` holds
+    * the (non-contiguous) live slices at or above it. The form is
+    * unique per covered set, so case-class equality IS set equality —
+    * and it is O(#live-slices) to build and compare, never an
+    * element-per-batch set (a million-batch stream would otherwise
+    * allocate a million-entry set per micro-batch just to compare two
+    * histories). */
+  final case class Coverage(prefix: Long, rest: Set[Long]) {
+    /** covered == [0, prefix) exactly — no holes, no tail */
+    def contiguous: Boolean = rest.isEmpty
+    /** every covered batch id is <= n */
+    def allAtOrBelow(n: Long): Boolean =
+      prefix <= n + 1 && rest.forall(_ <= n)
+  }
+
+  /** A store's [[Coverage]] (base `[0, B)` plus un-absorbed slices),
+    * excluding `excludeBatch`. Used to check that two co-maintained
+    * stores (corpus + index, store + bloom sidecar) cover the same
+    * history before trusting a sidecar. */
+  def coverage(
+      spark: SparkSession, path: String, excludeBatch: Long): Coverage = {
     val b = boundary(spark, path)
-    val live = sliceIds(spark, path).filter(_ >= b)
-    ((0L until b) ++ live).toSet - excludeBatch
+    val live =
+      sliceIds(spark, path).filter(_ >= b).toSet - excludeBatch
+    var p = b
+    while (live.contains(p)) p += 1
+    Coverage(p, live.filter(_ >= p))
   }
 
   /** Read the store's current content: base + live slices, minus
@@ -142,29 +168,54 @@ object IngestStore {
         // partition-pruned: absorbed-but-not-yet-deleted slices and
         // uncommitted base attempts are never read
         .filter(col("batch_id") =!= lit(excludeBatch) &&
-          (col("batch_id") === lit(-b) || col("batch_id") >= lit(b)))
+          baseOrLive(b))
         .withColumn("batch_id", coalesce(col(SrcBatchCol), col("batch_id")))
         .drop(SrcBatchCol)
     }
   }
 
-  /** Reader for downstream consumers (no explicit schema needed once the
-    * store has data): same base+slice resolution as [[read]], with true
-    * batch ids restored. This is the API form of the accepted-store
-    * contract — use it instead of a raw `spark.read.parquet(path)`, which
-    * would surface the base's synthetic `batch_id=-B` partition value. */
-  def readStore(spark: SparkSession, path: String): DataFrame = {
-    val b = boundary(spark, path)
-    val df = spark.read.option("basePath", path).parquet(path)
-      .filter(col("batch_id") === lit(-b) || col("batch_id") >= lit(b))
-    val restored =
-      if (df.columns.contains(SrcBatchCol))
-        df.withColumn("batch_id",
-          coalesce(col(SrcBatchCol), col("batch_id").cast(LongType)))
-          .drop(SrcBatchCol)
-      else df.withColumn("batch_id", col("batch_id").cast(LongType))
-    restored
-  }
+  /** The one definition of "currently visible": the committed base plus
+    * slices at/above the boundary (shared by [[read]] and [[readStore]]
+    * so the two readers cannot silently diverge). */
+  private def baseOrLive(b: Long): Column =
+    col("batch_id") === lit(-b) || col("batch_id") >= lit(b)
+
+  /** Reader for downstream consumers: same base+slice resolution as
+    * [[read]], with true batch ids restored. This is the API form of
+    * the accepted-store contract — use it instead of a raw
+    * `spark.read.parquet(path)`, which would surface the base's
+    * synthetic `batch_id=-B` partition value.
+    *
+    * Pass `dataSchema` where available — it delegates to [[read]]'s
+    * explicit-schema contract (a missing or empty store reads as zero
+    * rows). Without it the schema is inferred with `mergeSchema` (the
+    * base carries [[SrcBatchCol]] and slices do not; single-footer
+    * inference would silently drop whichever side loses the footer
+    * race), and a missing/empty store fails the same way any
+    * inference-based read does — with a clear error naming the fix. */
+  def readStore(
+      spark: SparkSession, path: String,
+      dataSchema: Option[StructType] = None): DataFrame =
+    dataSchema match {
+      case Some(s) => read(spark, path, s)
+      case None =>
+        val (fs, root) = fsOf(spark, path)
+        require(fs.exists(root),
+          s"ingest store $path does not exist; pass dataSchema to read " +
+            "a not-yet-created store as zero rows")
+        val b = boundary(spark, path)
+        val df = spark.read
+          .option("basePath", path).option("mergeSchema", "true")
+          .parquet(path)
+          .filter(baseOrLive(b))
+        val restored =
+          if (df.columns.contains(SrcBatchCol))
+            df.withColumn("batch_id",
+              coalesce(col(SrcBatchCol), col("batch_id").cast(LongType)))
+              .drop(SrcBatchCol)
+          else df.withColumn("batch_id", col("batch_id").cast(LongType))
+        restored
+    }
 
   /** Absorb the base and every slice `< upTo` into a new base
     * `batch_id=-upTo`, commit the boundary, then garbage-collect the
@@ -183,14 +234,13 @@ object IngestStore {
     val (fs, root) = fsOf(spark, path)
     if (!fs.exists(root)) return
     val b0 = boundary(spark, path)
-    if (b0 < upTo) {
-      val absorbable = sliceIds(spark, path).exists(n => n >= b0 && n < upTo)
-      if (b0 > 0 || absorbable)
-        seedBase(spark, path,
-          read(spark, path, dataSchema).filter(col("batch_id") < lit(upTo)),
-          upTo)
-    }
-    gc(fs, root, boundary(spark, path))
+    val absorbable = b0 < upTo &&
+      (b0 > 0 || sliceIds(spark, path).exists(n => n >= b0 && n < upTo))
+    if (absorbable)
+      seedBase(spark, path, // commits the boundary and GCs
+        read(spark, path, dataSchema).filter(col("batch_id") < lit(upTo)),
+        upTo)
+    else gc(fs, root, b0) // replay/no-op path: retry any pending GC
   }
 
   /** Write `rows` (data columns + a true `batch_id` column, all ids
@@ -264,10 +314,12 @@ object IngestStore {
     val tmp = new Path(dir, s".upto=$upto.tmp")
     val out = fs.create(tmp, true)
     try bf.writeTo(out) finally out.close()
-    val target = new Path(dir, s"upto=$upto.bin")
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"could not commit bloom upto=$upto")
+    // same atomic-overwrite commit as the boundary marker (a transient
+    // missing sidecar only costs a bootstrap rebuild, but there is no
+    // reason to have the window at all)
+    org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, fs.getConf)
+      .rename(tmp, new Path(dir, s"upto=$upto.bin"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     val ids = fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("upto=") && s.endsWith(".bin") =>

@@ -253,10 +253,10 @@ object Streaming {
       partitionCol = None), indexPath, "parquet", batchId)
     val ni = spark.read.schema(idxSchema)
       .parquet(s"$indexPath/batch_id=$batchId")
-    val corpusCov = IngestStore.coveredBatches(spark, corpusPath, batchId)
-    var idxCov = IngestStore.coveredBatches(spark, indexPath, batchId)
-    if (idxCov != corpusCov && corpusCov.nonEmpty &&
-        corpusCov == (0L until (corpusCov.max + 1)).toSet) {
+    val corpusCov = IngestStore.coverage(spark, corpusPath, batchId)
+    var idxCov = IngestStore.coverage(spark, indexPath, batchId)
+    if (idxCov != corpusCov && corpusCov.prefix > 0 &&
+        corpusCov.contiguous) {
       // one-time catch-up (legacy pre-sidecar corpus, or a crash between
       // the two stores' writes): shingle the old corpus once and seed the
       // index store with an equivalent compacted base
@@ -265,8 +265,8 @@ object Streaming {
       IngestStore.seedBase(spark, indexPath,
         Dedup.shingleIndex(oldWithBatch, idCol, textCol, n,
           partitionCol = None, carry = Seq("batch_id")),
-        upTo = corpusCov.max + 1)
-      idxCov = IngestStore.coveredBatches(spark, indexPath, batchId)
+        upTo = corpusCov.prefix)
+      idxCov = IngestStore.coverage(spark, indexPath, batchId)
     }
     val pairs =
       if (idxCov == corpusCov) {
@@ -360,17 +360,22 @@ object Streaming {
     // batch (min raw text as the deterministic representative among
     // normalization-equal variants)
     val keep = qual.groupBy(col("fp")).agg(min(col(idCol)).as("__keep"))
+    // persisted: the bloom-probe path consumes winners TWICE (the
+    // never-seen branch and the might-contain branch of the union), and
+    // without the cache each branch re-runs the batch scan +
+    // fingerprint + two aggregations. Batch-sized by definition.
     val winners = qual.join(keep, Seq("fp"))
       .filter(col(idCol) === col("__keep")).drop("__keep")
       .groupBy(col("fp"), col(idCol)).agg(min(col(textCol)).as(textCol))
+      .persist()
     val dataSchema = winners.schema
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       IngestStore.compact(spark, acceptedPath, dataSchema, upTo = batchId)
-    val covered = IngestStore.coveredBatches(spark, acceptedPath, batchId)
+    val covered = IngestStore.coverage(spark, acceptedPath, batchId)
     val sidecar = IngestStore.latestBloom(spark, acceptedPath,
       beforeBatch = batchId)
     val sidecarCoversStore =
-      sidecar.exists { case (upto, _) => covered.forall(_ <= upto) }
+      sidecar.exists { case (upto, _) => covered.allAtOrBelow(upto) }
     val oldFps = IngestStore
       .read(spark, acceptedPath, dataSchema, excludeBatch = batchId)
       .select(col("fp"))
@@ -409,7 +414,11 @@ object Streaming {
             bloomExpectedItems, bloomFpp)
       }
       IngestStore.writeBloom(spark, acceptedPath, batchId, merged)
-    } finally acc.unpersist()
+    } finally {
+      acc.unpersist()
+      winners.unpersist()
+      ()
+    }
   }
 
   // ------------------------------------------------------- sessionize

@@ -194,10 +194,35 @@ class IngestStoreSpec extends SparkSpec {
     assert(pairs === expected)
     // the index store now covers the corpus (base seeded over 0..2 plus
     // batch 3's slice)
-    assert(IngestStore.coveredBatches(spark, s"$corpusDir/_shingle_index",
+    assert(IngestStore.coverage(spark, s"$corpusDir/_shingle_index",
       excludeBatch = Long.MinValue) ===
-      IngestStore.coveredBatches(spark, corpusDir,
+      IngestStore.coverage(spark, corpusDir,
         excludeBatch = Long.MinValue))
+  }
+
+  test("coverage: compacted and uncompacted layouts of the same history " +
+      "compare equal (canonical form = set semantics)") {
+    import spark.implicits._
+    val a = tmp("graft-cov-a")
+    val b = tmp("graft-cov-b")
+    (0L to 3L).foreach { i =>
+      Streaming.writeBatch(Seq(i).toDF("v"), a, "parquet", i)
+      Streaming.writeBatch(Seq(i).toDF("v"), b, "parquet", i)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    IngestStore.compact(spark, b, schema, upTo = 3L)
+    // same history, different physical layout — the equality the
+    // corpus/index co-maintenance check depends on (excluding the
+    // current in-flight batch, which by protocol is never in a base)
+    assert(IngestStore.coverage(spark, a, excludeBatch = 3L) ===
+      IngestStore.coverage(spark, b, excludeBatch = 3L))
+    assert(IngestStore.coverage(spark, a, excludeBatch = Long.MinValue) ===
+      IngestStore.coverage(spark, b, excludeBatch = Long.MinValue))
+    val cov = IngestStore.coverage(spark, b, excludeBatch = Long.MinValue)
+    assert(cov.contiguous && cov.prefix === 4L)
+    assert(cov.allAtOrBelow(3L) && !cov.allAtOrBelow(2L))
   }
 
   test("IngestStore.compact: content and provenance preserved; " +
