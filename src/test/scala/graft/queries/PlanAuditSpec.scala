@@ -226,4 +226,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("q118: TPC-H Q6 is one scan — every predicate pushed, no join, " +
+      "partial+final agg") {
+    val p = plan("q118_tpch_forecast_revenue")
+    // the PushedFilters list renders truncated in plan strings, so pin
+    // its head plus the full (untruncated) Filter-node predicates for
+    // the date window, discount band, and quantity cap
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains(">= 1996-01-01"), p.take(2000))
+    assert(p.contains(">= 0.05)") && p.contains("<= 0.07)"), p.take(2000))
+    assert(p.contains("< 24.0)"), p.take(2000))
+    assert(!p.contains("Join"), "Q6 must not join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    // pruning: the scan must not read columns Q6 never touches
+    assert(!p.contains("l_tax"), "scan reads unused columns")
+  }
+
+  test("q63: rank plan has ZERO single-partition windows (r6 contract — " +
+      "the ledger rides a map scalar subquery)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = run("q63_quality_gate").queryExecution.executedPlan
+    val unpartitioned = exec.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, unpartitioned.headOption.toString)
+  }
 }
