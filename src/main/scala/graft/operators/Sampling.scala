@@ -240,11 +240,16 @@ object Sampling {
     * boundary rows nondeterministic; rank + a unique tie-break is
     * portable exactly).
     *
-    * The global rank is computed WITHOUT a corpus-sized
-    * single-partition window (the naive `row_number().over(
-    * Window.partitionBy().orderBy(...))` puts every row in ONE task —
-    * the scale-killer). Instead, the [[Packing.packSequences]]
-    * two-phase trick adapted to an arbitrary sort key:
+    * The r6.2 spelling is THRESHOLD-BASED: only the exact k-th
+    * smallest (score, tie) tuple (k = ceil(frac · n)) is computed —
+    * over a SLIM (score, tie) projection, never the full rows — and
+    * the result is a plain `df.filter(tuple > kth)`. The full corpus
+    * is therefore NEVER shuffled or window-sorted (the r6.0 spelling
+    * shuffled every row, text payloads included, into range buckets);
+    * the output preserves the input's partitioning, so a downstream
+    * consumer sees a filter, not an exchange. The k-th tuple itself
+    * is found without a corpus-sized single-partition window via the
+    * [[Packing.packSequences]] two-phase trick on the slim rows:
     *
     *   1. an in-plan `approx_percentile` sketch over a deterministic
     *      hash-sample yields `nBuckets`-1 RANGE boundaries (a scalar
@@ -252,20 +257,33 @@ object Sampling {
     *      construction; sketch and sample error move rows between
     *      ADJACENT buckets but the per-bucket counts below are exact,
     *      so placement only affects balance, never the result;
-    *   2. `row_number` within each range bucket is an ordinary
-    *      partitioned window — parallel across buckets;
-    *   3. per-bucket counts ride a one-row (bucket -> count) map
-    *      scalar subquery (model-sized: <= nBuckets+1 entries); each
-    *      row's base rank is an O(nBuckets) prefix walk of that map,
-    *      so the plan has NO single-partition window and no ledger
-    *      join at all; global rank = base + within-bucket rank.
+    *   2. the slim projection is exchanged ONCE on its range bucket;
+    *      both the bucket-count ledger (a one-row (bucket -> count)
+    *      map scalar subquery, <= nBuckets+1 entries) and the
+    *      within-bucket `row_number` window hang off that SAME
+    *      exchange, so exchange reuse evaluates the score expression
+    *      once for both;
+    *   3. the row whose global rank (O(nBuckets) prefix walk of the
+    *      ledger map + within-bucket rank) equals k becomes a one-row
+    *      scalar subquery; the main plan compares each row's
+    *      (score, tie) struct against it (nulls-first struct order ==
+    *      the rank order). k = 0 (frac too small to drop anything)
+    *      yields an EMPTY subquery → null → keep-all.
+    *
+    * Tie contract: `tieCol` must be row-unique (the module-wide key
+    * convention — doc ids). Rows DUPLICATED on (score, tie) have no
+    * defined rank order among themselves (the old row_number spelling
+    * broke such ties by partition order — nondeterministic); under
+    * the threshold spelling every copy equal to the k-th tuple drops
+    * together, so a duplicated boundary tuple can over-drop. Unique
+    * ties make the cut exact: exactly ceil(frac · n) rows go.
     *
     * Degenerate distributions (one score value dominating) collapse
     * adjacent boundaries and that value's rows land in one bucket —
     * the per-bucket sort degrades toward the single-task spelling for
-    * exactly those rows (spillable, and inherent: equal scores are one
-    * rank range). Null scores bucket first, matching Spark's
-    * nulls-first ascending order.
+    * exactly those rows (spillable, inherent, and now over SLIM rows
+    * only: equal scores are one rank range). Null scores bucket first,
+    * matching Spark's nulls-first ascending order.
     */
   def dropBottomFraction(
       df: DataFrame, scoreCol: String, tieCol: String,
@@ -305,23 +323,42 @@ object Sampling {
     val bndAgg = df
       .filter(pmod(xxhash64(col(tieCol)), lit(16)) === 0)
       .agg(percentile_approx(score.cast("double"), probs, lit(100)).as("b"))
-    val bucketed = df
+    // SLIM projection: only (score, tie) rides the rank machinery —
+    // the text/payload columns never shuffle. One exchange on the
+    // range bucket feeds BOTH the ledger aggregate and the rank
+    // window (identical child ⇒ exchange reuse ⇒ the score
+    // expression is evaluated once for the pair of subqueries).
+    val slim = df
+      .select(score.as("__s"), col(tieCol).as("__t"))
       .withColumn("__bnds", graft.plans.Scalars.of(bndAgg))
       .withColumn("__bucket",
-        when(score.isNull, lit(-1)).otherwise(when(col("__bnds").isNull,
+        when(col("__s").isNull, lit(-1)).otherwise(when(col("__bnds").isNull,
           lit(0)).otherwise(
-          size(filter(col("__bnds"), b => b <= score.cast("double"))))))
+          size(filter(col("__bnds"), b => b <= col("__s").cast("double"))))))
       .drop("__bnds")
+      .repartition(col("__bucket"))
+    val inBucket = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__s"), col("__t"))
+    // rank AND per-bucket count ride the same window pass (same
+    // partitioning + ordering → one distribution, no extra exchange;
+    // the unbounded count buffers per bucket — spillable, slim rows)
+    val ranked = slim
+      .withColumn("__rk", row_number().over(inBucket))
+      .withColumn("__cnt", count(lit(1)).over(
+        inBucket.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
     // The bucket-count ledger is ONE one-row scalar subquery — a
-    // (bucket -> count) map plus the total — instead of an aggregate
-    // joined back via windows + broadcast: each row derives its
-    // bucket's base rank with an O(nBuckets) codegen'd prefix walk of
-    // the map literal. This removes the ledger's two single-partition
-    // windows and the broadcast join from the plan (r5 shape), cutting
-    // the stage count by half; the map is model-sized (<= nBuckets+1
-    // entries) by construction.
-    val ledgerAgg = bucketed
-      .groupBy(col("__bucket")).agg(count(lit(1)).as("__cnt"))
+    // (bucket -> count) map plus the total — DERIVED FROM the ranked
+    // output (each bucket's rk==1 row carries its count), not from a
+    // separate aggregate over `slim`: that way the ledger's plan and
+    // the k-th row's plan share an IDENTICAL exchange+window prefix,
+    // so exchange reuse computes the slim shuffle once for both. (An
+    // independent `slim.groupBy(bucket).count()` looks cheaper, but
+    // column pruning narrows its exchange to just `__bucket`, the
+    // plans stop canonicalizing equal, and the whole scan + score
+    // evaluation runs twice — measured at +0.5 s on q63 at sf0.1.)
+    val ledgerAgg = ranked
+      .filter(col("__rk") === 1)
       .agg(
         map_from_entries(collect_list(
           struct(col("__bucket"), col("__cnt")))).as("m"),
@@ -329,22 +366,37 @@ object Sampling {
       // scalar subqueries are single-column: pack (map, total) in a struct
       .select(struct(col("m"), col("total")).as("s"))
     val ledger = graft.plans.Scalars.of(ledgerAgg)
-    // statically unrolled prefix walk (bucket ids are compile-time
-    // bounded by nBuckets): subquery expressions are not allowed inside
-    // higher-order-function lambdas, so the walk is a flat sum of
-    // `when` terms — one per possible predecessor bucket (incl. the
-    // null bucket -1, which sorts first), each a codegen'd map lookup
-    val base = (-1 until nBuckets - 1).map(b =>
-      when(col("__bucket") > b,
-        coalesce(element_at(ledger.getField("m"), lit(b)), lit(0L)))
-        .otherwise(lit(0L)))
-      .reduce(_ + _)
-    val inBucket = Window.partitionBy(col("__bucket"))
-      .orderBy(score, col(tieCol))
-    bucketed
-      .withColumn("__rk", row_number().over(inBucket))
-      .filter(base + col("__rk") >
-        exactCeil(frac, ledger.getField("total")))
-      .drop("__bucket", "__rk")
+    // exactly ONE slim row has global rank k (ranks are a permutation
+    // of 1..n), so this subquery is one-row by construction; k = 0
+    // matches nothing → scalar null → keep-all below.
+    //
+    // The base-rank prefix walk over the ledger map is ONE `aggregate`
+    // HOF referencing the ledger exactly once. Two traps shaped this
+    // spelling: (a) subquery expressions are rejected ANYWHERE inside
+    // a higher-order function, so the scalar is materialized into a
+    // column first — AFTER the rank window, so the per-row map copy
+    // exists only in the streamed projection feeding the filter,
+    // never in the exchange or the sort buffer; (b) the r6.0 unrolled
+    // walk carried nBuckets+1 COPIES of the subquery expression, and
+    // every copy is re-analyzed and re-planned per run — ~60 ms of
+    // driver planning per term, 2.2 s of q63's wall at nBuckets=32.
+    val kthAgg = ranked
+      .withColumn("__ledger", ledger)
+      .filter(
+        aggregate(
+          map_entries(col("__ledger").getField("m")), lit(0L),
+          (acc, e) => acc + when(e.getField("key") < col("__bucket"),
+            e.getField("value")).otherwise(lit(0L)))
+          + col("__rk") ===
+          exactCeil(frac, col("__ledger").getField("total")))
+      .select(struct(col("__s"), col("__t")).as("kth"))
+    val kth = graft.plans.Scalars.of(kthAgg)
+    // struct comparison orders fields left-to-right with null fields
+    // first — exactly the rank order (score nulls-first, then tie), so
+    // `tuple > kth` reproduces "global rank > k" without ranking the
+    // full rows. The result is a pure filter: no corpus exchange, no
+    // corpus window, input partitioning preserved.
+    df.filter(kth.isNull ||
+      struct(score.as("__s"), col(tieCol).as("__t")) > kth)
   }
 }

@@ -61,7 +61,6 @@ class SamplingSpec extends SparkSpec {
       "single-partition window") {
     import spark.implicits._
     import org.apache.spark.sql.execution.window.WindowExec
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     // AQE off so executedPlan is a plain traversable tree
     val old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -74,21 +73,32 @@ class SamplingSpec extends SparkSpec {
       val expected = rows.sortBy { case (id, s) => (s, id) }
         .drop(math.ceil(0.1 * rows.size).toInt).map(_._1).toSet
       assert(gated.select("id").as[Long].collect().toSet === expected)
-      // plan contract (tightened in r6): NO unpartitioned window
-      // anywhere — the bucket ledger rides a one-row map scalar
-      // subquery now, so the r5 aggregate-sized ledger window is gone
-      // too — and the corpus-sized rank window is partitioned (by
-      // range bucket)
+      // plan contract (tightened again in r6.2, threshold spelling):
+      // the MAIN plan is a pure filter — no window, no exchange at
+      // all; the full rows never shuffle. The rank machinery lives in
+      // scalar subqueries over the slim (score, tie) projection, and
+      // even there no window is unpartitioned (the per-bucket rank
+      // window partitions on the range bucket).
       val plan = gated.queryExecution.executedPlan
-      val unpartitioned = plan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
+      val mainWindows = plan.collect { case w: WindowExec => w }
+      assert(mainWindows.isEmpty,
+        s"main plan must be a pure filter, found:\n${mainWindows.headOption}")
+      val mainExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
+      assert(mainExchanges.isEmpty,
+        s"main plan must not shuffle the corpus:\n${mainExchanges.headOption}")
+      val subPlans = plan.subqueriesAll
+      val unpartitioned = subPlans.flatMap(_.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      })
       assert(unpartitioned.isEmpty,
         s"unexpected single-partition window:\n${unpartitioned.headOption}")
-      val partitioned = plan.collect {
+      val partitioned = subPlans.flatMap(_.collect {
         case w: WindowExec if w.partitionSpec.nonEmpty => w
-      }
-      assert(partitioned.nonEmpty, "expected the per-bucket rank window")
+      })
+      assert(partitioned.nonEmpty,
+        "expected the per-bucket rank window in the k-th subquery")
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 

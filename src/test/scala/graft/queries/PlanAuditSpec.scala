@@ -244,12 +244,17 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q63: rank plan has ZERO single-partition windows (r6 contract — " +
-      "the ledger rides a map scalar subquery)") {
+      "the ledger rides a map scalar subquery) and the gate itself is a " +
+      "pure filter (r6.2 — the corpus never shuffles for the rank)") {
     import org.apache.spark.sql.execution.window.WindowExec
     val exec = run("q63_quality_gate").queryExecution.executedPlan
-    val unpartitioned = exec.collect {
+    // windows may appear only inside the slim-projection subqueries,
+    // and even there always bucket-partitioned
+    val mainWindows = exec.collect { case w: WindowExec => w }
+    assert(mainWindows.isEmpty, mainWindows.headOption.toString)
+    val unpartitioned = exec.subqueriesAll.flatMap(_.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
-    }
+    })
     assert(unpartitioned.isEmpty, unpartitioned.headOption.toString)
   }
 }
