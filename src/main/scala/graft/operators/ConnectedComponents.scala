@@ -36,7 +36,14 @@ import org.apache.spark.sql.functions._
   * shrinks (toward one edge per non-root node). The driver loop holds
   * no data — per round it keeps one count + checksum (for the fixpoint
   * test) and checkpoints the new edge set to cut lineage, which
-  * materializes edges on executors, never on the driver. Once an
+  * materializes edges on executors, never on the driver. Below an
+  * absolute edge cap ([[DriverFinishMaxEdges]], checked against the
+  * already-computed signature count so the test is free) a driver
+  * union-find finishes the job instead: each loop iteration costs a
+  * full driver round-trip, which is pure scheduling latency once the
+  * graph fits in memory — the same enforced-cap bounded-model pattern
+  * as the k-means training sample, deciding only the execution path,
+  * never the answer. Once an
   * iteration's successor is materialized, the superseded edge set is
   * released (unpersisted, and its checkpoint files deleted in reliable
   * mode) — only the FINAL converged set stays resident, because the
@@ -59,6 +66,16 @@ object ConnectedComponents {
 
   private val MaxRounds = 64
 
+  /** Edge-count cap for the driver union-find finisher (2^18 edges ≈
+    * a few MB of ids). The alternating-star loop costs one full
+    * driver round-trip (two shuffles + a checkpoint + an aggregate)
+    * per iteration — the right price for a billion-edge graph, pure
+    * scheduling latency for a graph that fits in memory. Same
+    * bounded-model pattern as Similarity.MaxTrainVectors: an absolute
+    * cap decides the PATH, never the answer, and the distributed loop
+    * remains the unconditional fallback above it. */
+  private val DriverFinishMaxEdges = 1L << 18
+
   /** Raw checkpoint dir last set by THIS object, per application — see
     * the idempotency note in [[apply]]. One live SparkContext per JVM,
     * so the map holds at most one meaningful entry. */
@@ -73,7 +90,8 @@ object ConnectedComponents {
     * executor loss on cluster runs.
     */
   def apply(pairs: DataFrame, aCol: String, bCol: String,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      driverFinishMaxEdges: Long = DriverFinishMaxEdges): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     // NB the checkpoint dir is CONTEXT-GLOBAL in Spark: passing
     // checkpointDir repoints it for the whole application (documented
@@ -119,6 +137,80 @@ object ConnectedComponents {
             }
           }
         }
+    // A fully-consumed checkpoint (its contents now live elsewhere —
+    // the driver finisher's local result) is released unconditionally;
+    // no successor-materialization guard applies because nothing will
+    // ever re-read it.
+    def releaseCollected(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+        .foreach { rdd =>
+          rdd.unpersist(blocking = false)
+          rdd.getCheckpointFile.foreach { f =>
+            val p = new Path(f)
+            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+          }
+        }
+
+    // Driver union-find finisher over a MATERIALIZED edge set whose
+    // count is already known ≤ driverFinishMaxEdges. Mid-loop handoff
+    // is sound because every star round preserves the node set and
+    // its connectivity (Kiveris et al. §3: each non-min node always
+    // keeps a path to its component min), so components of the
+    // contracted graph equal components of the input. Representative
+    // choice reproduces Spark's MIN ordering exactly: strings compare
+    // as unsigned UTF-8 bytes (Spark's UTF8String binary order — NOT
+    // java.lang.String's UTF-16 order, which diverges on
+    // supplementary characters); everything else is a Comparable
+    // whose natural order matches its Spark type (integral, decimal,
+    // double incl. the NaN-greatest rule, date/timestamp).
+    def finishOnDriver(e: DataFrame): DataFrame = {
+      val rows = e.select(col("u"), col("v")).collect()
+      releaseCollected(e)
+      def cmp(a: AnyRef, b: AnyRef): Int = (a, b) match {
+        case (x: String, y: String) =>
+          val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+          java.util.Arrays.compareUnsigned(xb, yb)
+        case (x, y) => x.asInstanceOf[Comparable[AnyRef]].compareTo(y)
+      }
+      val parent = new java.util.HashMap[AnyRef, AnyRef]()
+      // two-pass find with full path compression (min-root union has
+      // no rank balancing, so compression carries the near-linear
+      // bound alone)
+      def find(x: AnyRef): AnyRef = {
+        var root = x
+        while (parent.getOrDefault(root, root) != root)
+          root = parent.get(root)
+        var cur = x
+        while (cur != root) {
+          val next = parent.get(cur)
+          parent.put(cur, root)
+          cur = next
+        }
+        root
+      }
+      rows.foreach { r =>
+        val (a, b) = (r.get(0).asInstanceOf[AnyRef],
+          r.get(1).asInstanceOf[AnyRef])
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          val (root, child) = if (cmp(ra, rb) <= 0) (ra, rb) else (rb, ra)
+          parent.put(child, root)
+        }
+        // register untouched endpoints so the node sweep below sees
+        // every node (roots map to themselves)
+        parent.putIfAbsent(a, find(a)); parent.putIfAbsent(b, find(b))
+      }
+      import scala.jdk.CollectionConverters._
+      val out: java.util.List[org.apache.spark.sql.Row] =
+        parent.keySet.asScala.toSeq
+          .map(id => org.apache.spark.sql.Row(id, find(id))).asJava
+      val idType = e.schema("u").dataType
+      pairs.sparkSession.createDataFrame(out,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType))))
+    }
+
     val e0 = pairs
       .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
         col(aCol) =!= col(bCol))
@@ -174,12 +266,21 @@ object ConnectedComponents {
     // already-converged star set — a no-op by idempotence.
     var edges = cut(e0)
     var sig = signature(edges)
+    // the signature count decides the path for free: small edge sets
+    // (the common endgame — and, for near-dup clustering at any SF,
+    // often the whole game) skip the iteration loop entirely; dense
+    // inputs whose distinct edge set contracts under the cap hand off
+    // mid-loop. Either way the collect reads the MATERIALIZED
+    // checkpoint — the (expensive) pair-generation lineage never
+    // recomputes.
+    if (sig._1 <= driverFinishMaxEdges) return finishOnDriver(edges)
     var converged = false
     var round = 0
     while (!converged && round < MaxRounds) {
       val next = cut(smallStar(largeStar(smallStar(largeStar(edges)))))
       val nextSig = signature(next) // materializes `next`...
       release(edges, next)          // ...so its input is now droppable
+      if (nextSig._1 <= driverFinishMaxEdges) return finishOnDriver(next)
       converged = nextSig == sig
       edges = next
       sig = nextSig
@@ -204,8 +305,9 @@ object ConnectedComponents {
   def keepers(
       docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val comp = apply(pairs, aCol, bCol, checkpointDir)
+      checkpointDir: Option[String] = None,
+      driverFinishMaxEdges: Long = DriverFinishMaxEdges): DataFrame = {
+    val comp = apply(pairs, aCol, bCol, checkpointDir, driverFinishMaxEdges)
     val drops = comp.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     docs.join(drops, Seq(idCol), "left_anti")

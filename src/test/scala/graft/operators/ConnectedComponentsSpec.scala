@@ -25,8 +25,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  /** Default path: small graphs take the driver union-find finisher. */
   private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
     ConnectedComponents(edges.toDF("a_id", "b_id"), "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+
+  /** Cap 0 forces the distributed alternating-star loop. */
+  private def runLoop(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents(edges.toDF("a_id", "b_id"), "a_id", "b_id",
+      driverFinishMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
 
   test("path + triangle + isolated pair: exact component mins") {
@@ -43,21 +50,67 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("long chain converges (O(log n) alternating-star rounds, not O(diameter))") {
     // a 200-node path: naive min-label propagation needs ~200 rounds;
     // alternating star must close it well inside the 64-round cap.
+    // (cap forced to 0 — the distributed loop is what this pins)
     val edges = (1L until 200L).map(i => (i, i + 1))
-    val got = run(edges)
+    val got = runLoop(edges)
     assert(got.size === 200)
     assert(got.values.toSet === Set(1L))
   }
 
-  test("randomized graphs match union-find ground truth") {
+  test("randomized graphs: driver finisher and distributed loop agree " +
+      "with union-find ground truth and with each other") {
     val rnd = new Random(42)
     (1 to 3).foreach { _ =>
       val n = 150
       val edges = Seq.fill(120)(
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
-      assert(run(edges) === components(edges))
+      val truth = components(edges)
+      assert(run(edges) === truth)     // driver union-find path
+      assert(runLoop(edges) === truth) // alternating-star loop path
     }
+  }
+
+  test("mid-loop handoff: a dense graph contracting under the cap mid-run " +
+      "matches ground truth") {
+    // 4000 random edges over 100 nodes: distinct e0 ≈ thousands of
+    // edges > cap 600, but two alternating-star rounds contract the
+    // distinct edge set toward ~#non-root nodes (≤ 99) < cap → the
+    // loop hands the contracted graph to the driver finisher, whose
+    // components must equal the input graph's (node set and
+    // connectivity are round-invariants).
+    val rnd = new Random(7)
+    val edges = Seq.fill(4000)(
+      (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter { case (a, b) => a != b }
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = ConnectedComponents(edges.toDF("a_id", "b_id"),
+      "a_id", "b_id", driverFinishMaxEdges = 600L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === components(edges))
+    // the finisher consumed every checkpoint — nothing stays resident
+    // (the loop path keeps exactly the final converged set; the driver
+    // path keeps nothing)
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(fresh.isEmpty, s"leaked checkpoints: $fresh")
+  }
+
+  test("driver finisher: string ids compare as unsigned UTF-8 bytes " +
+      "(Spark's ordering), not UTF-16") {
+    // "𐀀" (U+10000, 4-byte UTF-8) vs "�": UTF-16
+    // order puts the surrogate pair first; UTF-8 byte order puts
+    // U+FFFD (EF BF BD) below U+10000 (F0 90 80 80). Component min
+    // must match what Spark's least()/min() would pick.
+    val hi = "𐀀"
+    val lo = "�"
+    import org.apache.spark.sql.functions.least
+    val sparkMin = Seq((hi, lo)).toDF("a", "b")
+      .select(least($"a", $"b")).as[String].head()
+    val got = ConnectedComponents(
+      Seq((hi, lo)).toDF("a_id", "b_id"), "a_id", "b_id")
+      .as[(String, String)].collect().toMap
+    assert(got.values.toSet === Set(sparkMin))
+    assert(got === Map(hi -> sparkMin, lo -> sparkMin))
   }
 
   test("edge orientation and duplicates don't matter") {
@@ -71,7 +124,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     val edges = (1L until 60L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
     val got = ConnectedComponents(
       edges.toDF("a_id", "b_id"), "a_id", "b_id",
-      checkpointDir = Some(dir))
+      checkpointDir = Some(dir), driverFinishMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got === components(edges))
     // every superseded iteration's checkpoint files are deleted as soon
@@ -86,7 +139,7 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("superseded iterations are unpersisted (no edge-set pile-up)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = (1L until 80L).map(i => (i, i + 1))
-    val got = run(edges)
+    val got = runLoop(edges)
     assert(got.values.toSet === Set(1L))
     val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
     // the multi-round chain localCheckpoints one edge set per iteration;
