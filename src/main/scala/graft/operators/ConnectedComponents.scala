@@ -115,27 +115,31 @@ object ConnectedComponents {
     // also delete their files (the cleaner only does that under GC
     // pressure with cleanCheckpoints on, which an iterative loop can't
     // wait for).
+    // unconditional core: unpersist + delete checkpoint files; the
+    // guarded `release` wraps it, the finisher calls it directly
+    def releaseNow(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+      rdd.unpersist(blocking = false)
+      rdd.getCheckpointFile.foreach { f =>
+        val p = new Path(f)
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      }
+    }
     def release(df: DataFrame, successor: DataFrame): Unit =
       df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
         .foreach { rdd =>
-          rdd.unpersist(blocking = false)
-          rdd.getCheckpointFile.foreach { f =>
-            // Deleting the predecessor's files is only safe once the
-            // SUCCESSOR holds its own materialized checkpoint — a
-            // lost-executor recompute would otherwise chase deleted
-            // files. Enforced here, not by call order: if a refactor
-            // ever makes the preceding signature() lazy or cached,
-            // materialize the successor now; and if it still is not
-            // checkpointed (unexpected plan shape), keep the files —
-            // leaked checkpoint data beats a broken lineage.
-            val succ = successor.queryExecution.analyzed
-              .collectFirst { case l: LogicalRDD => l.rdd }
-            succ.filterNot(_.isCheckpointed).foreach(_.count())
-            if (succ.exists(_.isCheckpointed)) {
-              val p = new Path(f)
-              p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
-            }
-          }
+          // Deleting the predecessor's files is only safe once the
+          // SUCCESSOR holds its own materialized checkpoint — a
+          // lost-executor recompute would otherwise chase deleted
+          // files. Enforced here, not by call order: if a refactor
+          // ever makes the preceding signature() lazy or cached,
+          // materialize the successor now; and if it still is not
+          // checkpointed (unexpected plan shape), keep the files —
+          // leaked checkpoint data beats a broken lineage.
+          val succ = successor.queryExecution.analyzed
+            .collectFirst { case l: LogicalRDD => l.rdd }
+          succ.filterNot(_.isCheckpointed).foreach(_.count())
+          if (succ.exists(_.isCheckpointed)) releaseNow(rdd)
+          else rdd.unpersist(blocking = false)
         }
     // A fully-consumed checkpoint (its contents now live elsewhere —
     // the driver finisher's local result) is released unconditionally;
@@ -143,13 +147,7 @@ object ConnectedComponents {
     // ever re-read it.
     def releaseCollected(df: DataFrame): Unit =
       df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
-        .foreach { rdd =>
-          rdd.unpersist(blocking = false)
-          rdd.getCheckpointFile.foreach { f =>
-            val p = new Path(f)
-            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
-          }
-        }
+        .foreach(releaseNow)
 
     // Driver union-find finisher over a MATERIALIZED edge set whose
     // count is already known ≤ driverFinishMaxEdges. Mid-loop handoff
@@ -264,6 +262,23 @@ object ConnectedComponents {
     // job-scheduling latency, not the data work, dominates at small
     // edge counts) costs at most one redundant pair of rounds on an
     // already-converged star set — a no-op by idempotence.
+    // the finisher's JVM-side comparator covers exactly these types
+    // (everything whose collected value is Comparable with an order
+    // matching Spark's, plus the UTF-8-byte special case for
+    // strings). Anything else — BinaryType collects as Array[Byte],
+    // which is neither Comparable nor value-equal under HashMap —
+    // stays on the distributed loop, which orders ALL orderable types
+    // through Spark itself.
+    val driverFinishable = {
+      import org.apache.spark.sql.types._
+      e0.schema("u").dataType match {
+        case _: NumericType | StringType | BooleanType | DateType |
+          TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+    }
+    def capped(n: Long): Boolean =
+      driverFinishable && n <= driverFinishMaxEdges
     var edges = cut(e0)
     var sig = signature(edges)
     // the signature count decides the path for free: small edge sets
@@ -273,14 +288,14 @@ object ConnectedComponents {
     // mid-loop. Either way the collect reads the MATERIALIZED
     // checkpoint — the (expensive) pair-generation lineage never
     // recomputes.
-    if (sig._1 <= driverFinishMaxEdges) return finishOnDriver(edges)
+    if (capped(sig._1)) return finishOnDriver(edges)
     var converged = false
     var round = 0
     while (!converged && round < MaxRounds) {
       val next = cut(smallStar(largeStar(smallStar(largeStar(edges)))))
       val nextSig = signature(next) // materializes `next`...
       release(edges, next)          // ...so its input is now droppable
-      if (nextSig._1 <= driverFinishMaxEdges) return finishOnDriver(next)
+      if (capped(nextSig._1)) return finishOnDriver(next)
       converged = nextSig == sig
       edges = next
       sig = nextSig

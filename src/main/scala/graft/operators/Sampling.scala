@@ -394,9 +394,14 @@ object Sampling {
     // struct comparison orders fields left-to-right with null fields
     // first — exactly the rank order (score nulls-first, then tie), so
     // `tuple > kth` reproduces "global rank > k" without ranking the
-    // full rows. The result is a pure filter: no corpus exchange, no
-    // corpus window, input partitioning preserved.
-    df.filter(kth.isNull ||
-      struct(score.as("__s"), col(tieCol).as("__t")) > kth)
+    // full rows. The left struct is never null, so the comparison is
+    // null exactly when kth is (k = 0, keep-all) — coalesce(…, true)
+    // covers that case with the subquery referenced ONCE (a separate
+    // `kth.isNull` term would carry a second copy of the subquery
+    // expression, re-planned per run; trap (b) above). The result is
+    // a pure filter: no corpus exchange, no corpus window, input
+    // partitioning preserved.
+    df.filter(coalesce(
+      struct(score.as("__s"), col(tieCol).as("__t")) > kth, lit(true)))
   }
 }

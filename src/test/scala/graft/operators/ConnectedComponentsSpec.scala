@@ -148,6 +148,27 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"expected <= 1 resident checkpoint after convergence, saw ${fresh.size}")
   }
 
+  test("binary ids stay on the distributed loop (the driver comparator " +
+      "cannot order Array[Byte]) and still produce exact components") {
+    import org.apache.spark.sql.functions.col
+    // binary ids order bytewise-unsigned in Spark; the finisher's
+    // HashMap/Comparable machinery would crash (or worse, treat equal
+    // arrays as distinct under reference equality) — the type guard
+    // must route these to the loop even under the default cap
+    val edges = Seq(
+      (Array[Byte](1), Array[Byte](2)),
+      (Array[Byte](2), Array[Byte](3)),
+      (Array[Byte](10), Array[Byte](11)))
+      .toDF("a_id", "b_id")
+    val got = ConnectedComponents(edges, "a_id", "b_id")
+      .select(col("id").cast("string"), col("component").cast("string"))
+      .as[(String, String)].collect().toMap
+    // string casts of binary render hex-ish; compare structurally via
+    // the component grouping instead of exact rendering
+    assert(got.size === 5)
+    assert(got.values.toSet.size === 2)
+  }
+
   test("keepers: transitive clusters drop every non-root member") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // 1~2 and 2~3: pair-local "drop b of each pair" would also drop 3
