@@ -751,4 +751,36 @@ object Dedup {
         concat_ws(" ", filter(col("tk"),
           (t, i) => !array_contains(col("covered"), i))).as("scrubbed"))
   }
+
+  /** Corpus snapshot diff — the data-versioning primitive behind
+    * incremental re-training decisions ("what changed since the last
+    * crawl?"): classifies every document id across two snapshots as
+    * `added` (new only), `removed` (old only), `changed` (both, exact
+    * content differs) or `unchanged`. Content comparison is by md5 of
+    * the EXACT text (no normalization — diff answers "did the bytes
+    * change", dedup's normalized fingerprint answers "is it the same
+    * content"; conflating them would hide whitespace/punct edits).
+    *
+    * Scale shape: each side is projected to (id, md5) before the
+    * single full-outer equi-join on id — the text column never
+    * shuffles, and the join is the sort-merge/hash shuffle on the id
+    * key that any diff must pay. Output: `id`, `status`, `old_fp`,
+    * `new_fp` (null where the side is absent).
+    */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def fps(df: DataFrame, side: String) = df.select(
+      col(idCol).as(s"${side}_id"),
+      md5(col(textCol).cast("binary")).as(s"${side}_fp"))
+    fps(oldDf, "old").join(fps(newDf, "new"),
+        col("old_id") === col("new_id"), "full_outer")
+      .select(
+        coalesce(col("old_id"), col("new_id")).as("id"),
+        when(col("old_id").isNull, "added")
+          .when(col("new_id").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_fp"), col("new_fp"))
+  }
 }

@@ -46,6 +46,40 @@ object Sampling {
     df.withColumn("split",
       when(selected(col(keyCol), trainFrac), "train").otherwise("test"))
 
+  /** Leakage-safe train/test split: the split unit is the NEAR-DUP
+    * CLUSTER, not the document. A per-document [[hashSplit]] puts two
+    * near-identical documents on opposite sides of the split with
+    * probability 2·f·(1-f) each — held-out "unseen" data the model has
+    * effectively trained on, the contamination failure mode doc-level
+    * splitting cannot avoid. Here every connected component of the
+    * caller's near-dup pair graph (`pairs`: two id columns, e.g. from
+    * [[Dedup.ngramJaccardPairs]] / [[Dedup.minhashLshPairs]]) is
+    * assigned atomically by the md5-bucket of its representative
+    * (component min id; singleton documents represent themselves), so
+    * NO pair of the graph ever straddles the split — by construction,
+    * not by audit.
+    *
+    * Scale shape: [[ConnectedComponents]] is |E|-bounded alternating
+    * star rounds; the assignment join-back is one equi-join on the doc
+    * id (left side keeps the corpus partitioning; the component frame
+    * is cluster-membership-sized, broadcast when small). Output: input
+    * columns + `cluster_rep` + `split`.
+    */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id",
+      trainFrac: Double = 0.8): DataFrame = {
+    val comp = ConnectedComponents(pairs.select(col(aCol), col(bCol)),
+        aCol, bCol)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(comp, col(idCol) === col("__cc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("component"), col(idCol)))
+      .drop("__cc_id", "component")
+      .withColumn("split",
+        when(selected(col("cluster_rep"), trainFrac), "train")
+          .otherwise("test"))
+  }
+
   /** Deterministic ~`frac` sample of rows by md5-bucket of `keyCol`. */
   def hashSample(df: DataFrame, keyCol: String, frac: Double): DataFrame =
     df.filter(selected(col(keyCol), frac))

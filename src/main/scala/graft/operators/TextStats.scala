@@ -382,4 +382,31 @@ object TextStats {
       .map { case (rk, l, r, c) => (rk, l, r, l + r, c) }
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
+
+  /** Model-based quality scoring: a hashed bag-of-words linear
+    * classifier (fastText-shaped, Joulin et al. 2016) over unigram +
+    * word-bigram features — the trained-filter stage of GPT-3/LLaMA/
+    * FineWeb-style curation, as opposed to the rule-based heuristics
+    * above. `weightsMilli` is the model: 1000·weight per hash bucket,
+    * integer so the per-document fold is exact (see
+    * [[graft.plans.HashedBowScoreExpr]] for the portability and
+    * scale contracts — per-row expression, no shuffle, model ships
+    * once per stage).
+    *
+    * Output per document: `n_features` (feature occurrences),
+    * `score_milli` (integer raw score incl. `biasMilli`), `score`
+    * (real-valued, = score_milli/1000), `keep` (score > 0).
+    */
+  def hashedBowScore(
+      df: DataFrame, idCol: String, textCol: String,
+      weightsMilli: Array[Long], biasMilli: Long = 0L): DataFrame = {
+    import graft.plans.TextModelExpressions
+    df.select(col(idCol),
+        TextModelExpressions.hashedBowScore(
+          col(textCol), weightsMilli.length, weightsMilli).as("s"))
+      .select(col(idCol), col("s.n_features").as("n_features"),
+        (col("s.score_milli") + lit(biasMilli)).as("score_milli"))
+      .withColumn("score", col("score_milli").cast("double") / 1000.0)
+      .withColumn("keep", col("score_milli") > 0L)
+  }
 }

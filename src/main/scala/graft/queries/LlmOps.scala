@@ -1732,7 +1732,126 @@ object LlmOps {
                CAST(count(*) FILTER (dup) AS BIGINT) AS n_dup_tokens,
                coalesce(string_agg(tok, ' ' ORDER BY pos)
                         FILTER (NOT dup), '') AS scrubbed
-        FROM fl GROUP BY doc_id ORDER BY doc_id"""))
+        FROM fl GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Model-based quality filter (fastText-shaped hashed bag-of-words
+    // linear classifier, Joulin 2016) — the trained-classifier stage
+    // of GPT-3/LLaMA/FineWeb curation, complementing the rule-based
+    // heuristics of q30. Weights in integer milli units make the score
+    // exact 64-bit arithmetic, so the oracle (FNV+splitmix emulated in
+    // HUGEINT, [[PortableHashSql.hashedBowScoreSql]]) compares
+    // bit-for-bit. Per-row expression: no shuffle, model ships once
+    // per stage.
+    "q120_quality_classifier" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        val dims = 64
+        val weights =
+          Array.tabulate(dims)(i => (i.toLong * 2654435761L) % 2001L - 1000L)
+        TextStats.hashedBowScore(Tables(s, dir, "documents"),
+          "doc_id", "text", weights)
+          .orderBy("doc_id")
+      },
+      oracle = Some(PortableHashSql.hashedBowScoreSql(64)))
+  )
+
+  /** q121/q122 live in a second map only to keep [[defs]] under the
+    * Scala 2.13 large-literal-method limits as the surface grows. */
+  val defs2: Map[String, Q] = Map(
+
+    // Corpus snapshot diff (data-versioning): two snapshots derived
+    // deterministically from the documents table (old drops ids
+    // ≡3 mod 10, new drops ids ≡2 mod 7 and appends ' v2' to ids
+    // ≡0 mod 13), classified added/removed/changed/unchanged by one
+    // full-outer join of (id, md5) projections.
+    "q121_corpus_diff" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Dedup
+        val docs = Tables(s, dir, "documents")
+        val oldSnap = docs.filter(col("doc_id") % 10 =!= 3)
+        val newSnap = docs.filter(col("doc_id") % 7 =!= 2)
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("id")).as("id_checksum"))
+          .orderBy("status")
+      },
+      oracle = Some("""
+        WITH oldd AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3),
+        newd AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 7 != 2),
+        d AS (
+          SELECT coalesce(o.doc_id, n.doc_id) AS id,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN md5(o.text) != md5(n.text) THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+        SELECT status, count(*) AS n_docs,
+               CAST(sum(id) AS BIGINT) AS id_checksum
+        FROM d GROUP BY status ORDER BY status""")),
+
+    // Leakage-safe split: near-dup CLUSTERS (q55's char-ngram pair
+    // graph on the zh slice, closed by CC) are the split unit, so no
+    // near-dup pair can straddle train/test — the contamination mode
+    // per-document hash splitting cannot avoid. Oracle closes the same
+    // pair graph with a recursive CTE and applies the identical
+    // md5-bucket rule to the component representative.
+    "q122_leakage_safe_split" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.{Dedup, Sampling}
+        val zh = Tables(s, dir, "documents").filter(col("lang") === "zh")
+        val pairs = Dedup.ngramJaccardPairs(
+          zh, "doc_id", "text", n = 5, threshold = 0.25, charLevel = true)
+        Sampling.leakageSafeSplit(zh, "doc_id",
+            pairs.select("a_id", "b_id"), trainFrac = 0.8)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_rep")).as("n_units"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("split")
+      },
+      oracle = Some("""
+        WITH RECURSIVE s AS (
+          SELECT doc_id,
+                 list_distinct([text[i+1:i+5]
+                                for i in range(len(text)-4)]) AS sh
+          FROM documents WHERE lang = 'zh'),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                      (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 3)
+                >= 0.25),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(id, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+        rep AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+          FROM (SELECT doc_id FROM documents WHERE lang = 'zh') d
+          LEFT JOIN comp c ON c.id = d.doc_id),
+        sp AS (
+          SELECT doc_id, cluster_rep,
+                 CASE WHEN substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 4)
+                           < 'cccd'
+                      THEN 'train' ELSE 'test' END AS split
+          FROM rep)
+        SELECT split, count(*) AS n_docs,
+               count(DISTINCT cluster_rep) AS n_units,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM sp GROUP BY split ORDER BY split"""))
   )
 }
 

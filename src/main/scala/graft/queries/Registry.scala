@@ -20,5 +20,6 @@ final case class Q(
 object Registry {
   /** All query groups, merged for SparkEntry. */
   def allQueries: Map[String, Q] =
-    Relational.defs ++ Pipelines.defs ++ LlmOps.defs ++ Advanced.defs
+    Relational.defs ++ Pipelines.defs ++ LlmOps.defs ++ LlmOps.defs2 ++
+      Advanced.defs
 }

@@ -420,4 +420,18 @@ class DedupSpec extends SparkSpec {
       assert(got === want, s"trial $trial")
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .select("id", "status", "old_fp", "new_fp").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(got(1L) === (("removed", false, true)))
+    assert(got(2L) === (("unchanged", false, false)))
+    assert(got(3L) === (("changed", false, false)))
+    assert(got(4L) === (("added", true, false)))
+  }
 }

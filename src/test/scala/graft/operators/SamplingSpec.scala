@@ -263,4 +263,27 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("NUMERIC"))
   }
+
+  test("leakageSafeSplit: clusters move atomically, singletons kept") {
+    import spark.implicits._
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L))
+    val out = Sampling.leakageSafeSplit(docs, "doc_id",
+      pairs.toDF("a_id", "b_id"), trainFrac = 0.5)
+    assert(out.count() === 40) // every doc exactly once
+    val sp = out.select("doc_id", "split", "cluster_rep").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // the defining guarantee: no near-dup pair straddles the split
+    pairs.foreach { case (a, b) => assert(sp(a)._1 === sp(b)._1, s"($a,$b)") }
+    // component rep = min id; singletons represent themselves
+    assert(Seq(0L, 1L, 2L).map(sp(_)._2) === Seq(0L, 0L, 0L))
+    assert(sp(11L)._2 === 10L && sp(5L)._2 === 5L)
+    // cluster assignment matches the per-key hashSplit rule on the rep:
+    // a doc's split equals what hashSplit would give its representative
+    val repSplit = Sampling.hashSplit(
+      docs.filter(col("doc_id").isin(0L, 5L, 10L, 20L)), "doc_id", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sp(2L)._1 === repSplit(0L) && sp(21L)._1 === repSplit(20L))
+    assert(sp(5L)._1 === repSplit(5L))
+  }
 }

@@ -32,6 +32,44 @@ class TextStatsSpec extends SparkSpec {
     assert(got(2L) === ((3L, 1L, List(0, 0, -1))))
   }
 
+  test("hashedBowScore: exact integer fold over unigram+bigram features") {
+    import spark.implicits._
+    val dims = 8
+    val w = Array.tabulate(dims)(i => (i.toLong * 7L) % 21L - 10L)
+    val cases = Seq(1L -> "a b a", 2L -> "", 3L -> "solo")
+    val df = cases.toDF("doc_id", "text")
+    def brute(text: String): (Long, Long) = {
+      val toks = text.split(' ')
+      val feats = toks.toSeq ++
+        toks.toSeq.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val milli = feats.map { f =>
+        val h = graft.functions.HashFunctions.hash64(f)
+        w((((h % dims) + dims) % dims).toInt)
+      }.sum
+      (feats.size.toLong, milli)
+    }
+    val got = TextStats.hashedBowScore(df, "doc_id", "text", w, biasMilli = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    cases.foreach { case (id, text) =>
+      val (n, m) = brute(text)
+      assert(got(id) === ((n, m + 5L, (m + 5L) / 1000.0, m + 5L > 0)),
+        s"doc $id")
+    }
+  }
+
+  test("hashedBowScore is a pure per-row projection: no shuffle, one scan") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val plan = TextStats
+      .hashedBowScore(docs, "doc_id", "text", Array.fill(16)(1L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // the struct-producing scorer must be projected once, not inlined
+    // into both field extractions (CollapseProject would double the
+    // text pass) — one occurrence of the expression in the plan
+    assert("hashed_bow_score".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("observed metrics ride the action (no second pass, exact counts)") {
     import spark.implicits._
     val df = Seq(1L, 2L, 3L, 4L).toDF("v")
