@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
 /** SQL surface for the native sketch kernels: every graft expression
   * becomes a `graft_*` SQL function, so the whole dedup/similarity
@@ -105,7 +106,31 @@ object GraftExtensions {
     ("graft_dot_product",
       "graft_dot_product(a, b) - dot product of two double arrays",
       args => { arity(args, 2, "graft_dot_product")
-        DotProduct(args.head, args(1)) }))
+        DotProduct(args.head, args(1)) }),
+    ("graft_bow_score",
+      "graft_bow_score(text, weights_milli) - hashed bag-of-words " +
+        "linear score over unigram+bigram features: " +
+        "struct(n_features, score_milli). weights_milli is a foldable " +
+        "BIGINT array — one milli-unit weight per hash bucket (the " +
+        "model, like the tuning literals above: it parameterizes the " +
+        "kernel, not per-row data)",
+      args => { arity(args, 2, "graft_bow_score")
+        val w = args(1) match {
+          case e if e.foldable && e.dataType.isInstanceOf[ArrayType] =>
+            val elem = e.dataType.asInstanceOf[ArrayType].elementType
+            val ad = e.eval().asInstanceOf[ArrayData]
+            elem match {
+              case LongType => ad.toLongArray()
+              case IntegerType => ad.toIntArray().map(_.toLong)
+              case other => throw new IllegalArgumentException(
+                s"graft_bow_score: weight array must be BIGINT/INT, " +
+                  s"got array<${other.simpleString}>")
+            }
+          case other => throw new IllegalArgumentException(
+            s"graft_bow_score: argument 2 must be a foldable integer " +
+              s"array (the weight table), got $other")
+        }
+        HashedBowScoreExpr(args.head, w.length, w) }))
 
   /** Post-hoc registration into an existing session. */
   def register(spark: SparkSession): Unit =

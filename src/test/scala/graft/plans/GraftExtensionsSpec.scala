@@ -115,4 +115,26 @@ class GraftExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("graft_bow_score: SQL matches the operator, model must be foldable") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "x")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("bow_docs")
+    val w = Array.tabulate(8)(i => (i.toLong * 7L) % 21L - 10L)
+    val lit = w.mkString("array(", "L, ", "L)")
+    val got = spark.sql(
+      s"SELECT doc_id, graft_bow_score(text, $lit) AS s FROM bow_docs")
+      .select($"doc_id", $"s.n_features", $"s.score_milli")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = graft.operators.TextStats
+      .hashedBowScore(df, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_bow_score(text, array(doc_id)) FROM bow_docs").collect()
+    }
+    assert(e.getMessage.contains("foldable"))
+  }
 }
