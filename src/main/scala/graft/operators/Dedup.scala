@@ -779,7 +779,10 @@ object Dedup {
         coalesce(col("old_id"), col("new_id")).as("id"),
         when(col("old_id").isNull, "added")
           .when(col("new_id").isNull, "removed")
-          .when(col("old_fp") =!= col("new_fp"), "changed")
+          // null-SAFE compare: a text that changed between NULL and
+          // non-NULL must read as 'changed', not fall through a
+          // three-valued =!= into 'unchanged'
+          .when(!(col("old_fp") <=> col("new_fp")), "changed")
           .otherwise("unchanged").as("status"),
         col("old_fp"), col("new_fp"))
   }

@@ -69,12 +69,15 @@ object Sampling {
       df: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "a_id", bCol: String = "b_id",
       trainFrac: Double = 0.8): DataFrame = {
+    // both CC output columns ride sigil names: a caller whose frame
+    // already has a 'component' column (plausible in dedup pipelines)
+    // must not trip an ambiguous-reference failure on the join-back
     val comp = ConnectedComponents(pairs.select(col(aCol), col(bCol)),
         aCol, bCol)
-      .withColumnRenamed("id", "__cc_id")
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
     df.join(comp, col(idCol) === col("__cc_id"), "left")
-      .withColumn("cluster_rep", coalesce(col("component"), col(idCol)))
-      .drop("__cc_id", "component")
+      .withColumn("cluster_rep", coalesce(col("__cc_comp"), col(idCol)))
+      .drop("__cc_id", "__cc_comp")
       .withColumn("split",
         when(selected(col("cluster_rep"), trainFrac), "train")
           .otherwise("test"))

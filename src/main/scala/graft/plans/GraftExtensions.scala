@@ -119,6 +119,13 @@ object GraftExtensions {
           case e if e.foldable && e.dataType.isInstanceOf[ArrayType] =>
             val elem = e.dataType.asInstanceOf[ArrayType].elementType
             val ad = e.eval().asInstanceOf[ArrayData]
+            // guard NULLs explicitly: a NULL model or a NULL weight
+            // would otherwise surface as a bare NPE from toLongArray
+            if (ad == null) throw new IllegalArgumentException(
+              "graft_bow_score: weight table must not be NULL")
+            if ((0 until ad.numElements()).exists(ad.isNullAt))
+              throw new IllegalArgumentException(
+                "graft_bow_score: weight table must not contain NULLs")
             elem match {
               case LongType => ad.toLongArray()
               case IntegerType => ad.toIntArray().map(_.toLong)

@@ -1791,7 +1791,8 @@ object LlmOps {
           SELECT coalesce(o.doc_id, n.doc_id) AS id,
                  CASE WHEN o.doc_id IS NULL THEN 'added'
                       WHEN n.doc_id IS NULL THEN 'removed'
-                      WHEN md5(o.text) != md5(n.text) THEN 'changed'
+                      WHEN md5(o.text) IS DISTINCT FROM md5(n.text)
+                        THEN 'changed'
                       ELSE 'unchanged' END AS status
           FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
         SELECT status, count(*) AS n_docs,

@@ -434,4 +434,16 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) === (("changed", false, false)))
     assert(got(4L) === (("added", true, false)))
   }
+
+  test("snapshotDiff: NULL<->non-NULL text reads as changed (null-safe fp)") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, null: String), (2L, null: String))
+      .toDF("id", "text")
+    val newSnap = Seq((1L, "now set"), (2L, null: String)).toDF("id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .select("id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "changed")   // null -> value is a content change
+    assert(got(2L) === "unchanged") // null on both sides is not
+  }
 }

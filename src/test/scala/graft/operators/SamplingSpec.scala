@@ -286,4 +286,18 @@ class SamplingSpec extends SparkSpec {
     assert(sp(2L)._1 === repSplit(0L) && sp(21L)._1 === repSplit(20L))
     assert(sp(5L)._1 === repSplit(5L))
   }
+
+  test("leakageSafeSplit tolerates a pre-existing 'component' column") {
+    import spark.implicits._
+    val docs = Seq((1L, "x", 9L), (2L, "y", 9L))
+      .toDF("doc_id", "text", "component")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id",
+      Seq((1L, 2L)).toDF("a_id", "b_id"), trainFrac = 0.5)
+    val rows = out.select("doc_id", "component", "cluster_rep", "split")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L)._1 === 9L && rows(2L)._1 === 9L) // caller column intact
+    assert(rows(1L)._2 === 1L && rows(2L)._2 === 1L) // rep = min id
+    assert(rows(1L)._3 === rows(2L)._3)              // pair stays together
+  }
 }

@@ -136,5 +136,10 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT graft_bow_score(text, array(doc_id)) FROM bow_docs").collect()
     }
     assert(e.getMessage.contains("foldable"))
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_bow_score('a', CAST(NULL AS ARRAY<BIGINT>))").collect()
+    }
+    assert(e2.getMessage.contains("NULL"))
   }
 }
