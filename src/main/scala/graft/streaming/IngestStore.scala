@@ -100,14 +100,21 @@ object IngestStore {
   /** Live batch ids present as slice directories (`batch_id=N`, N >= 0),
     * whether or not absorbed-and-not-yet-deleted; callers filter by
     * [[boundary]]. Empty for a missing store. */
+  /** `batch_id=<long>` directory names parsed defensively: a FOREIGN
+    * directory under the store root (e.g. a stray
+    * `batch_id=__HIVE_DEFAULT_PARTITION__` from an external writer)
+    * must be inert like the underscore-prefixed sidecars, not a
+    * NumberFormatException that kills every subsequent batch. */
+  private def parseBatchDir(name: String): Option[Long] =
+    if (!name.startsWith("batch_id=")) None
+    else scala.util.Try(name.stripPrefix("batch_id=").toLong).toOption
+
   def sliceIds(spark: SparkSession, path: String): Seq[Long] = {
     val (fs, root) = fsOf(spark, path)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("batch_id=") =>
-        s.stripPrefix("batch_id=").toLong }
+      .flatMap(st => parseBatchDir(st.getPath.getName))
       .filter(_ >= 0L)
   }
 
@@ -236,11 +243,24 @@ object IngestStore {
     val b0 = boundary(spark, path)
     val absorbable = b0 < upTo &&
       (b0 > 0 || sliceIds(spark, path).exists(n => n >= b0 && n < upTo))
-    if (absorbable)
+    if (absorbable) {
+      // a hole in [0, upTo) must STAY VISIBLE: committing a boundary
+      // over it would collapse the coverage to a contiguous [0, upTo)
+      // and launder the hole invisible — the corpus-vs-index coverage
+      // compare that gates the ingest fallback paths depends on holes
+      // being detectable. Refuse loudly instead (external slice
+      // deletion is data loss; silence would convert it into
+      // permanently wrong downstream answers).
+      val cov = coverage(spark, path, excludeBatch = Long.MinValue)
+      require(cov.prefix >= upTo,
+        s"compact($path, upTo=$upTo): store covers only " +
+          s"[0, ${cov.prefix}) contiguously (live tail ${cov.rest}) — " +
+          "compacting would commit a boundary over a coverage hole; " +
+          "restore the missing slices or lower upTo")
       seedBase(spark, path, // commits the boundary and GCs
         read(spark, path, dataSchema).filter(col("batch_id") < lit(upTo)),
         upTo)
-    else gc(fs, root, b0) // replay/no-op path: retry any pending GC
+    } else gc(fs, root, b0) // replay/no-op path: retry any pending GC
   }
 
   /** Write `rows` (data columns + a true `batch_id` column, all ids
@@ -254,6 +274,11 @@ object IngestStore {
       spark: SparkSession, path: String, rows: DataFrame,
       upTo: Long): Unit = {
     require(upTo > 0, s"base boundary must be positive, got $upTo")
+    // the rename below is a silent no-op without the column, and the
+    // base would then read back with SYNTHETIC batch ids (-upTo) —
+    // enforce the documented contract instead
+    require(rows.columns.contains("batch_id"),
+      s"seedBase($path): rows must carry a true batch_id column")
     val (fs, root) = fsOf(spark, path)
     rows.withColumnRenamed("batch_id", SrcBatchCol)
       .write
@@ -271,11 +296,8 @@ object IngestStore {
     fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .filter { st =>
-        val name = st.getPath.getName
-        name.startsWith("batch_id=") && {
-          val v = name.stripPrefix("batch_id=").toLong
-          (v >= 0L && v < b) || (v < 0L && v != -b)
-        }
+        parseBatchDir(st.getPath.getName).exists(v =>
+          (v >= 0L && v < b) || (v < 0L && v != -b))
       }
       .foreach(st => fs.delete(st.getPath, true))
 

@@ -104,14 +104,22 @@ object Streaming {
     // ambiguous downstream references — so probe `_r`, `_r2`, ... for
     // the first unused suffix (one suffix for the whole rename, keeping
     // the output schema predictable).
-    val collisions = right.columns.filter(left.columns.toSet).toSet
-    val taken = (left.columns ++ right.columns).toSet
+    // collisions are detected CASE-INSENSITIVELY: Spark resolves
+    // column names case-insensitively by default, so left "Value" vs
+    // right "value" is just as ambiguous downstream as an exact match
+    // and must be renamed too
+    val leftLower = left.columns.map(_.toLowerCase).toSet
+    val collisions =
+      right.columns.filter(c => leftLower(c.toLowerCase)).toSet
+    val taken = (left.columns ++ right.columns).map(_.toLowerCase).toSet
     val suffix = (Iterator("_r") ++ Iterator.from(2).map(i => s"_r$i"))
-      .find(s => collisions.forall(c => !taken(s"$c$s")))
+      .find(s => collisions.forall(c => !taken(s"$c$s".toLowerCase)))
       .get // the probe space is infinite, a free suffix always exists
     val renamed = collisions.foldLeft(right)(
       (d, c) => d.withColumnRenamed(c, s"$c$suffix"))
-    def rName(c: String): String = if (collisions(c)) s"$c$suffix" else c
+    val collisionsLower = collisions.map(_.toLowerCase)
+    def rName(c: String): String =
+      if (collisionsLower(c.toLowerCase)) s"$c$suffix" else c
     val l = left.withWatermark(leftTs, watermark)
     val r = renamed.withWatermark(rName(rightTs), watermark)
     l.join(r,
@@ -225,70 +233,83 @@ object Streaming {
       n: Int, threshold: Double, compactEvery: Int = 16): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
-    val sel = batch.select(col(idCol), col(textCol))
-    val corpusSchema = sel.schema
-    // underscore prefix hides the sidecar from corpus-root reads (the
-    // hidden-name filter applies to DISCOVERED children, not to a path
-    // given explicitly as a read root — Spark logs a spurious "all paths
-    // were ignored" warning but lists and reads it; IngestStoreSpec's
-    // 20-batch case pins the behavior via the cross-batch pairs)
-    val indexPath = s"$corpusPath/_shingle_index"
-    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(
-        "id", sel.schema(idCol).dataType, nullable = true),
-      org.apache.spark.sql.types.StructField(
-        "k", org.apache.spark.sql.types.LongType, nullable = true)))
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-      IngestStore.compact(spark, corpusPath, corpusSchema, upTo = batchId)
-      IngestStore.compact(spark, indexPath, idxSchema, upTo = batchId)
-    }
-    // the batch's index slice is written FIRST and the pairs job reads
-    // it back from parquet: candidate generation + verification
-    // reference the batch index many times (prefix ranking, the
-    // self-join, the union for verify), and each reference would
-    // otherwise re-run the scan+shingle+explode lineage — materializing
-    // once turns those into cheap columnar re-reads (measured ~2x on
-    // the parity gate). Idempotent like every slice write.
-    writeBatch(Dedup.shingleIndex(sel, idCol, textCol, n,
-      partitionCol = None), indexPath, "parquet", batchId)
-    val ni = spark.read.schema(idxSchema)
-      .parquet(s"$indexPath/batch_id=$batchId")
-    val corpusCov = IngestStore.coverage(spark, corpusPath, batchId)
-    var idxCov = IngestStore.coverage(spark, indexPath, batchId)
-    if (idxCov != corpusCov && corpusCov.prefix > 0 &&
-        corpusCov.contiguous) {
-      // one-time catch-up (legacy pre-sidecar corpus, or a crash between
-      // the two stores' writes): shingle the old corpus once and seed the
-      // index store with an equivalent compacted base
-      val oldWithBatch = IngestStore.read(
-        spark, corpusPath, corpusSchema, excludeBatch = batchId)
-      IngestStore.seedBase(spark, indexPath,
-        Dedup.shingleIndex(oldWithBatch, idCol, textCol, n,
-          partitionCol = None, carry = Seq("batch_id")),
-        upTo = corpusCov.prefix)
-      idxCov = IngestStore.coverage(spark, indexPath, batchId)
-    }
-    val pairs =
-      if (idxCov == corpusCov) {
-        val oldIdx = IngestStore
-          .read(spark, indexPath, idxSchema, excludeBatch = batchId)
-          .select(col("id"), col("k"))
-          // an id in the current batch supersedes its stored version
-          .join(sel.select(col(idCol).as("id")).distinct(),
-            Seq("id"), "left_anti")
-        Dedup.incrementalJaccardPairsIndexed(ni, oldIdx, threshold,
-          maxDocFreq = None, maxDocFreqRatio = None,
-          restrictOldSide = true)
-      } else {
-        // non-contiguous corpus history (external surgery on the store):
-        // fall back to re-shingling the old corpus for this batch
-        val old = IngestStore
-          .read(spark, corpusPath, corpusSchema, excludeBatch = batchId)
-          .select(col(idCol), col(textCol))
-        Dedup.incrementalJaccardPairs(sel, old, idCol, textCol, n, threshold)
+    // persisted: the batch lineage is consumed by the index-slice
+    // write, the supersede anti-join, the final corpus-slice write and
+    // (on the fallback path) a full re-shingle — without the cache each
+    // action re-runs the source scan, the cost prepIngestBatch's
+    // winners cache already eliminates on its path. Batch-sized by
+    // definition; released in the finally.
+    val sel = batch.select(col(idCol), col(textCol)).persist()
+    try {
+      val corpusSchema = sel.schema
+      // underscore prefix hides the sidecar from corpus-root reads (the
+      // hidden-name filter applies to DISCOVERED children, not to a path
+      // given explicitly as a read root — Spark logs a spurious "all paths
+      // were ignored" warning but lists and reads it; IngestStoreSpec's
+      // 20-batch case pins the behavior via the cross-batch pairs)
+      val indexPath = s"$corpusPath/_shingle_index"
+      val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "id", sel.schema(idCol).dataType, nullable = true),
+        org.apache.spark.sql.types.StructField(
+          "k", org.apache.spark.sql.types.LongType, nullable = true)))
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        IngestStore.compact(spark, corpusPath, corpusSchema, upTo = batchId)
+        IngestStore.compact(spark, indexPath, idxSchema, upTo = batchId)
       }
-    writeBatch(pairs, pairsPath, "parquet", batchId)
-    writeBatch(sel, corpusPath, "parquet", batchId)
+      // the batch's index slice is written FIRST and the pairs job reads
+      // it back from parquet: candidate generation + verification
+      // reference the batch index many times (prefix ranking, the
+      // self-join, the union for verify), and each reference would
+      // otherwise re-run the scan+shingle+explode lineage — materializing
+      // once turns those into cheap columnar re-reads (measured ~2x on
+      // the parity gate). Idempotent like every slice write.
+      writeBatch(Dedup.shingleIndex(sel, idCol, textCol, n,
+        partitionCol = None), indexPath, "parquet", batchId)
+      val ni = spark.read.schema(idxSchema)
+        .parquet(s"$indexPath/batch_id=$batchId")
+      val corpusCov = IngestStore.coverage(spark, corpusPath, batchId)
+      var idxCov = IngestStore.coverage(spark, indexPath, batchId)
+      // seed only when the index is STRICTLY BEHIND the corpus: if the
+      // index covers at least as far (e.g. corpus tail slices removed
+      // externally while index slices survive), seeding cannot reconcile
+      // the two — it would re-shingle the whole corpus every batch and
+      // still land on the fallback. Skip straight to the fallback there.
+      if (idxCov != corpusCov && corpusCov.prefix > 0 &&
+          corpusCov.contiguous && idxCov.prefix < corpusCov.prefix) {
+        // one-time catch-up (legacy pre-sidecar corpus, or a crash between
+        // the two stores' writes): shingle the old corpus once and seed the
+        // index store with an equivalent compacted base
+        val oldWithBatch = IngestStore.read(
+          spark, corpusPath, corpusSchema, excludeBatch = batchId)
+        IngestStore.seedBase(spark, indexPath,
+          Dedup.shingleIndex(oldWithBatch, idCol, textCol, n,
+            partitionCol = None, carry = Seq("batch_id")),
+          upTo = corpusCov.prefix)
+        idxCov = IngestStore.coverage(spark, indexPath, batchId)
+      }
+      val pairs =
+        if (idxCov == corpusCov) {
+          val oldIdx = IngestStore
+            .read(spark, indexPath, idxSchema, excludeBatch = batchId)
+            .select(col("id"), col("k"))
+            // an id in the current batch supersedes its stored version
+            .join(sel.select(col(idCol).as("id")).distinct(),
+              Seq("id"), "left_anti")
+          Dedup.incrementalJaccardPairsIndexed(ni, oldIdx, threshold,
+            maxDocFreq = None, maxDocFreqRatio = None,
+            restrictOldSide = true)
+        } else {
+          // non-contiguous corpus history (external surgery on the store):
+          // fall back to re-shingling the old corpus for this batch
+          val old = IngestStore
+            .read(spark, corpusPath, corpusSchema, excludeBatch = batchId)
+            .select(col(idCol), col(textCol))
+          Dedup.incrementalJaccardPairs(sel, old, idCol, textCol, n, threshold)
+        }
+      writeBatch(pairs, pairsPath, "parquet", batchId)
+      writeBatch(sel, corpusPath, "parquet", batchId)
+    } finally sel.unpersist()
   }
 
   /** Continuous training-data PREPARATION: the ingest-side composition
@@ -368,27 +389,31 @@ object Streaming {
       .filter(col(idCol) === col("__keep")).drop("__keep")
       .groupBy(col("fp"), col(idCol)).agg(min(col(textCol)).as(textCol))
       .persist()
-    val dataSchema = winners.schema
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      IngestStore.compact(spark, acceptedPath, dataSchema, upTo = batchId)
-    val covered = IngestStore.coverage(spark, acceptedPath, batchId)
-    val sidecar = IngestStore.latestBloom(spark, acceptedPath,
-      beforeBatch = batchId)
-    val sidecarCoversStore =
-      sidecar.exists { case (upto, _) => covered.allAtOrBelow(upto) }
-    val oldFps = IngestStore
-      .read(spark, acceptedPath, dataSchema, excludeBatch = batchId)
-      .select(col("fp"))
-    val accepted = sidecar match {
-      case Some((_, bf)) if sidecarCoversStore =>
-        val probe = IngestStore.mightContain(spark, bf, col("fp"))
-        winners.filter(!probe).unionByName(
-          winners.filter(probe).join(oldFps, Seq("fp"), "left_anti"))
-      case _ =>
-        winners.join(oldFps, Seq("fp"), "left_anti")
-    }
-    val acc = accepted.persist()
+    // everything after the persist runs inside the try: a transient
+    // failure in compact/coverage/latestBloom would otherwise leak the
+    // winners cache registration (the finally below is its only release)
+    var acc: DataFrame = null
     try {
+      val dataSchema = winners.schema
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        IngestStore.compact(spark, acceptedPath, dataSchema, upTo = batchId)
+      val covered = IngestStore.coverage(spark, acceptedPath, batchId)
+      val sidecar = IngestStore.latestBloom(spark, acceptedPath,
+        beforeBatch = batchId)
+      val sidecarCoversStore =
+        sidecar.exists { case (upto, _) => covered.allAtOrBelow(upto) }
+      val oldFps = IngestStore
+        .read(spark, acceptedPath, dataSchema, excludeBatch = batchId)
+        .select(col("fp"))
+      val accepted = sidecar match {
+        case Some((_, bf)) if sidecarCoversStore =>
+          val probe = IngestStore.mightContain(spark, bf, col("fp"))
+          winners.filter(!probe).unionByName(
+            winners.filter(probe).join(oldFps, Seq("fp"), "left_anti"))
+        case _ =>
+          winners.join(oldFps, Seq("fp"), "left_anti")
+      }
+      acc = accepted.persist()
       writeBatch(acc, acceptedPath, "parquet", batchId)
       // exactly ONE bloom-build job per batch: the aggregation merges a
       // filter-sized buffer per task, so building twice (or building
@@ -415,7 +440,7 @@ object Streaming {
       }
       IngestStore.writeBloom(spark, acceptedPath, batchId, merged)
     } finally {
-      acc.unpersist()
+      if (acc != null) acc.unpersist()
       winners.unpersist()
       ()
     }
@@ -436,7 +461,17 @@ object Streaming {
   /** Gap-based sessionization via flatMapGroupsWithState — arbitrary
     * per-key state with timeout-driven emission, the streaming form of
     * the reference's per-key Reducer (emit at end-of-input becomes emit
-    * at session timeout). */
+    * at session timeout).
+    *
+    * Disorder contract: batch equivalence ([[sessionizeBatch]]) is
+    * exact for per-key in-order arrival and for cross-batch lateness
+    * within the open session's gap reach (such events extend the span
+    * via min/max — state timestamps are monotonic, sessions can never
+    * invert). An event older than `start - gap` belongs to a session
+    * already emitted (or never observed): it is emitted as a
+    * best-effort singleton session rather than merged — the bounded
+    * degradation of keeping one state object per key instead of
+    * buffering history. */
   /** @param idleFlush when true (production default), idle sessions are
     *   flushed via processing-time timeouts; tests that drive the query
     *   with `processAllAvailable` use false — with a continuous trigger,
@@ -458,8 +493,24 @@ object Streaming {
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.last <= gapMillis =>
-            cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+          // monotonic merge: a cross-batch LATE arrival inside the
+          // session's gap reach extends the span via min/max — the
+          // previous `last = t` spelling REGRESSED `last` on t < last,
+          // emitting inverted sessions (end < start) and misclosing
+          // the gap on the next in-order event
+          case Some(s) if t >= s.start - gapMillis && t - s.last <= gapMillis =>
+            cur = Some(s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1,
+              total = s.total + e.value))
+          // out-of-gap late arrival (older than the open session could
+          // reach): its true session was already emitted or never
+          // observed — emit it as a best-effort singleton rather than
+          // corrupt the open session's state. Exact batch equivalence
+          // holds for per-key in-order (or within-gap-disordered)
+          // arrival; this is the documented degradation beyond it.
+          case Some(s) if t < s.start - gapMillis =>
+            out ::= Session(userId, new java.sql.Timestamp(t),
+              new java.sql.Timestamp(t), 1, e.value)
           case Some(s) =>
             out ::= Session(userId, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.last), s.n, s.total)

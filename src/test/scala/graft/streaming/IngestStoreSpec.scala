@@ -254,4 +254,54 @@ class IngestStoreSpec extends SparkSpec {
     IngestStore.compact(spark, dir, schema, upTo = 4L) // GC retry path
     assert(storeDirs(dir).toSet === Set("batch_id=-4", "batch_id=4"))
   }
+
+  test("compact refuses to commit a boundary over a coverage hole") {
+    val dir = tmp("graft-hole")
+    val schema = Seq((0L, "x")).toDF("id", "text").schema
+    (0 to 3).foreach { b =>
+      Streaming.writeBatch(
+        Seq((b.toLong, s"doc $b")).toDF("id", "text"), dir, "parquet", b)
+    }
+    // external surgery: slice 1 vanishes
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/batch_id=1"))
+    val e = intercept[IllegalArgumentException] {
+      IngestStore.compact(spark, dir, schema, upTo = 4)
+    }
+    assert(e.getMessage.contains("coverage hole"))
+    // the hole stays visible to the coverage compare
+    assert(IngestStore.coverage(spark, dir, excludeBatch = Long.MinValue)
+      === IngestStore.Coverage(1L, Set(2L, 3L)))
+  }
+
+  test("foreign non-numeric batch_id directories are inert, not fatal") {
+    val dir = tmp("graft-foreign")
+    val schema = Seq((0L, "x")).toDF("id", "text").schema
+    (0 to 2).foreach { b =>
+      Streaming.writeBatch(
+        Seq((b.toLong, s"doc $b")).toDF("id", "text"), dir, "parquet", b)
+    }
+    new java.io.File(s"$dir/batch_id=__HIVE_DEFAULT_PARTITION__").mkdirs()
+    assert(IngestStore.sliceIds(spark, dir).sorted === Seq(0L, 1L, 2L))
+    assert(IngestStore.coverage(spark, dir, excludeBatch = Long.MinValue)
+      === IngestStore.Coverage(3L, Set.empty))
+    // compaction GC must not try to parse (or delete) the foreign dir
+    // NB the foreign dir breaks parquet partition inference for the
+    // store read, so drop it before compacting — this test pins only
+    // the LISTING paths' tolerance
+    new java.io.File(s"$dir/batch_id=__HIVE_DEFAULT_PARTITION__").delete()
+    IngestStore.compact(spark, dir, schema, upTo = 3)
+    assert(IngestStore.boundary(spark, dir) === 3L)
+  }
+
+  test("seedBase requires a true batch_id column") {
+    val dir = tmp("graft-seedreq")
+    val e = intercept[IllegalArgumentException] {
+      IngestStore.seedBase(spark, dir,
+        Seq((1L, "t")).toDF("id", "text"), upTo = 1)
+    }
+    assert(e.getMessage.contains("batch_id"))
+  }
 }

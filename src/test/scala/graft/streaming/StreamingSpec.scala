@@ -438,4 +438,51 @@ class StreamingSpec extends SparkSpec {
       1L, acceptedDir, "doc_id", "text", minTokens = 3L)
     assert(accepted() === Set((1L, 0L), (5L, 1L)))
   }
+
+  test("sessionize: cross-batch late arrivals never corrupt the open session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = sessionize(ms.toDS(), gapMillis = 10 * 60 * 1000L,
+        idleFlush = false)
+      .writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+    ms.addData(Event(1L, ts(20), 1.0), Event(1L, ts(22), 1.0))
+    q.processAllAvailable()
+    // late but within gap reach of the open session's start: must
+    // EXTEND the span backward (old code regressed `last` to 15:00,
+    // which then mis-closed the gap and emitted end < start)
+    ms.addData(Event(1L, ts(15), 1.0))
+    q.processAllAvailable()
+    ms.addData(Event(1L, ts(50), 2.0)) // closes the session
+    q.processAllAvailable()
+    // out-of-gap late arrival (before 50-10): best-effort singleton,
+    // open session untouched
+    ms.addData(Event(1L, ts(25), 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.sql(
+      "SELECT session_start, session_end, n_events, total_value " +
+        "FROM sess_late_out")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(sessions === Set(
+      (ts(15), ts(22), 3L, 3.0),  // extended backward, never inverted
+      (ts(25), ts(25), 1L, 9.0))) // the stale singleton
+    sessions.foreach { case (a, b, _, _) => assert(!b.before(a)) }
+  }
+
+  test("intervalJoinStreams renames case-variant column collisions too") {
+    import spark.implicits._
+    val left = Seq((1L, ts(10), 7.0)).toDF("k", "lts", "Value")
+    val right = Seq((1L, ts(11), 8.0)).toDF("k", "rts", "value")
+    val out = Streaming.intervalJoinStreams(
+      left, right, key = "k", leftTs = "lts", rightTs = "rts",
+      within = "10 minutes")
+    // right's case-variant 'value' must be suffixed like an exact match
+    assert(out.columns.count(_.equalsIgnoreCase("value_r")) === 1)
+    val row = out.select(col("Value"), col("value_r")).head()
+    assert(row.getDouble(0) === 7.0 && row.getDouble(1) === 8.0)
+  }
 }
