@@ -50,7 +50,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * should retry — the standard caveat for file stores without snapshot
   * isolation.
   */
-object IngestStore {
+object IngestStore extends org.apache.spark.internal.Logging {
 
   /** Data column inside the compacted base preserving each row's original
     * batch id (the partition value of the base is the boundary, not the
@@ -164,14 +164,22 @@ object IngestStore {
       dataSchema.fields :+
         StructField(SrcBatchCol, LongType, nullable = true) :+
         StructField("batch_id", LongType, nullable = true))
-    if (!fs.exists(root))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        StructType(dataSchema.fields :+
-          StructField("batch_id", LongType, nullable = true)))
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(dataSchema.fields :+
+        StructField("batch_id", LongType, nullable = true)))
+    if (!fs.exists(root)) empty
     else {
       val b = boundary(spark, path)
-      spark.read.option("basePath", path).schema(full).parquet(path)
+      // load EXPLICIT slice/base directories, never the bare root: a
+      // foreign `batch_id=<garbage>` dir dropped by an external writer
+      // would fail parquet partition-value casting on a root scan and
+      // kill every subsequent batch — the same failure class
+      // [[parseBatchDir]] makes inert on the listing paths
+      val dirs = validDirs(fs, root)
+      if (dirs.isEmpty) empty
+      else spark.read.option("basePath", path).schema(full)
+        .parquet(dirs: _*)
         // partition-pruned: absorbed-but-not-yet-deleted slices and
         // uncommitted base attempts are never read
         .filter(col("batch_id") =!= lit(excludeBatch) &&
@@ -180,6 +188,14 @@ object IngestStore {
         .drop(SrcBatchCol)
     }
   }
+
+  /** Directories under `root` that are actually slices or bases
+    * (`batch_id=<long>`), as load paths — foreign dirs are inert. */
+  private def validDirs(fs: FileSystem, root: Path): Seq[String] =
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .filter(st => parseBatchDir(st.getPath.getName).isDefined)
+      .map(_.getPath.toString)
 
   /** The one definition of "currently visible": the committed base plus
     * slices at/above the boundary (shared by [[read]] and [[readStore]]
@@ -211,9 +227,13 @@ object IngestStore {
           s"ingest store $path does not exist; pass dataSchema to read " +
             "a not-yet-created store as zero rows")
         val b = boundary(spark, path)
+        val dirs = validDirs(fs, root)
+        require(dirs.nonEmpty,
+          s"ingest store $path has no slices to infer a schema from; " +
+            "pass dataSchema to read an empty store as zero rows")
         val df = spark.read
           .option("basePath", path).option("mergeSchema", "true")
-          .parquet(path)
+          .parquet(dirs: _*)
           .filter(baseOrLive(b))
         val restored =
           if (df.columns.contains(SrcBatchCol))
@@ -233,13 +253,14 @@ object IngestStore {
     * a failure before the commit leaves the old generation fully intact
     * (the half-written base is unreferenced); a failure after the commit
     * leaves only garbage directories that [[read]] already ignores and the
-    * next call deletes. */
+    * next call deletes. Returns true iff a base was committed this call;
+    * false on replay/no-op and on the coverage-hole skip (see body). */
   def compact(
       spark: SparkSession, path: String, dataSchema: StructType,
-      upTo: Long): Unit = {
+      upTo: Long): Boolean = {
     require(upTo > 0, s"compaction boundary must be positive, got $upTo")
     val (fs, root) = fsOf(spark, path)
-    if (!fs.exists(root)) return
+    if (!fs.exists(root)) return false
     val b0 = boundary(spark, path)
     val absorbable = b0 < upTo &&
       (b0 > 0 || sliceIds(spark, path).exists(n => n >= b0 && n < upTo))
@@ -248,19 +269,30 @@ object IngestStore {
       // over it would collapse the coverage to a contiguous [0, upTo)
       // and launder the hole invisible — the corpus-vs-index coverage
       // compare that gates the ingest fallback paths depends on holes
-      // being detectable. Refuse loudly instead (external slice
-      // deletion is data loss; silence would convert it into
-      // permanently wrong downstream answers).
+      // being detectable. SKIP the absorb (warn, keep the slice layout
+      // as-is) rather than throw: the production callers run this on a
+      // fixed batchId % compactEvery cadence, so a throw would replay
+      // into the same throw forever and wedge a stream whose
+      // hole-tolerant fallback paths are otherwise still correct.
+      // External slice deletion is surfaced by the warning and by the
+      // coverage compare; compaction resumes on its own if the missing
+      // slices are restored.
       val cov = coverage(spark, path, excludeBatch = Long.MinValue)
-      require(cov.prefix >= upTo,
-        s"compact($path, upTo=$upTo): store covers only " +
-          s"[0, ${cov.prefix}) contiguously (live tail ${cov.rest}) — " +
-          "compacting would commit a boundary over a coverage hole; " +
-          "restore the missing slices or lower upTo")
-      seedBase(spark, path, // commits the boundary and GCs
-        read(spark, path, dataSchema).filter(col("batch_id") < lit(upTo)),
-        upTo)
-    } else gc(fs, root, b0) // replay/no-op path: retry any pending GC
+      if (cov.prefix < upTo) {
+        logWarning(
+          s"compact($path, upTo=$upTo): store covers only " +
+            s"[0, ${cov.prefix}) contiguously (live tail ${cov.rest}) — " +
+            "compacting would commit a boundary over a coverage hole; " +
+            "skipping this compaction (restore the missing slices to " +
+            "resume compaction)")
+        false
+      } else {
+        seedBase(spark, path, // commits the boundary and GCs
+          read(spark, path, dataSchema).filter(col("batch_id") < lit(upTo)),
+          upTo)
+        true
+      }
+    } else { gc(fs, root, b0); false } // replay/no-op: retry pending GC
   }
 
   /** Write `rows` (data columns + a true `batch_id` column, all ids
@@ -303,6 +335,14 @@ object IngestStore {
 
   // ------------------------------------------------------ bloom sidecar
 
+  /** `upto=<long>.bin` sidecar names parsed with the same defensive
+    * contract as [[parseBatchDir]] — a foreign file in `_bloom/` must
+    * be inert, not a NumberFormatException on every subsequent batch. */
+  private def parseBloomFile(name: String): Option[Long] =
+    if (!(name.startsWith("upto=") && name.endsWith(".bin"))) None
+    else scala.util.Try(
+      name.stripPrefix("upto=").stripSuffix(".bin").toLong).toOption
+
   /** The latest bloom sidecar strictly older than `beforeBatch`
     * (a replaying batch must seed from its PREDECESSOR's sidecar, never
     * its own), as (coveredUpToBatchId, filter). */
@@ -313,9 +353,7 @@ object IngestStore {
     val dir = new Path(root, BloomDir)
     if (!fs.exists(dir)) return None
     val ids = fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("upto=") && s.endsWith(".bin") =>
-        s.stripPrefix("upto=").stripSuffix(".bin").toLong }
+      .flatMap(st => parseBloomFile(st.getPath.getName))
       .filter(_ < beforeBatch)
     if (ids.isEmpty) None
     else {
@@ -343,9 +381,7 @@ object IngestStore {
       .rename(tmp, new Path(dir, s"upto=$upto.bin"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     val ids = fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("upto=") && s.endsWith(".bin") =>
-        s.stripPrefix("upto=").stripSuffix(".bin").toLong }
+      .flatMap(st => parseBloomFile(st.getPath.getName))
     val keep = (ids.filter(_ < upto).sorted.lastOption.toSeq :+ upto).toSet
     ids.filterNot(keep).foreach(id =>
       fs.delete(new Path(dir, s"upto=$id.bin"), false))

@@ -469,7 +469,10 @@ object Streaming {
     * via min/max — state timestamps are monotonic, sessions can never
     * invert). An event older than `start - gap` belongs to a session
     * already emitted (or never observed): it is emitted as a
-    * best-effort singleton session rather than merged — the bounded
+    * best-effort LATE session — consecutive such events within gap of
+    * each other in the same batch merge into one (they are visible
+    * together in the sorted batch, so this is free), but they are
+    * never merged into the already-emitted original — the bounded
     * degradation of keeping one state object per key instead of
     * buffering history. */
   /** @param idleFlush when true (production default), idle sessions are
@@ -490,6 +493,17 @@ object Streaming {
       val sorted = rows.toSeq.sortBy(_.ts.getTime)
       var out = List.empty[Session]
       var cur = state.getOption
+      // accumulator for OUT-OF-GAP late arrivals: consecutive lates
+      // within gap of each other are visible together in the sorted
+      // batch, so merging them into one best-effort session is free —
+      // per-event singletons would diverge from batch semantics more
+      // than the one-state-per-key limitation requires
+      var late: Option[SessionState] = None
+      def flushLate(): Unit = late.foreach { l =>
+        out ::= Session(userId, new java.sql.Timestamp(l.start),
+          new java.sql.Timestamp(l.last), l.n, l.total)
+        late = None
+      }
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
@@ -504,13 +518,21 @@ object Streaming {
               total = s.total + e.value))
           // out-of-gap late arrival (older than the open session could
           // reach): its true session was already emitted or never
-          // observed — emit it as a best-effort singleton rather than
-          // corrupt the open session's state. Exact batch equivalence
-          // holds for per-key in-order (or within-gap-disordered)
-          // arrival; this is the documented degradation beyond it.
+          // observed — accumulate into a best-effort late session
+          // (merged with in-gap NEIGHBORING lates, sorted order makes
+          // t >= late.last) rather than corrupt the open session's
+          // state. Exact batch equivalence holds for per-key in-order
+          // (or within-gap-disordered) arrival; this is the documented
+          // degradation beyond it.
           case Some(s) if t < s.start - gapMillis =>
-            out ::= Session(userId, new java.sql.Timestamp(t),
-              new java.sql.Timestamp(t), 1, e.value)
+            late match {
+              case Some(l) if t - l.last <= gapMillis =>
+                late = Some(l.copy(last = t, n = l.n + 1,
+                  total = l.total + e.value))
+              case _ =>
+                flushLate()
+                late = Some(SessionState(t, t, 1, e.value))
+            }
           case Some(s) =>
             out ::= Session(userId, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.last), s.n, s.total)
@@ -519,6 +541,7 @@ object Streaming {
             cur = Some(SessionState(t, t, 1, e.value))
         }
       }
+      flushLate()
       if (state.hasTimedOut) {
         val s = state.get
         out ::= Session(userId, new java.sql.Timestamp(s.start),

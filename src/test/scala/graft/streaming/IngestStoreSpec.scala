@@ -255,7 +255,7 @@ class IngestStoreSpec extends SparkSpec {
     assert(storeDirs(dir).toSet === Set("batch_id=-4", "batch_id=4"))
   }
 
-  test("compact refuses to commit a boundary over a coverage hole") {
+  test("compact skips (not wedges) over a coverage hole; resumes when healed") {
     val dir = tmp("graft-hole")
     val schema = Seq((0L, "x")).toDF("id", "text").schema
     (0 to 3).foreach { b =>
@@ -267,13 +267,20 @@ class IngestStoreSpec extends SparkSpec {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(new java.io.File(s"$dir/batch_id=1"))
-    val e = intercept[IllegalArgumentException] {
-      IngestStore.compact(spark, dir, schema, upTo = 4)
-    }
-    assert(e.getMessage.contains("coverage hole"))
+    // compact must not commit a boundary over the hole (laundering it
+    // invisible) AND must not throw (the streaming callers run on a
+    // fixed batch cadence — a throw replays into the same throw forever)
+    assert(!IngestStore.compact(spark, dir, schema, upTo = 4))
+    assert(IngestStore.boundary(spark, dir) === 0L)
     // the hole stays visible to the coverage compare
     assert(IngestStore.coverage(spark, dir, excludeBatch = Long.MinValue)
       === IngestStore.Coverage(1L, Set(2L, 3L)))
+    // restoring the missing slice resumes compaction on the next cycle
+    Streaming.writeBatch(
+      Seq((1L, "doc 1")).toDF("id", "text"), dir, "parquet", 1L)
+    assert(IngestStore.compact(spark, dir, schema, upTo = 4))
+    assert(IngestStore.boundary(spark, dir) === 4L)
+    assert(IngestStore.read(spark, dir, schema).count() === 4L)
   }
 
   test("foreign non-numeric batch_id directories are inert, not fatal") {
@@ -287,13 +294,35 @@ class IngestStoreSpec extends SparkSpec {
     assert(IngestStore.sliceIds(spark, dir).sorted === Seq(0L, 1L, 2L))
     assert(IngestStore.coverage(spark, dir, excludeBatch = Long.MinValue)
       === IngestStore.Coverage(3L, Set.empty))
-    // compaction GC must not try to parse (or delete) the foreign dir
-    // NB the foreign dir breaks parquet partition inference for the
-    // store read, so drop it before compacting — this test pins only
-    // the LISTING paths' tolerance
-    new java.io.File(s"$dir/batch_id=__HIVE_DEFAULT_PARTITION__").delete()
+    // the READ path loads explicit slice dirs, so the foreign dir does
+    // not reach parquet partition-value casting (the root-scan spelling
+    // died here with a cast failure on every subsequent batch)
+    assert(IngestStore.read(spark, dir, schema).count() === 3L)
+    assert(IngestStore.readStore(spark, dir).count() === 3L)
+    // compaction (read + GC) must neither parse nor delete the foreign
+    // dir — it survives, inert, across the compact
     IngestStore.compact(spark, dir, schema, upTo = 3)
     assert(IngestStore.boundary(spark, dir) === 3L)
+    assert(IngestStore.read(spark, dir, schema).count() === 3L)
+    assert(new java.io.File(
+      s"$dir/batch_id=__HIVE_DEFAULT_PARTITION__").exists())
+  }
+
+  test("foreign files in the bloom sidecar dir are inert, not fatal") {
+    val dir = tmp("graft-foreignbloom")
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    bf.putLong(42L)
+    IngestStore.writeBloom(spark, dir, upto = 2L, bf)
+    // an external process drops junk into _bloom/ — neither the seeding
+    // read nor the GC in the next write may NumberFormatException on it
+    new java.io.File(s"$dir/_bloom/upto=backup.bin").createNewFile()
+    new java.io.File(s"$dir/_bloom/notes.txt").createNewFile()
+    val got = IngestStore.latestBloom(spark, dir, beforeBatch = 5L)
+    assert(got.map(_._1) === Some(2L))
+    assert(got.exists(_._2.mightContainLong(42L)))
+    IngestStore.writeBloom(spark, dir, upto = 4L, bf)
+    assert(IngestStore.latestBloom(spark, dir, beforeBatch = 5L)
+      .map(_._1) === Some(4L))
   }
 
   test("seedBase requires a true batch_id column") {

@@ -473,6 +473,38 @@ class StreamingSpec extends SparkSpec {
     sessions.foreach { case (a, b, _, _) => assert(!b.before(a)) }
   }
 
+  test("sessionize: adjacent out-of-gap lates merge into one late session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = sessionize(ms.toDS(), gapMillis = 10 * 60 * 1000L,
+        idleFlush = false)
+      .writeStream.format("memory").queryName("sess_latemerge_out")
+      .outputMode("append").start()
+    ms.addData(Event(1L, ts(40), 1.0), Event(1L, ts(42), 1.0))
+    q.processAllAvailable()
+    // one replayed batch delivers three out-of-gap lates: :05 and :07
+    // are within gap of each other (one best-effort session, matching
+    // what sessionizeBatch would yield), :25 is beyond their reach (a
+    // second late session); the open 40-42 session must be untouched
+    ms.addData(Event(1L, ts(5), 2.0), Event(1L, ts(7), 3.0),
+      Event(1L, ts(25), 4.0))
+    q.processAllAvailable()
+    ms.addData(Event(1L, ts(58), 9.0)) // closes the open session
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.sql(
+      "SELECT session_start, session_end, n_events, total_value " +
+        "FROM sess_latemerge_out")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(sessions === Set(
+      (ts(5), ts(7), 2L, 5.0),    // merged late pair, summed total
+      (ts(25), ts(25), 1L, 4.0),  // out of the pair's reach
+      (ts(40), ts(42), 2L, 2.0))) // open session untouched
+  }
+
   test("intervalJoinStreams renames case-variant column collisions too") {
     import spark.implicits._
     val left = Seq((1L, ts(10), 7.0)).toDF("k", "lts", "Value")
