@@ -441,4 +441,147 @@ object Sampling {
     df.filter(coalesce(
       struct(score.as("__s"), col(tieCol).as("__t")) > kth, lit(true)))
   }
+
+  /** Per-stratum QUALITY quota: within each stratum (source / domain /
+    * language), keep only the `k` best rows by (`scoreCol` DESC,
+    * `tieCol` ASC) — the per-domain cap every crawl-derived corpus
+    * applies so that no single domain dominates the training mix
+    * (cf. the host-level caps in Gopher's and FineWeb's pipelines,
+    * public in Rae 2021 §A.1.1 / Penedo 2024 §3.2).
+    *
+    * [[takePerStratum]] caps by CONTENT-HASH rank (a fair random
+    * quota); this ranks by an explicit quality score, which breaks the
+    * md5 trick there — hash-prefix buckets are not score-ordered. The
+    * scale spelling is the classic salted two-pass top-k instead:
+    *
+    *   1. rank within (stratum, salt) — `salts` parallel tasks per
+    *      stratum, so a giant stratum never serializes into one task —
+    *      and keep each salt's top `k`;
+    *   2. re-rank the ≤ salts·k survivors per stratum (model-sized by
+    *      construction) and keep the true top `k`.
+    *
+    * Pass 1 is lossless for pass 2: a stratum's true top-k rows each
+    * rank ≤ k within their own salt, so none is dropped early.
+    * Determinism: `tieCol` must be row-unique (module convention);
+    * null scores rank LAST (worst), null `tieCol` rows are dropped
+    * (module-wide null-key policy — see [[weightedTake]]). */
+  def topKPerStratum(
+      df: DataFrame, stratumCol: String, scoreCol: String,
+      tieCol: String, k: Int, salts: Int = 64): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    require(salts >= 1, "salts must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val rankOrder = Seq(col(scoreCol).desc_nulls_last, col(tieCol))
+    val pass1 = Window
+      .partitionBy(col(stratumCol), col("__salt")).orderBy(rankOrder: _*)
+    val pass2 = Window.partitionBy(col(stratumCol)).orderBy(rankOrder: _*)
+    df.filter(col(tieCol).isNotNull)
+      .withColumn("__salt", pmod(xxhash64(col(tieCol)), lit(salts)))
+      .withColumn("__r1", row_number().over(pass1))
+      .filter(col("__r1") <= k)
+      .withColumn("__r2", row_number().over(pass2))
+      .filter(col("__r2") <= k)
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Deterministic GLOBAL training-order shuffle: adds `shuffle_pos`
+    * (0-based, a permutation of 0..n-1) ranking rows by
+    * md5(seed ':' key) — the "shuffle the corpus before writing
+    * training shards" step, made content-stable so every engine, run,
+    * and cluster size produces the SAME order, and re-seedable so each
+    * epoch gets an independent order from the same corpus.
+    *
+    * Shape: [[withStratumRank]]'s two-phase rank under a constant
+    * stratum — rank within 256 md5-prefix buckets in parallel, add a
+    * broadcast 256-row ledger of bucket base offsets; no global sort,
+    * no single-task window. Null-key rows are dropped (module
+    * null-key policy). */
+  def shuffleOrder(
+      df: DataFrame, keyCol: String, seed: String = ""): DataFrame = {
+    val out = df.columns.map(col) :+ col("shuffle_pos")
+    df
+      // concat (not concat_ws): a null key must stay null so the
+      // rank's null-key exclusion sees it — concat_ws would fold every
+      // null key to the same surrogate, an undefined-order tie
+      .withColumn("__sk",
+        concat(lit(seed), lit(":"), col(keyCol).cast("string")))
+      .withColumn("__all", lit("all"))
+      .transform(withStratumRank(_, "__sk", "__all"))
+      .withColumn("shuffle_pos", col("__rk") - 1)
+      .select(out: _*)
+  }
+
+  /** Budget-capped curation: rank rows by (`scoreCol` DESC, `tieCol`)
+    * and keep the maximal quality-prefix of WHOLE rows whose
+    * cumulative `weightCol` (token count) fits `budget` — "take the
+    * best documents until the token budget is spent", the selection
+    * rule of data-constrained training-set construction (Muennighoff
+    * 2023's quality-ordered repetition budgets, public).
+    *
+    * The defining computation is a global running sum in score order —
+    * the same scale-killer [[Packing.packSequences]] documents — so it
+    * reuses the two-phase prefix-sum shape, with RANGE buckets from an
+    * `approx_percentile` boundary sketch over a deterministic hash
+    * sample (the [[dropBottomFraction]] machinery): sketch error only
+    * unbalances buckets, never changes an offset, because per-bucket
+    * sums are exact and equal scores always land in the same bucket
+    * (bucket order is score order). The only single-partition window
+    * is the nBuckets-row ledger.
+    *
+    * Selection contract: a row is kept iff its whole weight fits —
+    * offsets are monotone in rank order, so the kept set is exactly
+    * the rank-prefix ending before the first straddler (no later row
+    * can dip back under the budget). `weightCol` must be non-negative
+    * integral (negative weights would break the monotonicity the
+    * prefix argument rests on); null scores rank last; null `tieCol`
+    * rows are dropped (module null-key policy). */
+  def takeTokenBudget(
+      df: DataFrame, scoreCol: String, tieCol: String, weightCol: Column,
+      budget: Long, nBuckets: Int = 32): DataFrame = {
+    require(budget >= 0L, "budget must be non-negative")
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    df.schema.fields.find(_.name.equalsIgnoreCase(scoreCol))
+      .map(_.dataType) match {
+      case Some(_: org.apache.spark.sql.types.NumericType) | None => ()
+      case Some(t) => throw new IllegalArgumentException(
+        s"takeTokenBudget needs a NUMERIC score column; " +
+          s"'$scoreCol' is ${t.simpleString}")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val score = col(scoreCol)
+    val probs = array((1 until nBuckets)
+      .map(i => lit(i.toDouble / nBuckets)): _*)
+    val bndAgg = df
+      .filter(pmod(xxhash64(col(tieCol)), lit(16)) === 0)
+      .agg(percentile_approx(score.cast("double"), probs, lit(100)).as("b"))
+    // bucket = #boundaries STRICTLY ABOVE the score: descending score
+    // order == ascending bucket order, equal scores share a bucket —
+    // the alignment the exactness argument needs. Null scores bucket
+    // last (they rank last); an empty boundary sketch (tiny input)
+    // degrades to one bucket — exact, just unbalanced.
+    val tagged = df
+      .filter(col(tieCol).isNotNull)
+      .withColumn("__tok", weightCol.cast("long"))
+      .withColumn("__bnds", graft.plans.Scalars.of(bndAgg))
+      .withColumn("__bucket",
+        when(score.isNull, lit(nBuckets))
+          .otherwise(when(col("__bnds").isNull, lit(0)).otherwise(
+            size(filter(col("__bnds"), b => b > score.cast("double"))))))
+      .drop("__bnds")
+    val inBucket = Window.partitionBy(col("__bucket"))
+      .orderBy(score.desc_nulls_last, col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withInner = tagged.withColumn("__inner",
+      coalesce(sum(col("__tok")).over(inBucket), lit(0L)))
+    val ledger = withInner.groupBy("__bucket")
+      .agg(sum(col("__tok")).as("__btot"))
+      .withColumn("__base", coalesce(
+        sum(col("__btot")).over(Window.orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket").as("__lb"), col("__base"))
+    withInner
+      .join(broadcast(ledger), col("__bucket") === col("__lb"))
+      .filter(col("__base") + col("__inner") + col("__tok") <= lit(budget))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -1852,7 +1852,96 @@ object LlmOps {
         SELECT split, count(*) AS n_docs,
                count(DISTINCT cluster_rep) AS n_units,
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        FROM sp GROUP BY split ORDER BY split"""))
+        FROM sp GROUP BY split ORDER BY split""")),
+
+    // Per-source quality quota: cap every source at its 10 best docs
+    // by (type-token ratio, doc_id) — the host-level cap that keeps a
+    // single domain from dominating a crawl-derived training mix.
+    // Salted two-pass top-k (Sampling.topKPerStratum), so a giant
+    // source never serializes into one window task.
+    "q123_source_quota" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        val scored = Tables(s, dir, "documents")
+          .withColumn("q", T.typeTokenRatio(col("text")))
+        Sampling.topKPerStratum(scored, "source", "q", "doc_id", k = 10)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            round(avg(col("q")), 4).as("avg_q"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 round(len(list_distinct(string_split(text,' ')))::DOUBLE /
+                       len(string_split(text,' ')), 4) AS q
+          FROM documents),
+        kept AS (
+          SELECT * FROM scored
+          QUALIFY row_number() OVER (PARTITION BY source
+                    ORDER BY q DESC NULLS LAST, doc_id) <= 10)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               round(avg(q), 4) AS avg_q,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM kept GROUP BY source ORDER BY source""")),
+
+    // Deterministic global training-order shuffle: a content-stable,
+    // re-seedable permutation of the corpus (rank of md5(seed:id)) —
+    // the "shuffle before writing training shards" step. Two-phase
+    // bucket rank; the oracle recomputes the same permutation from
+    // the same public hash.
+    "q124_shuffle_order" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        Sampling.shuffleOrder(
+            Tables(s, dir, "documents").select(col("doc_id")),
+            "doc_id", seed = "ep0")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)),
+                          'ep0:' || CAST(doc_id AS VARCHAR)) - 1
+                 AS BIGINT) AS shuffle_pos
+        FROM documents ORDER BY doc_id""")),
+
+    // Budget-capped curation: keep the best documents by type-token
+    // ratio until a 12k-token budget is spent (whole docs only — the
+    // maximal quality-prefix). Two-phase distributed prefix sum in
+    // score order; the oracle recomputes it as the single global
+    // window the Spark side deliberately avoids.
+    "q125_token_budget" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        val scored = Tables(s, dir, "documents")
+          .withColumn("q", T.typeTokenRatio(col("text")))
+          .withColumn("ntok", T.tokenCount(col("text")))
+        Sampling.takeTokenBudget(scored, "q", "doc_id", col("ntok"),
+            budget = 12000L)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("tok_used"),
+            round(avg(col("q")), 4).as("avg_q"),
+            sum(col("doc_id")).as("id_checksum"))
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT doc_id,
+                 len(string_split(text,' ')) AS ntok,
+                 round(len(list_distinct(string_split(text,' ')))::DOUBLE /
+                       len(string_split(text,' ')), 4) AS q
+          FROM documents),
+        sel AS (
+          SELECT * FROM scored
+          QUALIFY sum(ntok) OVER (ORDER BY q DESC NULLS LAST, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  <= 12000)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS tok_used,
+               round(avg(q), 4) AS avg_q,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM sel"""))
   )
 }
 

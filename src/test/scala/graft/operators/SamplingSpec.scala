@@ -300,4 +300,117 @@ class SamplingSpec extends SparkSpec {
     assert(rows(1L)._2 === 1L && rows(2L)._2 === 1L) // rep = min id
     assert(rows(1L)._3 === rows(2L)._3)              // pair stays together
   }
+
+  test("topKPerStratum equals brute force; salted pass is lossless") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // heavy ties (scores from a 5-value space) + skew (stratum "big"
+    // holds most rows) exercise both the tie contract and the reason
+    // the salted two-pass exists
+    val rows = (1 to 500).map { i =>
+      val stratum = if (i % 10 == 0) s"s${i % 3}" else "big"
+      (i.toLong, stratum, (rng.nextInt(5) * 0.25))
+    }
+    val df = rows.toDF("id", "stratum", "score")
+    for (k <- Seq(0, 3, 17, 1000)) {
+      val got = Sampling.topKPerStratum(df, "stratum", "score", "id", k)
+        .select("id").as[Long].collect().toSet
+      val want = rows.groupBy(_._2).values.flatMap(g =>
+        g.sortBy { case (id, _, s) => (-s, id) }.take(k)).map(_._1).toSet
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("topKPerStratum: null scores rank last, null tie keys drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Some(0.5)), (2L, "a", None), (3L, "a", Some(0.9)),
+      (4L, "a", Some(0.1))).toDF("id", "stratum", "score")
+      .union(Seq((Option.empty[Long], "a", Some(99.0)))
+        .toDF("id", "stratum", "score"))
+    val got = Sampling.topKPerStratum(df, "stratum", "score", "id", k = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // null-id row is dropped even with the best score; the null-score
+    // row is the WORST, so it loses the k=3 cut to the real scores
+    assert(got === Set(3L, 1L, 4L))
+  }
+
+  test("shuffleOrder: seeded content-stable permutation, equals brute force") {
+    import spark.implicits._
+    val ids = (1L to 300L)
+    val df = ids.map(i => (i, s"payload$i")).toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (seed <- Seq("", "ep1")) {
+      val got = Sampling.shuffleOrder(df, "doc_id", seed)
+        .select("doc_id", "shuffle_pos")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ids.map(i => i -> s"$seed:$i")
+        .sortBy { case (_, sk) => (md5hex(sk), sk) }
+        .zipWithIndex.map { case ((i, _), p) => i -> p.toLong }.toMap
+      assert(got === want, s"seed=$seed")
+      // a permutation of 0..n-1
+      assert(got.values.toSet === (0L until 300L).toSet)
+    }
+    // different seeds give different orders (same corpus)
+    val a = Sampling.shuffleOrder(df, "doc_id", "ep1")
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.shuffleOrder(df, "doc_id", "ep2")
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a !== b)
+  }
+
+  test("takeTokenBudget equals the global-window brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // rounded scores → heavy ties straddling range-bucket boundaries;
+    // weights include zeros (must ride along at zero cost)
+    val rows = (1 to 800).map { i =>
+      (i.toLong, (rng.nextInt(20) * 0.05), rng.nextInt(40).toLong)
+    }
+    val df = rows.toDF("id", "score", "w")
+    def brute(budget: Long): Set[Long] = {
+      var acc = 0L
+      rows.sortBy { case (id, s, _) => (-s, id) }.flatMap { case (id, _, w) =>
+        acc += w; if (acc <= budget) Some(id) else None
+      }.toSet
+    }
+    for (budget <- Seq(0L, 1L, 500L, 7000L, 1000000L)) {
+      val got = Sampling.takeTokenBudget(df, "score", "id", col("w"), budget)
+        .select("id").as[Long].collect().toSet
+      assert(got === brute(budget), s"budget=$budget")
+    }
+  }
+
+  test("takeTokenBudget: no corpus-sized single-partition window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1L to 500L).map(i => (i, i * 0.5, i % 7)).toDF("id", "s", "w")
+      val plan = Sampling.takeTokenBudget(df, "s", "id", col("w"), 1000L)
+        .queryExecution.executedPlan
+      // the corpus prefix sum must be bucket-partitioned; the only
+      // unpartitioned window is the nBuckets-row ledger, fed by an
+      // aggregate (never raw corpus rows)
+      val unpartitioned = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      unpartitioned.foreach { w =>
+        val aggBelow = w.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        assert(aggBelow.nonEmpty,
+          s"unpartitioned window not fed by an aggregate:\n$w")
+      }
+      val partitioned = plan.collect {
+        case w: WindowExec if w.partitionSpec.nonEmpty => w
+      }
+      assert(partitioned.nonEmpty, "expected the bucket-partitioned window")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
 }
