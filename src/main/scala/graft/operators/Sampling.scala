@@ -539,34 +539,43 @@ object Sampling {
       df: DataFrame, scoreCol: String, tieCol: String, weightCol: Column,
       budget: Long, nBuckets: Int = 32): DataFrame = {
     require(budget >= 0L, "budget must be non-negative")
+    withQualityPrefix(df, scoreCol, tieCol, weightCol, nBuckets)
+      .filter(col("__pfx") + col("__tok") <= lit(budget))
+      .select(df.columns.map(col): _*)
+  }
+
+  /** The shared two-phase prefix-sum kernel behind [[takeTokenBudget]]
+    * and [[repetitionSchedule]]: tags every rankable row (`tieCol`
+    * non-null — module null-key policy) with `__tok` (`weightCol` as
+    * long) and `__pfx`, the EXACT exclusive running sum of `__tok` in
+    * global (`scoreCol` DESC NULLS LAST, `tieCol`) quality order —
+    * with no global sort and no corpus-sized window.
+    *
+    * RANGE buckets come from an `approx_percentile` boundary sketch
+    * over a deterministic hash sample; bucket = #boundaries STRICTLY
+    * ABOVE the score, so descending score order == ascending bucket
+    * order and equal scores share a bucket — the alignment the
+    * exactness argument needs (sketch error only unbalances buckets,
+    * never changes an offset, because per-bucket sums are exact). Null
+    * scores bucket last (they rank last); an empty boundary sketch
+    * (tiny input) degrades to one bucket — exact, just unbalanced.
+    * The only single-partition window is the nBuckets-row ledger. */
+  private def withQualityPrefix(
+      df: DataFrame, scoreCol: String, tieCol: String, weightCol: Column,
+      nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be at least 2")
-    df.schema.fields.find(_.name.equalsIgnoreCase(scoreCol))
-      .map(_.dataType) match {
-      case Some(_: org.apache.spark.sql.types.NumericType) | None => ()
-      case Some(t) => throw new IllegalArgumentException(
-        s"takeTokenBudget needs a NUMERIC score column; " +
-          s"'$scoreCol' is ${t.simpleString}")
-    }
+    requireNumericScore(df, scoreCol)
     import org.apache.spark.sql.expressions.Window
     val score = col(scoreCol)
-    val probs = array((1 until nBuckets)
-      .map(i => lit(i.toDouble / nBuckets)): _*)
     val bndAgg = df
       .filter(pmod(xxhash64(col(tieCol)), lit(16)) === 0)
-      .agg(percentile_approx(score.cast("double"), probs, lit(100)).as("b"))
-    // bucket = #boundaries STRICTLY ABOVE the score: descending score
-    // order == ascending bucket order, equal scores share a bucket —
-    // the alignment the exactness argument needs. Null scores bucket
-    // last (they rank last); an empty boundary sketch (tiny input)
-    // degrades to one bucket — exact, just unbalanced.
+      .agg(percentile_approx(score.cast("double"),
+        boundaryProbs(nBuckets), lit(100)).as("b"))
     val tagged = df
       .filter(col(tieCol).isNotNull)
       .withColumn("__tok", weightCol.cast("long"))
       .withColumn("__bnds", graft.plans.Scalars.of(bndAgg))
-      .withColumn("__bucket",
-        when(score.isNull, lit(nBuckets))
-          .otherwise(when(col("__bnds").isNull, lit(0)).otherwise(
-            size(filter(col("__bnds"), b => b > score.cast("double"))))))
+      .withColumn("__bucket", bucketOf(score, col("__bnds"), nBuckets))
       .drop("__bnds")
     val inBucket = Window.partitionBy(col("__bucket"))
       .orderBy(score.desc_nulls_last, col(tieCol))
@@ -581,7 +590,152 @@ object Sampling {
       .select(col("__bucket").as("__lb"), col("__base"))
     withInner
       .join(broadcast(ledger), col("__bucket") === col("__lb"))
-      .filter(col("__base") + col("__inner") + col("__tok") <= lit(budget))
-      .select(df.columns.map(col): _*)
+      .withColumn("__pfx", col("__base") + col("__inner"))
+      .drop("__lb", "__base", "__inner", "__bucket")
+  }
+
+  private def requireNumericScore(df: DataFrame, scoreCol: String): Unit =
+    df.schema.fields.find(_.name.equalsIgnoreCase(scoreCol))
+      .map(_.dataType) match {
+      case Some(_: org.apache.spark.sql.types.NumericType) | None => ()
+      case Some(t) => throw new IllegalArgumentException(
+        s"quality ranking needs a NUMERIC score column; " +
+          s"'$scoreCol' is ${t.simpleString}")
+    }
+
+  private def boundaryProbs(nBuckets: Int): Column =
+    array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)
+
+  /** Bucket id for a score against a (possibly null) boundary array:
+    * #boundaries STRICTLY ABOVE the score; null scores last. */
+  private def bucketOf(score: Column, bnds: Column, nBuckets: Int): Column =
+    when(score.isNull, lit(nBuckets))
+      .otherwise(when(bnds.isNull, lit(0)).otherwise(
+        size(filter(bnds, b => b > score.cast("double")))))
+
+  /** Epoch-repetition schedule for data-constrained training
+    * (Muennighoff 2023, public): given a token `budget` LARGER than
+    * the corpus, every document is seen floor(budget / total) full
+    * epochs, and the remainder budget % total goes to the BEST
+    * documents — the maximal (`scoreCol` DESC, `tieCol`) quality
+    * prefix of whole documents that fits it — as one extra epoch.
+    * Appends `repeats` (long ≥ 0); a sub-corpus budget degrades to
+    * [[takeTokenBudget]] membership spelled as repeats ∈ {0, 1}.
+    *
+    * Scale shape: corpus total and the budget arrive as in-plan
+    * scalars (no driver round-trip), and the remainder prefix is the
+    * [[takeTokenBudget]] two-phase prefix sum — the only
+    * single-partition window is its nBuckets-row ledger. `weightCol`
+    * must be non-negative integral; null scores rank last (they still
+    * earn the full epochs); null `tieCol` rows are dropped (module
+    * null-key policy). */
+  def repetitionSchedule(
+      df: DataFrame, scoreCol: String, tieCol: String, weightCol: Column,
+      budget: Column, nBuckets: Int = 32,
+      outCol: String = "repeats"): DataFrame = {
+    val totAgg = df.filter(col(tieCol).isNotNull)
+      .agg(sum(weightCol.cast("long")).as("t"))
+    val t = graft.plans.Scalars.of(totAgg)
+    val b = budget.cast("long")
+    // floor-div spelled (b - b%t)/t: both operands long, the quotient
+    // (an epoch count) is far below 2^53, so the double division is
+    // exact; guard t > 0 (all-zero weights / empty corpus → 0 epochs)
+    val full = when(t > lit(0L),
+      ((b - pmod(b, t)) / t).cast("long")).otherwise(lit(0L))
+    val rem = when(t > lit(0L), pmod(b, t)).otherwise(b)
+    withQualityPrefix(df, scoreCol, tieCol, weightCol, nBuckets)
+      .withColumn(outCol, full +
+        when(col("__pfx") + col("__tok") <= rem, lit(1L)).otherwise(lit(0L)))
+      .select(df.columns.map(col) :+ col(outCol): _*)
+  }
+
+  /** [[repetitionSchedule]] with the budget given RELATIVE to the
+    * corpus — `epochs` × total tokens, the way a data-constrained run
+    * is actually specified ("train for 2.5 epochs of the corpus").
+    * The total is an in-plan scalar, so no action happens here. */
+  def repetitionScheduleEpochs(
+      df: DataFrame, scoreCol: String, tieCol: String, weightCol: Column,
+      epochs: Double, nBuckets: Int = 32,
+      outCol: String = "repeats"): DataFrame = {
+    require(epochs >= 0.0, "epochs must be non-negative")
+    val totAgg = df.filter(col(tieCol).isNotNull)
+      .agg(sum(weightCol.cast("long")).as("t"))
+    val budget = ceil(graft.plans.Scalars.of(totAgg)
+      * lit(new java.math.BigDecimal(epochs.toString))).cast("long")
+    repetitionSchedule(df, scoreCol, tieCol, weightCol, budget,
+      nBuckets, outCol)
+  }
+
+  /** Exact per-stratum score percentile (SQL `percent_rank()` over
+    * (`stratumCol` PARTITION, `scoreCol` DESC NULLS LAST, `tieCol`)):
+    * appends `outCol` = (rank − 1) / (n − 1) in [0, 1] (0 for a
+    * single-row stratum — the SQL convention). This is the score
+    * CALIBRATION step a multi-source corpus needs before any global
+    * quality threshold: raw scores are not comparable across sources
+    * (boilerplate-heavy domains score systematically lower), so the
+    * fair cut is "best X% WITHIN each source" (cf. the per-dump
+    * quality buckets in CCNet, Wenzek 2019 §4, public).
+    *
+    * Scale shape: the naive spelling is one window partition per
+    * stratum — a single task per SOURCE, serializing a giant source
+    * exactly like the global-window scale-killers this module
+    * replaces. Instead: per-stratum RANGE-bucket boundaries from a
+    * grouped `approx_percentile` sketch over a hash sample (strata
+    * missing from the sample degrade to one bucket — exact, just
+    * unbalanced), in-bucket `row_number` over (stratum, bucket) — each
+    * task holds ~|stratum|/nBuckets rows — and a broadcast ledger of
+    * per-(stratum, bucket) base offsets and stratum sizes. The ledger
+    * is #strata × (nBuckets+1) rows: strata are sources / domains /
+    * languages — model-sized by definition of "stratum" here; the
+    * broadcast contract fails loudly, not silently, if violated.
+    * Equal scores land in the same bucket (strictly-above counting),
+    * so per-bucket ranks are exact regardless of sketch error.
+    *
+    * Null scores rank last within their stratum; null `tieCol` rows
+    * are dropped (module null-key policy); a NULL stratum is a valid
+    * stratum (null-safe join + window partition). `tieCol` must be
+    * row-unique so percent_rank has no tie plateaus (rank ==
+    * row_number — the property the oracle parity rests on). */
+  def scoreRankPerStratum(
+      df: DataFrame, stratumCol: String, scoreCol: String, tieCol: String,
+      outCol: String = "score_pr", nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    requireNumericScore(df, scoreCol)
+    import org.apache.spark.sql.expressions.Window
+    val score = col(scoreCol)
+    val bnd = df
+      .filter(col(tieCol).isNotNull)
+      .filter(pmod(xxhash64(col(tieCol)), lit(16)) === 0)
+      .groupBy(col(stratumCol))
+      .agg(percentile_approx(score.cast("double"),
+        boundaryProbs(nBuckets), lit(100)).as("__bnds"))
+      .select(col(stratumCol).as("__bs"), col("__bnds"))
+    val tagged = df
+      .filter(col(tieCol).isNotNull)
+      .join(broadcast(bnd), col(stratumCol) <=> col("__bs"), "left")
+      .withColumn("__bucket", bucketOf(score, col("__bnds"), nBuckets))
+      .drop("__bs", "__bnds")
+    val inBucket = Window.partitionBy(col(stratumCol), col("__bucket"))
+      .orderBy(score.desc_nulls_last, col(tieCol))
+    val byStratum = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__bucket"))
+    val ledger = tagged.groupBy(col(stratumCol), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__base", coalesce(
+        sum(col("__cnt")).over(
+          byStratum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(byStratum.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(stratumCol).as("__ls"), col("__bucket").as("__lb"),
+        col("__base"), col("__n"))
+    tagged
+      .withColumn("__rbk", row_number().over(inBucket))
+      .join(broadcast(ledger),
+        col(stratumCol) <=> col("__ls") && col("__bucket") === col("__lb"))
+      .withColumn(outCol, when(col("__n") > lit(1L),
+          (col("__base") + col("__rbk") - 1).cast("double")
+            / (col("__n") - 1))
+        .otherwise(lit(0.0)))
+      .select(df.columns.map(col) :+ col(outCol): _*)
   }
 }

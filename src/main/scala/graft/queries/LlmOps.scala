@@ -1941,7 +1941,94 @@ object LlmOps {
                CAST(sum(ntok) AS BIGINT) AS tok_used,
                round(avg(q), 4) AS avg_q,
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        FROM sel"""))
+        FROM sel""")),
+
+    // Epoch-repetition schedule for data-constrained training
+    // (Muennighoff 2023): a 2.5-epoch token budget → every doc seen 2
+    // full epochs, the best docs by type-token ratio get a 3rd up to
+    // the remainder. Corpus total and budget are in-plan scalars; the
+    // remainder prefix is the q125 two-phase prefix sum. The oracle
+    // recomputes the schedule with the global window the Spark side
+    // deliberately avoids.
+    "q126_repetition_schedule" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        val scored = Tables(s, dir, "documents")
+          .withColumn("q", T.typeTokenRatio(col("text")))
+          .withColumn("ntok", T.tokenCount(col("text")))
+        Sampling.repetitionScheduleEpochs(scored, "q", "doc_id",
+            col("ntok"), epochs = 2.5)
+          .groupBy(col("repeats"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("tok"),
+            round(avg(col("q")), 4).as("avg_q"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("repeats")
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT doc_id,
+                 len(string_split(text,' ')) AS ntok,
+                 round(len(list_distinct(string_split(text,' ')))::DOUBLE /
+                       len(string_split(text,' ')), 4) AS q
+          FROM documents),
+        par AS (
+          SELECT CAST(ceil(2.5 * sum(ntok)) AS BIGINT) AS b,
+                 CAST(sum(ntok) AS BIGINT) AS t
+          FROM scored),
+        pfx AS (
+          SELECT s.*, coalesce(sum(ntok) OVER (
+                   ORDER BY q DESC NULLS LAST, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS p
+          FROM scored s),
+        rep AS (
+          SELECT pfx.*, ((b - b % t) // t) +
+                 (CASE WHEN p + ntok <= b % t THEN 1 ELSE 0 END) AS repeats
+          FROM pfx, par)
+        SELECT CAST(repeats AS BIGINT) AS repeats,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS tok,
+               round(avg(q), 4) AS avg_q,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM rep GROUP BY repeats ORDER BY repeats""")),
+
+    // Per-source score calibration: exact percent_rank of the quality
+    // score WITHIN each source (two-phase bucketed rank — no one-task-
+    // per-source window), then keep each source's best 25% — the fair
+    // cross-source cut raw scores can't give (CCNet's per-dump quality
+    // buckets, Wenzek 2019). The oracle is the literal percent_rank
+    // window.
+    "q127_calibrated_quality" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        val scored = Tables(s, dir, "documents")
+          .withColumn("q", T.typeTokenRatio(col("text")))
+        Sampling.scoreRankPerStratum(scored, "source", "q", "doc_id",
+            outCol = "spr")
+          .filter(col("spr") <= 0.25)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            round(avg(col("q")), 4).as("avg_q"),
+            round(max(col("spr")), 4).as("max_pr"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 round(len(list_distinct(string_split(text,' ')))::DOUBLE /
+                       len(string_split(text,' ')), 4) AS q
+          FROM documents),
+        pr AS (
+          SELECT *, percent_rank() OVER (PARTITION BY source
+                      ORDER BY q DESC NULLS LAST, doc_id) AS spr
+          FROM scored)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               round(avg(q), 4) AS avg_q,
+               round(max(spr), 4) AS max_pr,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM pr WHERE spr <= 0.25 GROUP BY source ORDER BY source"""))
   )
 }
 

@@ -413,4 +413,104 @@ class SamplingSpec extends SparkSpec {
       assert(partitioned.nonEmpty, "expected the bucket-partitioned window")
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
+
+  test("repetitionSchedule equals the global-window brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    // tied scores straddle bucket boundaries; zero weights ride free
+    val rows = (1 to 600).map { i =>
+      (i.toLong, (rng.nextInt(12) * 0.1), rng.nextInt(30).toLong)
+    }
+    val df = rows.toDF("id", "score", "w")
+    val total = rows.map(_._3).sum
+    def brute(budget: Long): Map[Long, Long] = {
+      val full = if (total > 0) budget / total else 0L
+      val rem = if (total > 0) budget % total else budget
+      var acc = 0L
+      rows.sortBy { case (id, s, _) => (-s, id) }.map { case (id, _, w) =>
+        acc += w
+        id -> (full + (if (acc <= rem) 1L else 0L))
+      }.toMap
+    }
+    // sub-corpus (degrades to takeTokenBudget membership), exact
+    // multiple (rem = 0), 2.5 epochs, and far-over budgets
+    for (budget <- Seq(0L, total / 3, total, total * 2,
+        (total * 2.5).ceil.toLong, total * 7 + 123)) {
+      val got = Sampling.repetitionSchedule(df, "score", "id", col("w"),
+          lit(budget))
+        .select("id", "repeats")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === brute(budget), s"budget=$budget")
+    }
+    // the epochs spelling is the ceil(epochs × total) absolute budget
+    val viaEpochs = Sampling.repetitionScheduleEpochs(
+        df, "score", "id", col("w"), epochs = 2.5)
+      .select("id", "repeats")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaEpochs === brute((total * 2.5).ceil.toLong))
+    // sub-corpus budget: the extra-epoch set IS takeTokenBudget's set
+    val b = total / 3
+    val viaBudgetOp = Sampling.takeTokenBudget(df, "score", "id", col("w"), b)
+      .select("id").as[Long].collect().toSet
+    assert(brute(b).filter(_._2 == 1L).keySet === viaBudgetOp)
+  }
+
+  test("scoreRankPerStratum equals percent_rank brute force " +
+      "(ties, skew, null score, null stratum)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val rows = (1 to 500).map { i =>
+      val stratum = if (i % 8 == 0) Some(s"s${i % 3}")
+        else if (i % 97 == 0) None else Some("big")
+      val score = if (i % 11 == 0) None else Some(rng.nextInt(6) * 0.2)
+      (i.toLong, stratum, score)
+    }
+    val df = rows.toDF("id", "stratum", "score")
+    val got = Sampling.scoreRankPerStratum(df, "stratum", "score", "id",
+        outCol = "pr")
+      .select("id", "pr").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = rows.groupBy(_._2).values.flatMap { g =>
+      val sorted = g.sortBy { case (id, _, s) =>
+        (s.isEmpty, -s.getOrElse(0.0), id) }
+      val n = sorted.size
+      sorted.zipWithIndex.map { case ((id, _, _), idx) =>
+        id -> (if (n > 1) idx.toDouble / (n - 1) else 0.0) }
+    }.toMap
+    assert(got === want)
+    // null tie keys drop
+    val withNullTie = Seq((Option.empty[Long], "a", 1.0), (Some(1L), "a", 0.5))
+      .toDF("id", "stratum", "score")
+    val kept = Sampling.scoreRankPerStratum(
+      withNullTie, "stratum", "score", "id").select("id").collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("scoreRankPerStratum: no one-task-per-stratum window over raw rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1L to 500L).map(i => (i, s"s${i % 3}", i * 0.5))
+        .toDF("id", "stratum", "s")
+      val plan = Sampling.scoreRankPerStratum(df, "stratum", "s", "id")
+        .queryExecution.executedPlan
+      // raw corpus rows may only flow into the (stratum, bucket)
+      // two-key window; any window keyed on fewer columns must be the
+      // ledger (fed by an aggregate, so it is ledger-sized)
+      plan.collect { case w: WindowExec if w.partitionSpec.size < 2 => w }
+        .foreach { w =>
+          val aggBelow = w.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+          }
+          assert(aggBelow.nonEmpty,
+            s"sub-two-key window not fed by an aggregate:\n$w")
+        }
+      val bucketed = plan.collect {
+        case w: WindowExec if w.partitionSpec.size == 2 => w
+      }
+      assert(bucketed.nonEmpty, "expected the (stratum, bucket) window")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
 }
