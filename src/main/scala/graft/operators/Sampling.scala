@@ -519,14 +519,13 @@ object Sampling {
     * 2023's quality-ordered repetition budgets, public).
     *
     * The defining computation is a global running sum in score order —
-    * the same scale-killer [[Packing.packSequences]] documents — so it
-    * reuses the two-phase prefix-sum shape, with RANGE buckets from an
-    * `approx_percentile` boundary sketch over a deterministic hash
-    * sample (the [[dropBottomFraction]] machinery): sketch error only
-    * unbalances buckets, never changes an offset, because per-bucket
-    * sums are exact and equal scores always land in the same bucket
-    * (bucket order is score order). The only single-partition window
-    * is the nBuckets-row ledger.
+    * the same scale-killer [[Packing.packSequences]] documents — but
+    * the OUTPUT is just a kept-set, so it compiles to the
+    * [[dropBottomFraction]] threshold spelling, weighted
+    * ([[qualityBudgetCut]]): the main plan is a pure filter — the
+    * full rows never shuffle, never window-sort, and keep their input
+    * partitioning — while the weighted prefix ranking runs in scalar
+    * subqueries over a slim (order-tuple, weight) projection.
     *
     * Selection contract: a row is kept iff its whole weight fits —
     * offsets are monotone in rank order, so the kept set is exactly
@@ -539,59 +538,115 @@ object Sampling {
       df: DataFrame, scoreCol: String, tieCol: String, weightCol: Column,
       budget: Long, nBuckets: Int = 32): DataFrame = {
     require(budget >= 0L, "budget must be non-negative")
-    withQualityPrefix(df, scoreCol, tieCol, weightCol, nBuckets)
-      .filter(col("__pfx") + col("__tok") <= lit(budget))
-      .select(df.columns.map(col): _*)
+    df.filter(col(tieCol).isNotNull && qualityBudgetCut(
+      df, scoreCol, tieCol, weightCol, _ => lit(budget), nBuckets))
   }
 
-  /** The shared two-phase prefix-sum kernel behind [[takeTokenBudget]]
-    * and [[repetitionSchedule]]: tags every rankable row (`tieCol`
-    * non-null — module null-key policy) with `__tok` (`weightCol` as
-    * long) and `__pfx`, the EXACT exclusive running sum of `__tok` in
-    * global (`scoreCol` DESC NULLS LAST, `tieCol`) quality order —
-    * with no global sort and no corpus-sized window.
+  /** The quality ORDER tuple: ascending struct order == (`score` DESC
+    * NULLS LAST, `tie` ASC). Every field is non-null (null scores ride
+    * the flag; struct comparison sorts null FIELDS first, which would
+    * put null scores at the wrong end), so a tuple-vs-threshold
+    * comparison is null exactly when the threshold subquery is —
+    * the empty-kept-set case the caller coalesces to false. NaN
+    * scores order after every finite score (Spark's NaN-greatest
+    * convention survives the negation because both the boundary
+    * bucketing and this tuple use the same negated spelling). */
+  private def qualityOrd(score: Column, tie: Column): Column = struct(
+    when(score.isNull, lit(1)).otherwise(lit(0)).as("__nf"),
+    coalesce(negate(score.cast("double")), lit(0.0)).as("__ns"),
+    tie.as("__t"))
+
+  /** The shared threshold kernel behind [[takeTokenBudget]] and
+    * [[repetitionSchedule]]: a membership PREDICATE for "this row is
+    * in the maximal (`scoreCol` DESC NULLS LAST, `tieCol`) quality
+    * prefix whose cumulative `weightCol` fits the budget" — the
+    * [[dropBottomFraction]] r6.2 threshold spelling, weighted. The
+    * main plan stays a pure filter: full rows never shuffle, never
+    * window-sort, and input partitioning is preserved; everything
+    * rank-shaped happens in scalar subqueries over a slim
+    * (order-tuple, weight) projection.
     *
-    * RANGE buckets come from an `approx_percentile` boundary sketch
-    * over a deterministic hash sample; bucket = #boundaries STRICTLY
-    * ABOVE the score, so descending score order == ascending bucket
-    * order and equal scores share a bucket — the alignment the
-    * exactness argument needs (sketch error only unbalances buckets,
-    * never changes an offset, because per-bucket sums are exact). Null
-    * scores bucket last (they rank last); an empty boundary sketch
-    * (tiny input) degrades to one bucket — exact, just unbalanced.
-    * The only single-partition window is the nBuckets-row ledger. */
-  private def withQualityPrefix(
+    * Mechanics: range buckets from an `approx_percentile` boundary
+    * sketch over a ~6% hash sample of the NEGATED score (ascending
+    * buckets == descending score; bucket = #boundaries strictly below,
+    * so equal scores share a bucket and per-bucket sums stay exact
+    * under any sketch error); ONE slim exchange on the bucket feeds a
+    * single window pass computing per-row rank, EXCLUSIVE in-bucket
+    * running weight, and the whole-bucket weight; the rk==1 rows
+    * aggregate into a one-row (bucket → weight map, total) ledger
+    * scalar (derived from the ranked output, not an independent
+    * groupBy — identical exchange+window prefix ⇒ exchange reuse, the
+    * [[dropBottomFraction]] lesson); the threshold tuple is
+    * max(ord) over rows whose ledger-walk base + inner + own weight
+    * fits the budget (kept rows form a prefix because weights are
+    * non-negative, so max(ord) IS the last kept row); the predicate
+    * is `ord(row) <= threshold`. Both planner traps documented on
+    * [[dropBottomFraction]] apply verbatim (no subqueries inside
+    * higher-order functions — the ledger is materialized into a
+    * column after the window; reference the threshold subquery
+    * exactly once).
+    *
+    * `budgetOf` receives the corpus total weight (from the ledger —
+    * zero extra subqueries, zero extra passes) and returns the
+    * effective budget, letting [[repetitionSchedule]] spell
+    * `budget % total` without a second corpus aggregate. The caller
+    * must conjoin `tieCol IS NOT NULL` (module null-key policy —
+    * null tie fields would otherwise sort FIRST in the struct
+    * comparison, not drop). */
+  private def qualityBudgetCut(
       df: DataFrame, scoreCol: String, tieCol: String, weightCol: Column,
-      nBuckets: Int): DataFrame = {
+      budgetOf: Column => Column, nBuckets: Int): Column = {
     require(nBuckets >= 2, "nBuckets must be at least 2")
     requireNumericScore(df, scoreCol)
     import org.apache.spark.sql.expressions.Window
     val score = col(scoreCol)
+    // sample on the tie hash ONLY, so the (caller-computed, possibly
+    // expensive) score expression is evaluated just for sampled rows;
+    // percentile_approx skips the sample's null scores itself
     val bndAgg = df
       .filter(pmod(xxhash64(col(tieCol)), lit(16)) === 0)
-      .agg(percentile_approx(score.cast("double"),
+      .agg(percentile_approx(negate(score.cast("double")),
         boundaryProbs(nBuckets), lit(100)).as("b"))
-    val tagged = df
+    val slim = df
       .filter(col(tieCol).isNotNull)
-      .withColumn("__tok", weightCol.cast("long"))
+      .select(qualityOrd(score, col(tieCol)).as("__o"),
+        weightCol.cast("long").as("__tok"))
       .withColumn("__bnds", graft.plans.Scalars.of(bndAgg))
-      .withColumn("__bucket", bucketOf(score, col("__bnds"), nBuckets))
+      .withColumn("__bucket",
+        when(col("__o").getField("__nf") === 1, lit(nBuckets))
+          .otherwise(when(col("__bnds").isNull, lit(0)).otherwise(
+            size(filter(col("__bnds"),
+              b => b < col("__o").getField("__ns"))))))
       .drop("__bnds")
-    val inBucket = Window.partitionBy(col("__bucket"))
-      .orderBy(score.desc_nulls_last, col(tieCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withInner = tagged.withColumn("__inner",
-      coalesce(sum(col("__tok")).over(inBucket), lit(0L)))
-    val ledger = withInner.groupBy("__bucket")
-      .agg(sum(col("__tok")).as("__btot"))
-      .withColumn("__base", coalesce(
-        sum(col("__btot")).over(Window.orderBy("__bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bucket").as("__lb"), col("__base"))
-    withInner
-      .join(broadcast(ledger), col("__bucket") === col("__lb"))
-      .withColumn("__pfx", col("__base") + col("__inner"))
-      .drop("__lb", "__base", "__inner", "__bucket")
+      .repartition(col("__bucket"))
+    val inBucket = Window.partitionBy(col("__bucket")).orderBy(col("__o"))
+    val ranked = slim
+      .withColumn("__rk", row_number().over(inBucket))
+      .withColumn("__inner", coalesce(sum(col("__tok")).over(
+        inBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__btot", sum(col("__tok")).over(
+        inBucket.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val ledgerAgg = ranked
+      .filter(col("__rk") === 1)
+      .agg(
+        map_from_entries(collect_list(
+          struct(col("__bucket"), col("__btot")))).as("m"),
+        sum(col("__btot")).as("total"))
+      .select(struct(col("m"), col("total")).as("s"))
+    val ledger = graft.plans.Scalars.of(ledgerAgg)
+    val thrAgg = ranked
+      .withColumn("__ledger", ledger)
+      .filter(
+        aggregate(
+          map_entries(col("__ledger").getField("m")), lit(0L),
+          (acc, e) => acc + when(e.getField("key") < col("__bucket"),
+            e.getField("value")).otherwise(lit(0L)))
+          + col("__inner") + col("__tok")
+          <= budgetOf(coalesce(col("__ledger").getField("total"), lit(0L))))
+      .agg(max(col("__o")).as("thr"))
+    val thr = graft.plans.Scalars.of(thrAgg)
+    coalesce(qualityOrd(score, col(tieCol)) <= thr, lit(false))
   }
 
   private def requireNumericScore(df: DataFrame, scoreCol: String): Unit =
@@ -623,47 +678,65 @@ object Sampling {
     * [[takeTokenBudget]] membership spelled as repeats ∈ {0, 1}.
     *
     * Scale shape: corpus total and the budget arrive as in-plan
-    * scalars (no driver round-trip), and the remainder prefix is the
-    * [[takeTokenBudget]] two-phase prefix sum — the only
-    * single-partition window is its nBuckets-row ledger. `weightCol`
+    * scalars (no driver round-trip), and the extra-epoch membership is
+    * the [[qualityBudgetCut]] threshold predicate — the main plan is a
+    * projection over the unshuffled input. `weightCol`
     * must be non-negative integral; null scores rank last (they still
     * earn the full epochs); null `tieCol` rows are dropped (module
     * null-key policy). */
   def repetitionSchedule(
       df: DataFrame, scoreCol: String, tieCol: String, weightCol: Column,
       budget: Column, nBuckets: Int = 32,
-      outCol: String = "repeats"): DataFrame = {
-    val totAgg = df.filter(col(tieCol).isNotNull)
-      .agg(sum(weightCol.cast("long")).as("t"))
-    val t = graft.plans.Scalars.of(totAgg)
-    val b = budget.cast("long")
-    // floor-div spelled (b - b%t)/t: both operands long, the quotient
-    // (an epoch count) is far below 2^53, so the double division is
-    // exact; guard t > 0 (all-zero weights / empty corpus → 0 epochs)
-    val full = when(t > lit(0L),
-      ((b - pmod(b, t)) / t).cast("long")).otherwise(lit(0L))
-    val rem = when(t > lit(0L), pmod(b, t)).otherwise(b)
-    withQualityPrefix(df, scoreCol, tieCol, weightCol, nBuckets)
-      .withColumn(outCol, full +
-        when(col("__pfx") + col("__tok") <= rem, lit(1L)).otherwise(lit(0L)))
-      .select(df.columns.map(col) :+ col(outCol): _*)
-  }
+      outCol: String = "repeats"): DataFrame =
+    scheduleCore(df, scoreCol, tieCol, weightCol,
+      _ => budget.cast("long"), nBuckets, outCol)
 
   /** [[repetitionSchedule]] with the budget given RELATIVE to the
     * corpus — `epochs` × total tokens, the way a data-constrained run
     * is actually specified ("train for 2.5 epochs of the corpus").
-    * The total is an in-plan scalar, so no action happens here. */
+    * The budget derives from the corpus total in-plan, so no action
+    * happens here and no extra pass is spent. */
   def repetitionScheduleEpochs(
       df: DataFrame, scoreCol: String, tieCol: String, weightCol: Column,
       epochs: Double, nBuckets: Int = 32,
       outCol: String = "repeats"): DataFrame = {
     require(epochs >= 0.0, "epochs must be non-negative")
-    val totAgg = df.filter(col(tieCol).isNotNull)
-      .agg(sum(weightCol.cast("long")).as("t"))
-    val budget = ceil(graft.plans.Scalars.of(totAgg)
-      * lit(new java.math.BigDecimal(epochs.toString))).cast("long")
-    repetitionSchedule(df, scoreCol, tieCol, weightCol, budget,
+    scheduleCore(df, scoreCol, tieCol, weightCol,
+      total => ceil(total
+        * lit(new java.math.BigDecimal(epochs.toString))).cast("long"),
       nBuckets, outCol)
+  }
+
+  /** Shared spine of the two schedule spellings: `budgetFromTotal`
+    * maps the corpus total weight to the absolute budget (identity
+    * for a literal budget; ×epochs for the relative one), evaluated
+    * once against the materialized total column in the main plan and
+    * once against the ledger total inside the cut subquery — both
+    * in-plan, zero extra corpus passes, and the threshold subquery
+    * is referenced exactly once (the [[dropBottomFraction]] replanning
+    * trap). Floor-div is spelled (b − b%t)/t on longs: the quotient
+    * is an epoch count, far below 2^53, so the double division is
+    * exact; t = 0 (all-zero weights / empty corpus) guards to 0 full
+    * epochs with the remainder prefix judged against the raw budget. */
+  private def scheduleCore(
+      df: DataFrame, scoreCol: String, tieCol: String, weightCol: Column,
+      budgetFromTotal: Column => Column, nBuckets: Int,
+      outCol: String): DataFrame = {
+    val totAgg = df.filter(col(tieCol).isNotNull)
+      .agg(coalesce(sum(weightCol.cast("long")), lit(0L)).as("t"))
+    val extra = qualityBudgetCut(df, scoreCol, tieCol, weightCol,
+      total => {
+        val b = budgetFromTotal(total)
+        when(total > lit(0L), pmod(b, total)).otherwise(b)
+      }, nBuckets)
+    val t = col("__tot")
+    val b = budgetFromTotal(t)
+    val full = when(t > lit(0L),
+      ((b - pmod(b, t)) / t).cast("long")).otherwise(lit(0L))
+    df.filter(col(tieCol).isNotNull)
+      .withColumn("__tot", graft.plans.Scalars.of(totAgg))
+      .withColumn(outCol, full + when(extra, lit(1L)).otherwise(lit(0L)))
+      .select(df.columns.map(col) :+ col(outCol): _*)
   }
 
   /** Exact per-stratum score percentile (SQL `percent_rank()` over

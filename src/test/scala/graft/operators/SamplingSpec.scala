@@ -385,7 +385,8 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
-  test("takeTokenBudget: no corpus-sized single-partition window") {
+  test("takeTokenBudget: pure filter — full rows never shuffle or " +
+      "window-sort") {
     import spark.implicits._
     import org.apache.spark.sql.execution.window.WindowExec
     val old = spark.conf.get("spark.sql.adaptive.enabled")
@@ -394,23 +395,47 @@ class SamplingSpec extends SparkSpec {
       val df = (1L to 500L).map(i => (i, i * 0.5, i % 7)).toDF("id", "s", "w")
       val plan = Sampling.takeTokenBudget(df, "s", "id", col("w"), 1000L)
         .queryExecution.executedPlan
-      // the corpus prefix sum must be bucket-partitioned; the only
-      // unpartitioned window is the nBuckets-row ledger, fed by an
-      // aggregate (never raw corpus rows)
-      val unpartitioned = plan.collect {
+      // threshold spelling (mirrors dropBottomFraction r6.2): the MAIN
+      // plan is a pure filter — no window, no exchange; the weighted
+      // prefix machinery lives in scalar subqueries over the slim
+      // projection, where every window partitions on the range bucket
+      val mainWindows = plan.collect { case w: WindowExec => w }
+      assert(mainWindows.isEmpty,
+        s"main plan must be a pure filter, found:\n${mainWindows.headOption}")
+      val mainExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(mainExchanges.isEmpty,
+        s"main plan must not shuffle the corpus:\n${mainExchanges.headOption}")
+      val subPlans = plan.subqueriesAll
+      val unpartitioned = subPlans.flatMap(_.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
-      }
-      unpartitioned.foreach { w =>
-        val aggBelow = w.collectFirst {
-          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
-        }
-        assert(aggBelow.nonEmpty,
-          s"unpartitioned window not fed by an aggregate:\n$w")
-      }
-      val partitioned = plan.collect {
+      })
+      assert(unpartitioned.isEmpty,
+        s"unexpected single-partition window:\n${unpartitioned.headOption}")
+      val partitioned = subPlans.flatMap(_.collect {
         case w: WindowExec if w.partitionSpec.nonEmpty => w
-      }
-      assert(partitioned.nonEmpty, "expected the bucket-partitioned window")
+      })
+      assert(partitioned.nonEmpty,
+        "expected the per-bucket window in the threshold subquery")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("repetitionSchedule: main plan never shuffles the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1L to 500L).map(i => (i, i * 0.5, i % 7)).toDF("id", "s", "w")
+      val plan = Sampling.repetitionScheduleEpochs(
+          df, "s", "id", col("w"), epochs = 2.5)
+        .queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "main plan must be a pure projection (no window)")
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "main plan must not shuffle the corpus")
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
