@@ -811,4 +811,97 @@ object Sampling {
         .otherwise(lit(0.0)))
       .select(df.columns.map(col) :+ col(outCol): _*)
   }
+
+  /** Map key standing in for a NULL stratum (map keys cannot be null).
+    * Strata are cast to string for the threshold map; a real stratum
+    * value equal to this sentinel would collide — vanishingly unlikely
+    * (NUL bytes) and documented rather than defended. */
+  private val NullStratumKey = "\u0000\u0000<null stratum>"
+
+  /** Keep the best `frac` of every stratum: within each stratum
+    * (source / domain / language), retain exactly ceil(frac · n) rows
+    * by (`scoreCol` DESC NULLS LAST, `tieCol`) — the fraction-quota
+    * complement of [[topKPerStratum]]'s absolute cap, and the
+    * per-stratum analogue of [[dropBottomFraction]] (CCNet keeps
+    * fixed-fraction quality buckets per dump, Wenzek 2019 §4).
+    *
+    * Scale shape — the threshold spelling, per stratum: full rows
+    * never shuffle, never window-sort, and keep their input
+    * partitioning. A slim (stratum, order-tuple) projection is
+    * range-bucketed per stratum (grouped `approx_percentile` sketch
+    * over a hash sample; missing strata degrade to one bucket —
+    * exact, just unbalanced), ONE slim exchange feeds one window pass
+    * keyed (stratum, bucket) computing in-bucket rank and bucket
+    * count, the rk==1 rows aggregate into per-stratum (bucket→count
+    * map, total) ledger rows (model-sized: strata are sources /
+    * languages), and the row whose in-stratum rank equals
+    * ceil(frac · n) — exactly one per stratum — lands in a one-row
+    * scalar MAP of stratum → threshold tuple. The gate is
+    * `ord(row) <= map[stratum]`, a pure filter.
+    *
+    * Null scores rank last; null `tieCol` rows are dropped (module
+    * null-key policy); a NULL stratum is a valid stratum (surrogate
+    * map key). The ledger and threshold walk reference the ranked
+    * output (not independent aggregates), so exchange reuse computes
+    * the slim shuffle once — the [[dropBottomFraction]] lesson. */
+  def topFractionPerStratum(
+      df: DataFrame, stratumCol: String, scoreCol: String, tieCol: String,
+      frac: Double, nBuckets: Int = 32): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "fraction must be in [0,1]")
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    requireNumericScore(df, scoreCol)
+    import org.apache.spark.sql.expressions.Window
+    val score = col(scoreCol)
+    def sk(stratum: Column): Column =
+      when(stratum.isNull, lit(NullStratumKey))
+        .otherwise(stratum.cast("string"))
+    val bnd = df
+      .filter(col(tieCol).isNotNull &&
+        pmod(xxhash64(col(tieCol)), lit(16)) === 0)
+      .groupBy(sk(col(stratumCol)).as("__bs"))
+      .agg(percentile_approx(negate(score.cast("double")),
+        boundaryProbs(nBuckets), lit(100)).as("__bnds"))
+    val slim = df
+      .filter(col(tieCol).isNotNull)
+      .select(sk(col(stratumCol)).as("__sk"),
+        qualityOrd(score, col(tieCol)).as("__o"))
+      .join(broadcast(bnd), col("__sk") === col("__bs"), "left")
+      .withColumn("__bucket",
+        when(col("__o").getField("__nf") === 1, lit(nBuckets))
+          .otherwise(when(col("__bnds").isNull, lit(0)).otherwise(
+            size(filter(col("__bnds"),
+              b => b < col("__o").getField("__ns"))))))
+      .drop("__bs", "__bnds")
+      .repartition(col("__sk"), col("__bucket"))
+    val w = Window.partitionBy(col("__sk"), col("__bucket"))
+      .orderBy(col("__o"))
+    val ranked = slim
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ledger = ranked
+      .filter(col("__rk") === 1)
+      .groupBy(col("__sk"))
+      .agg(
+        map_from_entries(collect_list(
+          struct(col("__bucket"), col("__cnt")))).as("__m"),
+        sum(col("__cnt")).as("__n"))
+      .select(col("__sk").as("__ls"), col("__m"), col("__n"))
+    // the in-stratum ranks are a permutation of 1..n, so exactly one
+    // row per stratum matches ceil(frac·n) when frac > 0; frac = 0
+    // matches none → the stratum is absent from the map → keep none
+    val thrAgg = ranked
+      .join(broadcast(ledger), col("__sk") === col("__ls"))
+      .filter(
+        aggregate(map_entries(col("__m")), lit(0L),
+          (acc, e) => acc + when(e.getField("key") < col("__bucket"),
+            e.getField("value")).otherwise(lit(0L)))
+          + col("__rk") === exactCeil(frac, col("__n")).cast("long"))
+      .agg(map_from_entries(collect_list(
+        struct(col("__sk"), col("__o")))).as("t"))
+    val thr = graft.plans.Scalars.of(thrAgg)
+    df.filter(col(tieCol).isNotNull && coalesce(
+      qualityOrd(score, col(tieCol)) <=
+        element_at(thr, sk(col(stratumCol))), lit(false)))
+  }
 }

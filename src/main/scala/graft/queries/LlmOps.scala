@@ -2028,7 +2028,42 @@ object LlmOps {
                round(avg(q), 4) AS avg_q,
                round(max(spr), 4) AS max_pr,
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        FROM pr WHERE spr <= 0.25 GROUP BY source ORDER BY source"""))
+        FROM pr WHERE spr <= 0.25 GROUP BY source ORDER BY source""")),
+
+    // Per-language fraction quota: keep exactly the best ceil(30%) of
+    // every language by quality score — the fraction complement of
+    // q123's absolute per-source cap, spelled as a pure filter against
+    // a broadcast per-stratum threshold map (full rows never shuffle).
+    // The oracle recomputes the cut with the per-partition window the
+    // Spark side deliberately avoids.
+    "q128_lang_top_fraction" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        val scored = Tables(s, dir, "documents")
+          .withColumn("q", T.typeTokenRatio(col("text")))
+        Sampling.topFractionPerStratum(scored, "lang", "q", "doc_id",
+            frac = 0.3)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            round(avg(col("q")), 4).as("avg_q"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 round(len(list_distinct(string_split(text,' ')))::DOUBLE /
+                       len(string_split(text,' ')), 4) AS q
+          FROM documents),
+        kept AS (
+          SELECT * FROM scored
+          QUALIFY row_number() OVER (PARTITION BY lang
+                    ORDER BY q DESC NULLS LAST, doc_id)
+                  <= ceil(0.3 * count(*) OVER (PARTITION BY lang)))
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+               round(avg(q), 4) AS avg_q,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM kept GROUP BY lang ORDER BY lang"""))
   )
 }
 

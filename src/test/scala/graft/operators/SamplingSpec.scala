@@ -511,6 +511,61 @@ class SamplingSpec extends SparkSpec {
     assert(kept.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("topFractionPerStratum equals brute force " +
+      "(ties, skew, null score, null stratum, boundary fracs)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val rows = (1 to 500).map { i =>
+      val stratum = if (i % 8 == 0) Some(s"s${i % 3}")
+        else if (i % 97 == 0) None else Some("big")
+      val score = if (i % 11 == 0) None else Some(rng.nextInt(6) * 0.2)
+      (i.toLong, stratum, score)
+    }
+    val df = rows.toDF("id", "stratum", "score")
+    for (frac <- Seq(0.0, 0.07, 0.3, 1.0)) {
+      val got = Sampling.topFractionPerStratum(
+          df, "stratum", "score", "id", frac)
+        .select("id").as[Long].collect().toSet
+      val want = rows.groupBy(_._2).values.flatMap { g =>
+        val sorted = g.sortBy { case (id, _, s) =>
+          (s.isEmpty, -s.getOrElse(0.0), id) }
+        sorted.take(math.ceil(frac * sorted.size).toInt).map(_._1)
+      }.toSet
+      assert(got === want, s"frac=$frac")
+    }
+    // null tie keys drop even at frac = 1.0
+    val withNullTie = Seq((Option.empty[Long], "a", 1.0), (Some(1L), "a", 0.5))
+      .toDF("id", "stratum", "score")
+    val kept = Sampling.topFractionPerStratum(
+      withNullTie, "stratum", "score", "id", 1.0).select("id").collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("topFractionPerStratum: pure filter — full rows never shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1L to 500L).map(i => (i, s"s${i % 3}", i * 0.5))
+        .toDF("id", "stratum", "s")
+      val plan = Sampling.topFractionPerStratum(df, "stratum", "s", "id", 0.3)
+        .queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "main plan must be a pure filter (no window)")
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "main plan must not shuffle the corpus")
+      // inside the threshold subquery every window partitions on
+      // (stratum, bucket)
+      val unpartitioned = plan.subqueriesAll.flatMap(_.collect {
+        case w: WindowExec if w.partitionSpec.size < 2 => w
+      })
+      assert(unpartitioned.isEmpty,
+        s"sub-two-key window in the subquery:\n${unpartitioned.headOption}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("scoreRankPerStratum: no one-task-per-stratum window over raw rows") {
     import spark.implicits._
     import org.apache.spark.sql.execution.window.WindowExec
