@@ -661,13 +661,6 @@ object Sampling {
   private def boundaryProbs(nBuckets: Int): Column =
     array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)
 
-  /** Bucket id for a score against a (possibly null) boundary array:
-    * #boundaries STRICTLY ABOVE the score; null scores last. */
-  private def bucketOf(score: Column, bnds: Column, nBuckets: Int): Column =
-    when(score.isNull, lit(nBuckets))
-      .otherwise(when(bnds.isNull, lit(0)).otherwise(
-        size(filter(bnds, b => b > score.cast("double")))))
-
   /** Epoch-repetition schedule for data-constrained training
     * (Muennighoff 2023, public): given a token `budget` LARGER than
     * the corpus, every document is seen floor(budget / total) full
@@ -675,7 +668,9 @@ object Sampling {
     * documents — the maximal (`scoreCol` DESC, `tieCol`) quality
     * prefix of whole documents that fits it — as one extra epoch.
     * Appends `repeats` (long ≥ 0); a sub-corpus budget degrades to
-    * [[takeTokenBudget]] membership spelled as repeats ∈ {0, 1}.
+    * [[takeTokenBudget]] membership spelled as repeats ∈ {0, 1}; a
+    * negative budget expression clamps to 0 (everything gets 0
+    * repeats) rather than violating the non-negative contract.
     *
     * Scale shape: corpus total and the budget arrive as in-plan
     * scalars (no driver round-trip), and the extra-epoch membership is
@@ -722,15 +717,21 @@ object Sampling {
       df: DataFrame, scoreCol: String, tieCol: String, weightCol: Column,
       budgetFromTotal: Column => Column, nBuckets: Int,
       outCol: String): DataFrame = {
+    // clamp the effective budget at 0 CENTRALLY: a caller-supplied
+    // negative budget Column (repetitionSchedule accepts an arbitrary
+    // expression) would otherwise flow through floor-div into negative
+    // `repeats`, violating the documented long >= 0 output contract
+    val clamped: Column => Column =
+      t => greatest(budgetFromTotal(t).cast("long"), lit(0L))
     val totAgg = df.filter(col(tieCol).isNotNull)
       .agg(coalesce(sum(weightCol.cast("long")), lit(0L)).as("t"))
     val extra = qualityBudgetCut(df, scoreCol, tieCol, weightCol,
       total => {
-        val b = budgetFromTotal(total)
+        val b = clamped(total)
         when(total > lit(0L), pmod(b, total)).otherwise(b)
       }, nBuckets)
     val t = col("__tot")
-    val b = budgetFromTotal(t)
+    val b = clamped(t)
     val full = when(t > lit(0L),
       ((b - pmod(b, t)) / t).cast("long")).otherwise(lit(0L))
     df.filter(col(tieCol).isNotNull)
@@ -764,11 +765,15 @@ object Sampling {
     * Equal scores land in the same bucket (strictly-above counting),
     * so per-bucket ranks are exact regardless of sketch error.
     *
-    * Null scores rank last within their stratum; null `tieCol` rows
-    * are dropped (module null-key policy); a NULL stratum is a valid
-    * stratum (null-safe join + window partition). `tieCol` must be
-    * row-unique so percent_rank has no tie plateaus (rank ==
-    * row_number — the property the oracle parity rests on). */
+    * Null scores rank last within their stratum; NaN scores rank
+    * after every finite score and before nulls (the [[qualityOrd]]
+    * convention — this kernel orders by the same negated tuple as
+    * [[takeTokenBudget]] / [[topFractionPerStratum]], so the module
+    * has ONE NaN ordering, not two); null `tieCol` rows are dropped
+    * (module null-key policy); a NULL stratum is a valid stratum
+    * (null-safe join + window partition). `tieCol` must be row-unique
+    * so percent_rank has no tie plateaus (rank == row_number — the
+    * property the oracle parity rests on). */
   def scoreRankPerStratum(
       df: DataFrame, stratumCol: String, scoreCol: String, tieCol: String,
       outCol: String = "score_pr", nBuckets: Int = 32): DataFrame = {
@@ -780,16 +785,21 @@ object Sampling {
       .filter(col(tieCol).isNotNull)
       .filter(pmod(xxhash64(col(tieCol)), lit(16)) === 0)
       .groupBy(col(stratumCol))
-      .agg(percentile_approx(score.cast("double"),
+      .agg(percentile_approx(negate(score.cast("double")),
         boundaryProbs(nBuckets), lit(100)).as("__bnds"))
       .select(col(stratumCol).as("__bs"), col("__bnds"))
     val tagged = df
       .filter(col(tieCol).isNotNull)
       .join(broadcast(bnd), col(stratumCol) <=> col("__bs"), "left")
-      .withColumn("__bucket", bucketOf(score, col("__bnds"), nBuckets))
+      .withColumn("__o", qualityOrd(score, col(tieCol)))
+      .withColumn("__bucket",
+        when(col("__o").getField("__nf") === 1, lit(nBuckets))
+          .otherwise(when(col("__bnds").isNull, lit(0)).otherwise(
+            size(filter(col("__bnds"),
+              b => b < col("__o").getField("__ns"))))))
       .drop("__bs", "__bnds")
     val inBucket = Window.partitionBy(col(stratumCol), col("__bucket"))
-      .orderBy(score.desc_nulls_last, col(tieCol))
+      .orderBy(col("__o"))
     val byStratum = Window.partitionBy(col(stratumCol))
       .orderBy(col("__bucket"))
     val ledger = tagged.groupBy(col(stratumCol), col("__bucket"))

@@ -593,4 +593,45 @@ class SamplingSpec extends SparkSpec {
       assert(bucketed.nonEmpty, "expected the (stratum, bucket) window")
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
+
+  test("one NaN ordering across rank kernels: finite desc, then NaN, then null") {
+    import spark.implicits._
+    // the module contract: NaN scores rank after every finite score
+    // and before nulls — in EVERY kernel (scoreRankPerStratum used to
+    // rank NaN best via the raw `score DESC` window while the
+    // qualityOrd family ranked it worst; they must agree)
+    val df = Seq(
+      (1L, 0.9), (2L, 0.5), (3L, Double.NaN), (4L, Double.NaN),
+      (6L, 0.1))
+      .toDF("id", "score")
+      .unionByName(Seq(Tuple1(5L)).toDF("id")
+        .withColumn("score", lit(null).cast("double")))
+    // expected rank order: 0.9, 0.5, 0.1, NaN(3), NaN(4), null(5)
+    val prs = Sampling.scoreRankPerStratum(
+        df.withColumn("st", lit("a")), "st", "score", "id", outCol = "pr")
+      .select("id", "pr").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prs === Map(1L -> 0.0, 2L -> 0.2, 6L -> 0.4,
+      3L -> 0.6, 4L -> 0.8, 5L -> 1.0))
+    // takeTokenBudget agrees: budget 4 of unit weights keeps the three
+    // finite scores plus the FIRST NaN (tie id asc), never the null
+    val kept = Sampling.takeTokenBudget(df, "score", "id", lit(1L), 4L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 6L, 3L))
+    // topFractionPerStratum agrees: best 2/3 of the stratum
+    val frac = Sampling.topFractionPerStratum(
+        df.withColumn("st", lit("a")), "st", "score", "id", frac = 4.0 / 6)
+      .select("id").as[Long].collect().toSet
+    assert(frac === Set(1L, 2L, 6L, 3L))
+  }
+
+  test("repetitionSchedule: a negative budget clamps to zero repeats") {
+    import spark.implicits._
+    val df = Seq((1L, 0.9, 10L), (2L, 0.5, 20L)).toDF("id", "score", "w")
+    val got = Sampling.repetitionSchedule(df, "score", "id", col("w"),
+        lit(-5L))
+      .select("id", "repeats").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L))
+  }
 }
