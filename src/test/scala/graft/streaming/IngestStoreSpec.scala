@@ -161,6 +161,46 @@ class IngestStoreSpec extends SparkSpec {
     assert(IngestStore.readStore(spark, corpusDir).count() === 20L)
   }
 
+  test("dedupIngest: a later-batch re-ingest supersedes at compaction — " +
+      "pairs verify against only the latest version") {
+    val corpusDir = tmp("graft-supersede-corpus")
+    val pairsDir = tmp("graft-supersede-pairs")
+    def ingest(rows: Seq[(Long, String)], b: Long): Unit =
+      Streaming.ingestDedupBatch(rows.toDF("doc_id", "text"), b,
+        corpusDir, pairsDir, "doc_id", "text",
+        n = 3, threshold = 0.5, compactEvery = 2)
+    def pairsOf(b: Long): Set[(Long, Long)] =
+      spark.read.option("basePath", pairsDir).parquet(pairsDir)
+        .filter(col("batch_id") === b)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 0: doc 1 v0 + unrelated doc 2
+    ingest(Seq((1L, "a b c d e f"), (2L, "x y z w q r")), 0L)
+    assert(pairsOf(0L) === Set.empty)
+    // batch 1 RE-INGESTS doc 1 with entirely different text (v1); the
+    // current-batch anti-join already hides v0 from THIS batch's check
+    ingest(Seq((1L, "p q r s t u")), 1L)
+    assert(pairsOf(1L) === Set.empty)
+    // batch 2 triggers compaction (compactEvery=2) which must DROP v0
+    // from corpus and index. doc 3 near-dups v0 ONLY (J=3/5 vs v0,
+    // 0 vs v1) → must NOT pair; doc 4 near-dups v1 (J=3/5) → must pair
+    ingest(Seq((3L, "a b c d e g"), (4L, "p q r s t v")), 2L)
+    assert(pairsOf(2L) === Set((1L, 4L)))
+    // the corpus store holds only the latest version of doc 1
+    val texts = IngestStore.readStore(spark, corpusDir)
+      .filter(col("doc_id") === 1L).select("text")
+      .collect().map(_.getString(0)).toSeq
+    assert(texts === Seq("p q r s t u"))
+    // and the index sidecar agrees with a fresh shingle of the corpus
+    // (no orphaned v0 grams)
+    val idxCount = IngestStore.readStore(spark, s"$corpusDir/_shingle_index")
+      .count()
+    val fresh = graft.operators.Dedup.shingleIndex(
+      IngestStore.readStore(spark, corpusDir).select("doc_id", "text"),
+      "doc_id", "text", 3, partitionCol = None).count()
+    assert(idxCount === fresh)
+  }
+
   test("dedupIngest: legacy corpus without an index sidecar is migrated " +
       "in place (catch-up seed), then served from the index") {
     val corpusDir = tmp("graft-dedup-legacy-corpus")

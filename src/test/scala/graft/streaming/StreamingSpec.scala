@@ -389,6 +389,134 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(corpusDir).count() === 2)
   }
 
+  test("dedupIngest: query killed after an unflushed batch — restart " +
+      "re-delivers it and converges to the uninterrupted run") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (corpusDir, pairsDir, ckptDir) =
+      (tmp("graft-crash-corpus"), tmp("graft-crash-pairs"),
+        tmp("graft-crash-ckpt"))
+    val b0 = Seq((1L, "a b c d e f"), (2L, "a b c d e g"),
+      (3L, "x y z w q r"))
+    val b1 = Seq((4L, "a b c d e f h"))
+    val b2 = Seq((5L, "a b c d e f j"))
+    val ms = MemoryStream[(Long, String)]
+    val writer = Streaming.dedupIngest(
+      ms.toDF().toDF("doc_id", "text"), corpusDir, pairsDir,
+      "doc_id", "text", n = 3, threshold = 0.5)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+    def runOnce(): Unit = {
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+    }
+    ms.addData(b0: _*); runOnce()
+    ms.addData(b1: _*); runOnce()
+    // simulate a crash DURING batch 1, after some sink writes but
+    // before the checkpoint commit: remove the commit marker (Spark's
+    // own "batch ran but never committed" state) and leave the batch's
+    // output slices HALF-WRITTEN — a partial corpus slice, a partial
+    // shingle-index slice, and an empty pairs slice
+    val commit1 = new java.io.File(s"$ckptDir/commits/1")
+    assert(commit1.exists, "expected a commit marker for batch 1")
+    assert(commit1.delete())
+    // the local ChecksumFs keeps a .crc sidecar per file; a real crash
+    // would have written neither — remove it too or the re-commit's
+    // rename trips over the stale checksum
+    new java.io.File(s"$ckptDir/commits/.1.crc").delete()
+    Streaming.writeBatch(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      corpusDir, "parquet", 1L)
+    Streaming.writeBatch(
+      Seq((4L, 99L)).toDF("id", "k"), s"$corpusDir/_shingle_index",
+      "parquet", 1L)
+    Streaming.writeBatch(
+      spark.read.option("basePath", pairsDir).parquet(pairsDir)
+        .filter(col("batch_id") === 0).drop("batch_id").limit(0),
+      pairsDir, "parquet", 1L)
+    // restart from the checkpoint: Spark itself re-delivers the
+    // uncommitted batch 1 through the real foreachBatch, whose
+    // overwrite-slice protocol must repair every half-written output
+    runOnce()
+    assert(new java.io.File(s"$ckptDir/commits/1").exists,
+      "restart must have re-run and committed batch 1")
+    // then the stream continues normally
+    ms.addData(b2: _*); runOnce()
+
+    // uninterrupted reference: the same three batches replayed directly
+    val (refCorpus, refPairs) =
+      (tmp("graft-crash-refc"), tmp("graft-crash-refp"))
+    Seq((b0, 0L), (b1, 1L), (b2, 2L)).foreach { case (rows, id) =>
+      Streaming.ingestDedupBatch(rows.toDF("doc_id", "text"), id,
+        refCorpus, refPairs, "doc_id", "text", n = 3, threshold = 0.5)
+    }
+    def pairsSet(dir: String): Set[(Long, Long, Long)] =
+      spark.read.option("basePath", dir).parquet(dir)
+        .select(col("a_id"), col("b_id"), col("batch_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    def corpusSet(dir: String): Set[(Long, String, Long)] =
+      spark.read.option("basePath", dir).parquet(dir)
+        .select(col("doc_id"), col("text"), col("batch_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    assert(pairsSet(pairsDir) === pairsSet(refPairs))
+    assert(corpusSet(corpusDir) === corpusSet(refCorpus))
+  }
+
+  test("prepIngest: query killed after an unflushed batch — restart " +
+      "re-delivers it and converges to the uninterrupted run") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (accDir, ckptDir) = (tmp("graft-pcrash-acc"), tmp("graft-pcrash-ckpt"))
+    val b0 = Seq((1L, "alpha beta gamma delta"), (2L, "too short"))
+    val b1 = Seq((4L, "alpha beta gamma delta"), // dup of stored fp
+      (5L, "epsilon zeta eta theta"))
+    val b2 = Seq((6L, "epsilon zeta eta theta"), // dup of batch-1 doc
+      (7L, "iota kappa lambda mu"))
+    val ms = MemoryStream[(Long, String)]
+    val writer = Streaming.prepIngest(
+      ms.toDF().toDF("doc_id", "text"), accDir, "doc_id", "text",
+      minTokens = 3L)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+    def runOnce(): Unit = {
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+    }
+    ms.addData(b0: _*); runOnce()
+    ms.addData(b1: _*); runOnce()
+    // crash during batch 1 AFTER the slice and bloom-sidecar writes but
+    // before the checkpoint commit (the hardest replay: the sidecar for
+    // the dying batch already exists and must not double-admit or wedge
+    // the rerun) — then corrupt the slice down to a half-written subset
+    val commit1 = new java.io.File(s"$ckptDir/commits/1")
+    assert(commit1.exists && commit1.delete())
+    new java.io.File(s"$ckptDir/commits/.1.crc").delete()
+    val half = spark.read.option("basePath", accDir).parquet(accDir)
+      .filter(col("batch_id") === 1).drop("batch_id").limit(0)
+    Streaming.writeBatch(half, accDir, "parquet", 1L)
+    // restart: Spark re-delivers batch 1; then continue with batch 2
+    runOnce()
+    assert(new java.io.File(s"$ckptDir/commits/1").exists,
+      "restart must have re-run and committed batch 1")
+    ms.addData(b2: _*); runOnce()
+
+    // uninterrupted reference
+    val refDir = tmp("graft-pcrash-ref")
+    Seq((b0, 0L), (b1, 1L), (b2, 2L)).foreach { case (rows, id) =>
+      Streaming.prepIngestBatch(rows.toDF("doc_id", "text"), id,
+        refDir, "doc_id", "text", minTokens = 3L)
+    }
+    def accepted(dir: String): Set[(Long, Long)] =
+      spark.read.option("basePath", dir).parquet(dir)
+        .select(col("doc_id"), col("batch_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(accepted(accDir) === accepted(refDir))
+    assert(accepted(accDir) === Set((1L, 0L), (5L, 1L), (7L, 2L)))
+  }
+
   test("sessionizeBatch matches hand-computed sessions") {
     import spark.implicits._
     val df = Seq(
