@@ -192,14 +192,25 @@ object Streaming {
     *     are absorbed into a single consolidated base partition, so the
     *     file count (and per-batch listing cost) stays bounded by
     *     `compactEvery` instead of growing one slice-directory (with up
-    *     to shuffle-partitions files) per batch forever.
+    *     to shuffle-partitions files) per batch forever;
+    *   - a generational GRAM-LEVEL BLOOM sidecar over the index store
+    *     (`corpusPath/_shingle_index/_bloom`, sized by
+    *     `idxBloomExpectedItems`/`idxBloomFpp` — constants over the
+    *     store's life, like the prep sidecar's knobs) screens the
+    *     batch's gram keys BEFORE any index I/O: a batch with no
+    *     might-contain hit provably shares no shingle with the corpus,
+    *     so the new×old candidate join folds to an empty relation and
+    *     the index scan is skipped for that batch. Lossless (no bloom
+    *     false negatives; false positives just take the exact path),
+    *     spec-pinned bit-identical with the sidecar present or absent.
     *
-    * What remains proportional to corpus size is one columnar SCAN of
-    * the compacted index per batch (the candidate equi-join's probe
-    * side) — sequential parquet reads of two long columns, the part a
-    * 1000-executor cluster is good at — not corpus-sized SHINGLING or a
-    * corpus-sized aggregation: verification compacts per-doc arrays
-    * only for candidate-touching docs.
+    * What remains proportional to corpus size — for batches that DO
+    * collide — is one columnar SCAN of the compacted index (the
+    * candidate equi-join's probe side) — sequential parquet reads of
+    * two long columns, the part a 1000-executor cluster is good at —
+    * not corpus-sized SHINGLING or a corpus-sized aggregation:
+    * verification compacts per-doc arrays only for candidate-touching
+    * docs.
     *
     * Contracts: `n` must stay constant over a store's life (the stored
     * index keys are n-dependent); an id re-ingested in the SAME batch
@@ -219,11 +230,14 @@ object Streaming {
   def dedupIngest(
       stream: DataFrame, corpusPath: String, pairsPath: String,
       idCol: String, textCol: String, n: Int, threshold: Double,
-      compactEvery: Int = 16)
+      compactEvery: Int = 16,
+      idxBloomExpectedItems: Long = 1L << 22,
+      idxBloomFpp: Double = 0.03)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       ingestDedupBatch(batch, batchId, corpusPath, pairsPath,
-        idCol, textCol, n, threshold, compactEvery)
+        idCol, textCol, n, threshold, compactEvery,
+        idxBloomExpectedItems, idxBloomFpp)
     }
 
   /** The per-batch step — separated (like [[writeBatch]]) so tests and
@@ -234,7 +248,9 @@ object Streaming {
   def ingestDedupBatch(
       batch: DataFrame, batchId: Long, corpusPath: String,
       pairsPath: String, idCol: String, textCol: String,
-      n: Int, threshold: Double, compactEvery: Int = 16): Unit = {
+      n: Int, threshold: Double, compactEvery: Int = 16,
+      idxBloomExpectedItems: Long = 1L << 22,
+      idxBloomFpp: Double = 0.03): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     // persisted: the batch lineage is consumed by the index-slice
@@ -298,14 +314,36 @@ object Streaming {
           upTo = corpusCov.prefix)
         idxCov = IngestStore.coverage(spark, indexPath, batchId)
       }
+      val indexed = idxCov == corpusCov
+      // gram-level bloom sidecar over the index store (the same
+      // generational machinery the prep store uses for fingerprints):
+      // screens the BATCH's gram keys before any index I/O — a batch
+      // whose grams the sketch has never seen cannot share a key with
+      // any stored doc, so the new×old candidate join and the verify
+      // restriction fold to an empty relation and the
+      // corpus-proportional index scan is skipped outright. Lossless:
+      // blooms have no false negatives (a missed collision is
+      // impossible), and a false positive only routes the batch down
+      // the normal exact path. The sidecar over-approximates after a
+      // supersede compaction (it still remembers dropped versions'
+      // grams) — one-sided in the safe direction.
+      val sidecar =
+        if (!indexed) None
+        else IngestStore.latestBloom(spark, indexPath, beforeBatch = batchId)
+      val sidecarCovers =
+        sidecar.exists { case (upto, _) => idxCov.allAtOrBelow(upto) }
       val pairs =
-        if (idxCov == corpusCov) {
-          val oldIdx = IngestStore
+        if (indexed) {
+          val oldIdxAll = IngestStore
             .read(spark, indexPath, idxSchema, excludeBatch = batchId)
             .select(col("id"), col("k"))
             // an id in the current batch supersedes its stored version
             .join(sel.select(col(idCol).as("id")).distinct(),
               Seq("id"), "left_anti")
+          val skipOld = sidecarCovers && ni.select(col("k")).distinct()
+            .filter(IngestStore.mightContain(spark, sidecar.get._2, col("k")))
+            .isEmpty
+          val oldIdx = if (skipOld) oldIdxAll.limit(0) else oldIdxAll
           Dedup.incrementalJaccardPairsIndexed(ni, oldIdx, threshold,
             maxDocFreq = None, maxDocFreqRatio = None,
             restrictOldSide = true)
@@ -319,6 +357,36 @@ object Streaming {
         }
       writeBatch(pairs, pairsPath, "parquet", batchId)
       writeBatch(sel, corpusPath, "parquet", batchId)
+      // maintain the index sidecar LAST (a crash here leaves it behind;
+      // the next healthy batch detects the gap and rebuilds). Only on
+      // the indexed path: under a corpus/index coverage divergence the
+      // index content is suspect, and the rebuild on the next
+      // consistent batch reseeds from whatever the store then holds.
+      if (indexed) {
+        val merged = sidecar match {
+          case Some((_, bf)) if sidecarCovers =>
+            try bf.mergeInPlace(IngestStore.buildBloom(
+              ni, col("k"), idxBloomExpectedItems, idxBloomFpp))
+            catch {
+              // sizing knobs changed mid-stream: rebuild complete
+              case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+                IngestStore.buildBloom(
+                  IngestStore.read(spark, indexPath, idxSchema,
+                    excludeBatch = batchId).select(col("k"))
+                    .unionByName(ni.select(col("k"))),
+                  col("k"), idxBloomExpectedItems, idxBloomFpp)
+            }
+          case _ =>
+            // bootstrap (first batch / pre-sidecar store / sidecar
+            // behind after a crash): one full single-column pass
+            IngestStore.buildBloom(
+              IngestStore.read(spark, indexPath, idxSchema,
+                excludeBatch = batchId).select(col("k"))
+                .unionByName(ni.select(col("k"))),
+              col("k"), idxBloomExpectedItems, idxBloomFpp)
+        }
+        IngestStore.writeBloom(spark, indexPath, batchId, merged)
+      }
     } finally sel.unpersist()
   }
 

@@ -161,6 +161,45 @@ class IngestStoreSpec extends SparkSpec {
     assert(IngestStore.readStore(spark, corpusDir).count() === 20L)
   }
 
+  test("dedupIngest: gram-level bloom sidecar is lossless — pairs " +
+      "bit-identical with the sidecar present or suppressed") {
+    // batches mix all-new content (the skip path: zero might-contain
+    // hits → the old-index scan folds away), near-dups of earlier
+    // batches (true collisions → normal path), and supersedes
+    def text(seed: Long) = (seed to seed + 9).map(i => s"w$i").mkString(" ")
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, text(0)), (2L, text(100))),
+      Seq((3L, text(1000))),          // disjoint from everything: skip path
+      Seq((4L, text(2)), (5L, text(2000))), // 4 near-dups 1: collision path
+      Seq((6L, text(3000))),          // disjoint again: skip path
+      Seq((7L, text(102))))           // near-dups 2
+    val withSc = (tmp("graft-idxbloom-c1"), tmp("graft-idxbloom-p1"))
+    val noSc = (tmp("graft-idxbloom-c2"), tmp("graft-idxbloom-p2"))
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      Streaming.ingestDedupBatch(rows.toDF("doc_id", "text"), b.toLong,
+        withSc._1, withSc._2, "doc_id", "text", n = 3, threshold = 0.5)
+      // suppress the sidecar on the control store before every batch:
+      // forces the always-scan path (sidecar absent → covers = false)
+      val bloomDir = new java.io.File(s"${noSc._1}/_shingle_index/_bloom")
+      if (bloomDir.exists()) {
+        bloomDir.listFiles().foreach(_.delete()); bloomDir.delete()
+      }
+      Streaming.ingestDedupBatch(rows.toDF("doc_id", "text"), b.toLong,
+        noSc._1, noSc._2, "doc_id", "text", n = 3, threshold = 0.5)
+    }
+    def all(dir: String): Set[(Long, Long, Double, Long)] =
+      spark.read.option("basePath", dir).parquet(dir)
+        .select(col("a_id"), col("b_id"), col("jaccard"),
+          col("batch_id").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    assert(all(withSc._2) === all(noSc._2))
+    assert(all(withSc._2).map(t => (t._1, t._2)) === Set((1L, 4L), (2L, 7L)))
+    // the sidecar store really is maintaining generations
+    assert(new java.io.File(s"${withSc._1}/_shingle_index/_bloom").exists)
+  }
+
   test("dedupIngest: a later-batch re-ingest supersedes at compaction — " +
       "pairs verify against only the latest version") {
     val corpusDir = tmp("graft-supersede-corpus")
