@@ -442,8 +442,13 @@ object LlmOps {
         FROM ranked WHERE rk <= 5
         ORDER BY query_id, rank""")),
 
-    // Approximate ANN (hyperplane LSH): hash space not portable →
-    // rows-only; recall vs brute force asserted in SimilaritySpec.
+    // Approximate ANN (hyperplane LSH). Oracle-gated since round 7:
+    // the bucket space is a seeded deterministic hash (not a trained
+    // model), so it ports to DuckDB the same way q25/q43's kernels
+    // did — splitmix64 in HUGEINT and the sign-deciding dot product
+    // as an order-pinned sequential fold (see
+    // [[PortableHashSql.lshTopKSql]]). Recall vs brute force is
+    // additionally asserted in SimilaritySpec.
     "q28_sim_topk_lsh" -> Q(
       fn = (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
@@ -452,7 +457,9 @@ object LlmOps {
           emb, "vec_id", "embedding",
           k = 5, nBits = 6, probes = 2)
           .orderBy("query_id", "rank")
-      }),
+      },
+      oracle = Some(PortableHashSql.lshTopKSql(
+        nBits = 6, probes = 2, seed = 42L, k = 5, qMaxVecId = 20L))),
 
     "q29_sim_topk_ivf" -> Q(
       fn = (s, dir) => {
