@@ -135,6 +135,49 @@ object Pipelines {
       },
       oracle = Some("""
         SELECT event_type AS key, count(*) AS cnt
-        FROM events GROUP BY event_type ORDER BY key"""))
+        FROM events GROUP BY event_type ORDER BY key""")),
+
+    // T2 FlatMap + T6 Filter + T5 Do/Transformer — the three parity
+    // operators that previously carried only ScalaTest gates, driven
+    // through one oracle-expressible chain: each event fans out to
+    // (cents, 2·cents), odd values drop, the raw-iterator stage adds
+    // one, and a keyed aggregate makes the result deterministic.
+    "q129_pipeline_flatmap_filter" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val events = Tables(s, dir, "events")
+        val out = Pipeline
+          .fromDataFrame(events, "event_type", "value")
+          .flatMap(new FlatMapper {
+            def flatMap(ctx: Context, rows: Seq[KV]): Seq[KV] =
+              rows.flatMap { kv =>
+                val cents = math.round(kv.valueString.toDouble * 100)
+                Seq(KV.of(kv.key, cents), KV.of(kv.key, cents * 2))
+              }
+          })
+          .filter(new RowFilter {
+            def accept(row: KV): Boolean = row.valueLong % 2 == 0
+          })
+          .transform(new Transformer {
+            def transform(ctx: Context, rows: Iterator[KV]): Iterator[KV] =
+              rows.map(kv => KV.of(kv.key, kv.valueLong + 1))
+          })
+          .dataset
+        out.map(kv => (kv.key, kv.valueLong)).toDF("key", "v")
+          .groupBy("key")
+          .agg(count(lit(1)).as("n"), sum("v").as("total"))
+          .orderBy("key")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT event_type AS key,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events),
+        exploded AS (
+          SELECT key, unnest([c, c * 2]) AS v FROM base),
+        f AS (SELECT key, v + 1 AS v FROM exploded WHERE v % 2 = 0)
+        SELECT key, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS total
+        FROM f GROUP BY key ORDER BY key"""))
   )
 }

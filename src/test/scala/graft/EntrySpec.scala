@@ -11,11 +11,11 @@ class EntrySpec extends SparkSpec {
 
   test("every query runs at sf0.001 and oracle coverage is intentional") {
     // q25/q43/q117 were promoted to oracle gates in r6 (HUGEINT mod-2^64
-    // hash emulation / recursive-CTE merge replay); what remains
-    // rows-only is exactly the MODEL-dependent set — random hyperplanes
-    // and trained centroids/codebooks have no portable SQL spelling.
+    // hash emulation / recursive-CTE merge replay), q28 in r7 (its
+    // hyperplane bucket is a seeded hash, not a trained model); what
+    // remains rows-only is exactly the TRAINED-model set —
+    // centroids/codebooks have no portable SQL spelling.
     val rowsOnly = Set(
-      "q28_sim_topk_lsh",    // hyperplane-LSH space not portable SQL
       "q29_sim_topk_ivf",    // IVF centroid space not portable SQL
       "q85_dedup_semantic",  // k-means cell space not portable SQL
       "q108_sim_topk_ivfpq", // PQ codebook space not portable SQL
@@ -61,14 +61,14 @@ class EntrySpec extends SparkSpec {
   }
 
   test("rows-only queries pin golden CONTENT (row count + result md5) at the gate SF") {
-    // q28/q29/q85/q108/q114 have no DuckDB oracle (model-dependent
+    // q29/q85/q108/q114 have no DuckDB oracle (model-dependent
     // spaces), so the driver only checks rows > 0 for them. Their
     // models are deterministic (fixed seeds), so the full sf0.01 result
     // is a stable golden: a silent behavior change — even a pair-set
     // substitution at EQUAL cardinality — can't hide behind
-    // `no_oracle`. q25/q43/q117 gained real oracles in r6 but KEEP
-    // their goldens: double-pinning costs one spec run and guards the
-    // oracle and the kernel from drifting together. Recall/guarantee
+    // `no_oracle`. q25/q43/q117 (r6) and q28 (r7) gained real oracles
+    // but KEEP their goldens: double-pinning costs one spec run and
+    // guards the oracle and the kernel from drifting together. Recall/guarantee
     // semantics are separately gated in DedupSpec/SimilaritySpec.
     val golden = Map(
       "q25_dedup_simhash" -> (23L, "5e97c514a610c8d353f8486f1d399373"),
