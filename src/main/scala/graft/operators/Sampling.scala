@@ -518,6 +518,16 @@ object Sampling {
     * rule of data-constrained training-set construction (Muennighoff
     * 2023's quality-ordered repetition budgets, public).
     *
+    * SQL spelling (ANSI; the q125 oracle is this form):
+    * {{{
+    *   SELECT * FROM t WHERE tie IS NOT NULL
+    *   QUALIFY sum(w) OVER (ORDER BY score DESC NULLS LAST, tie
+    *                        ROWS UNBOUNDED PRECEDING) <= :budget
+    * }}}
+    * Do NOT run that spelling at scale: the unpartitioned window
+    * serializes the corpus into one task. This operator computes the
+    * identical kept-set with the threshold plan below.
+    *
     * The defining computation is a global running sum in score order —
     * the same scale-killer [[Packing.packSequences]] documents — but
     * the OUTPUT is just a kept-set, so it compiles to the
@@ -672,6 +682,19 @@ object Sampling {
     * negative budget expression clamps to 0 (everything gets 0
     * repeats) rather than violating the non-negative contract.
     *
+    * SQL spelling (ANSI; the q126 oracle is this form): with
+    * `total = (SELECT sum(w) FROM t)`,
+    * {{{
+    *   SELECT *, :budget // total
+    *            + CASE WHEN sum(w) OVER (ORDER BY score DESC NULLS
+    *                     LAST, tie ROWS UNBOUNDED PRECEDING)
+    *                   <= :budget % total THEN 1 ELSE 0 END AS repeats
+    *   FROM t WHERE tie IS NOT NULL
+    * }}}
+    * — same unpartitioned-window scale trap as [[takeTokenBudget]];
+    * this operator computes it as a pure projection + the threshold
+    * predicate.
+    *
     * Scale shape: corpus total and the budget arrive as in-plan
     * scalars (no driver round-trip), and the extra-epoch membership is
     * the [[qualityBudgetCut]] threshold predicate — the main plan is a
@@ -749,6 +772,13 @@ object Sampling {
     * (boilerplate-heavy domains score systematically lower), so the
     * fair cut is "best X% WITHIN each source" (cf. the per-dump
     * quality buckets in CCNet, Wenzek 2019 §4, public).
+    *
+    * SQL spelling (ANSI; the q127 oracle is this form):
+    * {{{
+    *   SELECT *, percent_rank() OVER (PARTITION BY stratum
+    *               ORDER BY score DESC NULLS LAST, tie) AS score_pr
+    *   FROM t WHERE tie IS NOT NULL
+    * }}}
     *
     * Scale shape: the naive spelling is one window partition per
     * stratum — a single task per SOURCE, serializing a giant source
@@ -834,6 +864,16 @@ object Sampling {
     * complement of [[topKPerStratum]]'s absolute cap, and the
     * per-stratum analogue of [[dropBottomFraction]] (CCNet keeps
     * fixed-fraction quality buckets per dump, Wenzek 2019 §4).
+    *
+    * SQL spelling (ANSI; the q128 oracle is this form):
+    * {{{
+    *   SELECT * FROM t WHERE tie IS NOT NULL
+    *   QUALIFY row_number() OVER (PARTITION BY stratum
+    *             ORDER BY score DESC NULLS LAST, tie)
+    *        <= ceil(:frac * count(*) OVER (PARTITION BY stratum))
+    * }}}
+    * — one window task per stratum at scale; this operator computes
+    * the identical kept-set with the threshold-map plan below.
     *
     * Scale shape — the threshold spelling, per stratum: full rows
     * never shuffle, never window-sort, and keep their input

@@ -23,8 +23,12 @@ Method (matches the BENCH_scale.md notes):
     (each already min-of-2 with a warm-up pass).
 
 Usage:
-  python3 tools/scaleprobe.py gen [outDir]       # build /tmp/scaledata/sf0.3
-  python3 tools/scaleprobe.py report 1x.json 3x.json > BENCH_scale.md
+  python3 tools/scaleprobe.py gen [outDir] [replicas]  # default 3 replicas
+  python3 tools/scaleprobe.py report 1x.json 3x.json [10x.json] > BENCH_scale.md
+The optional third JSON (a bench run over a gen'd 10-replica dir,
+usually restricted via SPARK_GRAFT_ONLY to the >=0.6-exponent family)
+adds a second rung: e10 = ln(t_10x/t_1x)/ln 10 separates n log n
+(e10 ~= e3 + small drift) from true polynomial growth (e10 ~ e3).
 The two bench JSONs come from:
   SPARK_GRAFT_SF_DIR=<dir> SPARK_GRAFT_CPUS=32 \
       SPARK_GRAFT_BENCH_OUT=<out.json> sbt "runMain graft.Bench"
@@ -39,7 +43,6 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OFFSET = 10_000_000
-REPLICAS = 3
 DIMS = ["region", "nation", "supplier", "part"]
 # fact table -> id-like columns to offset per replica
 FACTS = {
@@ -70,7 +73,8 @@ def perturb_vec(vec, r: int):
     return [(-v if (i + r) % 3 == 0 else v) for i, v in enumerate(vec)]
 
 
-def gen(out_dir: str) -> None:
+def gen(out_dir: str, replicas: int = 3) -> None:
+    REPLICAS = replicas
     os.makedirs(out_dir, exist_ok=True)
     for t in DIMS:
         pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"),
@@ -110,22 +114,31 @@ def gen(out_dir: str) -> None:
         print(f"[gen] {t}: {base.num_rows} -> {base.num_rows * REPLICAS}")
 
 
-def report(p1: str, p3: str) -> None:
+def report(p1: str, p3: str, p10: str = None) -> None:
     with open(p1) as f:
         b1 = json.load(f)
     with open(p3) as f:
         b3 = json.load(f)
     q1, q3 = b1["queries"], b3["queries"]
+    q10 = {}
+    if p10:
+        with open(p10) as f:
+            q10 = json.load(f)["queries"]
     names = sorted(set(q1) & set(q3))
-    print("# BENCH_scale — scaling exponents (3x probe)")
+    print("# BENCH_scale — scaling exponents"
+          + (" (3x + 10x rungs)" if q10 else " (3x probe)"))
     print()
     print("Generated by tools/scaleprobe.py (see its module doc for the")
     print("replication recipe). Exponent e = ln(t_3x/t_1x)/ln 3: e~1")
     print("linear, e<0.5 mostly fixed overhead at this size, e>1.3 flagged.")
     print()
-    print("| query | sf0.1 s | 3x s | exponent |")
-    print("|---|---|---|---|")
-    flagged, failed = [], []
+    if q10:
+        print("| query | sf0.1 s | 3x s | e3 | 10x s | e10 |")
+        print("|---|---|---|---|---|---|")
+    else:
+        print("| query | sf0.1 s | 3x s | exponent |")
+        print("|---|---|---|---|")
+    flagged, failed = set(), []
     for n in names:
         a, b = q1[n], q3[n]
         if a <= 0 or b <= 0:
@@ -133,12 +146,24 @@ def report(p1: str, p3: str) -> None:
             failed.append(n)
             continue
         e = math.log(b / a) / math.log(3)
-        print(f"| {n} | {a:.2f} | {b:.2f} | {e:.2f} |")
+        if q10:
+            c = q10.get(n)
+            if c is not None and c > 0:
+                e10 = math.log(c / a) / math.log(10)
+                print(f"| {n} | {a:.2f} | {b:.2f} | {e:.2f} "
+                      f"| {c:.2f} | {e10:.2f} |")
+                if e10 > 1.3 and c > 1.0:
+                    flagged.add(n)
+            else:
+                print(f"| {n} | {a:.2f} | {b:.2f} | {e:.2f} | — | — |")
+        else:
+            print(f"| {n} | {a:.2f} | {b:.2f} | {e:.2f} |")
         if e > 1.3 and b > 1.0:
-            flagged.append(n)
+            flagged.add(n)
     print()
-    print(f"Flagged super-linear (e>1.3 and 3x time >1s): {len(flagged)}"
-          + (f" — {', '.join(flagged)}" if flagged else ""))
+    print(f"Flagged super-linear (e>1.3 at a rung with time >1s): "
+          f"{len(flagged)}"
+          + (f" — {', '.join(sorted(flagged))}" if flagged else ""))
     if failed:
         print(f"FAILED in at least one run: {len(failed)} — "
               + ", ".join(failed))
@@ -159,8 +184,10 @@ def report(p1: str, p3: str) -> None:
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "gen"
     if cmd == "gen":
-        gen(sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaledata/sf0.3")
+        gen(sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaledata/sf0.3",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3)
     elif cmd == "report":
-        report(sys.argv[2], sys.argv[3])
+        report(sys.argv[2], sys.argv[3],
+               sys.argv[4] if len(sys.argv) > 4 else None)
     else:
         sys.exit(f"unknown command {cmd}")
