@@ -442,4 +442,23 @@ object IngestStore extends org.apache.spark.internal.Logging {
       df: DataFrame, value: Column, expectedItems: Long,
       fpp: Double): BloomFilter =
     df.stat.bloomFilter(xxhash64(value), expectedItems, fpp)
+
+  /** [[buildBloom]] as an AGGREGATE Column (binary, readable with
+    * `BloomFilter.readFrom`), for callers that want to compute the
+    * sketch alongside other aggregates in ONE pass over the input —
+    * e.g. the ingest path's fused "build the batch bloom + probe the
+    * predecessor sidecar" job. Sized identically to [[buildBloom]]
+    * (`optimalNumOfBits(expectedItems, fpp)`), so the two forms'
+    * outputs merge. Note Spark clamps the aggregate's item estimate at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (4M
+    * default) — raise that conf in step with a larger knob. */
+  def bloomAggCol(
+      value: Column, expectedItems: Long, fpp: Double): Column = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    GraftSqlBridge.column(new BloomFilterAggregate(
+      GraftSqlBridge.expression(xxhash64(value)),
+      Literal(expectedItems),
+      Literal(BloomFilter.optimalNumOfBits(expectedItems, fpp)))
+      .toAggregateExpression())
+  }
 }

@@ -196,7 +196,9 @@ object Streaming {
     *   - a generational GRAM-LEVEL BLOOM sidecar over the index store
     *     (`corpusPath/_shingle_index/_bloom`, sized by
     *     `idxBloomExpectedItems`/`idxBloomFpp` — constants over the
-    *     store's life, like the prep sidecar's knobs) screens the
+    *     store's life, like the prep sidecar's knobs;
+    *     `idxBloomExpectedItems <= 0` disables the sidecar for streams
+    *     whose batches always collide) screens the
     *     batch's gram keys BEFORE any index I/O: a batch with no
     *     might-contain hit provably shares no shingle with the corpus,
     *     so the new×old candidate join folds to an empty relation and
@@ -231,7 +233,7 @@ object Streaming {
       stream: DataFrame, corpusPath: String, pairsPath: String,
       idCol: String, textCol: String, n: Int, threshold: Double,
       compactEvery: Int = 16,
-      idxBloomExpectedItems: Long = 1L << 22,
+      idxBloomExpectedItems: Long = 1L << 20,
       idxBloomFpp: Double = 0.03)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -249,7 +251,7 @@ object Streaming {
       batch: DataFrame, batchId: Long, corpusPath: String,
       pairsPath: String, idCol: String, textCol: String,
       n: Int, threshold: Double, compactEvery: Int = 16,
-      idxBloomExpectedItems: Long = 1L << 22,
+      idxBloomExpectedItems: Long = 1L << 20,
       idxBloomFpp: Double = 0.03): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
@@ -327,11 +329,40 @@ object Streaming {
       // the normal exact path. The sidecar over-approximates after a
       // supersede compaction (it still remembers dropped versions'
       // grams) — one-sided in the safe direction.
+      // idxBloomExpectedItems <= 0 disables the sidecar entirely (no
+      // probe, no maintenance) — the knob for streams whose batches
+      // always collide with the corpus, where the screen can never
+      // fire and its per-batch build cost buys nothing
+      val idxBloomOn = idxBloomExpectedItems > 0L
       val sidecar =
-        if (!indexed) None
+        if (!indexed || !idxBloomOn) None
         else IngestStore.latestBloom(spark, indexPath, beforeBatch = batchId)
       val sidecarCovers =
         sidecar.exists { case (upto, _) => idxCov.allAtOrBelow(upto) }
+      // ONE fused pass over the batch index computes BOTH sidecar
+      // artifacts: the batch's own bloom (tomorrow's sidecar merge) and
+      // the any-hit probe against the predecessor sidecar (today's
+      // skip decision) — instead of a probe job plus a separate
+      // stat.bloomFilter job
+      val fused =
+        if (!indexed || !idxBloomOn) None
+        else {
+          val hitCol = sidecar match {
+            case Some((_, bf)) if sidecarCovers =>
+              max(when(
+                IngestStore.mightContain(spark, bf, col("k")), lit(1))
+                .otherwise(lit(0)))
+            case _ => max(lit(1)) // no usable sidecar: never skip
+          }
+          Some(ni.agg(
+            IngestStore.bloomAggCol(col("k"), idxBloomExpectedItems,
+              idxBloomFpp).as("bf"),
+            hitCol.as("hit")).head())
+        }
+      val batchBloom = fused.flatMap(r =>
+        if (r.isNullAt(0)) None // empty batch
+        else Some(org.apache.spark.util.sketch.BloomFilter
+          .readFrom(r.getAs[Array[Byte]](0))))
       val pairs =
         if (indexed) {
           val oldIdxAll = IngestStore
@@ -340,9 +371,8 @@ object Streaming {
             // an id in the current batch supersedes its stored version
             .join(sel.select(col(idCol).as("id")).distinct(),
               Seq("id"), "left_anti")
-          val skipOld = sidecarCovers && ni.select(col("k")).distinct()
-            .filter(IngestStore.mightContain(spark, sidecar.get._2, col("k")))
-            .isEmpty
+          val skipOld = sidecarCovers &&
+            fused.exists(r => !r.isNullAt(1) && r.getInt(1) == 0)
           val oldIdx = if (skipOld) oldIdxAll.limit(0) else oldIdxAll
           Dedup.incrementalJaccardPairsIndexed(ni, oldIdx, threshold,
             maxDocFreq = None, maxDocFreqRatio = None,
@@ -362,28 +392,35 @@ object Streaming {
       // the indexed path: under a corpus/index coverage divergence the
       // index content is suspect, and the rebuild on the next
       // consistent batch reseeds from whatever the store then holds.
-      if (indexed) {
+      if (indexed && idxBloomOn) {
+        // bootstrap/heal path (first batch, pre-sidecar store, sidecar
+        // behind after a crash, or sizing knobs changed mid-stream):
+        // one single-column pass over the OLD index with the CURRENT
+        // knobs, then OR in the already-built batch bloom (same knobs,
+        // so always mergeable)
+        def rebuilt(): org.apache.spark.util.sketch.BloomFilter = {
+          // the aggregate form (not df.stat.bloomFilter, which NPEs on
+          // an empty input — the normal batch-0 bootstrap state)
+          val r = IngestStore.read(spark, indexPath, idxSchema,
+              excludeBatch = batchId)
+            .agg(IngestStore.bloomAggCol(col("k"), idxBloomExpectedItems,
+              idxBloomFpp).as("bf")).head()
+          val base =
+            if (r.isNullAt(0)) org.apache.spark.util.sketch.BloomFilter
+              .create(idxBloomExpectedItems, idxBloomFpp)
+            else org.apache.spark.util.sketch.BloomFilter
+              .readFrom(r.getAs[Array[Byte]](0))
+          batchBloom.foreach(base.mergeInPlace)
+          base
+        }
         val merged = sidecar match {
           case Some((_, bf)) if sidecarCovers =>
-            try bf.mergeInPlace(IngestStore.buildBloom(
-              ni, col("k"), idxBloomExpectedItems, idxBloomFpp))
+            try { batchBloom.foreach(bf.mergeInPlace); bf }
             catch {
-              // sizing knobs changed mid-stream: rebuild complete
               case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
-                IngestStore.buildBloom(
-                  IngestStore.read(spark, indexPath, idxSchema,
-                    excludeBatch = batchId).select(col("k"))
-                    .unionByName(ni.select(col("k"))),
-                  col("k"), idxBloomExpectedItems, idxBloomFpp)
+                rebuilt()
             }
-          case _ =>
-            // bootstrap (first batch / pre-sidecar store / sidecar
-            // behind after a crash): one full single-column pass
-            IngestStore.buildBloom(
-              IngestStore.read(spark, indexPath, idxSchema,
-                excludeBatch = batchId).select(col("k"))
-                .unionByName(ni.select(col("k"))),
-              col("k"), idxBloomExpectedItems, idxBloomFpp)
+          case _ => rebuilt()
         }
         IngestStore.writeBloom(spark, indexPath, batchId, merged)
       }
