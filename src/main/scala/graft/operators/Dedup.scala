@@ -447,7 +447,8 @@ object Dedup {
       maxDocFreq: Option[Int] = None,
       charLevel: Boolean = false,
       maxDocFreqRatio: Option[Double] = None,
-      spread: Boolean = true): DataFrame = {
+      spread: Boolean = true,
+      oldMaxDocFreq: Option[Int] = None): DataFrame = {
     val ratio =
       if (charLevel && maxDocFreq.isEmpty && maxDocFreqRatio.isEmpty)
         Some(0.15)
@@ -458,7 +459,8 @@ object Dedup {
       shingleIndex(newDf, idCol, textCol, n, partitionCol, charLevel, spread)
     val oi =
       shingleIndex(oldOnly, idCol, textCol, n, partitionCol, charLevel, spread)
-    incrementalJaccardPairsIndexed(ni, oi, threshold, maxDocFreq, ratio)
+    incrementalJaccardPairsIndexed(ni, oi, threshold, maxDocFreq, ratio,
+      oldMaxDocFreq = oldMaxDocFreq)
   }
 
   /** The incremental candidate/verify core over PREBUILT (id, k) indexes —
@@ -482,15 +484,42 @@ object Dedup {
     * the candidate pairs, so the candidate subtree is never evaluated
     * twice. Leave false for bulk incremental runs where the "new" side
     * is corpus-sized (most old docs are touched anyway and the two
-    * semi-joins are pure overhead). */
+    * semi-joins are pure overhead).
+    *
+    * `oldMaxDocFreq` — the OLD-side hot-gram cap, the bound the 10x
+    * scale probe priced (BENCH_scale round 7: uncapped, candidate mass
+    * from corpus-hot grams grows as batch-df x corpus-df — local
+    * exponent 1.32 on the ingest parity shape): a gram whose df within
+    * the PROBED old index exceeds the cap is dropped from candidate
+    * generation (never from verification — Jaccard values are always
+    * exact). Recall contract matches the batch operators' `maxDocFreq`:
+    * a true pair is missed only if EVERY shared new-prefix gram is
+    * that hot — boilerplate by definition. None (default) keeps the
+    * lossless behavior the parity gates pin. */
   private[graft] def incrementalJaccardPairsIndexed(
       ni: DataFrame, oi: DataFrame, threshold: Double,
       maxDocFreq: Option[Int],
       maxDocFreqRatio: Option[Double],
-      restrictOldSide: Boolean = false): DataFrame = {
+      restrictOldSide: Boolean = false,
+      oldMaxDocFreq: Option[Int] = None): DataFrame = {
     val newPrefix = prefixIndex(ni, threshold, maxDocFreq, maxDocFreqRatio)
     val nnCands = candidatePairs(newPrefix)
-    val noCands = oi.select(col("k"), col("id").as("o_id"))
+    // the old rows probed by the batch's prefix keys; with the cap on,
+    // hot keys are screened by their df WITHIN this probed subset
+    // (equal to their full old df — a key either matches or not), so
+    // the cap costs one keyed count over probed rows, never a pass
+    // over the whole old index
+    val oldForCands = oldMaxDocFreq match {
+      case Some(cap) =>
+        val probed = oi.join(newPrefix.select(col("k")).distinct(),
+          Seq("k"), "left_semi")
+        val kdf = probed.groupBy(col("k"))
+          .agg(count(lit(1)).as("__odf"))
+        probed.join(
+          kdf.filter(col("__odf") <= cap).select(col("k")), Seq("k"))
+      case None => oi
+    }
+    val noCands = oldForCands.select(col("k"), col("id").as("o_id"))
       .join(newPrefix.select(col("k"), col("id").as("n_id")), Seq("k"))
       .filter(col("o_id") =!= col("n_id"))
       .select(least(col("o_id"), col("n_id")).as("a_id"),
@@ -499,9 +528,14 @@ object Dedup {
     val oldVerify =
       if (!restrictOldSide) oi
       else {
-        val touchedIds = oi
-          .join(ni.select(col("k")).distinct(), Seq("k"), "left_semi")
-          .select(col("id")).distinct()
+        // capped path: every candidate's old member matched a capped
+        // key, so the (tighter) touched set is oldForCands' own ids
+        val touchedIds = oldMaxDocFreq match {
+          case Some(_) => oldForCands.select(col("id")).distinct()
+          case None => oi
+            .join(ni.select(col("k")).distinct(), Seq("k"), "left_semi")
+            .select(col("id")).distinct()
+        }
         oi.join(touchedIds, Seq("id"), "left_semi")
       }
     verifyPairs(nnCands.union(noCands).distinct(),

@@ -214,6 +214,17 @@ object Streaming {
     * verification compacts per-doc arrays only for candidate-touching
     * docs.
     *
+    * `oldMaxDocFreq` — the production hot-gram bound the 10x scale
+    * probe priced (BENCH_scale round 7): uncapped, a gram shared by
+    * d corpus docs contributes d candidate rows to EVERY batch that
+    * carries it in a prefix — corpus-boilerplate grams make per-batch
+    * candidate mass grow with corpus size. The cap drops
+    * hotter-than-cap grams from CANDIDATE generation only
+    * (verification Jaccards stay exact; the recall contract matches
+    * the batch operators' `maxDocFreq`: a true pair is missed only if
+    * every shared prefix gram is that hot). None (default) keeps the
+    * lossless parity the q94 gate pins.
+    *
     * Contracts: `n` must stay constant over a store's life (the stored
     * index keys are n-dependent); an id re-ingested in the SAME batch
     * as its update supersedes cleanly (new version replaces old in the
@@ -234,12 +245,13 @@ object Streaming {
       idCol: String, textCol: String, n: Int, threshold: Double,
       compactEvery: Int = 16,
       idxBloomExpectedItems: Long = 1L << 20,
-      idxBloomFpp: Double = 0.03)
+      idxBloomFpp: Double = 0.03,
+      oldMaxDocFreq: Option[Int] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       ingestDedupBatch(batch, batchId, corpusPath, pairsPath,
         idCol, textCol, n, threshold, compactEvery,
-        idxBloomExpectedItems, idxBloomFpp)
+        idxBloomExpectedItems, idxBloomFpp, oldMaxDocFreq)
     }
 
   /** The per-batch step — separated (like [[writeBatch]]) so tests and
@@ -252,7 +264,8 @@ object Streaming {
       pairsPath: String, idCol: String, textCol: String,
       n: Int, threshold: Double, compactEvery: Int = 16,
       idxBloomExpectedItems: Long = 1L << 20,
-      idxBloomFpp: Double = 0.03): Unit = {
+      idxBloomFpp: Double = 0.03,
+      oldMaxDocFreq: Option[Int] = None): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     // persisted: the batch lineage is consumed by the index-slice
@@ -376,14 +389,15 @@ object Streaming {
           val oldIdx = if (skipOld) oldIdxAll.limit(0) else oldIdxAll
           Dedup.incrementalJaccardPairsIndexed(ni, oldIdx, threshold,
             maxDocFreq = None, maxDocFreqRatio = None,
-            restrictOldSide = true)
+            restrictOldSide = true, oldMaxDocFreq = oldMaxDocFreq)
         } else {
           // non-contiguous corpus history (external surgery on the store):
           // fall back to re-shingling the old corpus for this batch
           val old = IngestStore
             .read(spark, corpusPath, corpusSchema, excludeBatch = batchId)
             .select(col(idCol), col(textCol))
-          Dedup.incrementalJaccardPairs(sel, old, idCol, textCol, n, threshold)
+          Dedup.incrementalJaccardPairs(sel, old, idCol, textCol, n,
+            threshold, oldMaxDocFreq = oldMaxDocFreq)
         }
       writeBatch(pairs, pairsPath, "parquet", batchId)
       writeBatch(sel, corpusPath, "parquet", batchId)

@@ -200,6 +200,49 @@ class IngestStoreSpec extends SparkSpec {
     assert(new java.io.File(s"${withSc._1}/_shingle_index/_bloom").exists)
   }
 
+  test("dedupIngest oldMaxDocFreq: hot-gram candidates drop (documented " +
+      "recall trade), rare-gram pairs and Jaccard exactness survive") {
+    // 16 old docs share the hot prefix "a b c d e" (grams abc/bcd/cde
+    // have old df = 16); doc 21 shares a RARE gram family with the new
+    // batch. A new doc near-dupping the hot family relies ONLY on hot
+    // grams; one near-dupping doc 21 relies on rare grams.
+    val old = (1L to 16L).map(i => (i, s"a b c d e t$i u$i v$i")) :+
+      (21L, "p q r s t z")
+    val nw = Seq(
+      (100L, "a b c d e w x y"), // J vs each hot doc = 3/9 ~ 0.333
+      (101L, "p q r s t u"))     // J vs 21 = 3/5 = 0.6
+    def run(cap: Option[Int]): Set[(Long, Long)] = {
+      val (c, p) = (tmp("graft-cap-c"), tmp("graft-cap-p"))
+      Streaming.ingestDedupBatch(old.toDF("doc_id", "text"), 0L,
+        c, p, "doc_id", "text", n = 3, threshold = 0.3)
+      Streaming.ingestDedupBatch(nw.toDF("doc_id", "text"), 1L,
+        c, p, "doc_id", "text", n = 3, threshold = 0.3,
+        oldMaxDocFreq = cap)
+      spark.read.option("basePath", p).parquet(p)
+        .filter(col("batch_id") === 1L).select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val uncapped = run(None)
+    // lossless default: the hot-gram pairs and the rare pair all report
+    assert((1L to 16L).forall(i => uncapped.contains((i, 100L))), uncapped)
+    assert(uncapped.contains((21L, 101L)))
+    val capped = run(Some(8))
+    // cap 8 < df 16: candidates that exist ONLY through hot grams drop;
+    // the rare-gram pair is untouched
+    assert(capped === Set((21L, 101L)), capped)
+    // and reported Jaccards are exact wherever a pair reports at all
+    val (c2, p2) = (tmp("graft-cap-c2"), tmp("graft-cap-p2"))
+    Streaming.ingestDedupBatch(old.toDF("doc_id", "text"), 0L,
+      c2, p2, "doc_id", "text", n = 3, threshold = 0.3)
+    Streaming.ingestDedupBatch(nw.toDF("doc_id", "text"), 1L,
+      c2, p2, "doc_id", "text", n = 3, threshold = 0.3,
+      oldMaxDocFreq = Some(8))
+    val j = spark.read.option("basePath", p2).parquet(p2)
+      .filter(col("a_id") === 21L && col("b_id") === 101L)
+      .select("jaccard").head().getDouble(0)
+    assert(j === 0.6)
+  }
+
   test("dedupIngest: a later-batch re-ingest supersedes at compaction — " +
       "pairs verify against only the latest version") {
     val corpusDir = tmp("graft-supersede-corpus")
