@@ -464,6 +464,58 @@ class StreamingSpec extends SparkSpec {
     assert(corpusSet(corpusDir) === corpusSet(refCorpus))
   }
 
+  test("dedupIngest: crash AT a compaction batch — restart replays the " +
+      "compaction idempotently through Spark's own recovery") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (corpusDir, pairsDir, ckptDir) =
+      (tmp("graft-ccrash-corpus"), tmp("graft-ccrash-pairs"),
+        tmp("graft-ccrash-ckpt"))
+    def text(b: Long) = (b to b + 9).map(i => s"tok$i").mkString(" ")
+    val ms = MemoryStream[(Long, String)]
+    val writer = Streaming.dedupIngest(
+      ms.toDF().toDF("doc_id", "text"), corpusDir, pairsDir,
+      "doc_id", "text", n = 3, threshold = 0.5, compactEvery = 2)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+    def runOnce(): Unit = {
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+    }
+    (0L to 2L).foreach { b => ms.addData((b, text(b))); runOnce() }
+    // batch 2 ran the compaction (compactEvery=2): boundary committed,
+    // slices 0-1 absorbed. Crash "after the work, before the commit":
+    // Spark must re-deliver batch 2, whose foreachBatch re-runs
+    // compact() — the marker-committed base makes the replay a no-op
+    // GC retry, and the slice overwrites repair the outputs
+    assert(IngestStore.boundary(spark, corpusDir) === 2L)
+    val commit2 = new java.io.File(s"$ckptDir/commits/2")
+    assert(commit2.exists && commit2.delete())
+    new java.io.File(s"$ckptDir/commits/.2.crc").delete()
+    runOnce()
+    assert(new java.io.File(s"$ckptDir/commits/2").exists)
+    // continue past the crash point, then compare with an uninterrupted
+    // run: content (pairs + corpus) must be identical
+    ms.addData((3L, text(3))); runOnce()
+    val (refC, refP) = (tmp("graft-ccrash-refc"), tmp("graft-ccrash-refp"))
+    (0L to 3L).foreach { b =>
+      Streaming.ingestDedupBatch(Seq((b, text(b))).toDF("doc_id", "text"),
+        b, refC, refP, "doc_id", "text", n = 3, threshold = 0.5,
+        compactEvery = 2)
+    }
+    def pairs(dir: String): Set[(Long, Long, Long)] =
+      spark.read.option("basePath", dir).parquet(dir)
+        .select(col("a_id"), col("b_id"), col("batch_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(pairs(pairsDir) === pairs(refP))
+    assert(IngestStore.readStore(spark, corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(0L, 1L, 2L, 3L))
+    assert(IngestStore.boundary(spark, corpusDir) === 2L)
+  }
+
   test("prepIngest: query killed after an unflushed batch — restart " +
       "re-delivers it and converges to the uninterrupted run") {
     import spark.implicits._
