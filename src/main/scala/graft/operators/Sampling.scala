@@ -852,6 +852,115 @@ object Sampling {
       .select(df.columns.map(col) :+ col(outCol): _*)
   }
 
+  /** Per-stratum token budgets: within each listed stratum keep the
+    * maximal (`scoreCol` DESC NULLS LAST, `tieCol`) quality prefix of
+    * WHOLE rows whose cumulative `weightCol` fits that stratum's
+    * budget — the way production training mixtures are actually
+    * specified ("this many tokens of web, that many of code"): the
+    * per-source composition of [[takeTokenBudget]], and the
+    * token-weighted complement of [[topKPerStratum]]'s doc-count cap.
+    * Strata missing from `budgets` are DROPPED (the
+    * [[takePerStratum]]/[[mixSample]] convention); a zero budget keeps
+    * nothing of its stratum; an over-corpus budget keeps everything.
+    *
+    * SQL spelling (ANSI; the q130 oracle is this form): with
+    * `b = budgets[stratum]`,
+    * {{{
+    *   SELECT * FROM t WHERE tie IS NOT NULL AND b IS NOT NULL
+    *   QUALIFY sum(w) OVER (PARTITION BY stratum
+    *             ORDER BY score DESC NULLS LAST, tie
+    *             ROWS UNBOUNDED PRECEDING) <= b
+    * }}}
+    * — one window task per stratum at scale; this operator computes
+    * the identical kept-set as a pure filter.
+    *
+    * Scale shape: the [[takeTokenBudget]] weighted-prefix machinery
+    * under the [[topFractionPerStratum]] threshold-MAP spelling. A
+    * slim (stratum-key, order-tuple, weight) projection is
+    * range-bucketed per stratum (grouped `approx_percentile` sketch
+    * over a hash sample), ONE slim exchange on (stratum, bucket) feeds
+    * one window pass (in-bucket rank, EXCLUSIVE running weight, bucket
+    * weight), rk==1 rows aggregate into per-stratum (bucket→weight
+    * map) ledger rows, and the per-stratum threshold tuple — max(ord)
+    * over rows whose ledger-walk base + inner + own weight fits that
+    * stratum's budget — lands in a ONE-ROW scalar map. The gate is
+    * `ord <= map[stratum]`: full rows never shuffle, never
+    * window-sort, and keep their input partitioning. The budget map
+    * itself rides a `typedLit` (model-sized: strata are
+    * sources/domains/languages). Kept sets are exact under sketch
+    * error by the same per-bucket-sums argument as
+    * [[qualityBudgetCut]]; weights must be non-negative integral
+    * (prefix monotonicity); null scores rank last; NaN after finite
+    * (module [[qualityOrd]] convention); null `tieCol` rows drop; a
+    * NULL stratum is addressable via its surrogate key only if the
+    * caller lists it. */
+  def takeTokenBudgetPerStratum(
+      df: DataFrame, stratumCol: String, scoreCol: String, tieCol: String,
+      weightCol: Column, budgets: Map[String, Long],
+      nBuckets: Int = 32): DataFrame = {
+    budgets.values.foreach(b =>
+      require(b >= 0L, "per-stratum budgets must be non-negative"))
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    requireNumericScore(df, scoreCol)
+    if (budgets.isEmpty) return df.filter(lit(false))
+    import org.apache.spark.sql.expressions.Window
+    val score = col(scoreCol)
+    def sk(stratum: Column): Column =
+      when(stratum.isNull, lit(NullStratumKey))
+        .otherwise(stratum.cast("string"))
+    def budgetOf(k: Column): Column = element_at(typedLit(budgets), k)
+    val bnd = df
+      .filter(col(tieCol).isNotNull &&
+        pmod(xxhash64(col(tieCol)), lit(16)) === 0)
+      .groupBy(sk(col(stratumCol)).as("__bs"))
+      .agg(percentile_approx(negate(score.cast("double")),
+        boundaryProbs(nBuckets), lit(100)).as("__bnds"))
+    val slim = df
+      .filter(col(tieCol).isNotNull)
+      .select(sk(col(stratumCol)).as("__sk"),
+        qualityOrd(score, col(tieCol)).as("__o"),
+        weightCol.cast("long").as("__tok"))
+      .filter(budgetOf(col("__sk")).isNotNull) // unlisted strata drop
+      .join(broadcast(bnd), col("__sk") === col("__bs"), "left")
+      .withColumn("__bucket",
+        when(col("__o").getField("__nf") === 1, lit(nBuckets))
+          .otherwise(when(col("__bnds").isNull, lit(0)).otherwise(
+            size(filter(col("__bnds"),
+              b => b < col("__o").getField("__ns"))))))
+      .drop("__bs", "__bnds")
+      .repartition(col("__sk"), col("__bucket"))
+    val w = Window.partitionBy(col("__sk"), col("__bucket"))
+      .orderBy(col("__o"))
+    val ranked = slim
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__inner", coalesce(sum(col("__tok")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__btot", sum(col("__tok")).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ledger = ranked
+      .filter(col("__rk") === 1)
+      .groupBy(col("__sk"))
+      .agg(map_from_entries(collect_list(
+        struct(col("__bucket"), col("__btot")))).as("__m"))
+      .select(col("__sk").as("__ls"), col("__m"))
+    val thrAgg = ranked
+      .join(broadcast(ledger), col("__sk") === col("__ls"))
+      .filter(
+        aggregate(map_entries(col("__m")), lit(0L),
+          (acc, e) => acc + when(e.getField("key") < col("__bucket"),
+            e.getField("value")).otherwise(lit(0L)))
+          + col("__inner") + col("__tok")
+          <= budgetOf(col("__sk")))
+      .groupBy(col("__sk"))
+      .agg(max(col("__o")).as("__thr"))
+      .agg(map_from_entries(collect_list(
+        struct(col("__sk"), col("__thr")))).as("t"))
+    val thr = graft.plans.Scalars.of(thrAgg)
+    df.filter(col(tieCol).isNotNull && coalesce(
+      qualityOrd(score, col(tieCol)) <=
+        element_at(thr, sk(col(stratumCol))), lit(false)))
+  }
+
   /** Map key standing in for a NULL stratum (map keys cannot be null).
     * Strata are cast to string for the threshold map; a real stratum
     * value equal to this sentinel would collide — vanishingly unlikely

@@ -2070,7 +2070,60 @@ object LlmOps {
         SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
                round(avg(q), 4) AS avg_q,
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        FROM kept GROUP BY lang ORDER BY lang"""))
+        FROM kept GROUP BY lang ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
+    // Per-SOURCE token budgets — how a production mixture is actually
+    // specified ("this many tokens of web, that many of code"): within
+    // each listed source keep the best whole documents until that
+    // source's token budget is spent; unlisted sources drop. The q125
+    // weighted-prefix machinery under the q128 threshold-map spelling —
+    // full rows never shuffle, the per-source cut lives in a one-row
+    // scalar map. Budgets exercise the edges: a zero budget (src0),
+    // partial cuts, and an over-corpus budget (src3, keeps all). The
+    // oracle recomputes the cut with the per-source window the Spark
+    // side deliberately avoids.
+    // ------------------------------------------------------------------
+    "q130_source_token_budget" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        val scored = Tables(s, dir, "documents")
+          .withColumn("q", T.typeTokenRatio(col("text")))
+          .withColumn("ntok", T.tokenCount(col("text")))
+        Sampling.takeTokenBudgetPerStratum(scored, "source", "q",
+            "doc_id", col("ntok"),
+            budgets = Map("src0" -> 0L, "src1" -> 700L, "src2" -> 900L,
+              "src3" -> 1000000L, "src19" -> 500L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("tok_used"),
+            round(avg(col("q")), 4).as("avg_q"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 len(string_split(text,' ')) AS ntok,
+                 round(len(list_distinct(string_split(text,' ')))::DOUBLE /
+                       len(string_split(text,' ')), 4) AS q
+          FROM documents),
+        budgeted AS (
+          SELECT *, CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 700
+                                WHEN 'src2' THEN 900 WHEN 'src3' THEN 1000000
+                                WHEN 'src19' THEN 500 END AS b
+          FROM scored),
+        kept AS (
+          SELECT * FROM budgeted WHERE b IS NOT NULL
+          QUALIFY sum(ntok) OVER (PARTITION BY source
+                    ORDER BY q DESC NULLS LAST, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  <= b)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS tok_used,
+               round(avg(q), 4) AS avg_q,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM kept GROUP BY source ORDER BY source"""))
   )
 }
 

@@ -594,6 +594,70 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("takeTokenBudgetPerStratum equals the per-stratum window brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    // tied scores, zero weights, null scores, null stratum, a stratum
+    // the budget map does not list, and budgets spanning 0 / partial /
+    // over-corpus
+    val rows = (1 to 500).map { i =>
+      val st = if (i % 97 == 0) None else Some(s"s${i % 5}")
+      val score = if (i % 13 == 0) None else Some(rng.nextInt(10) * 0.1)
+      (i.toLong, st, score, rng.nextInt(20).toLong)
+    }
+    val df = rows.toDF("id", "st", "score", "w")
+    val budgets = Map("s0" -> 0L, "s1" -> 300L, "s2" -> 1000000L,
+      "s3" -> 777L) // s4 and the null stratum unlisted -> dropped
+    val got = Sampling.takeTokenBudgetPerStratum(
+        df, "st", "score", "id", col("w"), budgets)
+      .select("id").as[Long].collect().toSet
+    val want = rows.groupBy(_._2).collect {
+      case (Some(st), g) if budgets.contains(st) =>
+        var acc = 0L
+        g.sortBy { case (id, _, s, _) => (s.isEmpty, -s.getOrElse(0.0), id) }
+          .flatMap { case (id, _, _, w) =>
+            acc += w
+            if (acc <= budgets(st)) Some(id) else None
+          }
+    }.flatten.toSet
+    assert(got === want && want.nonEmpty)
+    // empty budget map keeps nothing (and keeps the schema)
+    val none = Sampling.takeTokenBudgetPerStratum(
+      df, "st", "score", "id", col("w"), Map.empty)
+    assert(none.columns.toSeq === df.columns.toSeq && none.count() === 0)
+  }
+
+  test("takeTokenBudgetPerStratum: pure filter — full rows never shuffle " +
+      "or window-sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1L to 500L).map(i => (i, s"s${i % 3}", i * 0.5, i % 7))
+        .toDF("id", "st", "s", "w")
+      val plan = Sampling.takeTokenBudgetPerStratum(df, "st", "s", "id",
+          col("w"), Map("s0" -> 100L, "s1" -> 100L, "s2" -> 100L))
+        .queryExecution.executedPlan
+      val mainWindows = plan.collect { case w: WindowExec => w }
+      assert(mainWindows.isEmpty,
+        s"main plan must be a pure filter, found:\n${mainWindows.headOption}")
+      val mainExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(mainExchanges.isEmpty,
+        s"main plan must not shuffle the corpus:\n${mainExchanges.headOption}")
+      // every subquery window partitions on (stratum, bucket) — no
+      // one-task-per-stratum (single-key) window over raw rows, no
+      // unpartitioned window anywhere
+      val subWindows = plan.subqueriesAll.flatMap(_.collect {
+        case w: WindowExec => w
+      })
+      assert(subWindows.nonEmpty && subWindows.forall(_.partitionSpec.size == 2),
+        s"expected only (stratum, bucket) windows:\n${subWindows.headOption}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("one NaN ordering across rank kernels: finite desc, then NaN, then null") {
     import spark.implicits._
     // the module contract: NaN scores rank after every finite score
