@@ -103,7 +103,8 @@ object Dedup {
   private def prefixIndex(
       index: DataFrame, threshold: Double,
       maxDocFreq: Option[Int],
-      maxDocFreqRatio: Option[Double] = None): DataFrame = {
+      maxDocFreqRatio: Option[Double] = None,
+      nDocsAgg: Option[DataFrame] = None): DataFrame = {
     val kdf = index.groupBy("k").agg(count(lit(1)).as("kdf"))
     val wid = Window.partitionBy("id")
     val sized = index.join(kdf, "k")
@@ -111,7 +112,13 @@ object Dedup {
     // both caps supplied → both apply (the stricter one wins); a cap
     // the caller asked for is never silently ignored
     def relCap: Column = {
-      val nDocs = index.agg(countDistinct(col("id")).as("n_docs"))
+      // `nDocsAgg` (when the caller still holds the pre-explode docs):
+      // the same one-row count computed WITHOUT a pass over the
+      // exploded index — countDistinct over index ids equals a
+      // distinct count of non-null doc ids with >= 1 shingle, which
+      // the caller can evaluate on doc-level rows
+      val nDocs = nDocsAgg.getOrElse(
+        index.agg(countDistinct(col("id")).as("n_docs")))
       ceil(lit(maxDocFreqRatio.get) * scalarOf(nDocs))
     }
     val guarded = (maxDocFreq, maxDocFreqRatio) match {
@@ -124,7 +131,10 @@ object Dedup {
     guarded
       .withColumn("rn", row_number().over(wid.orderBy(col("kdf"), col("k"))))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("k", "id")
+      // sz (full pre-cap shingle count) and rn (prefix position in the
+      // global rarity order) ride along for the Jaccard-only candidate
+      // pruning filters; plain-key consumers just project them away
+      .select("k", "id", "sz", "rn")
   }
 
   /** Candidate pairs from any (k, id) candidate index: equi-join on the
@@ -134,6 +144,50 @@ object Dedup {
     val b = candIndex.select(col("k"), col("id").as("b_id"))
     a.join(b, Seq("k"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Candidate pairs for JACCARD >= threshold from a [[prefixIndex]]
+    * carrying (sz, rn), with two provably lossless PPJoin-style pruning
+    * filters (Xiao et al., public set-similarity-join literature)
+    * applied INSIDE the key join — before the pair-dedup exchange, so
+    * they cut shuffled candidate volume, not just verify fan-in:
+    *
+    *   - length filter: J >= t forces t·max(sz_a,sz_b) <= min(...), so
+    *     any pair failing `sz_a >= t·sz_b && sz_b >= t·sz_a` cannot
+    *     reach the threshold;
+    *   - positional filter: J >= t forces |A∩B| >= ceil(t/(1+t) ·
+    *     (sz_a+sz_b)); for a shared key at positions (rn_a, rn_b) of
+    *     the SAME global rarity order, shared elements split into
+    *     those strictly before (<= min(rn_a,rn_b) − 1 — each occupies
+    *     one earlier position in BOTH orders), this key (1), and those
+    *     after (<= min(sz_a−rn_a, sz_b−rn_b)), so
+    *     min(rn_a,rn_b) + min(sz_a−rn_a, sz_b−rn_b) upper-bounds the
+    *     overlap. Hyper-frequent grams dropped by a df-cap rank
+    *     strictly AFTER every kept gram (ascending-df order), so rn is
+    *     the true full-order position and sz is the full count — the
+    *     bound stays valid under either cap.
+    *
+    * A true pair passes both filters on EVERY shared-key row (the
+    * bounds hold per row), so no distinct-loss interaction exists;
+    * the randomized brute-force spec and the df-cap equality spec gate
+    * both. Only valid for Jaccard semantics — winnowing's containment
+    * score (|∩|/min) has no length constraint, so it stays on
+    * [[candidatePairs]]. */
+  private def candidatePairsJaccard(
+      prefix: DataFrame, threshold: Double): DataFrame = {
+    val a = prefix.select(col("k"), col("id").as("a_id"),
+      col("sz").as("a_sz"), col("rn").as("a_rn"))
+    val b = prefix.select(col("k"), col("id").as("b_id"),
+      col("sz").as("b_sz"), col("rn").as("b_rn"))
+    a.join(b, Seq("k"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_sz") >= lit(threshold) * col("b_sz") &&
+        col("b_sz") >= lit(threshold) * col("a_sz") &&
+        least(col("a_rn"), col("b_rn")) +
+          least(col("a_sz") - col("a_rn"), col("b_sz") - col("b_rn")) >=
+          ceil(lit(threshold / (1 + threshold)) *
+            (col("a_sz") + col("b_sz"))))
       .select("a_id", "b_id").distinct()
   }
 
@@ -205,8 +259,17 @@ object Dedup {
       else maxDocFreqRatio
     val index =
       shingleIndex(df, idCol, textCol, n, partitionCol, charLevel, spread)
-    val cands = candidatePairs(
-      prefixIndex(index, threshold, maxDocFreq, ratio))
+    // the relative df-cap's corpus count, computed on DOC-level rows
+    // (one scan of df, no explode): distinct non-null ids with >= 1
+    // shingle — exactly the ids the exploded index contains
+    val sh = if (charLevel) T.charShingles(col(textCol), n)
+      else T.wordShingles(col(textCol), n)
+    val nDocsAgg = df
+      .filter(col(idCol).isNotNull && size(sh) > 0)
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val cands = candidatePairsJaccard(
+      prefixIndex(index, threshold, maxDocFreq, ratio, Some(nDocsAgg)),
+      threshold)
     verifyPairs(cands, index, threshold)
   }
 
@@ -503,7 +566,11 @@ object Dedup {
       restrictOldSide: Boolean = false,
       oldMaxDocFreq: Option[Int] = None): DataFrame = {
     val newPrefix = prefixIndex(ni, threshold, maxDocFreq, maxDocFreqRatio)
-    val nnCands = candidatePairs(newPrefix)
+    // new×new is plain Jaccard over the batch — the lossless length +
+    // positional pruning applies; new×old keeps the plain key join
+    // (the old side carries no sz/rn, and computing them would cost
+    // the very corpus pass this path exists to avoid)
+    val nnCands = candidatePairsJaccard(newPrefix, threshold)
     // the old rows probed by the batch's prefix keys; with the cap on,
     // hot keys are screened by their df WITHIN this probed subset
     // (equal to their full old df — a key either matches or not), so
