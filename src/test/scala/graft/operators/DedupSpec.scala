@@ -72,6 +72,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccard candidate pruning survives extreme doc-size skew") {
+    // regime where the PPJoin length filter actually FIRES (size
+    // ratios far beyond t, so short-vs-long candidate pairs are pruned
+    // in-join) and the positional bound prunes late-prefix collisions:
+    // tiny docs, huge docs, and exact twins of both, at a high
+    // threshold. Output must still equal brute force exactly.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (1L to 30L).map { id =>
+      // lengths span 5..120 words — ratio 24x, so at t=0.6 the length
+      // filter prunes most cross-size candidates
+      val len = if (id % 3 == 0) 5 + rnd.nextInt(4)
+        else if (id % 3 == 1) 40 + rnd.nextInt(20)
+        else 100 + rnd.nextInt(20)
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } ++ Seq(  // exact twins (J = 1.0) at both extremes
+      31L -> "a b c d e f g",
+      32L -> "a b c d e f g")
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    for (threshold <- Seq(0.4, 0.6)) {
+      val expected = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a < b
+        sa = shingles(ta); sb = shingles(tb)
+        inter = (sa & sb).size
+        j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= threshold
+      } yield (a, b, j)).toSet
+      val got = Dedup.ngramJaccardPairs(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = threshold)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"threshold=$threshold")
+      assert(got.exists { case (a, b, _) => a == 31L && b == 32L },
+        "exact twins must survive every pruning filter")
+    }
+  }
+
   test("incremental dedup equals full recompute filtered to new-touching pairs") {
     val isNew = col("doc_id") % 2 === 0
     val inc = Dedup.incrementalJaccardPairs(
