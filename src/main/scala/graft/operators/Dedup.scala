@@ -128,9 +128,19 @@ object Dedup {
       case (None, Some(_)) => sized.filter(col("kdf") <= relCap)
       case _ => sized
     }
+    // prefix length from threshold − 0.001, NOT threshold: downstream
+    // verification (and every oracle) admits by round(value, 3) >= t,
+    // so a pair with true score as low as t − 0.0005 is a legitimate
+    // output; a prefix sized for score >= t exactly would be allowed
+    // to miss it (all O shared keys could sit exactly in the
+    // ceil(t·sz) − 1 suffix). With t_s = t − 0.001: an admitted pair
+    // has O > t_s·sz >= ceil(t_s·sz) − 1 = |suffix|, so a shared
+    // prefix key exists — the pigeonhole survives the admission band.
+    // Cost: prefixes grow by at most 0.001·sz + 1 keys.
+    val ts = math.max(0.0, threshold - 0.001)
     guarded
       .withColumn("rn", row_number().over(wid.orderBy(col("kdf"), col("k"))))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("rn") <= col("sz") - ceil(lit(ts) * col("sz")) + 1)
       // sz (full pre-cap shingle count) and rn (prefix position in the
       // global rarity order) ride along for the Jaccard-only candidate
       // pruning filters; plain-key consumers just project them away
@@ -173,21 +183,33 @@ object Dedup {
     * the randomized brute-force spec and the df-cap equality spec gate
     * both. Only valid for Jaccard semantics — winnowing's containment
     * score (|∩|/min) has no length constraint, so it stays on
-    * [[candidatePairs]]. */
+    * [[candidatePairs]].
+    *
+    * Both bounds are evaluated at `threshold − 0.001`, not `threshold`:
+    * [[verifyPairs]] (and every DuckDB oracle) admits by the ROUNDED
+    * value `round(J, 3) >= t`, so a pair with true J as low as
+    * t − 0.0005 is a legitimate output — pruning derived from J >= t
+    * exactly would be allowed to drop it. The 0.001 slack strictly
+    * covers that admission band plus any float-product ulp (the
+    * overlap bound is also spelled multiplicatively, ub·(1+t) >= t·Σsz,
+    * rather than via ceil() of a double, whose upward ulp on an
+    * integral product would over-tighten the requirement by one). A
+    * threshold <= 0.001 degenerates to no pruning — safe, not wrong. */
   private def candidatePairsJaccard(
       prefix: DataFrame, threshold: Double): DataFrame = {
+    val ts = math.max(0.0, threshold - 0.001)
     val a = prefix.select(col("k"), col("id").as("a_id"),
       col("sz").as("a_sz"), col("rn").as("a_rn"))
     val b = prefix.select(col("k"), col("id").as("b_id"),
       col("sz").as("b_sz"), col("rn").as("b_rn"))
     a.join(b, Seq("k"))
       .filter(col("a_id") < col("b_id") &&
-        col("a_sz") >= lit(threshold) * col("b_sz") &&
-        col("b_sz") >= lit(threshold) * col("a_sz") &&
-        least(col("a_rn"), col("b_rn")) +
-          least(col("a_sz") - col("a_rn"), col("b_sz") - col("b_rn")) >=
-          ceil(lit(threshold / (1 + threshold)) *
-            (col("a_sz") + col("b_sz"))))
+        col("a_sz") >= lit(ts) * col("b_sz") &&
+        col("b_sz") >= lit(ts) * col("a_sz") &&
+        (least(col("a_rn"), col("b_rn")) +
+          least(col("a_sz") - col("a_rn"), col("b_sz") - col("b_rn")))
+          .cast("double") * lit(1.0 + ts) >=
+          lit(ts) * (col("a_sz") + col("b_sz")))
       .select("a_id", "b_id").distinct()
   }
 

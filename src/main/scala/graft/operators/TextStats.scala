@@ -409,4 +409,22 @@ object TextStats {
       .withColumn("score", col("score_milli").cast("double") / 1000.0)
       .withColumn("keep", col("score_milli") > 0L)
   }
+
+  /** Per-document Shannon-entropy quality profile (word entropy, code-
+    * point entropy, top-token mass) — see
+    * [[graft.plans.TextEntropyExpr]] for the kernel and its contracts.
+    * One per-row pass, no shuffle; the struct is projected once and
+    * fields extracted from the projected attribute (the
+    * [[graft.plans.HashedBowScoreExpr]] consumer rule). */
+  def entropyProfile(
+      df: DataFrame, idCol: String, textCol: String,
+      decimals: Int = 4): DataFrame = {
+    import graft.plans.TextModelExpressions
+    df.select(col(idCol),
+        TextModelExpressions.textEntropy(col(textCol)).as("e"))
+      .select(col(idCol),
+        round(col("e.word_entropy"), decimals).as("word_entropy"),
+        round(col("e.char_entropy"), decimals).as("char_entropy"),
+        round(col("e.top_token_share"), decimals).as("top_token_share"))
+  }
 }

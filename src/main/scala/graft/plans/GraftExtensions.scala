@@ -79,6 +79,12 @@ object GraftExtensions {
       "graft_simhash64(text) - 64-bit SimHash of whitespace tokens",
       args => { arity(args, 1, "graft_simhash64")
         SimHash64Expr(args.head) }),
+    ("graft_text_entropy",
+      "graft_text_entropy(text) - Shannon-entropy quality profile: " +
+        "struct(word_entropy, char_entropy, top_token_share) in one " +
+        "per-row pass (bits; code points include spaces)",
+      args => { arity(args, 1, "graft_text_entropy")
+        TextEntropyExpr(args.head) }),
     ("graft_winnow_fingerprint",
       "graft_winnow_fingerprint(text, k, w) - winnowed k-gram fingerprints",
       args => { arity(args, 3, "graft_winnow_fingerprint")

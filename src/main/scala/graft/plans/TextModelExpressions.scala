@@ -82,8 +82,95 @@ case class HashedBowScoreExpr(
   override def prettyName: String = "hashed_bow_score"
 }
 
+/** One-pass Shannon-entropy profile of a document — the
+  * information-theoretic quality signals (Shannon 1948; the
+  * low-entropy/gibberish heuristics of public curation stacks such as
+  * RedPajama-v2's quality-signal set): degenerate repetitive text
+  * scores near-zero word entropy, random-noise text scores near-max
+  * character entropy, and a single token dominating the document shows
+  * up as `top_token_share` → 1.
+  *
+  * Output: struct<word_entropy: double, char_entropy: double,
+  * top_token_share: double>.
+  *   - `word_entropy`   = H over whitespace-token frequencies, in bits,
+  *     computed as log2(n) − Σ c·log2(c) / n (the algebraic form a SQL
+  *     oracle reproduces from per-token group counts);
+  *   - `char_entropy`   = the same H over Unicode CODE POINTS
+  *     (including spaces — DuckDB's `string_split(text,'')` unit, so
+  *     the oracle splits identically); 0.0 for an empty string;
+  *   - `top_token_share` = max token count / n — the mass of the
+  *     single most frequent token.
+  *
+  * Same consumer contract as [[HashedBowScoreExpr]]: project the
+  * struct once, extract fields from the projected attribute.
+  *
+  * Scale contract: per-row expression — no shuffle, no explode, O(len)
+  * time and O(distinct tokens) space per document, preserves input
+  * partitioning. Reference analogue: a per-row Map transform
+  * (`/root/reference/pipeline.go:84`).
+  */
+case class TextEntropyExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"text_entropy expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("word_entropy", DoubleType, nullable = false),
+    StructField("char_entropy", DoubleType, nullable = false),
+    StructField("top_token_share", DoubleType, nullable = false)))
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // words: split(" ", -1) — Spark's split() semantics (keeps empty
+    // tokens), matching DuckDB string_split(text, ' ')
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    val wc = new java.util.HashMap[String, Int](n * 2)
+    var i = 0
+    while (i < n) { wc.merge(toks(i), 1, Integer.sum _); i += 1 }
+    var wAcc = 0.0
+    var maxC = 0
+    val wIt = wc.values().iterator()
+    while (wIt.hasNext) {
+      val c = wIt.next()
+      wAcc += c * log2(c.toDouble)
+      if (c > maxC) maxC = c
+    }
+    val wordH = log2(n.toDouble) - wAcc / n
+    // chars: Unicode code points, spaces included
+    val cc = new java.util.HashMap[Integer, Int](math.min(s.length, 64) * 2)
+    var m = 0
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      cc.merge(cp, 1, Integer.sum _)
+      m += 1
+      j += Character.charCount(cp)
+    }
+    var cAcc = 0.0
+    val cIt = cc.values().iterator()
+    while (cIt.hasNext) { val c = cIt.next(); cAcc += c * log2(c.toDouble) }
+    val charH = if (m == 0) 0.0 else log2(m.toDouble) - cAcc / m
+    new GenericInternalRow(Array[Any](
+      wordH, charH, maxC.toDouble / n))
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextEntropyExpr =
+    copy(child = c)
+  override def prettyName: String = "text_entropy"
+}
+
 object TextModelExpressions {
   def hashedBowScore(text: Column, dims: Int, weightsMilli: Array[Long]): Column =
     GraftSqlBridge.column(
       HashedBowScoreExpr(GraftSqlBridge.expression(text), dims, weightsMilli))
+
+  def textEntropy(text: Column): Column =
+    GraftSqlBridge.column(TextEntropyExpr(GraftSqlBridge.expression(text)))
 }

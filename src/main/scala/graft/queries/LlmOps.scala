@@ -2123,7 +2123,48 @@ object LlmOps {
                CAST(sum(ntok) AS BIGINT) AS tok_used,
                round(avg(q), 4) AS avg_q,
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        FROM kept GROUP BY source ORDER BY source"""))
+        FROM kept GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // Information-theoretic quality profile (Shannon entropy —
+    // the low-entropy/gibberish signal family of public curation
+    // stacks, e.g. RedPajama-v2's quality-signal set): per-doc word
+    // entropy, code-point entropy, and top-token mass from ONE native
+    // per-row pass ([[graft.plans.TextEntropyExpr]] — no shuffle, no
+    // explode). The oracle recomputes all three from unnest+group
+    // counts using the same algebraic form, log2(n) − Σ c·log2 c / n.
+    // ------------------------------------------------------------------
+    "q131_entropy_profile" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.entropyProfile(Tables(s, dir, "documents"),
+          "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 string_split(text, '') AS chs
+          FROM documents),
+        wg AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+          GROUP BY doc_id, tok),
+        ws AS (
+          SELECT doc_id, sum(c * log2(c)) AS s, max(c) AS maxc
+          FROM wg GROUP BY doc_id),
+        cg AS (
+          SELECT doc_id, ch, count(*) AS c
+          FROM (SELECT doc_id, unnest(chs) AS ch FROM t)
+          GROUP BY doc_id, ch),
+        cs AS (SELECT doc_id, sum(c * log2(c)) AS s FROM cg GROUP BY doc_id)
+        SELECT t.doc_id AS doc_id,
+               round(log2(len(toks)) - ws.s / len(toks), 4) AS word_entropy,
+               round(log2(len(chs)) - cs.s / len(chs), 4) AS char_entropy,
+               round(ws.maxc::DOUBLE / len(toks), 4) AS top_token_share
+        FROM t JOIN ws ON ws.doc_id = t.doc_id
+               JOIN cs ON cs.doc_id = t.doc_id
+        ORDER BY t.doc_id"""))
   )
 }
 

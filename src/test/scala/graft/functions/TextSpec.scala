@@ -95,4 +95,50 @@ class TextSpec extends SparkSpec {
     val r = one("the cat and the dog", stopwordRatio(col("text"), Seq("the", "and")))
     assert(r === 0.6)
   }
+
+  test("entropy profile: known answers and brute-force equality") {
+    import graft.plans.TextModelExpressions.textEntropy
+    def profile(s: String): (Double, Double, Double) = {
+      val r = one(s, textEntropy(col("text")))
+        .asInstanceOf[org.apache.spark.sql.Row]
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    // degenerate repetition: one token type → word entropy exactly 0,
+    // top share 1
+    val (wh0, _, ts0) = profile("a a a a")
+    assert(wh0 === 0.0 && ts0 === 1.0)
+    // four equiprobable tokens → exactly 2 bits
+    val (wh2, _, ts4) = profile("a b c d")
+    assert(math.abs(wh2 - 2.0) < 1e-12 && ts4 === 0.25)
+    // char side counts code points incl. spaces: "ab" = {a, b} → 1 bit
+    val (_, ch1, _) = profile("ab")
+    assert(math.abs(ch1 - 1.0) < 1e-12)
+    // supplementary characters count as ONE code point: a surrogate
+    // pair repeated twice has a 1-codepoint alphabet → 0 bits
+    val (_, chSupp, _) = profile("😀😀")
+    assert(chSupp === 0.0)
+    // randomized brute-force equality against an in-test computation
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("a", "bb", "c", "d", "é", "汉")
+    def brute(s: String): (Double, Double, Double) = {
+      def h[A](xs: Seq[A]): Double = {
+        val n = xs.length.toDouble
+        val byC = xs.groupBy(identity).values.map(_.length.toDouble)
+        math.log(n) / math.log(2) -
+          byC.map(c => c * math.log(c) / math.log(2)).sum / n
+      }
+      val toks = s.split(" ", -1).toSeq
+      val cps = s.codePoints().toArray.toSeq
+      val top = toks.groupBy(identity).values.map(_.length).max
+      (h(toks), h(cps), top.toDouble / toks.length)
+    }
+    for (_ <- 1 to 20) {
+      val s = Seq.fill(3 + rnd.nextInt(30))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val (gw, gc, gt) = profile(s)
+      val (bw, bc, bt) = brute(s)
+      assert(math.abs(gw - bw) < 1e-9 && math.abs(gc - bc) < 1e-9 &&
+        math.abs(gt - bt) < 1e-12, s"text=$s")
+    }
+  }
 }

@@ -142,4 +142,27 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("NULL"))
   }
+
+  test("graft_text_entropy: SQL matches the operator") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "汉 字 汉"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("ent_docs")
+    val got = spark.sql(
+      "SELECT doc_id, graft_text_entropy(text) AS e FROM ent_docs")
+      .select($"doc_id",
+        round($"e.word_entropy", 4), round($"e.char_entropy", 4),
+        round($"e.top_token_share", 4))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val want = graft.operators.TextStats
+      .entropyProfile(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === want)
+    assert(got(1L)._1 === 0.0 && got(1L)._3 === 1.0)
+  }
 }
