@@ -586,6 +586,9 @@ object SketchExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def gumbelKey(id: Column, seed: Long): Column =
+    GraftSqlBridge.column(GumbelKeyExpr(GraftSqlBridge.expression(id), seed))
 }
 
 /** Distinct word n-gram shingles in first-occurrence order. The HOF
@@ -938,4 +941,45 @@ object SampleKeyExpr {
     * "never selected" realization. */
   private[plans] val NullKeySentinel: UTF8String =
     UTF8String.fromString("g" * 32)
+}
+
+/** Seeded standard-Gumbel noise keyed by a 64-bit row id — the
+  * Gumbel-top-k sampling device (adding iid Gumbel(0,1) noise to
+  * per-item log-weights and taking the top k draws a weighted sample
+  * WITHOUT replacement with inclusion order distributed as the
+  * softmax of the weights; Gumbel 1954 / the Gumbel-max trick,
+  * public literature — the sampler DSIR-style importance resampling
+  * prescribes over log importance weights).
+  *
+  * Derivation is a pure integer path up to the last two `ln`s, so the
+  * draw is deterministic per (id, seed) and reproducible across
+  * engines: h = splitmix64(id · 0x9e3779b97f4a7c15 + seed), then
+  * u = ((h >>> 11) + 0.5) / 2^53 — strictly inside (0, 1), so neither
+  * log can hit 0 or infinity — and g = −ln(−ln(u)). Engine-side float
+  * `ln` may differ in the last ulp, which is why oracle-gated
+  * consumers round the final (logw + g) key; see
+  * [[graft.operators.Dsir.gumbelTopK]].
+  */
+case class GumbelKeyExpr(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gumbel_key expects bigint id, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val id = input.asInstanceOf[Long]
+    val h = graft.functions.VectorFunctions.Planes
+      .splitmix64(id * 0x9e3779b97f4a7c15L + seed)
+    val u = ((h >>> 11).toDouble + 0.5) / 9007199254740992.0
+    -math.log(-math.log(u))
+  }
+
+  override protected def withNewChildInternal(c: Expression): GumbelKeyExpr =
+    copy(child = c)
+  override def prettyName: String = "gumbel_key"
 }

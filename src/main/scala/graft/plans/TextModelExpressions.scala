@@ -166,6 +166,60 @@ case class TextEntropyExpr(child: Expression)
   override def prettyName: String = "text_entropy"
 }
 
+/** The hashed feature STREAM of a document — every unigram and
+  * word-bigram occurrence mapped to its bucket id in [0, dims) — as an
+  * array<long>. The feature definition, tokenization (Java
+  * `split(' ')`: trailing empties dropped, `""` yields one empty
+  * token) and hash (FNV-1a + splitmix64, floor-mod bucketing) are
+  * IDENTICAL to [[HashedBowScoreExpr]]'s, byte for byte: q120's
+  * DuckDB oracle emulation
+  * ([[graft.queries.PortableHashSql]]) therefore ports this expression
+  * too. Split out from the scorer because distribution-estimating
+  * consumers (DSIR importance weighting, [[graft.operators.Dsir]])
+  * need the per-occurrence bucket stream to AGGREGATE over corpora,
+  * not a per-doc weighted sum against a fixed table.
+  *
+  * Scale contract: per-row expression, O(len) time, output bounded by
+  * 2·tokens−1 entries; the explode a consumer applies is the same
+  * per-doc-bounded shape as the shingle indexes. Null text → null.
+  */
+case class HashedFeatureBucketsExpr(child: Expression, dims: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dims > 0, "hashed_feature_buckets: dims must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_feature_buckets expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(' ')
+    val out = new Array[Any](math.max(0, 2 * toks.length - 1))
+    var o = 0
+    def add(f: String): Unit = {
+      val h = graft.functions.HashFunctions.hash64(f)
+      out(o) = ((h % dims) + dims) % dims
+      o += 1
+    }
+    var i = 0
+    while (i < toks.length) {
+      add(toks(i))
+      if (i + 1 < toks.length) add(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (o == out.length) out else out.take(o))
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): HashedFeatureBucketsExpr = copy(child = c)
+  override def prettyName: String = "hashed_feature_buckets"
+}
+
 object TextModelExpressions {
   def hashedBowScore(text: Column, dims: Int, weightsMilli: Array[Long]): Column =
     GraftSqlBridge.column(
@@ -173,4 +227,8 @@ object TextModelExpressions {
 
   def textEntropy(text: Column): Column =
     GraftSqlBridge.column(TextEntropyExpr(GraftSqlBridge.expression(text)))
+
+  def hashedFeatureBuckets(text: Column, dims: Int): Column =
+    GraftSqlBridge.column(
+      HashedFeatureBucketsExpr(GraftSqlBridge.expression(text), dims))
 }

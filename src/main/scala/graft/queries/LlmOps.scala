@@ -2164,7 +2164,44 @@ object LlmOps {
                round(ws.maxc::DOUBLE / len(toks), 4) AS top_token_share
         FROM t JOIN ws ON ws.doc_id = t.doc_id
                JOIN cs ON cs.doc_id = t.doc_id
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // DSIR importance weighting + resampling (Xie et al. 2023,
+    // arXiv:2302.03169): hashed-bigram bucket models for target
+    // (source = 'src0') vs the full raw corpus, per-doc log importance
+    // weight, then Gumbel-top-k resampling. See
+    // [[graft.operators.Dsir]] for the scale contracts; the oracle
+    // replays the q120 hash toolkit + the same four-ln λ chain.
+    // ------------------------------------------------------------------
+    "q132_dsir_weights" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Dsir
+        val docs = Tables(s, dir, "documents")
+        Dsir.importanceWeights(
+          docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text", dims = 4096, alpha = 1.0)
+          .select(col("id").as("doc_id"), col("n_features"), col("logw"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(PortableHashSql.dsirWeightsSql(
+        dims = 4096, alpha = 1.0, targetWhere = "source = 'src0'"))),
+
+    "q133_dsir_resample" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Dsir
+        val docs = Tables(s, dir, "documents")
+        val w = Dsir.importanceWeights(
+          docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text", dims = 4096, alpha = 1.0)
+        Dsir.gumbelTopK(w, "id", "logw", k = 100, seed = Some(7L))
+          .select(col("id").as("doc_id"), col("rank"),
+            col("key"), col("logw"))
+          .orderBy("rank")
+      },
+      oracle = Some(PortableHashSql.dsirTopKSql(
+        dims = 4096, alpha = 1.0, targetWhere = "source = 'src0'",
+        k = 100, seed = 7L)))
   )
 }
 
