@@ -578,4 +578,57 @@ object Similarity {
     }
     out
   }
+
+  /** Embedding-space outlier scoring against per-GROUP mean centroids —
+    * the "does this vector even belong to its cohort" scrub of
+    * embedding-curation pipelines (off-topic/noise removal before
+    * semantic dedup or coverage sampling): each vector is scored by
+    * cosine against the mean embedding of its group (label, language,
+    * source, cluster id …) and flagged when the ROUNDED cosine falls
+    * below `threshold`.
+    *
+    * Scale shape, fully distributed end to end (unlike the k-means
+    * engines, this trains nothing on the driver):
+    *   - centroid estimation is `posexplode` → partial+final `avg` on
+    *     the (group, dim) key — map-side partial aggregation collapses
+    *     the dim-exploded stream before it ships, so the shuffle is
+    *     bounded by partitions × groups × dims rows, never corpus-sized;
+    *   - the centroid table (groups × dims doubles) joins back under an
+    *     explicit `broadcast()` — model-sized by the same contract as
+    *     the IVF centroid lists;
+    *   - scoring is the fused [[graft.plans.DotProduct]] per row, norms
+    *     precomputed per side.
+    * The input lineage is consumed twice (centroid agg + scoring) — the
+    * documented no-persist two-pass trade ([[Dedup.dupSpanScrub]]).
+    *
+    * Float contract: centroid components are float `avg`s (summation
+    * order differs between engines and runs by last-ulps), so the
+    * cosine is rounded to 4 decimals BEFORE the threshold compare —
+    * the flag is then a pure function of the gate-compared value.
+    * Rows with a null group or vector keep their null cosine and a
+    * null flag; a zero-norm vector yields NaN (0/0), documented.
+    */
+  def centroidCosineOutliers(
+      df: DataFrame, idCol: String, vecCol: String, groupCol: String,
+      threshold: Double, spread: Boolean = true): DataFrame = {
+    val base = maybeSpread(df, spread).select(
+      col(idCol).as("id"), col(groupCol).as("grp"),
+      V.toDouble(col(vecCol)).as("v"))
+    val comp = base
+      .select(col("grp"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+    val centroids = comp
+      .groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"))
+      .withColumn("cn", sqrt(DotProduct(col("c"), col("c"))))
+    base
+      .withColumn("vn", sqrt(DotProduct(col("v"), col("v"))))
+      .join(broadcast(centroids), Seq("grp"), "left_outer")
+      .withColumn("cos_centroid",
+        round(DotProduct(col("v"), col("c")) / (col("vn") * col("cn")), 4))
+      .select(col("id"), col("grp"), col("cos_centroid"),
+        (col("cos_centroid") < threshold).as("is_outlier"))
+  }
 }

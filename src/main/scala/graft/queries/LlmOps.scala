@@ -2201,7 +2201,41 @@ object LlmOps {
       },
       oracle = Some(PortableHashSql.dsirTopKSql(
         dims = 4096, alpha = 1.0, targetWhere = "source = 'src0'",
-        k = 100, seed = 7L)))
+        k = 100, seed = 7L))),
+
+    // ------------------------------------------------------------------
+    // Embedding-space outlier scrub: cosine of every vector against its
+    // LABEL-group mean centroid, flagged below 0.0 (pointing away from
+    // its cohort) — the off-topic/noise removal step before semantic
+    // dedup. Centroids are distributed (group, dim)-keyed avg
+    // aggregates (no driver training), broadcast back for the fused
+    // dot-product scoring; see Similarity.centroidCosineOutliers.
+    // ------------------------------------------------------------------
+    "q134_embedding_outliers" -> Q(
+      fn = (s, dir) => {
+        Similarity.centroidCosineOutliers(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", "label",
+          threshold = 0.0)
+          .select(col("id").as("vec_id"), col("grp").as("label"),
+            col("cos_centroid"), col("is_outlier"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        d AS (SELECT label, unnest(v) AS x,
+                     generate_subscripts(v, 1) AS i FROM e),
+        m AS (SELECT label, i, avg(x) AS m FROM d GROUP BY label, i),
+        c AS (SELECT label, list(m ORDER BY i) AS c FROM m GROUP BY label),
+        sc AS (
+          SELECT e.vec_id, e.label,
+                 round(list_inner_product(e.v, c.c) /
+                   (sqrt(list_inner_product(e.v, e.v)) *
+                    sqrt(list_inner_product(c.c, c.c))), 4) AS cos_centroid
+          FROM e JOIN c USING (label))
+        SELECT vec_id, label, cos_centroid,
+               cos_centroid < 0.0 AS is_outlier
+        FROM sc ORDER BY vec_id"""))
   )
 }
 

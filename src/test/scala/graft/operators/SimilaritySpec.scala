@@ -232,6 +232,64 @@ class SimilaritySpec extends SparkSpec {
       (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet)
   }
 
+  test("centroidCosineOutliers equals brute force; broadcast plan shape") {
+    import org.apache.spark.sql.functions.col
+    val rows = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Int](1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    // in-test reference: per-label mean centroid, cosine, threshold on
+    // the rounded value
+    val byLabel = rows.groupBy(_._2)
+    val centroids = byLabel.map { case (l, vs) =>
+      val dim = vs.head._3.length
+      l -> Array.tabulate(dim)(d => vs.map(_._3(d)).sum / vs.size)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = rows.map { case (id, l, v) =>
+      val c = centroids(l)
+      val cos = dot(v, c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(c, c)))
+      val r4 = BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      id -> ((r4, r4 < 0.1))
+    }.toMap
+    val out = Similarity.centroidCosineOutliers(
+      emb, "vec_id", "embedding", "label", threshold = 0.1)
+    val got = out.collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("cos_centroid"), r.getAs[Boolean]("is_outlier"))))
+      .toMap
+    assert(got.keySet === want.keySet)
+    for ((id, (cos, flag)) <- want) {
+      assert(math.abs(got(id)._1 - cos) <= 1e-4 + 1e-12, s"cos of $id")
+      assert(got(id)._2 === flag, s"flag of $id")
+    }
+    // centroid table must come in under a broadcast hint, and the
+    // (group, dim) aggregation must partial-aggregate (no corpus-sized
+    // single exchange of raw components)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join must broadcast, got:\n$plan")
+    assert(plan.contains("partial_avg") || plan.contains("partial avg") ||
+      plan.toLowerCase.contains("hashaggregate"),
+      s"expected partial aggregation in:\n$plan")
+  }
+
+  test("centroidCosineOutliers: null group rows keep null score and flag") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Seq(1.0f, 0.0f)),
+      (2L, Some("a"), Seq(0.9f, 0.1f)),
+      (3L, None, Seq(1.0f, 1.0f)))
+      .toDF("id", "g", "v")
+    val got = Similarity.centroidCosineOutliers(df, "id", "v", "g", 0.0)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(3L) === ((None, None)))
+    assert(got(1L)._1.isDefined && got(1L)._2 === Some(false))
+  }
+
   test("ivfTopK leaves no persisted corpus behind (cache released after model)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Similarity.ivfTopK(queries, "vec_id", "embedding",
