@@ -410,6 +410,54 @@ object TextStats {
       .withColumn("keep", col("score_milli") > 0L)
   }
 
+  /** Corpus diversity profile per group (source, language, domain …) —
+    * the lexical-diversity report curation stacks run before fixing a
+    * training mixture (Gopher's repetition analyses at corpus grain;
+    * type-token ratio is the classic lexical-diversity statistic):
+    * per group, document/token/type counts, type-token ratio, and
+    * distinct-vs-total word n-gram diversity (a low gram ratio = the
+    * source keeps repeating the same phrases — boilerplate-heavy or
+    * template-generated).
+    *
+    * Scale shape: three partial+final aggregations on the group key
+    * (docs; tokens with a distinct-count; n-grams with a
+    * distinct-count), joined on the tiny per-group result. The
+    * distinct counts are Spark's two-phase distinct aggregate — keyed
+    * by (group, value) first, so no group becomes a single-task
+    * hotspot. Text never shuffles; the exploded streams collapse
+    * map-side into per-key counts. Output is one row per group.
+    */
+  def diversityProfile(
+      df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    val base = df.select(col(groupCol).as("grp"), col(textCol).as("text"))
+    val docs = base.groupBy("grp").agg(count(lit(1)).as("n_docs"))
+    val tk = base.select(col("grp"),
+      explode(split(col("text"), " ")).as("t"))
+    val tokAgg = tk.groupBy("grp").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("t")).as("n_types"))
+    val gr = base.select(col("grp"),
+      explode(graft.plans.SketchExpressions.wordNgrams(col("text"), n)).as("g"))
+    val gramAgg = gr.groupBy("grp").agg(
+      count(lit(1)).as("n_grams"),
+      countDistinct(col("g")).as("n_distinct_grams"))
+    docs
+      .join(tokAgg, Seq("grp"), "left_outer")
+      .join(gramAgg, Seq("grp"), "left_outer")
+      .select(col("grp"),
+        col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4)
+          .as("ttr"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"),
+        round(col("n_distinct_grams").cast("double") / col("n_grams"), 4)
+          .as("gram_diversity"))
+  }
+
   /** Per-document Shannon-entropy quality profile (word entropy, code-
     * point entropy, top-token mass) — see
     * [[graft.plans.TextEntropyExpr]] for the kernel and its contracts.

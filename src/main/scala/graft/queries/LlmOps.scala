@@ -2235,7 +2235,54 @@ object LlmOps {
           FROM e JOIN c USING (label))
         SELECT vec_id, label, cos_centroid,
                cos_centroid < 0.0 AS is_outlier
-        FROM sc ORDER BY vec_id"""))
+        FROM sc ORDER BY vec_id""")),
+
+    // ------------------------------------------------------------------
+    // Corpus diversity profile per source: doc/token/type counts,
+    // type-token ratio, distinct-vs-total word-3-gram diversity — the
+    // lexical-diversity report before fixing a training mixture. Three
+    // group-keyed partial+final aggregations (distinct counts two-phase
+    // on (group, value)); text never shuffles.
+    // ------------------------------------------------------------------
+    "q135_corpus_diversity" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.diversityProfile(Tables(s, dir, "documents"),
+          "source", "text", n = 3)
+          .select(col("grp").as("source"), col("n_docs"), col("n_tokens"),
+            col("n_types"), col("ttr"), col("n_grams"),
+            col("n_distinct_grams"), col("gram_diversity"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT source, string_split(text, ' ') AS tk FROM documents),
+        d AS (SELECT source, count(*) AS n_docs FROM documents
+              GROUP BY source),
+        tok AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT u) AS BIGINT) AS n_types
+          FROM (SELECT source, unnest(tk) AS u FROM t) GROUP BY source),
+        gr AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_grams
+          FROM (SELECT source,
+                       unnest([tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                               for i in range(len(tk)-2)]) AS g
+                FROM t)
+          GROUP BY source)
+        SELECT d.source, d.n_docs,
+               coalesce(tok.n_tokens, 0) AS n_tokens,
+               coalesce(tok.n_types, 0) AS n_types,
+               round(tok.n_types::DOUBLE / tok.n_tokens, 4) AS ttr,
+               coalesce(gr.n_grams, 0) AS n_grams,
+               coalesce(gr.n_distinct_grams, 0) AS n_distinct_grams,
+               round(gr.n_distinct_grams::DOUBLE / gr.n_grams, 4)
+                 AS gram_diversity
+        FROM d LEFT JOIN tok USING (source) LEFT JOIN gr USING (source)
+        ORDER BY d.source"""))
   )
 }
 

@@ -248,4 +248,42 @@ class TextStatsSpec extends SparkSpec {
       .collect()(0).getSeq[String](0)
     assert(uni === Seq("a", "😀", "b"))
   }
+
+  test("diversityProfile: exact counts on a hand-computed corpus") {
+    import spark.implicits._
+    val df = Seq(
+      ("web", "a b a b a b"),     // 6 toks, 2 types; 4 3-grams, 2 distinct
+      ("web", "a b c d"),         // 4 toks, 4 types; 2 3-grams, 2 distinct
+      ("code", "x x x x x"))      // 5 toks, 1 type; 3 3-grams, 1 distinct
+      .toDF("source", "text")
+    val got = TextStats.diversityProfile(df, "source", "text", n = 3)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    val web = got("web")
+    assert(web.getAs[Long]("n_docs") === 2L)
+    assert(web.getAs[Long]("n_tokens") === 10L)
+    assert(web.getAs[Long]("n_types") === 4L)   // a b c d
+    assert(web.getAs[Double]("ttr") === 0.4)
+    assert(web.getAs[Long]("n_grams") === 6L)
+    // "a b a", "b a b" (x2 each → distinct 2) + "a b c", "b c d"
+    assert(web.getAs[Long]("n_distinct_grams") === 4L)
+    val code = got("code")
+    assert(code.getAs[Long]("n_types") === 1L)
+    assert(code.getAs[Double]("ttr") === 0.2)
+    assert(code.getAs[Long]("n_distinct_grams") === 1L)
+    assert(code.getAs[Double]("gram_diversity") ===
+      BigDecimal(1.0 / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("diversityProfile: groups of only sub-n docs get zero gram counts") {
+    import spark.implicits._
+    val df = Seq(("tiny", "a b"), ("tiny", "c"))
+      .toDF("source", "text")
+    val r = TextStats.diversityProfile(df, "source", "text", n = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Long]("n_grams") === 0L)
+    assert(r.isNullAt(r.fieldIndex("gram_diversity")))
+  }
 }
