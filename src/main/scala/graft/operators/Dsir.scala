@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.plans.{Scalars, SketchExpressions => SK, TextModelExpressions => TM}
+import graft.plans.{SketchExpressions => SK, TextModelExpressions => TM}
 
 /** DSIR-style data selection via importance resampling (Xie et al.
   * 2023, "Data Selection for Language Models via Importance
@@ -57,23 +57,36 @@ object Dsir {
 
   /** Per-bucket log importance ratio λ_b over the RAW corpus' buckets
     * (buckets absent from raw can never be scored — raw docs are the
-    * only scoring subjects). Totals are second-stage sums over the
-    * ≤`dims`-row count aggregates, never extra passes over the
-    * feature streams; both enter the plan as lazy scalar subqueries.
+    * only scoring subjects). The corpus totals N_raw/N_target ride an
+    * UNPARTITIONED window over the full-outer-joined bucket aggregate —
+    * a single task over at most 2·`dims` rows, bounded by the same
+    * executor-memory contract the broadcast λ table already imposes —
+    * instead of scalar subqueries, whose separate executions would
+    * re-derive a full feature pass each (measured: the subquery
+    * spelling doubled the query's corpus passes and tripled its job
+    * count under a TakeOrdered consumer). The full-outer join keeps
+    * target-only buckets IN the N_target sum (λ is then computed on
+    * the raw-present rows only).
     */
   private def bucketLogRatios(
       rawFeats: DataFrame, targetFeats: DataFrame,
       dims: Int, alpha: Double): DataFrame = {
     val rc = rawFeats.groupBy("b").agg(count(lit(1)).as("cr"))
     val tc = targetFeats.groupBy("b").agg(count(lit(1)).as("ct"))
-    val nr = Scalars.of(rc.agg(sum(col("cr")).as("nr")))
-    val nt = Scalars.of(tc.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
-    rc.join(tc, Seq("b"), "left_outer")
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    rc.join(tc, Seq("b"), "full_outer")
       .select(col("b"),
-        (log(coalesce(col("ct"), lit(0L)).cast("double") + lit(alpha)) -
-          log(nt.cast("double") + lit(alpha * dims)) -
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .withColumn("nr", sum(col("cr")).over(wAll))
+      .withColumn("nt", sum(col("ct")).over(wAll))
+      .filter(col("cr") > 0)
+      .select(col("b"),
+        (log(col("ct").cast("double") + lit(alpha)) -
+          log(col("nt").cast("double") + lit(alpha * dims)) -
           log(col("cr").cast("double") + lit(alpha)) +
-          log(nr.cast("double") + lit(alpha * dims))).as("lam"))
+          log(col("nr").cast("double") + lit(alpha * dims))).as("lam"))
   }
 
   /** Per-raw-document DSIR log importance weight. Output:
