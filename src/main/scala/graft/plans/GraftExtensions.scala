@@ -109,6 +109,13 @@ object GraftExtensions {
       args => { arity(args, 3, "graft_sample_key")
         SampleKeyExpr(args(0), args(1),
           intLit(args, 2, "graft_sample_key")) }),
+    ("graft_gumbel_key",
+      "graft_gumbel_key(id, seed) - seeded standard-Gumbel noise for a " +
+        "bigint id (Gumbel-top-k device: ORDER BY logw + " +
+        "graft_gumbel_key(id, seed) DESC LIMIT k draws a softmax(logw) " +
+        "weighted sample without replacement)",
+      args => { arity(args, 2, "graft_gumbel_key")
+        GumbelKeyExpr(args.head, longLit(args, 1, "graft_gumbel_key")) }),
     ("graft_dot_product",
       "graft_dot_product(a, b) - dot product of two double arrays",
       args => { arity(args, 2, "graft_dot_product")

@@ -143,6 +143,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("NULL"))
   }
 
+  test("graft_gumbel_key: SQL matches the kernel, seed changes the draw") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("id").createOrReplaceTempView("gk_ids")
+    val got = spark.sql(
+      "SELECT id, graft_gumbel_key(id, 7) AS g FROM gk_ids")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def kernel(id: Long, seed: Long): Double = {
+      val h = graft.functions.VectorFunctions.Planes
+        .splitmix64(id * 0x9e3779b97f4a7c15L + seed)
+      val u = ((h >>> 11).toDouble + 0.5) / 9007199254740992.0
+      -math.log(-math.log(u))
+    }
+    for (id <- 1L to 3L) assert(got(id) === kernel(id, 7L))
+    val other = spark.sql(
+      "SELECT id, graft_gumbel_key(id, 8) AS g FROM gk_ids")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(other !== got)
+  }
+
   test("graft_text_entropy: SQL matches the operator") {
     GraftExtensions.register(spark)
     import spark.implicits._
