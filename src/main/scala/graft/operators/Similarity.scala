@@ -579,6 +579,63 @@ object Similarity {
     out
   }
 
+  /** Approximate k-nearest-neighbor GRAPH over the whole corpus — every
+    * vector's top-k neighbors by cosine, the substrate of graph-based
+    * curation analytics (SemDeDup's cluster inspection, diversity
+    * audits, label propagation). Same IVF pruning as
+    * [[Dedup.semanticPairs]]: k-means cells bound the candidate space
+    * to within-cell pairs (Σ|cell|² ≈ n·cellSize — linear in the
+    * corpus at fixed cell size), `probes` soft-assigns each vector to
+    * its nearest cells for boundary recall. Unlike the `*TopK` serving
+    * tiers there is no broadcast query side — BOTH sides of the cell
+    * join are the corpus, so the graph build is one shuffled equi-join
+    * on the cell id however large the corpus is.
+    *
+    * Ranking is a per-query window over the probed candidates —
+    * partitioned by query id, so the sort is bounded by
+    * probes·cellSize rows per query, never corpus-wide. Reported
+    * cosines are exact ([[DotProduct]] on the raw vectors); recall < 1
+    * is the IVF trade (a true neighbor in an unprobed cell is missed),
+    * measured against brute force in SimilaritySpec. Output matches
+    * the serving tiers: (query_id, rank, neighbor_id, cosine), ties
+    * broken by neighbor id. Like q29/q85, the trained centroid space
+    * is engine-local — content-golden gating, no SQL oracle.
+    */
+  def knnGraph(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int = 0, targetCellSize: Int = 512, probes: Int = 1,
+      seed: Long = 42L, lloydIters: Int = 2,
+      spread: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(targetCellSize > 0, "targetCellSize must be positive")
+    require(probes >= 1, "probes must be at least 1")
+    val c = maybeSpread(df, spread)
+      .select(col(idCol).as("id"), V.toDouble(col(vecCol)).as("v"))
+    val kc =
+      if (nCells > 0) nCells
+      else math.min(Dedup.MaxAutoCells.toLong,
+        math.max(4L, df.count() / targetCellSize)).toInt
+    val centroids = centroidModel(c, "id", "v", kc, seed, lloydIters)
+    val assigned = c
+      .withColumn("cell",
+        explode(SK.nearestCells(col("v"), centroids, math.min(probes, kc))))
+      .withColumn("ss", DotProduct(col("v"), col("v")))
+    val a = assigned.select(col("cell"), col("id").as("query_id"),
+      col("v").as("qv"), col("ss").as("qss"))
+    val b = assigned.select(col("cell"), col("id").as("neighbor_id"),
+      col("v").as("nv"), col("ss").as("nss"))
+    val scored0 = a.join(b, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", DotProduct(col("qv"), col("nv")) /
+        (sqrt(col("qss")) * sqrt(col("nss"))))
+      .select("query_id", "neighbor_id", "cosine")
+    // multi-probe: a pair meeting in several shared cells repeats with
+    // a BIT-IDENTICAL cosine (same vectors, same fold) — dedup before
+    // ranking so duplicates can't occupy two ranks
+    val scored = if (probes > 1) scored0.distinct() else scored0
+    topK(scored, k)
+  }
+
   /** Embedding-space outlier scoring against per-GROUP mean centroids —
     * the "does this vector even belong to its cohort" scrub of
     * embedding-curation pipelines (off-topic/noise removal before

@@ -2282,7 +2282,22 @@ object LlmOps {
                round(gr.n_distinct_grams::DOUBLE / gr.n_grams, 4)
                  AS gram_diversity
         FROM d LEFT JOIN tok USING (source) LEFT JOIN gr USING (source)
-        ORDER BY d.source"""))
+        ORDER BY d.source""")),
+
+    // ------------------------------------------------------------------
+    // Corpus-wide kNN graph via IVF cells (rows-only like q29/q85 —
+    // the trained centroid space is engine-local; EntrySpec pins the
+    // full sf0.01 content golden, SimilaritySpec grades recall vs
+    // brute force): every vector's top-5 cosine neighbors, both join
+    // sides the corpus (no broadcast query side), per-query ranking
+    // windows bounded by probes x cellSize.
+    // ------------------------------------------------------------------
+    "q136_knn_graph" -> Q(
+      fn = (s, dir) => {
+        Similarity.knnGraph(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, nCells = 16, probes = 2)
+          .orderBy("query_id", "rank")
+      })
   )
 }
 

@@ -19,7 +19,8 @@ class EntrySpec extends SparkSpec {
       "q29_sim_topk_ivf",    // IVF centroid space not portable SQL
       "q85_dedup_semantic",  // k-means cell space not portable SQL
       "q108_sim_topk_ivfpq", // PQ codebook space not portable SQL
-      "q114_cluster_balanced_sample") // k-means cell space not portable SQL
+      "q114_cluster_balanced_sample", // k-means cell space not portable SQL
+      "q136_knn_graph")      // IVF cell space not portable SQL
     val qs = SparkEntry.queries
     assert(qs.keySet.diff(SparkEntry.oracleSql.keySet) === rowsOnly)
     // every query must at least execute on the smallest scale factor
@@ -78,6 +79,7 @@ class EntrySpec extends SparkSpec {
       "q85_dedup_semantic" -> (13L, "903286c603f9ddf10add7529bc92b9be"),
       "q108_sim_topk_ivfpq" -> (100L, "7c367948d594e8113aa092b899bb79c1"),
       "q114_cluster_balanced_sample" -> (128L, "dc88fd8b954b1d841d5b9aa99ed1bb31"),
+      "q136_knn_graph" -> (2500L, "dbf80bc5989280779cd7f8d826797c04"),
       "q117_bpe_train" -> (40L, "588bc949b7bb473a33ae2c7b58bd9d02"))
     val got = golden.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.01"))
