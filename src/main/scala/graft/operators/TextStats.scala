@@ -410,6 +410,86 @@ object TextStats {
       .withColumn("keep", col("score_milli") > 0L)
   }
 
+  /** C4-style blocklist filtering (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning…" — the "bad words" screen of the C4
+    * pipeline; public methodology): per document, the number of
+    * whitespace-token occurrences (case-insensitive) found in the
+    * caller's blocklist, and a keep flag for zero hits.
+    *
+    * Scale shape: ONE per-row array expression — lower → split →
+    * filter-HOF → size; no explode, no shuffle, no UDF. The blocklist
+    * ships inside the plan as an array literal (real-world lists are
+    * O(100) entries; `array_contains` is O(|list|) per token — a list
+    * large enough to hurt should become a broadcast join on the token
+    * stream instead, which [[Dedup.exactNgramDecontam]] already
+    * provides at gram granularity). Null text → null count and flag
+    * (the q120 null contract).
+    */
+  def blocklistFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    df.select(col(idCol).as("id"),
+        size(filter(split(lower(col(textCol)), " "),
+          t => array_contains(bl, t))).cast("long").as("n_blocked"))
+      .withColumn("keep", col("n_blocked") === 0L)
+  }
+
+  /** Gopher-style heuristic quality gate (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", arXiv:2112.11446 Appendix A — public
+    * methodology): one pass computing the classic document-level
+    * screens and a keep flag that requires ALL of them —
+    *   - word count within [minWords, maxWords];
+    *   - mean word length within [minMeanWordLen, maxMeanWordLen]
+    *     (exact: the length sum is integer arithmetic in double, so
+    *     both engines agree bit-for-bit before the display rounding);
+    *   - at least `minStopwords` stopword occurrences (the "is this
+    *     prose" test; ASCII/English-targeted like the original);
+    *   - at least `minAlphaFrac` of words containing an ASCII letter
+    *     (the symbol/garbage screen, [A-Za-z] scope documented);
+    *   - most-frequent-token mass ≤ maxTopTokenShare (the repetition
+    *     screen — the [[graft.plans.TextEntropyExpr]] `top_token_share`
+    *     signal, compared on the ROUNDED value so the flag is a pure
+    *     function of gate-compared numbers).
+    *
+    * All signals are per-row expressions — no shuffle, no explode in
+    * the plan; thresholds compare rounded/integer values only, so
+    * keep is engine-deterministic. Null text → null signals + flag.
+    */
+  def gopherQualityGate(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] = Seq("the", "a", "of", "to", "and"),
+      minAlphaFrac: Double = 0.8,
+      maxTopTokenShare: Double = 0.2): DataFrame = {
+    import graft.plans.TextModelExpressions
+    val sw = array(stopwords.map(w => lit(w.toLowerCase)): _*)
+    val withSignals = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("e", TextModelExpressions.textEntropy(col("text")))
+      .select(col("id"),
+        size(col("tk")).cast("long").as("n_words"),
+        round(aggregate(col("tk"), lit(0.0),
+          (acc, x) => acc + length(x).cast("double")) / size(col("tk")), 4)
+          .as("mean_word_len"),
+        size(filter(col("tk"), t => array_contains(sw, lower(t))))
+          .cast("long").as("n_stopwords"),
+        round(size(filter(col("tk"), t => t.rlike("[A-Za-z]")))
+          .cast("double") / size(col("tk")), 4).as("alpha_frac"),
+        round(col("e.top_token_share"), 4).as("top_token_share"))
+    withSignals.withColumn("keep",
+      col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanWordLen &&
+        col("mean_word_len") <= maxMeanWordLen &&
+        col("n_stopwords") >= minStopwords &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("top_token_share") <= maxTopTokenShare)
+  }
+
   /** Corpus diversity profile per group (source, language, domain …) —
     * the lexical-diversity report curation stacks run before fixing a
     * training mixture (Gopher's repetition analyses at corpus grain;

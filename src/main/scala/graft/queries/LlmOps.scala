@@ -2297,7 +2297,81 @@ object LlmOps {
         Similarity.knnGraph(Tables(s, dir, "embeddings"),
           "vec_id", "embedding", k = 5, nCells = 16, probes = 2)
           .orderBy("query_id", "rank")
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // C4-style blocklist screen: per-doc count of blocklisted token
+    // occurrences (case-insensitive) + keep flag — one per-row array
+    // expression, no explode, no shuffle.
+    // ------------------------------------------------------------------
+    "q137_blocklist_filter" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.blocklistFilter(Tables(s, dir, "documents"),
+          "doc_id", "text", blocklist = Seq("dup", "crash"))
+          .select(col("id").as("doc_id"), col("n_blocked"), col("keep"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 t -> list_contains(['dup', 'crash'], t))) AS BIGINT)
+                 AS n_blocked,
+               len(list_filter(string_split(lower(text), ' '),
+                 t -> list_contains(['dup', 'crash'], t))) = 0 AS keep
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Gopher heuristic quality gate (Rae 2021 App. A): word-count
+    // bounds, mean word length, stopword floor, alpha-word fraction,
+    // top-token repetition mass — all per-row expressions, keep = AND
+    // of all screens on rounded/integer values.
+    // ------------------------------------------------------------------
+    "q138_gopher_gate" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.gopherQualityGate(Tables(s, dir, "documents"),
+          "doc_id", "text",
+          minWords = 20, maxWords = 1000,
+          minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+          minStopwords = 2,
+          stopwords = Seq("the", "a", "of", "to", "and"),
+          minAlphaFrac = 0.8, maxTopTokenShare = 0.15)
+          .select(col("id").as("doc_id"), col("n_words"),
+            col("mean_word_len"), col("n_stopwords"), col("alpha_frac"),
+            col("top_token_share"), col("keep"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        tok AS (
+          SELECT doc_id, u, count(*) AS c
+          FROM (SELECT doc_id, unnest(tk) AS u FROM t) GROUP BY doc_id, u),
+        top AS (
+          SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS shr
+          FROM tok GROUP BY doc_id),
+        s AS (
+          SELECT t.doc_id,
+                 CAST(len(tk) AS BIGINT) AS n_words,
+                 round(list_reduce(list_prepend(0.0::DOUBLE,
+                     list_transform(tk, x -> len(x)::DOUBLE)),
+                   (a, b) -> a + b) / len(tk), 4) AS mean_word_len,
+                 CAST(len(list_filter(tk, x -> list_contains(
+                   ['the', 'a', 'of', 'to', 'and'], lower(x))))
+                   AS BIGINT) AS n_stopwords,
+                 round(len(list_filter(tk,
+                     x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                   / len(tk), 4) AS alpha_frac,
+                 top.shr AS top_token_share
+          FROM t JOIN top USING (doc_id))
+        SELECT doc_id, n_words, mean_word_len, n_stopwords, alpha_frac,
+               top_token_share,
+               (n_words >= 20 AND n_words <= 1000 AND
+                mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+                n_stopwords >= 2 AND alpha_frac >= 0.8 AND
+                top_token_share <= 0.15) AS keep
+        FROM s ORDER BY doc_id"""))
   )
 }
 

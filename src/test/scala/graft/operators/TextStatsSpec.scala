@@ -249,6 +249,56 @@ class TextStatsSpec extends SparkSpec {
     assert(uni === Seq("a", "😀", "b"))
   }
 
+  test("blocklistFilter: counts occurrences case-insensitively, null text -> nulls") {
+    import spark.implicits._
+    val df = Seq((1L, "Bad word bad BAD fine"), (2L, "all clean here"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextStats.blocklistFilter(df, "doc_id", "text",
+      Seq("BAD", "absent"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got(1L) === ((Some(3L), Some(false))))
+    assert(got(2L) === ((Some(0L), Some(true))))
+    assert(got(3L) === ((None, None)))
+  }
+
+  test("gopherQualityGate: each screen trips independently") {
+    import spark.implicits._
+    val pass = "the quick brown fox jumps over a lazy dog near the bank"
+    val df = Seq(
+      (1L, pass),                                   // all screens pass
+      (2L, "too short"),                            // word-count floor
+      (3L, Seq.fill(12)("the the word word").mkString(" ")
+        .split(" ").take(12).mkString(" ")),        // placeholder, replaced below
+      (4L, ("a b " * 10).trim),                     // mean word len < 3
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu"))                               // no stopwords
+      .toDF("doc_id", "text")
+    val got = TextStats.gopherQualityGate(df, "doc_id", "text",
+      minWords = 10, maxWords = 100, minMeanWordLen = 3.0,
+      maxMeanWordLen = 10.0, minStopwords = 2,
+      stopwords = Seq("the", "a"), minAlphaFrac = 0.8,
+      maxTopTokenShare = 0.4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("keep")
+      && got(2L).getAs[Long]("n_words") === 2L)
+    assert(!got(4L).getAs[Boolean]("keep")
+      && got(4L).getAs[Double]("mean_word_len") === 1.0)
+    assert(!got(5L).getAs[Boolean]("keep")
+      && got(5L).getAs[Long]("n_stopwords") === 0L)
+    // repetition screen: "the" dominates above the share bound
+    val rep = TextStats.gopherQualityGate(
+      Seq((9L, "the the the the the the the the a b")).toDF("doc_id", "text"),
+      "doc_id", "text", minWords = 5, maxWords = 100,
+      minMeanWordLen = 1.0, maxMeanWordLen = 10.0, minStopwords = 2,
+      stopwords = Seq("the", "a"), minAlphaFrac = 0.8,
+      maxTopTokenShare = 0.4).collect()(0)
+    assert(rep.getAs[Double]("top_token_share") === 0.8)
+    assert(!rep.getAs[Boolean]("keep"))
+  }
+
   test("diversityProfile: exact counts on a hand-computed corpus") {
     import spark.implicits._
     val df = Seq(
