@@ -852,6 +852,50 @@ object Sampling {
       .select(df.columns.map(col) :+ col(outCol): _*)
   }
 
+  /** Multi-signal rank-fusion quality score — the ensemble device for
+    * curation when no single quality signal is trusted alone (rank
+    * averaging / Borda-style fusion, classic IR methodology): each
+    * signal column is converted to its EXACT global percent rank
+    * (descending — higher signal = better), and the ensemble score is
+    * the mean of the per-signal ranks, rounded. Rank space makes
+    * incommensurable signals (entropy in bits, counts, ratios)
+    * directly averageable without calibration.
+    *
+    * Each per-signal rank is one [[scoreRankPerStratum]] pass over a
+    * single surrogate stratum — the two-phase range-bucketed spelling,
+    * so the corpus is never window-sorted in one task; per-signal cost
+    * is one slim (order-tuple) exchange. Signals should be PRE-ROUNDED
+    * by the caller when they come from float summations (two docs with
+    * identical token multisets must compare EQUAL, not differ by a
+    * summation-order ulp, for the tie-break to stay engine-portable).
+    * Null `tieCol` rows drop (module convention); the mean is a fixed
+    * left-associative chain so engines agree bit-for-bit on it.
+    *
+    * SQL spelling (ANSI):
+    * {{{
+    *   round((percent_rank() OVER (ORDER BY s1 DESC NULLS LAST, tie)
+    *        + ... + percent_rank() OVER (...sk...)) / k, 6)
+    * }}}
+    * — identical values because the total (signal, tie) order makes
+    * rank == row_number, which is what the two-phase kernel computes.
+    *
+    * Output: input columns + `__pr_<signal>` per signal + `outCol`.
+    */
+  def rankEnsemble(
+      df: DataFrame, signalCols: Seq[String], tieCol: String,
+      outCol: String = "ensemble_pr", nBuckets: Int = 32): DataFrame = {
+    require(signalCols.nonEmpty, "at least one signal column required")
+    val tagged = df.withColumn("__one", lit(""))
+    val withPrs = signalCols.foldLeft(tagged) { (acc, s) =>
+      scoreRankPerStratum(acc, "__one", s, tieCol, s"__pr_$s", nBuckets)
+    }
+    withPrs
+      .withColumn(outCol,
+        round(signalCols.map(s => col(s"__pr_$s")).reduce(_ + _) /
+          signalCols.size, 6))
+      .drop("__one")
+  }
+
   /** Per-stratum token budgets: within each listed stratum keep the
     * maximal (`scoreCol` DESC NULLS LAST, `tieCol`) quality prefix of
     * WHOLE rows whose cumulative `weightCol` fits that stratum's

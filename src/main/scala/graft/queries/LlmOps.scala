@@ -2371,7 +2371,63 @@ object LlmOps {
                 mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
                 n_stopwords >= 2 AND alpha_frac >= 0.8 AND
                 top_token_share <= 0.15) AS keep
-        FROM s ORDER BY doc_id"""))
+        FROM s ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Multi-signal rank-fusion quality ensemble: word entropy, token
+    // count and stopword ratio each converted to exact global percent
+    // rank (two-phase bucketed kernel — never one corpus-wide window
+    // task), mean of ranks as the ensemble score. Signals pre-rounded
+    // so identical-content docs compare EQUAL and the doc_id tie-break
+    // stays engine-portable.
+    // ------------------------------------------------------------------
+    "q139_quality_ensemble" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        import graft.plans.TextModelExpressions
+        val sig = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            TextModelExpressions.textEntropy(col("text")).as("e"))
+          .select(col("doc_id"),
+            round(col("e.word_entropy"), 4).as("s_ent"),
+            size(split(col("text"), " ")).cast("long").as("s_len"),
+            T.stopwordRatio(col("text"), Seq("the", "a")).as("s_stop"))
+        Sampling.rankEnsemble(sig, Seq("s_ent", "s_len", "s_stop"),
+          "doc_id", outCol = "ensemble_pr")
+          .select(col("doc_id"),
+            col("__pr_s_ent").as("pr_ent"), col("__pr_s_len").as("pr_len"),
+            col("__pr_s_stop").as("pr_stop"), col("ensemble_pr"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        wg AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+          GROUP BY doc_id, tok),
+        ws AS (SELECT doc_id, sum(c * log2(c)) AS sm FROM wg
+               GROUP BY doc_id),
+        sig AS (
+          SELECT t.doc_id,
+                 round(log2(len(toks)) - ws.sm / len(toks), 4) AS s_ent,
+                 CAST(len(toks) AS BIGINT) AS s_len,
+                 round(len(list_filter(toks,
+                     x -> list_contains(['the', 'a'], x)))::DOUBLE
+                   / len(toks), 4) AS s_stop
+          FROM t JOIN ws USING (doc_id)),
+        pr AS (
+          SELECT doc_id,
+                 percent_rank() OVER (ORDER BY s_ent DESC NULLS LAST,
+                                      doc_id) AS pr_ent,
+                 percent_rank() OVER (ORDER BY s_len DESC NULLS LAST,
+                                      doc_id) AS pr_len,
+                 percent_rank() OVER (ORDER BY s_stop DESC NULLS LAST,
+                                      doc_id) AS pr_stop
+          FROM sig)
+        SELECT doc_id, pr_ent, pr_len, pr_stop,
+               round((pr_ent + pr_len + pr_stop) / 3, 6) AS ensemble_pr
+        FROM pr ORDER BY doc_id"""))
   )
 }
 

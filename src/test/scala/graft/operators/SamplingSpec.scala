@@ -698,4 +698,35 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 0L, 2L -> 0L))
   }
+
+  test("rankEnsemble equals the percent_rank-mean brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 80L).map(i =>
+      (i, rnd.nextInt(20).toDouble, rnd.nextInt(500).toLong))
+    val df = rows.toDF("id", "s_a", "s_b")
+    val got = Sampling.rankEnsemble(df, Seq("s_a", "s_b"), "id", "ens")
+      .select("id", "__pr_s_a", "__pr_s_b", "ens")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def pr(key: Long => (Double, Long)): Map[Long, Double] = {
+      val order = rows.map(_._1).sortBy { id =>
+        val (s, t) = key(id); (-s, t.toDouble, id)
+      }
+      val n = order.size
+      order.zipWithIndex.map { case (id, i) =>
+        id -> (if (n > 1) i.toDouble / (n - 1) else 0.0) }.toMap
+    }
+    val byId = rows.map(r => r._1 -> r).toMap
+    val prA = pr(id => (byId(id)._2, id))
+    val prB = pr(id => (byId(id)._3.toDouble, id))
+    for (id <- rows.map(_._1)) {
+      assert(got(id)._1 === prA(id), s"pr_a of $id")
+      assert(got(id)._2 === prB(id), s"pr_b of $id")
+      val want = BigDecimal((prA(id) + prB(id)) / 2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._3 === want, s"ensemble of $id")
+    }
+  }
 }
