@@ -579,6 +579,44 @@ object Similarity {
     out
   }
 
+  /** Anchor-similarity mining — "find more like these": every corpus
+    * vector scored by its best cosine against a small set of ANCHOR
+    * embeddings (positive prototypes — hand-picked exemplars of the
+    * domain being mined), with the winning anchor id and a keep flag.
+    * The seed-based retrieval filter of embedding-curation pipelines
+    * (mine a web-scale corpus for documents resembling a curated seed
+    * set).
+    *
+    * Scale shape: the anchor side is broadcast (anchors are O(10²) by
+    * use-case — each corpus row meets every anchor map-side, no
+    * corpus shuffle for the join), and the per-vector best is one
+    * partial+final `max` of a (cosine, anchor) struct keyed by the
+    * vector id — argmax ties break toward the SMALLEST anchor id via
+    * the negated-id struct field, on the ROUNDED cosine so the winner
+    * is a pure function of gate-compared values. Norms are
+    * precomputed per side, the kernel is the fused [[DotProduct]].
+    */
+  def anchorSimilarity(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      anchors: DataFrame, aIdCol: String, aVecCol: String,
+      threshold: Double, spread: Boolean = true): DataFrame = {
+    val c = maybeSpread(corpus, spread)
+      .select(col(idCol).as("id"), V.toDouble(col(vecCol)).as("v"))
+      .withColumn("vn", sqrt(DotProduct(col("v"), col("v"))))
+    val a = anchors
+      .select(col(aIdCol).as("aid"), V.toDouble(col(aVecCol)).as("av"))
+      .withColumn("an", sqrt(DotProduct(col("av"), col("av"))))
+    c.crossJoin(broadcast(a))
+      .withColumn("cos", round(
+        DotProduct(col("v"), col("av")) / (col("vn") * col("an")), 4))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cos"), negate(col("aid")).as("na"))).as("b"))
+      .select(col("id"),
+        negate(col("b.na")).as("best_anchor"),
+        col("b.cos").as("cosine"),
+        (col("b.cos") >= threshold).as("keep"))
+  }
+
   /** Approximate k-nearest-neighbor GRAPH over the whole corpus — every
     * vector's top-k neighbors by cosine, the substrate of graph-based
     * curation analytics (SemDeDup's cluster inspection, diversity

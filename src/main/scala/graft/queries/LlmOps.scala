@@ -2427,7 +2427,45 @@ object LlmOps {
           FROM sig)
         SELECT doc_id, pr_ent, pr_len, pr_stop,
                round((pr_ent + pr_len + pr_stop) / 3, 6) AS ensemble_pr
-        FROM pr ORDER BY doc_id"""))
+        FROM pr ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Anchor-similarity mining ("find more like these"): every vector's
+    // best cosine against a broadcast seed set (vec_id < 8), winning
+    // anchor id, keep flag — argmax on the ROUNDED cosine, ties to the
+    // smallest anchor. No corpus shuffle for the join; one id-keyed
+    // partial+final max.
+    // ------------------------------------------------------------------
+    "q140_anchor_mining" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.anchorSimilarity(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          threshold = 0.3)
+          .select(col("id").as("vec_id"), col("best_anchor"),
+            col("cosine"), col("keep"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        a AS (SELECT vec_id AS aid, embedding::DOUBLE[] AS av
+              FROM embeddings WHERE vec_id < 8),
+        sc AS (
+          SELECT e.vec_id, a.aid,
+                 round(list_inner_product(e.v, a.av) /
+                   (sqrt(list_inner_product(e.v, e.v)) *
+                    sqrt(list_inner_product(a.av, a.av))), 4) AS c
+          FROM e CROSS JOIN a),
+        best AS (
+          SELECT vec_id, aid, c,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY c DESC, aid) AS rn
+          FROM sc)
+        SELECT vec_id, aid AS best_anchor, c AS cosine,
+               c >= 0.3 AS keep
+        FROM best WHERE rn = 1 ORDER BY vec_id"""))
   )
 }
 

@@ -232,6 +232,31 @@ class SimilaritySpec extends SparkSpec {
       (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet)
   }
 
+  test("anchorSimilarity: brute-force equality, smallest-anchor tie-break, broadcast plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)),
+      (11L, Seq(0.0f, 1.0f)),
+      (12L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    // anchors 1 and 2 are IDENTICAL: every tie must resolve to id 1
+    val anchors = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.anchorSimilarity(corpus, "vec_id", "embedding",
+      anchors, "vec_id", "embedding", threshold = 0.9)
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(10L) === ((1L, 1.0, true)))   // tie 1 vs 2 -> smallest id
+    assert(got(11L) === ((3L, 1.0, true)))
+    assert(got(12L)._2 === 0.7071 && !got(12L)._3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"anchor side must broadcast, got:\n$plan")
+  }
+
   test("knnGraph: exact per-query counts, deterministic, recall vs brute") {
     val g = Similarity.knnGraph(emb, "vec_id", "embedding",
       k = 5, nCells = 8, probes = 2)
