@@ -327,4 +327,48 @@ object ConnectedComponents {
       .select(col("id").as(idCol))
     docs.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** QUALITY-AWARE keepers: per near-dup component keep the member
+    * with the MAXIMUM `scoreCol` (ties broken toward the minimum id),
+    * plus every document not in any pair. What production dedup
+    * actually wants — [[keepers]]'s min-id rule keeps an ARBITRARY
+    * cluster member, which for crawl data is as likely the truncated
+    * variant as the full one; scoring by length/quality keeps the best
+    * copy (the keep-longest convention of public dedup pipelines, e.g.
+    * Lee et al. 2021 §3.2's cluster-representative choice).
+    *
+    * Scale shape: no windows, no driver — one (component → max score)
+    * partial+final aggregate over a slim (component, id, score)
+    * projection, one join back to resolve ties by min id, one anti-join
+    * to drop losers. Components are near-dup clusters (small by
+    * construction), but nothing here degrades on a pathological giant
+    * cluster: both aggregates are partial+final, not per-component
+    * tasks.
+    *
+    * Conventions: null scores lose to any non-null score (agg max
+    * ignores nulls); an all-null-score cluster falls back to the
+    * min-id rule; NaN ranks greatest (Spark/DuckDB agree). Pair ids
+    * absent from `docs` cannot win (they carry no score) but still
+    * cluster — re-keying a cluster whose old winner was filtered
+    * upstream is the caller's composition choice. */
+  def keepBest(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      checkpointDir: Option[String] = None,
+      driverFinishMaxEdges: Long = DriverFinishMaxEdges): DataFrame = {
+    val comp = apply(pairs, aCol, bCol, checkpointDir, driverFinishMaxEdges)
+    val scored = docs.select(col(idCol), col(scoreCol))
+      .join(comp, col(idCol) === col("id"))
+      .select(col("component"), col(idCol).as("__kid"),
+        col(scoreCol).as("__ks"))
+    val mx = scored.groupBy(col("component"))
+      .agg(max(col("__ks")).as("__mx"))
+    val keepIds = scored.join(mx, "component")
+      .filter(col("__ks") <=> col("__mx"))
+      .groupBy(col("component")).agg(min(col("__kid")).as("__keep"))
+      .select(col("__keep"))
+    val drops = comp.join(keepIds, col("id") === col("__keep"), "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
 }

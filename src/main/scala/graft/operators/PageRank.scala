@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — link-analysis
+  * importance scoring, the canonical iterative-MapReduce workload of
+  * the runtime family the reference belongs to (the lrmr programming
+  * model is explicitly MapReduce-shaped; PageRank is literature's
+  * standard exercise for it — Page et al. 1999, public). In the
+  * training-data layer it ranks interaction graphs (user–item,
+  * doc–doc kNN, domain link graphs) so curation can weight documents
+  * by graph centrality rather than content signals alone.
+  *
+  * INTEGER arithmetic throughout — ranks are fixed-point longs scaled
+  * by `scale`, the per-edge contribution is
+  * `(dampNum * (rank div outdeg)) div dampDen`, and the new rank is
+  * `base + sum(contribs)` with `base = ((dampDen−dampNum)·scale) div
+  * dampDen`. Long sums are order-independent, so two engines (or two
+  * partitionings of the same cluster) agree BIT-FOR-BIT — a float
+  * spelling would diverge across plusses in summation order, which is
+  * exactly what the repo's oracle-parity discipline forbids. The cost
+  * is ≤1 ulp-of-scale truncation per edge per iteration; at the
+  * default `scale` = 10^12 that is relative error ~10^-12·outdeg —
+  * far below anything a ranking consumer can observe.
+  *
+  * Semantics (the "no redistribution" variant): per iteration every
+  * node sends `rank div outdeg` down each out-edge; dangling nodes
+  * (out-degree 0) send nothing, so their mass DECAYS rather than
+  * being redistributed — the simplest published variant, chosen
+  * because it keeps the per-iteration plan to one join + one
+  * aggregate. Callers who need mass conservation symmetrize the edge
+  * set (each undirected edge as two directed ones — the q141
+  * spelling), which leaves no node dangling. Self-loops and duplicate
+  * edges are legal input; duplicates are dropped (`distinct`), loops
+  * feed a node's own next rank.
+  *
+  * Scale shape: the edge set (+ precomputed out-degree) is
+  * materialized ONCE (`localCheckpoint`), then each iteration is one
+  * equi-join of the (id, rank) frame against it — broadcastable
+  * whenever node count is model-sized, an ordinary shuffle hash join
+  * otherwise — followed by one partial+final sum keyed by destination
+  * and one left join back to the node list. Nothing is ever
+  * collected; no windows; per-iteration shuffle volume is |E| slim
+  * rows. Each iteration's (id, rank) frame is eagerly checkpointed to
+  * keep the task binary flat (the CC-loop discipline,
+  * [[ConnectedComponents]]), and the superseded iteration's blocks
+  * are released as soon as the successor is materialized — only the
+  * final frame stays resident, because the returned DataFrame reads
+  * from it.
+  *
+  * Overflow contract (ANSI mode makes violations LOUD, not silent):
+  * total mass is ≤ |V|·scale at every iteration, and the widest
+  * intermediate is `dampNum · (per-node rank)`, so the caller must
+  * keep `dampNum · |V| · scale < 2^63` — at the defaults that is
+  * ~10^5 nodes of headroom per 10^12 of scale; pass a smaller `scale`
+  * (10^9 keeps 10^8 nodes safe) for web-scale graphs. Node ids must
+  * be integral (they ride the arithmetic as longs).
+  */
+object PageRank {
+
+  private def ckRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+
+  /** (id, rank) for every node appearing in `edges` after `iterations`
+    * synchronous rounds from a uniform start of `scale` per node.
+    * Rows with a null endpoint are dropped. */
+  def apply(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      "iterations must be in [1, 64]")
+    require(scale > 0, "scale must be positive")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      "damping must satisfy 0 <= dampNum <= dampDen")
+
+    val ewd = {
+      val e = edges
+        .select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+        .distinct()
+      val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+      e.join(deg, "__src").localCheckpoint(true)
+    }
+    val nodes = ewd.select(col("__src").as("id"))
+      .union(ewd.select(col("__dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    val base = lit(((dampDen - dampNum) * scale) / dampDen)
+    var ranks = nodes.select(col("id"), lit(scale).as("rank"))
+    var prev: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (_ <- 1 to iterations) {
+      val contrib = ranks.join(ewd, col("id") === col("__src"))
+        .select(col("__dst").as("id"),
+          expr(s"($dampNum * (`rank` div `__deg`)) div $dampDen").as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"), (base + coalesce(col("__s"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+      // successor is materialized (eager): the superseded iteration's
+      // blocks are dead weight now
+      prev.foreach(_.unpersist(blocking = false))
+      prev = ckRdd(next)
+      ranks = next
+    }
+    // the returned frame reads the FINAL checkpoint only; the edge and
+    // node materializations are released
+    Seq(ewd, nodes).flatMap(ckRdd).foreach(_.unpersist(blocking = false))
+    ranks
+  }
+}

@@ -871,6 +871,18 @@ object Sampling {
     * Null `tieCol` rows drop (module convention); the mean is a fixed
     * left-associative chain so engines agree bit-for-bit on it.
     *
+    * The input is MATERIALIZED once (eager `localCheckpoint`) before
+    * the fold: each rank pass consumes it three times (boundary
+    * sample, bucket tagging, offset ledger), so k signals re-execute
+    * the input lineage ~3k times otherwise — ruinous when the signals
+    * are expression-heavy (entropy, classifier scores). This is the
+    * module's one deliberate exception to the caller-persists stance
+    * ([[graft.operators.Dedup]]'s no-persist note), because the
+    * multi-consumption is internal to this operator, invisible to the
+    * caller. Consequently pass a SLIM projection — `tieCol` + the
+    * signal columns; join wide columns back on `tieCol` afterwards —
+    * since whatever is passed is what gets materialized.
+    *
     * SQL spelling (ANSI):
     * {{{
     *   round((percent_rank() OVER (ORDER BY s1 DESC NULLS LAST, tie)
@@ -885,7 +897,7 @@ object Sampling {
       df: DataFrame, signalCols: Seq[String], tieCol: String,
       outCol: String = "ensemble_pr", nBuckets: Int = 32): DataFrame = {
     require(signalCols.nonEmpty, "at least one signal column required")
-    val tagged = df.withColumn("__one", lit(""))
+    val tagged = df.withColumn("__one", lit("")).localCheckpoint(true)
     val withPrs = signalCols.foldLeft(tagged) { (acc, s) =>
       scoreRankPerStratum(acc, "__one", s, tieCol, s"__pr_$s", nBuckets)
     }
@@ -1106,5 +1118,84 @@ object Sampling {
     df.filter(col(tieCol).isNotNull && coalesce(
       qualityOrd(score, col(tieCol)) <=
         element_at(thr, sk(col(stratumCol))), lit(false)))
+  }
+
+  /** Exact integer water-filling over a per-stratum capacity ledger —
+    * the UniMax allocation (Chung et al. 2023, public): given a total
+    * token budget and per-stratum capacities (corpus size × max
+    * epochs), every stratum receives `min(capacity, θ)` tokens where
+    * the water level θ is the largest value whose total allocation
+    * fits the budget. Low-resource strata are fully funded up to their
+    * epoch cap; high-resource strata split the remainder evenly. The
+    * integer remainder (budget − Σ min(cap, θ)) goes +1 to the first
+    * `rem` unfunded strata in (capacity, stratum) order, so the
+    * allocation sums EXACTLY to `min(budget, Σ capacities)` and is a
+    * pure function of the ledger — engine-portable with no float in
+    * sight.
+    *
+    * Closed form, not a loop: with strata sorted by (capacity asc,
+    * stratum), stratum i is fully funded iff
+    * `prefix(i−1) + cap_i · (n−i+1) <= budget` (monotone in i under
+    * this tie-break), θ = `(budget − fundedSum) div unfundedCount`.
+    *
+    * SQL spelling (ANSI; the q143 oracle is this form): the same
+    * prefix-sum test via `sum() OVER (ORDER BY capacity, stratum ROWS
+    * UNBOUNDED PRECEDING)` windows.
+    *
+    * Scale shape: the input is a per-stratum LEDGER (strata are
+    * sources / languages / domains — model-sized by definition, the
+    * module's broadcast-ledger convention), so the global windows here
+    * run over a model-sized frame — a few thousand rows in one task is
+    * the honest spelling, not a scale hazard. The CORPUS never enters
+    * this operator; feed the result to [[takeTokenBudgetPerStratum]] /
+    * [[repetitionSchedule]] to apply the budgets.
+    *
+    * Null capacities are treated as 0 (funded with 0 tokens); negative
+    * capacities and budgets are rejected. Output: input columns +
+    * `outCol` (the budget, long). */
+  def waterfillBudgets(
+      sizes: DataFrame, stratumCol: String, capacityCol: String,
+      budget: Column, outCol: String = "budget_tokens"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = greatest(coalesce(col(capacityCol).cast("long"), lit(0L)),
+      lit(0L))
+    // loud, not silent: assert_true kills the job on a negative input
+    val capChecked = when(
+      coalesce(col(capacityCol).cast("long"), lit(0L)) < 0,
+      raise_error(lit("waterfillBudgets: negative capacity")))
+      .otherwise(cap)
+    val bud = when(budget.cast("long") < 0,
+      raise_error(lit("waterfillBudgets: negative budget")))
+      .otherwise(budget.cast("long"))
+    val byCap = Window.orderBy(col("__cap"), col(stratumCol))
+    val all = Window.partitionBy(lit(1))
+    sizes
+      .withColumn("__cap", capChecked)
+      .withColumn("__b", bud)
+      .withColumn("__i", row_number().over(byCap))
+      .withColumn("__pe", coalesce(
+        sum(col("__cap")).over(byCap.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__funded",
+        col("__pe") + col("__cap") * (col("__n") - col("__i") + 1)
+          <= col("__b"))
+      .withColumn("__F", coalesce(
+        sum(when(col("__funded"), 1L).otherwise(0L)).over(all), lit(0L)))
+      .withColumn("__PF", coalesce(
+        sum(when(col("__funded"), col("__cap")).otherwise(0L)).over(all),
+        lit(0L)))
+      .withColumn("__theta",
+        when(col("__n") > col("__F"),
+          expr("(`__b` - `__PF`) div (`__n` - `__F`)")).otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__n") > col("__F"),
+          expr("(`__b` - `__PF`) % (`__n` - `__F`)")).otherwise(lit(0L)))
+      .withColumn(outCol,
+        when(col("__funded"), col("__cap"))
+          .otherwise(col("__theta") +
+            when(col("__i") - col("__F") <= col("__rem"), lit(1L))
+              .otherwise(lit(0L))))
+      .select(sizes.columns.map(col) :+ col(outCol): _*)
   }
 }

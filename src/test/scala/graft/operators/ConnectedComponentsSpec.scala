@@ -179,4 +179,65 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[Long].collect().sorted
     assert(kept === Array(1L, 4L, 5L, 6L))
   }
+
+  test("keepBest: each cluster keeps its max-score member, ties to min id") {
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L), // cluster {1,2,3}: 2 wins on score
+      (4L, 7L), (5L, 7L),              // cluster {4,5}: tie -> min id 4
+      (6L, 1L))                        // singleton survives
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val kept = ConnectedComponents
+      .keepBest(docs, "doc_id", "score", pairs, "a_id", "b_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 4L, 6L))
+  }
+
+  test("keepBest: null scores lose; an all-null cluster falls back to min id") {
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, java.lang.Long.valueOf(5L)),
+        org.apache.spark.sql.Row(3L, null),
+        org.apache.spark.sql.Row(4L, null))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    // cluster {1,2}: 2 wins (non-null beats null); cluster {3,4}: all
+    // null -> min id 3
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val kept = ConnectedComponents
+      .keepBest(docs, "doc_id", "score", pairs, "a_id", "b_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 3L))
+  }
+
+  test("keepBest on randomized graphs equals a brute-force argmax") {
+    val rnd = new Random(31)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val docRows = (1L to n).map(i => (i, rnd.nextInt(10).toLong))
+      val edges = (1 to 15).map(_ =>
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter(p => p._1 != p._2)
+      val comp = components(edges)
+      val score = docRows.toMap
+      val want = (1L to n).filter { id =>
+        comp.get(id) match {
+          case None => true // not in any pair
+          case Some(c) =>
+            val members = comp.collect { case (m, cc) if cc == c => m }
+            val mx = members.map(score).max
+            id == members.filter(score(_) == mx).min
+        }
+      }
+      val got = ConnectedComponents
+        .keepBest(docRows.toDF("doc_id", "score"), "doc_id", "score",
+          edges.toDF("a_id", "b_id"), "a_id", "b_id")
+        .select("doc_id").as[Long].collect().sorted
+      assert(got === want.toArray, s"trial $trial")
+    }
+  }
 }
