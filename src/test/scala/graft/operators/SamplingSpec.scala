@@ -699,6 +699,60 @@ class SamplingSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("waterfillBudgets equals brute-force waterfilling; sums exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // brute force: scan θ upward until the allocation no longer fits,
+    // then hand out the remainder to the first rem unfunded strata in
+    // (cap, stratum) order
+    def brute(caps: Map[String, Long], b: Long): Map[String, Long] = {
+      def alloc(th: Long) = caps.values.map(math.min(_, th)).sum
+      if (alloc(Long.MaxValue / (caps.size + 1)) <= b)
+        return caps // everything funded
+      val thMax = (0L to caps.values.max).findLast(alloc(_) <= b).get
+      val rem = b - alloc(thMax)
+      val unfunded = caps.toSeq.filter(_._2 > thMax)
+        .sortBy { case (s, c) => (c, s) }.map(_._1)
+      val plusOne = unfunded.take(rem.toInt).toSet
+      caps.map { case (s, c) =>
+        s -> (if (c <= thMax) c
+              else thMax + (if (plusOne(s)) 1L else 0L))
+      }
+    }
+    for (trial <- 1 to 4) {
+      val caps = (1 to 8).map(i =>
+        s"s$i" -> rnd.nextInt(200).toLong).toMap
+      val b = rnd.nextInt(800).toLong
+      val got = Sampling.waterfillBudgets(
+        caps.toSeq.toDF("stratum", "cap"), "stratum", "cap", lit(b))
+        .select("stratum", "budget_tokens")
+        .as[(String, Long)].collect().toMap
+      val want = brute(caps, b)
+      assert(got === want, s"trial $trial caps=$caps b=$b")
+      assert(got.values.sum === math.min(b, caps.values.sum),
+        s"allocation must sum exactly (trial $trial)")
+    }
+  }
+
+  test("waterfillBudgets edges: zero budget, over-corpus budget, null cap") {
+    import spark.implicits._
+    val df = Seq(("a", Some(10L)), ("b", None), ("c", Some(30L)))
+      .toDF("stratum", "cap")
+    val zero = Sampling.waterfillBudgets(df, "stratum", "cap", lit(0L))
+      .select("stratum", "budget_tokens").as[(String, Long)].collect().toMap
+    assert(zero === Map("a" -> 0L, "b" -> 0L, "c" -> 0L))
+    val over = Sampling.waterfillBudgets(df, "stratum", "cap", lit(999L))
+      .select("stratum", "budget_tokens").as[(String, Long)].collect().toMap
+    // null capacity treats as 0; everything else fully funded
+    assert(over === Map("a" -> 10L, "b" -> 0L, "c" -> 30L))
+    val neg = intercept[Exception] {
+      Sampling.waterfillBudgets(df, "stratum", "cap", lit(-1L))
+        .collect()
+    }
+    assert(neg.getMessage.contains("negative budget") ||
+      neg.getCause != null)
+  }
+
   test("rankEnsemble equals the percent_rank-mean brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
