@@ -65,22 +65,48 @@ object PageRank {
 
   /** (id, rank) for every node appearing in `edges` after `iterations`
     * synchronous rounds from a uniform start of `scale` per node.
-    * Rows with a null endpoint are dropped. */
+    * Rows with a null endpoint are dropped.
+    *
+    * `noDanglingReceivers`: set true when EVERY node has at least one
+    * in-edge (a symmetrized graph guarantees it) — the per-iteration
+    * left join back to the node list is then provably a no-op and is
+    * skipped, saving one n-row join per iteration. The default keeps
+    * the join: a node with out-edges but no in-edges (a pure source)
+    * would otherwise vanish from the result.
+    *
+    * `dedupEdges`: duplicate edges change the arithmetic (a doubled
+    * edge sends twice), so the default dedups. Set false when the
+    * caller guarantees distinctness (e.g. a symmetrized union of an
+    * already-distinct half, where the two directions cannot collide) —
+    * skipping the dedup saves one full \|E\|-row exchange.
+    *
+    * `checkpointEvery`: iterations between eager lineage cuts. 1 (the
+    * default) is the CC-loop discipline — flattest task binaries, one
+    * job per iteration. A fixed SMALL iteration count can afford a
+    * larger stride: the chained shuffles then pipeline inside fewer
+    * jobs, trading task-binary depth for fewer scheduling round-trips.
+    * The final iteration ALWAYS checkpoints — the returned frame must
+    * be a leaf so the operator's edge/node materializations can be
+    * released on exit. */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, scale: Long = 1000000000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      noDanglingReceivers: Boolean = false,
+      dedupEdges: Boolean = true,
+      checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1 && iterations <= 64,
       "iterations must be in [1, 64]")
     require(scale > 0, "scale must be positive")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "damping must satisfy 0 <= dampNum <= dampDen")
+    require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
 
     val ewd = {
-      val e = edges
+      val e0 = edges
         .select(col(srcCol).cast("long").as("__src"),
           col(dstCol).cast("long").as("__dst"))
         .filter(col("__src").isNotNull && col("__dst").isNotNull)
-        .distinct()
+      val e = if (dedupEdges) e0.distinct() else e0
       val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
       e.join(deg, "__src").localCheckpoint(true)
     }
@@ -92,18 +118,26 @@ object PageRank {
     val base = lit(((dampDen - dampNum) * scale) / dampDen)
     var ranks = nodes.select(col("id"), lit(scale).as("rank"))
     var prev: Option[org.apache.spark.rdd.RDD[_]] = None
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = ranks.join(ewd, col("id") === col("__src"))
         .select(col("__dst").as("id"),
           expr(s"($dampNum * (`rank` div `__deg`)) div $dampDen").as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
-      val next = nodes.join(contrib, Seq("id"), "left")
+      val step = (if (noDanglingReceivers) contrib
+        else nodes.join(contrib, Seq("id"), "left"))
         .select(col("id"), (base + coalesce(col("__s"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
-      // successor is materialized (eager): the superseded iteration's
-      // blocks are dead weight now
-      prev.foreach(_.unpersist(blocking = false))
-      prev = ckRdd(next)
+      // the FINAL iteration always checkpoints: the returned frame
+      // must be a leaf so the edge/node materializations below can be
+      // released without stranding its lineage
+      val next =
+        if (i % checkpointEvery == 0 || i == iterations) {
+          val ck = step.localCheckpoint(true)
+          // successor is materialized (eager): the superseded
+          // iteration's blocks are dead weight now
+          prev.foreach(_.unpersist(blocking = false))
+          prev = ckRdd(ck)
+          ck
+        } else step
       ranks = next
     }
     // the returned frame reads the FINAL checkpoint only; the edge and

@@ -52,7 +52,14 @@ object GraphQueries {
           .distinct()
         val edges = e0.union(
           e0.select(col("dst").as("src"), col("src").as("dst")))
-        PageRank(edges, "src", "dst", iterations = 5)
+        // symmetrized graph: every node receives, so the per-iteration
+        // node-list join is skippable; the two directions of an
+        // already-distinct half cannot collide (parity-disjoint ids),
+        // so the operator's dedup exchange is skippable too; 5 fixed
+        // iterations pipeline as one job (checkpointEvery = 5)
+        PageRank(edges, "src", "dst", iterations = 5,
+          noDanglingReceivers = true, dedupEdges = false,
+          checkpointEvery = 5)
           .select(
             when(pmod(col("id"), lit(2)) === 0, lit("customer"))
               .otherwise(lit("supplier")).as("node_type"),

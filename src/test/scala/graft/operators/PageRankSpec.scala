@@ -99,6 +99,21 @@ class PageRankSpec extends SparkSpec {
     assert(total > (nodes * 1000000000000L * 999L) / 1000L)
   }
 
+  test("noDanglingReceivers path equals the default on a symmetrized graph") {
+    val rnd = new Random(13)
+    val half = (1 to 30).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(p => p._1 != p._2)
+    val edges = (half ++ half.map(_.swap)).distinct
+    val df = edges.toDF("src", "dst")
+    val a = PageRank(df, "src", "dst", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val b = PageRank(df, "src", "dst", iterations = 4,
+      noDanglingReceivers = true)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
   test("argument validation") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](PageRank(e, "src", "dst", 0))
