@@ -617,6 +617,59 @@ object Similarity {
         (col("b.cos") >= threshold).as("keep"))
   }
 
+  /** Triplet mining for contrastive training (FaceNet, Schroff et al.
+    * 2015 §3.2, public): for each ANCHOR vector, the hardest positive
+    * proxy (nearest neighbor sharing its label, self excluded) and the
+    * hardest negative (nearest neighbor with a DIFFERENT label), plus
+    * the margin between them. Anchors with a negative margin are the
+    * ones a metric-learning pass should train on; anchors missing
+    * either side (singleton label, or a single-label corpus) are
+    * dropped — a triplet needs all three corners.
+    *
+    * Scale shape: the [[anchorSimilarity]] pattern — the anchor side
+    * is broadcast (model-sized by contract: mining batches are O(10³)
+    * anchors per pass; shard bigger anchor sets across calls), the
+    * corpus streams by map-side, and BOTH argmaxes ride ONE
+    * partial+final aggregate keyed by anchor id (conditional
+    * (rounded-cosine, negated-id) struct maxes — no window, no
+    * per-anchor task). Ties break toward the smallest neighbor id on
+    * the ROUNDED cosine, so winners are a pure function of
+    * gate-compared values. Corpus-wide mining (every vector an
+    * anchor) belongs on the [[knnGraph]] IVF path instead.
+    *
+    * Null labels on either side never match `===` or `=!=`, so
+    * null-labeled rows contribute to neither side (and a null-labeled
+    * anchor yields no triplet). */
+  def tripletMine(
+      anchors: DataFrame, aIdCol: String, aVecCol: String,
+      aLblCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      cLblCol: String, spread: Boolean = true): DataFrame = {
+    val a = anchors
+      .select(col(aIdCol).as("anchor_id"),
+        V.toDouble(col(aVecCol)).as("av"), col(aLblCol).as("albl"))
+      .withColumn("an", sqrt(DotProduct(col("av"), col("av"))))
+    val c = maybeSpread(corpus, spread)
+      .select(col(cIdCol).as("nid"), V.toDouble(col(cVecCol)).as("cv"),
+        col(cLblCol).as("clbl"))
+      .withColumn("cn", sqrt(DotProduct(col("cv"), col("cv"))))
+    c.crossJoin(broadcast(a))
+      .filter(col("anchor_id") =!= col("nid"))
+      .withColumn("cos", round(
+        DotProduct(col("av"), col("cv")) / (col("an") * col("cn")), 4))
+      .groupBy(col("anchor_id"))
+      .agg(
+        max(when(col("albl") === col("clbl"),
+          struct(col("cos"), negate(col("nid")).as("ni")))).as("p"),
+        max(when(col("albl") =!= col("clbl"),
+          struct(col("cos"), negate(col("nid")).as("ni")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("anchor_id"),
+        negate(col("p.ni")).as("pos_id"), col("p.cos").as("pos_cos"),
+        negate(col("n.ni")).as("neg_id"), col("n.cos").as("neg_cos"),
+        round(col("p.cos") - col("n.cos"), 4).as("margin"))
+  }
+
   /** Approximate k-nearest-neighbor GRAPH over the whole corpus — every
     * vector's top-k neighbors by cosine, the substrate of graph-based
     * curation analytics (SemDeDup's cluster inspection, diversity

@@ -555,4 +555,74 @@ object TextStats {
         round(col("e.char_entropy"), decimals).as("char_entropy"),
         round(col("e.top_token_share"), decimals).as("top_token_share"))
   }
+
+  /** Per-group unigram-distribution drift against the whole corpus —
+    * the distribution-shift monitor a multi-source (or multi-snapshot)
+    * pipeline runs before blending: for each group, the add-one-
+    * smoothed unigram distribution P_g over the CORPUS vocabulary is
+    * compared to the corpus distribution Q via KL(P_g‖Q) and total-
+    * variation distance (the CCNet/Dolma-style per-dump drift check;
+    * cf. Wenzek 2019's per-shard LM-perplexity monitoring, public).
+    * A source whose KL spikes between snapshots changed its content
+    * mix — the signal curation wants BEFORE mixing weights are chosen.
+    *
+    * Smoothing: P_g(t) = (c_gt + 1) / (N_g + V), Q(t) = (C_t + 1) /
+    * (N + V), both summed over the FULL corpus vocabulary (missing
+    * tokens contribute their smoothed floor — KL needs the dense sum
+    * to be a true divergence, ≥ 0 up to summation ulps).
+    *
+    * Scale shape: ONE explode pass over the corpus feeds a (group,
+    * token) partial+final count; everything after runs on that
+    * aggregate — the global counts and per-group totals derive from it
+    * (no second corpus pass), and the dense sum is a groups × vocab
+    * equi-join of AGGREGATE rows, never corpus rows. The (group,
+    * token) aggregate is materialized once (eager localCheckpoint —
+    * the [[graft.operators.Sampling.rankEnsemble]] exception pattern:
+    * three internal consumers would otherwise re-run the corpus
+    * explode three times). Corpus totals ride scalar subqueries.
+    * Output: group, n_tokens, n_distinct, kl_vs_corpus,
+    * tv_vs_corpus (both rounded to `decimals`). */
+  def unigramDrift(
+      df: DataFrame, textCol: String, groupCol: String,
+      decimals: Int = 4): DataFrame = {
+    val sc = df
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // gc/ns/sc all derive from the same checkpointed aggregate —
+    // re-aliased grouping keys give the three-way join unambiguous
+    // attribute ids (the standard self-join discipline)
+    val gc = sc.groupBy(col("tok")).agg(sum(col("c")).as("gC"))
+      .select(col("tok").as("__t"), col("gC"))
+    val ns = sc.groupBy(col("g")).agg(sum(col("c")).as("Ns"),
+      count(lit(1)).as("nd"))
+      .select(col("g").as("__g"), col("Ns"), col("nd"))
+    val nTot = graft.plans.Scalars.of(sc.agg(sum(col("c")).as("n")))
+    val vTot = graft.plans.Scalars.of(
+      gc.agg(count(lit(1)).as("v")))
+    // groups ledger is model-sized (sources/languages/snapshots) —
+    // pinned broadcast so the dense frame is vocab-partitioned, never
+    // a nested-loop over the vocab; null-safe on the group key (a null
+    // group is a valid group)
+    val dense = gc.crossJoin(broadcast(ns))
+      .join(sc,
+        col("__g") <=> col("g") && col("__t") === col("tok"), "left")
+      .withColumn("cg", coalesce(col("c"), lit(0L)))
+      .withColumn("p",
+        (col("cg") + 1).cast("double") / (col("Ns") + vTot))
+      .withColumn("q",
+        (col("gC") + 1).cast("double") / (nTot + vTot))
+    dense.groupBy(col("__g"))
+      .agg(
+        first(col("Ns")).as("n_tokens"),
+        first(col("nd")).as("n_distinct"),
+        round(sum(col("p") * log(col("p") / col("q"))), decimals)
+          .as("kl_vs_corpus"),
+        round(sum(abs(col("p") - col("q"))) / 2, decimals)
+          .as("tv_vs_corpus"))
+      .select(col("__g").as(groupCol), col("n_tokens"),
+        col("n_distinct"), col("kl_vs_corpus"), col("tv_vs_corpus"))
+  }
 }

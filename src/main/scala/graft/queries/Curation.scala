@@ -76,6 +76,93 @@ object CurationQueries {
                CAST(budget_tokens AS BIGINT) AS budget_tokens,
                CAST((budget_tokens * 1000) // n_tokens AS BIGINT)
                  AS epochs_milli
-        FROM o ORDER BY lang"""))
+        FROM o ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
+    // Triplet mining for contrastive training (Schroff 2015): per
+    // anchor, the hardest positive (nearest same-label neighbor) and
+    // hardest negative (nearest different-label neighbor) with the
+    // margin between them. Anchors broadcast; both argmaxes ride one
+    // partial+final aggregate — no window, no per-anchor task.
+    // ------------------------------------------------------------------
+    "q144_triplet_mining" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Similarity
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.tripletMine(
+          emb.filter(col("vec_id") < 32), "vec_id", "embedding", "label",
+          emb, "vec_id", "embedding", "label")
+          .orderBy("anchor_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        a AS (SELECT * FROM e WHERE vec_id < 32),
+        sc AS (
+          SELECT a.vec_id AS anchor_id, a.label AS albl,
+                 e.vec_id AS nid, e.label AS clbl,
+                 round(list_inner_product(a.v, e.v) /
+                   (sqrt(list_inner_product(a.v, a.v)) *
+                    sqrt(list_inner_product(e.v, e.v))), 4) AS c
+          FROM a JOIN e ON a.vec_id <> e.vec_id),
+        pos AS (
+          SELECT anchor_id, nid, c,
+                 row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY c DESC, nid) AS rn
+          FROM sc WHERE albl = clbl),
+        neg AS (
+          SELECT anchor_id, nid, c,
+                 row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY c DESC, nid) AS rn
+          FROM sc WHERE albl <> clbl)
+        SELECT p.anchor_id, p.nid AS pos_id, p.c AS pos_cos,
+               n.nid AS neg_id, n.c AS neg_cos,
+               round(p.c - n.c, 4) AS margin
+        FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+        WHERE p.rn = 1 AND n.rn = 1
+        ORDER BY p.anchor_id""")),
+
+    // ------------------------------------------------------------------
+    // Unigram-distribution drift per source vs the whole corpus:
+    // add-one-smoothed KL divergence + total-variation distance over
+    // the corpus vocabulary — the per-dump distribution-shift monitor
+    // run before mixing weights are chosen.
+    // ------------------------------------------------------------------
+    "q145_unigram_drift" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.unigramDrift(Tables(s, dir, "documents"),
+          "text", "source")
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        sc AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        gc AS (SELECT tok, CAST(sum(c) AS BIGINT) AS gC FROM sc
+               GROUP BY 1),
+        ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+                      count(*) AS nd
+               FROM sc GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sc),
+        vv AS (SELECT count(*) AS v FROM gc),
+        dense AS (
+          SELECT ns.source, ns.ns, ns.nd, gc.gC,
+                 COALESCE(sc.c, 0) AS cg
+          FROM ns CROSS JOIN gc
+          LEFT JOIN sc ON sc.source = ns.source AND sc.tok = gc.tok)
+        SELECT d.source,
+               min(d.ns) AS n_tokens,
+               CAST(min(d.nd) AS BIGINT) AS n_distinct,
+               round(sum(((d.cg + 1)::DOUBLE / (d.ns + vv.v)) *
+                 ln(((d.cg + 1)::DOUBLE / (d.ns + vv.v)) /
+                    ((d.gC + 1)::DOUBLE / (tot.n + vv.v)))), 4)
+                 AS kl_vs_corpus,
+               round(sum(abs(((d.cg + 1)::DOUBLE / (d.ns + vv.v)) -
+                 ((d.gC + 1)::DOUBLE / (tot.n + vv.v)))) / 2, 4)
+                 AS tv_vs_corpus
+        FROM dense d CROSS JOIN tot CROSS JOIN vv
+        GROUP BY d.source ORDER BY d.source"""))
   )
 }

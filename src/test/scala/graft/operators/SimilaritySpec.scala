@@ -359,4 +359,69 @@ class SimilaritySpec extends SparkSpec {
     assert(fresh.isEmpty,
       s"expected no resident cache after ivfTopK, saw ${fresh.size}")
   }
+
+  test("tripletMine equals brute force (hardest positive + negative, margin)") {
+    import org.apache.spark.sql.functions.col
+    val rows = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray,
+        r.getAs[Int]("label")))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val anchors = rows.filter(_._1 < 16)
+    val want = anchors.flatMap { case (aid, av, albl) =>
+      val scored = rows.filter(_._1 != aid)
+        .map { case (nid, nv, nlbl) => (nid, nlbl, r4(cos(av, nv))) }
+      val pos = scored.filter(_._2 == albl)
+        .sortBy { case (nid, _, c) => (-c, nid) }.headOption
+      val neg = scored.filter(_._2 != albl)
+        .sortBy { case (nid, _, c) => (-c, nid) }.headOption
+      for (p <- pos; n <- neg)
+        yield aid -> ((p._1, p._3, n._1, n._3, r4(p._3 - n._3)))
+    }.toMap
+    val got = Similarity.tripletMine(
+      emb.filter(col("vec_id") < 16), "vec_id", "embedding", "label",
+      emb, "vec_id", "embedding", "label")
+      .collect()
+      .map(r => r.getAs[Long]("anchor_id") ->
+        ((r.getAs[Long]("pos_id"), r.getAs[Double]("pos_cos"),
+          r.getAs[Long]("neg_id"), r.getAs[Double]("neg_cos"),
+          r.getAs[Double]("margin")))).toMap
+    assert(got === want)
+  }
+
+  test("tripletMine: single-label corpus yields no triplets; null labels drop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), "x"), (2L, Seq(0.9f, 0.1f), "x"),
+      (3L, Seq(0.0f, 1.0f), "x"))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.tripletMine(vecs, "vec_id", "embedding", "label",
+      vecs, "vec_id", "embedding", "label").count() === 0)
+    val withNull = vecs.withColumn("label",
+      when(col("vec_id") === 3L, lit(null)).otherwise(col("label")))
+    // anchor 3 has a null label -> no triplet for it; anchors 1 and 2
+    // have no different-label neighbor (3's null matches nothing)
+    assert(Similarity.tripletMine(withNull, "vec_id", "embedding",
+      "label", withNull, "vec_id", "embedding", "label").count() === 0)
+    val mixed = Seq(
+      (1L, Seq(1.0f, 0.0f), "x"), (2L, Seq(0.9f, 0.1f), "x"),
+      (3L, Seq(0.0f, 1.0f), "y"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.tripletMine(mixed, "vec_id", "embedding",
+      "label", mixed, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // anchor 3 has no same-label neighbor -> dropped
+    assert(got.map(_._1).sorted.toSeq === Seq(1L, 2L))
+    assert(got.forall(t => t._3 == 3L)) // the only other-label vector
+  }
 }

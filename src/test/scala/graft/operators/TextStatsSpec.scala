@@ -336,4 +336,52 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_grams") === 0L)
     assert(r.isNullAt(r.fieldIndex("gram_diversity")))
   }
+
+  test("unigramDrift equals a hand-rolled smoothed KL/TV; corpus-identical group drifts ~0") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x x y z"), ("a", "x y"),
+      ("b", "z z z w"), ("b", "w w"))
+      .toDF("source", "text")
+    val toks = Map(
+      "a" -> "x x y z x y".split(" ").toSeq,
+      "b" -> "z z z w w w".split(" ").toSeq)
+    val vocab = toks.values.flatten.toSeq.distinct
+    val v = vocab.size
+    val nTot = toks.values.map(_.size).sum
+    val gCnt = toks.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = toks.map { case (g, ts) =>
+      val cnt = ts.groupBy(identity).view.mapValues(_.size).toMap
+      val ns = ts.size
+      val kl = vocab.map { t =>
+        val p = (cnt.getOrElse(t, 0) + 1).toDouble / (ns + v)
+        val q = (gCnt(t) + 1).toDouble / (nTot + v)
+        p * math.log(p / q)
+      }.sum
+      val tv = vocab.map { t =>
+        val p = (cnt.getOrElse(t, 0) + 1).toDouble / (ns + v)
+        val q = (gCnt(t) + 1).toDouble / (nTot + v)
+        math.abs(p - q)
+      }.sum / 2
+      g -> ((ts.size.toLong, cnt.size.toLong, r4(kl), r4(tv)))
+    }
+    val got = TextStats.unigramDrift(df, "text", "source")
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("kl_vs_corpus"),
+          r.getAs[Double]("tv_vs_corpus")))).toMap
+    assert(got === want)
+    got.values.foreach { case (_, _, kl, tv) =>
+      assert(kl >= 0.0 && tv >= 0.0 && tv <= 1.0)
+    }
+    // one group that IS the corpus: drift exactly zero
+    val solo = Seq(("only", "p q p r")).toDF("source", "text")
+    val z = TextStats.unigramDrift(solo, "text", "source").collect()(0)
+    assert(z.getAs[Double]("kl_vs_corpus") === 0.0)
+    assert(z.getAs[Double]("tv_vs_corpus") === 0.0)
+  }
 }
