@@ -430,18 +430,15 @@ object Dedup {
     * bloom filters have no false negatives, and its false positives
     * are discarded by the exact equi-join that follows — the result is
     * bit-identical with the option on or off (spec-pinned), only the
-    * shuffled volume changes. Conscious cost: the TEST index lineage
-    * has two consumers (the bloom aggregate and the join probe). A
-    * hash exchange on the gram key is pinned atop the index so both
-    * consumers share one partitioning (measured ~15% off the whole
-    * query at sf0.1); full exchange REUSE is defeated by the optimizer
-    * itself — column pruning strips `id` below the bloom's copy and
-    * `InferFiltersFromConstraints` mirrors the might_contain predicate
-    * onto the probe's copy, so the canonicalized subtrees differ — and
-    * the residual double shingle of the test corpus is bounded by the
-    * same contract that makes the bloom worthwhile (test/eval corpora
-    * are small relative to train); a caller with an unusually large
-    * test side should persist its index first.
+    * shuffled volume changes. The TEST index lineage has two consumers
+    * (the bloom aggregate and the join probe); it is materialized once
+    * — eager localCheckpoint, hash-partitioned on the gram key — under
+    * the size contract below (exchange reuse alone is defeated by the
+    * optimizer: column pruning and `InferFiltersFromConstraints`
+    * specialize the two copies, so their canonicalized subtrees
+    * differ). The contract: test/eval corpora are SMALL relative to
+    * train — that is what makes the bloom worthwhile at all, and it is
+    * also what bounds the materialization.
     *
     * `bloomExpectedGrams` sizes the filter (default 2^22 — bits scale
     * 8× the estimate via the aggregate's sizing rule, ~2% FPP at the
@@ -469,15 +466,18 @@ object Dedup {
       else {
         // the test index has TWO consumers on this path (the bloom
         // aggregate and the join probe) — without care it would
-        // scan+shingle the test corpus twice. The fix is exchange
-        // reuse, not a cache: pin ONE hash exchange on the gram key
-        // atop the index and let both consumers sit on the identical
-        // Exchange subtree — Spark computes the shingle lineage once
-        // and the second consumer reads the shuffle output. The join
-        // wants exactly this partitioning anyway (equi-join on k), so
-        // the exchange is not an extra shuffle, and the bloom's
-        // partial aggregation runs post-shuffle unchanged.
-        val siShared = si.repartition(col("k"))
+        // scan+shingle the test corpus twice, and exchange REUSE is
+        // defeated by the optimizer (column pruning strips `id` below
+        // the bloom's copy; InferFiltersFromConstraints mirrors the
+        // might_contain predicate onto the probe's copy, so the
+        // canonicalized subtrees differ). The index is therefore
+        // MATERIALIZED once (eager localCheckpoint, hash-partitioned
+        // on the gram key the join wants anyway) — safe by the same
+        // contract that makes the bloom worthwhile at all: test/eval
+        // corpora are small relative to train, so their index is
+        // cheap to hold. The rankEnsemble exception pattern: the
+        // multi-consumption is internal to the operator.
+        val siShared = si.repartition(col("k")).localCheckpoint(true)
         // bloom_filter_agg/might_contain are internal Catalyst
         // expressions (no SQL registry entry) — built directly, with
         // the bloom riding a scalar subquery INLINE as might_contain's

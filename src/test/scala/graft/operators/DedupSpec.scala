@@ -283,10 +283,12 @@ class DedupSpec extends SparkSpec {
     assert(got === plain) // no false negatives; FPs died in the join
     val p = bloomed.queryExecution.executedPlan.toString
     assert(p.contains("might_contain"), p.take(2000))
-    // the pinned gram-key exchange atop the test index (shared
-    // partitioning for the bloom aggregate and the join probe — see
-    // the operator scaladoc for why full reuse is out of reach)
-    assert(p.contains("REPARTITION_BY_COL"), p.take(2000))
+    // the test index is MATERIALIZED once (eager localCheckpoint) so
+    // the bloom aggregate and the join probe read the same blocks —
+    // both consumers must sit on an RDD-scan leaf, never re-shingle
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    assert(!p.split("might_contain")(0).contains("word_shingles"),
+      "the bloom side re-shingles the test corpus:\n" + p.take(2000))
   }
 
   test("exactNgramDecontam equals brute-force distinct-shingle intersection") {

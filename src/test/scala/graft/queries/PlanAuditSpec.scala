@@ -243,6 +243,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("l_tax"), "scan reads unused columns")
   }
 
+  test("q144/q145: mining joins broadcast the model-sized side; " +
+      "no cartesian, no windows in the main plan") {
+    // q144 triplet mining: anchors broadcast (nested-loop against a
+    // broadcast side is the cross-score shape, same as q27/q140 —
+    // never a CartesianProduct), both argmaxes one partial+final agg
+    val p144 = plan("q144_triplet_mining")
+    assert(p144.contains("BroadcastNestedLoopJoin") ||
+      p144.contains("BroadcastHashJoin"), p144.take(1500))
+    assert(!p144.contains("CartesianProduct"), p144.take(1500))
+    assert(!p144.contains("Window"), p144.take(1500))
+    // struct maxes aren't hash-aggregable — the argmax plans as a
+    // partial+final SortAggregate pair, still keyed and distributed
+    assert("(Hash|Sort)Aggregate".r.findAllIn(p144).size >= 2,
+      p144.take(1500))
+    // q145 drift: dense sum never becomes a cartesian; no windows —
+    // the whole reduction is keyed partial+final aggregation
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec145 = run("q145_unigram_drift").queryExecution.executedPlan
+    assert(!exec145.toString.contains("CartesianProduct"))
+    assert(exec145.collect { case w: WindowExec => w }.isEmpty)
+  }
+
   test("q63: rank plan has ZERO single-partition windows (r6 contract — " +
       "the ledger rides a map scalar subquery) and the gate itself is a " +
       "pure filter (r6.2 — the corpus never shuffles for the rank)") {
