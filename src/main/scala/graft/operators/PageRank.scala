@@ -87,13 +87,29 @@ object PageRank {
     * jobs, trading task-binary depth for fewer scheduling round-trips.
     * The final iteration ALWAYS checkpoints — the returned frame must
     * be a leaf so the operator's edge/node materializations can be
-    * released on exit. */
+    * released on exit.
+    *
+    * `seeds`: PERSONALIZED PageRank (Page et al. 1999 §6's
+    * personalized teleport; the "related to these" graph-proximity
+    * retrieval primitive). When set, the teleport mass lands only on
+    * the seed set: seeds start at `scale` and receive the base term,
+    * non-seeds start at 0 and receive only propagated mass — so rank
+    * measures proximity TO the seeds, the graph-structural complement
+    * of [[Similarity.anchorSimilarity]]'s embedding-space anchors.
+    * Seed sets are plan literals (an `isin` over O(10³) ids at most —
+    * the [[graft.operators.TextStats.blocklistFilter]] size
+    * discipline; bigger seed sets want a join spelling, which this
+    * operator deliberately does not grow until needed). Seeding
+    * implies the per-iteration node join (the base term is
+    * node-dependent), so `noDanglingReceivers` is ignored with seeds.
+    * Integer contract only relaxes: total mass ≤ \|seeds\|·scale. */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, scale: Long = 1000000000000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
       noDanglingReceivers: Boolean = false,
       dedupEdges: Boolean = true,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1,
+      seeds: Option[Seq[Long]] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 64,
       "iterations must be in [1, 64]")
     require(scale > 0, "scale must be positive")
@@ -115,17 +131,24 @@ object PageRank {
       .distinct()
       .localCheckpoint(true)
 
+    seeds.foreach(s => require(s.nonEmpty, "seed set must be non-empty"))
     val base = lit(((dampDen - dampNum) * scale) / dampDen)
-    var ranks = nodes.select(col("id"), lit(scale).as("rank"))
+    val isSeed = seeds.map(s => col("id").isin(s: _*))
+    val baseTerm =
+      isSeed.map(f => when(f, base).otherwise(lit(0L))).getOrElse(base)
+    var ranks = nodes.select(col("id"),
+      isSeed.map(f => when(f, lit(scale)).otherwise(lit(0L)))
+        .getOrElse(lit(scale)).as("rank"))
     var prev: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iterations) {
       val contrib = ranks.join(ewd, col("id") === col("__src"))
         .select(col("__dst").as("id"),
           expr(s"($dampNum * (`rank` div `__deg`)) div $dampDen").as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
-      val step = (if (noDanglingReceivers) contrib
+      val step = (if (noDanglingReceivers && seeds.isEmpty) contrib
         else nodes.join(contrib, Seq("id"), "left"))
-        .select(col("id"), (base + coalesce(col("__s"), lit(0L))).as("rank"))
+        .select(col("id"),
+          (baseTerm + coalesce(col("__s"), lit(0L))).as("rank"))
       // the FINAL iteration always checkpoints: the returned frame
       // must be a leaf so the edge/node materializations below can be
       // released without stranding its lineage

@@ -16,18 +16,33 @@ object GraphQueries {
     * arithmetic of [[graft.operators.PageRank]]: per-edge contribution
     * `(85 * (rank // outdeg)) // 100` (all BIGINT, positive operands,
     * so DuckDB's floor `//` equals Spark's truncating `div`), new rank
-    * `150000000000 + sum(contribs)`. Unrolled — not a recursive CTE —
-    * because the per-step aggregate is clearer and the iteration count
-    * is a fixed 5 on both sides. */
-  private def prIter(i: Int): String = s"""
+    * `baseSql + sum(contribs)` (baseSql = the per-node teleport term:
+    * a constant for uniform PageRank, a seed-set CASE for the
+    * personalized variant). Unrolled — not a recursive CTE — because
+    * the per-step aggregate is clearer and the iteration count is a
+    * fixed 5 on both sides. */
+  private def prIter(i: Int, baseSql: String): String = s"""
         r$i AS (
           SELECT n.id,
-                 150000000000 + COALESCE(s.c, 0) AS pr_rank
+                 $baseSql + COALESCE(s.c, 0) AS pr_rank
           FROM n LEFT JOIN (
             SELECT e.dst AS id,
                    CAST(sum((85 * (r.pr_rank // e.dg)) // 100) AS BIGINT) AS c
             FROM r${i - 1} r JOIN ed e ON r.id = e.src
             GROUP BY e.dst) s ON n.id = s.id)"""
+
+  /** Shared edge-derivation SQL for q141/q146: one distinct
+    * customer→supplier trade edge per (custkey, suppkey), symmetrized;
+    * node ids disambiguated by parity. */
+  private val edgeSql: String = """
+        WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        eb AS (SELECT src, dst FROM e0
+               UNION ALL SELECT dst, src FROM e0),
+        dg AS (SELECT src, count(*) AS dg FROM eb GROUP BY src),
+        ed AS (SELECT eb.src, eb.dst, dg.dg FROM eb JOIN dg USING (src)),
+        n AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),"""
 
   val defs: Map[String, Q] = Map(
 
@@ -68,21 +83,59 @@ object GraphQueries {
           .orderBy("node_type", "key")
       },
       oracle = Some(s"""
-        WITH e0 AS (
-          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        eb AS (SELECT src, dst FROM e0
-               UNION ALL SELECT dst, src FROM e0),
-        dg AS (SELECT src, count(*) AS dg FROM eb GROUP BY src),
-        ed AS (SELECT eb.src, eb.dst, dg.dg FROM eb JOIN dg USING (src)),
-        n AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+        $edgeSql
         r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr_rank FROM n),
-        ${(1 to 5).map(prIter).mkString(",")}
+        ${(1 to 5).map(prIter(_, "150000000000")).mkString(",")}
         SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
                  AS node_type,
                CAST(id // 2 AS BIGINT) AS key,
                CAST(pr_rank AS BIGINT) AS pr_rank
         FROM r5 ORDER BY node_type, key""")),
+
+    // ------------------------------------------------------------------
+    // Personalized PageRank from a supplier seed set: teleport mass
+    // lands only on suppliers 1-4, so rank measures graph proximity TO
+    // the seeds — the trade-network complement of q140's
+    // embedding-space anchor mining. Top 100 by rank (integer ranks:
+    // deterministic order with the (node_type, key) tie-break).
+    // ------------------------------------------------------------------
+    "q146_personalized_pagerank" -> Q(
+      fn = (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank(edges, "src", "dst", iterations = 5,
+          dedupEdges = false, checkpointEvery = 5,
+          seeds = Some(Seq(3L, 5L, 7L, 9L)))
+          .select(
+            when(pmod(col("id"), lit(2)) === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            expr("`id` div 2").as("key"),
+            col("rank").as("pr_rank"))
+          .orderBy(col("pr_rank").desc, col("node_type"), col("key"))
+          .limit(100)
+      },
+      oracle = Some(s"""
+        $edgeSql
+        r0 AS (SELECT id,
+                 CAST(CASE WHEN id IN (3, 5, 7, 9)
+                      THEN 1000000000000 ELSE 0 END AS BIGINT) AS pr_rank
+               FROM n),
+        ${(1 to 5).map(prIter(_,
+          "(CASE WHEN n.id IN (3, 5, 7, 9) THEN 150000000000 ELSE 0 END)"))
+          .mkString(",")}
+        SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS node_type,
+               CAST(id // 2 AS BIGINT) AS key,
+               CAST(pr_rank AS BIGINT) AS pr_rank
+        FROM r5 ORDER BY pr_rank DESC, node_type, key LIMIT 100""")),
 
     // ------------------------------------------------------------------
     // Quality-aware near-dup consolidation: the q64 char-ngram cluster

@@ -14,19 +14,25 @@ class PageRankSpec extends SparkSpec {
   /** Exact in-memory replay of the operator's integer recurrence. */
   private def brute(edges: Seq[(Long, Long)], iters: Int,
       scale: Long = 1000000000000L, dn: Long = 85L,
-      dd: Long = 100L): Map[Long, Long] = {
+      dd: Long = 100L,
+      seeds: Option[Set[Long]] = None): Map[Long, Long] = {
     val e = edges.distinct
     val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
     val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
     val base = ((dd - dn) * scale) / dd
-    var r = nodes.map(_ -> scale).toMap
+    def baseOf(n: Long) = seeds match {
+      case Some(s) => if (s(n)) base else 0L
+      case None => base
+    }
+    var r = nodes.map(n =>
+      n -> (if (seeds.forall(_(n))) scale else 0L)).toMap
     for (_ <- 1 to iters) {
       val in = scala.collection.mutable.Map.empty[Long, Long]
         .withDefaultValue(0L)
       e.foreach { case (s, d) =>
         in(d) += (dn * (r(s) / deg(s))) / dd
       }
-      r = nodes.map(n => n -> (base + in(n))).toMap
+      r = nodes.map(n => n -> (baseOf(n) + in(n))).toMap
     }
     r
   }
@@ -97,6 +103,27 @@ class PageRankSpec extends SparkSpec {
     // nodes*scale and never exceeds it
     assert(total <= nodes * 1000000000000L)
     assert(total > (nodes * 1000000000000L * 999L) / 1000L)
+  }
+
+  test("personalized: teleport lands only on seeds; exact integer replay; " +
+      "a component with no seed stays at zero") {
+    val rnd = new Random(17)
+    // two disjoint symmetric components: {0..7} and {100..105}
+    val a = (1 to 30).map(_ =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(8).toLong)).filter(p => p._1 != p._2)
+    val b = (1 to 10).map(_ =>
+      (100L + rnd.nextInt(6), 100L + rnd.nextInt(6))).filter(p => p._1 != p._2)
+    val edges = (a ++ a.map(_.swap) ++ b ++ b.map(_.swap)).distinct
+    val seeds = Seq(0L, 3L)
+    val want = brute(edges, iters = 4, seeds = Some(seeds.toSet))
+    val got = PageRank(edges.toDF("src", "dst"), "src", "dst",
+      iterations = 4, seeds = Some(seeds))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // the seedless component receives no teleport and no propagation
+    got.filter(_._1 >= 100L).values.foreach(v => assert(v === 0L))
+    // seeds and their neighborhood carry all the mass
+    assert(got.filter(_._1 < 8L).values.sum > 0L)
   }
 
   test("noDanglingReceivers path equals the default on a symmetrized graph") {
