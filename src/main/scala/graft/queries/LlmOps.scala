@@ -1766,6 +1766,68 @@ object LlmOps {
     * Scala 2.13 large-literal-method limits as the surface grows. */
   val defs2: Map[String, Q] = Map(
 
+    // ------------------------------------------------------------------
+    // Streaming drift monitor, gated END-TO-END: the corpus arrives as
+    // two micro-batches (doc_id parity) through the streaming path's
+    // per-batch step — batch 0 seeds the unigram-counts store (NULL
+    // drift: no reference distribution yet), batch 1 is scored against
+    // the accumulated store (add-one-smoothed KL + total variation over
+    // the union vocabulary). The oracle recomputes both batch ledgers
+    // directly from the parity split, so the store protocol (slice
+    // write, prior read, smoothing arithmetic) is on the hook end to
+    // end. Fresh temp dirs per invocation; content is deterministic.
+    // ------------------------------------------------------------------
+    "q147_drift_monitor" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-q147-store").toString
+        val driftDir = java.nio.file.Files
+          .createTempDirectory("graft-q147-drift").toString
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        Streaming.driftMonitorBatch(docs.filter(col("doc_id") % 2 === 0),
+          0L, storeDir, driftDir, "text")
+        Streaming.driftMonitorBatch(docs.filter(col("doc_id") % 2 =!= 0),
+          1L, storeDir, driftDir, "text")
+        materializeAndClean(
+          s.read.option("basePath", driftDir).parquet(driftDir)
+            .select(col("batch_id").cast("long").as("batch_id"),
+              col("n_tokens"), col("n_distinct"),
+              col("kl_vs_store"), col("tv_vs_store"))
+            .orderBy("batch_id"),
+          storeDir, driftDir)
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id % 2 AS b, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        c AS (SELECT b, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        b0 AS (SELECT tok, c FROM c WHERE b = 0),
+        b1 AS (SELECT tok, c FROM c WHERE b = 1),
+        j AS (
+          SELECT COALESCE(b1.c, 0) AS cb, COALESCE(b0.c, 0) AS cp
+          FROM b1 FULL OUTER JOIN b0 ON b1.tok = b0.tok),
+        s AS (SELECT CAST(sum(cb) AS BIGINT) AS nb,
+                     CAST(sum(cp) AS BIGINT) AS np,
+                     count(*) AS v FROM j)
+        SELECT CAST(0 AS BIGINT) AS batch_id,
+               (SELECT CAST(sum(c) AS BIGINT) FROM b0) AS n_tokens,
+               (SELECT count(*) FROM b0) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS kl_vs_store,
+               CAST(NULL AS DOUBLE) AS tv_vs_store
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               (SELECT nb FROM s),
+               (SELECT count(*) FROM b1),
+               (SELECT round(sum(((cb+1)::DOUBLE/(nb+v)) *
+                        ln(((cb+1)::DOUBLE/(nb+v)) /
+                           ((cp+1)::DOUBLE/(np+v)))), 4)
+                FROM j CROSS JOIN s),
+               (SELECT round(sum(abs(((cb+1)::DOUBLE/(nb+v)) -
+                        ((cp+1)::DOUBLE/(np+v)))) / 2, 4)
+                FROM j CROSS JOIN s)
+        ORDER BY batch_id""")),
+
     // Corpus snapshot diff (data-versioning): two snapshots derived
     // deterministically from the documents table (old drops ids
     // ≡3 mod 10, new drops ids ≡2 mod 7 and appends ' v2' to ids

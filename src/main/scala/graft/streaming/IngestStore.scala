@@ -268,10 +268,23 @@ object IngestStore extends org.apache.spark.internal.Logging {
     * and stays idempotent (replay recomputes the same base). Rows
     * sharing the key WITHIN the latest batch are all kept (slice
     * content is preserved verbatim); a NULL key is a valid key (window
-    * partitioning groups nulls). */
+    * partitioning groups nulls).
+    *
+    * `reduce`: when set, the absorbed rows are REWRITTEN through the
+    * given aggregation before landing in the base — the supersede step
+    * for stores whose semantic contract is mergeable-counter (a
+    * unigram-counts store compacts `sum(c)`-per-token, so the base
+    * stays vocabulary-sized instead of accreting one vocabulary-sized
+    * row set per absorbed batch). The callback receives the absorbed
+    * rows (data columns + true `batch_id`) and must return data
+    * columns plus a `batch_id` column whose values are `< upTo` (a
+    * merged base conventionally stamps `lit(0)`); determinism of the
+    * callback is what keeps replayed compactions byte-equivalent.
+    * Composes with `latestPerKey` (applied first). */
   def compact(
       spark: SparkSession, path: String, dataSchema: StructType,
-      upTo: Long, latestPerKey: Option[String] = None): Boolean = {
+      upTo: Long, latestPerKey: Option[String] = None,
+      reduce: Option[DataFrame => DataFrame] = None): Boolean = {
     require(upTo > 0, s"compaction boundary must be positive, got $upTo")
     val (fs, root) = fsOf(spark, path)
     if (!fs.exists(root)) return false
@@ -313,7 +326,8 @@ object IngestStore extends org.apache.spark.internal.Logging {
               .drop("__graft_latest")
           case None => content
         }
-        seedBase(spark, path, kept, upTo) // commits the boundary and GCs
+        val merged = reduce.fold(kept)(f => f(kept))
+        seedBase(spark, path, merged, upTo) // commits the boundary and GCs
         true
       }
     } else { gc(fs, root, b0); false } // replay/no-op: retry pending GC

@@ -575,6 +575,101 @@ object Streaming {
     }
   }
 
+  // ------------------------------------------- drift monitoring
+
+  /** Continuous distribution-drift monitor: each arriving micro-batch's
+    * unigram distribution is compared against the ACCUMULATED corpus
+    * distribution (all prior batches), emitting one
+    * `(n_tokens, n_distinct, kl_vs_store, tv_vs_store)` row per batch —
+    * the streaming form of [[graft.operators.TextStats.unigramDrift]]
+    * (per-dump drift vs the whole corpus becomes per-batch drift vs the
+    * corpus-so-far): the alarm that fires when a crawl snapshot's
+    * topic/language mix silently shifts, BEFORE mixing weights are
+    * chosen (Wenzek 2019's monitoring concern, made incremental).
+    *
+    * Arithmetic (matches `unigramDrift`): add-one smoothing over the
+    * union vocabulary `V` of batch and store,
+    * `p(t) = (c_batch+1)/(n_batch+|V|)`,
+    * `q(t) = (c_store+1)/(n_store+|V|)`; `kl = Σ p·ln(p/q)`,
+    * `tv = Σ|p−q|/2`. Batch 0 (empty store) has no reference
+    * distribution and emits NULL drift — its counts still seed the
+    * store.
+    *
+    * Store shape at scale: the counts store holds `(tok, c)` slices,
+    * one per batch, absorbed every `compactEvery` batches through
+    * [[IngestStore.compact]]'s `reduce` hook into a sum-merged
+    * VOCABULARY-sized base (the mergeable-counter contract) — per-batch
+    * cost is the batch's own tokenize+agg plus one columnar scan of
+    * that two-column store (the same honest corpus-proportional term as
+    * the ingest index probes), never a re-tokenization of old text.
+    * Replay-idempotent by the standard slice protocol: counts slice and
+    * drift row both overwrite their own `batch_id` partition, and the
+    * store read excludes the replaying batch's half-written slice. */
+  def driftMonitor(
+      stream: DataFrame, storePath: String, driftPath: String,
+      textCol: String, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      driftMonitorBatch(batch, batchId, storePath, driftPath, textCol,
+        compactEvery)
+    }
+
+  /** The per-batch step — separated so tests and manual backfills can
+    * replay a batch directly and observe idempotence. */
+  def driftMonitorBatch(
+      batch: DataFrame, batchId: Long, storePath: String,
+      driftPath: String, textCol: String, compactEvery: Int = 16): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = batch.sparkSession
+    val cntSchema = StructType(Seq(
+      StructField("tok", StringType, nullable = true),
+      StructField("c", LongType, nullable = true)))
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      IngestStore.compact(spark, storePath, cntSchema, upTo = batchId,
+        reduce = Some(rows => rows.groupBy(col("tok"))
+          .agg(sum(col("c")).as("c"))
+          .withColumn("batch_id", lit(0L))))
+    // slice first, read back: the drift compute references the batch
+    // counts twice more than the store write (the vocab join + its own
+    // aggregate) — a materialized slice turns those into columnar
+    // re-reads instead of repeated tokenize+agg runs (the
+    // ingestDedupBatch recipe)
+    writeBatch(
+      batch.select(explode(split(col(textCol), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c")),
+      storePath, "parquet", batchId)
+    val bc = spark.read.schema(cntSchema)
+      .parquet(s"$storePath/batch_id=$batchId")
+    val prior = IngestStore
+      .read(spark, storePath, cntSchema, excludeBatch = batchId)
+      .filter(col("batch_id") < lit(batchId))
+      .groupBy(col("tok")).agg(sum(col("c")).as("cp"))
+    // union-vocabulary frame, pinned once: three scalar subqueries and
+    // the final aggregate all consume it
+    val joined = bc.select(col("tok"), col("c").as("cb"))
+      .join(prior, Seq("tok"), "full_outer")
+      .select(coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("cp"), lit(0L)).as("cp"))
+      .localCheckpoint(true)
+    import graft.plans.Scalars
+    val nb = Scalars.of(joined.agg(sum(col("cb")).as("v")))
+    val np = Scalars.of(joined.agg(sum(col("cp")).as("v")))
+    val v = Scalars.of(joined.agg(count(lit(1)).as("v")))
+    val p = (col("cb") + 1).cast("double") / (nb + v)
+    val q = (col("cp") + 1).cast("double") / (np + v)
+    val drift = joined.agg(
+        sum(col("cb")).as("n_tokens"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("n_distinct"),
+        round(sum(p * log(p / q)), 4).as("kl"),
+        round(sum(abs(p - q)) / 2, 4).as("tv"))
+      .select(
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(np > 0, col("kl")).as("kl_vs_store"),
+        when(np > 0, col("tv")).as("tv_vs_store"))
+    writeBatch(drift, driftPath, "parquet", batchId)
+  }
+
   // ------------------------------------------------------- sessionize
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -447,6 +447,37 @@ class IngestStoreSpec extends SparkSpec {
       .map(_._1) === Some(4L))
   }
 
+  test("compact with a reduce hook: absorbed rows are sum-merged, " +
+      "later slices stay verbatim, replay is a no-op") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = tmp("graft-reduce-compact")
+    val schema = StructType(Seq(
+      StructField("tok", StringType, nullable = true),
+      StructField("c", LongType, nullable = true)))
+    // slices 0..3: token t{b%2} with count b+1 → absorbed [0,3):
+    // t0 = 1+3 = 4, t1 = 2; slice 3 (t1, 4) stays live
+    (0L to 3L).foreach { b =>
+      Streaming.writeBatch(
+        Seq((s"t${b % 2}", b + 1)).toDF("tok", "c"), dir, "parquet", b)
+    }
+    val reduce: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      rows => rows.groupBy(col("tok")).agg(sum(col("c")).as("c"))
+        .withColumn("batch_id", lit(0L))
+    assert(IngestStore.compact(spark, dir, schema, upTo = 3L,
+      reduce = Some(reduce)))
+    def content(): Set[(String, Long, Long)] =
+      IngestStore.read(spark, dir, schema)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(content() === Set(("t0", 4L, 0L), ("t1", 2L, 0L), ("t1", 4L, 3L)))
+    // the base holds exactly one row per token
+    assert(storeDirs(dir).sorted === Seq("batch_id=-3", "batch_id=3"))
+    // replay of the same compaction: boundary already committed → no-op
+    assert(!IngestStore.compact(spark, dir, schema, upTo = 3L,
+      reduce = Some(reduce)))
+    assert(content() === Set(("t0", 4L, 0L), ("t1", 2L, 0L), ("t1", 4L, 3L)))
+  }
+
   test("seedBase requires a true batch_id column") {
     val dir = tmp("graft-seedreq")
     val e = intercept[IllegalArgumentException] {

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
@@ -683,6 +683,94 @@ class StreamingSpec extends SparkSpec {
       (ts(5), ts(7), 2L, 5.0),    // merged late pair, summed total
       (ts(25), ts(25), 1L, 4.0),  // out of the pair's reach
       (ts(40), ts(42), 2L, 2.0))) // open session untouched
+  }
+
+  test("driftMonitor: per-batch KL/TV vs the accumulated store; " +
+      "batch 0 emits NULL drift; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-drift-store").toString
+    val driftDir = java.nio.file.Files
+      .createTempDirectory("graft-drift-out").toString
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-drift-ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val writer = Streaming.driftMonitor(
+      ms.toDF().toDF("doc_id", "text"), storeDir, driftDir, "text")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+    // batch 0 counts: a:2 b:2 c:1 (n=5, V=3)
+    ms.addData((1L, "a a b"), (2L, "b c"))
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    // batch 1 counts: a:1 b:2 d:1 (n=4); union vocab {a,b,c,d} (V=4)
+    // p = (c_b+1)/(4+4), q = (c_s+1)/(5+4):
+    //   KL = .25 ln(.25/(3/9)) + .375 ln(.375/(3/9))
+    //      + .125 ln(.125/(2/9)) + .25 ln(.25/(1/9)) = 0.1031 (4dp)
+    //   TV = (|.25-3/9| + |.375-3/9| + |.125-2/9| + |.25-1/9|)/2
+    //      = 0.1806 (4dp)
+    ms.addData((3L, "a b b d"))
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+
+    def driftRows(): Seq[(Long, Long, Long, Option[Double], Option[Double])] =
+      spark.read.option("basePath", driftDir).parquet(driftDir)
+        .select(col("batch_id").cast("long"), col("n_tokens"),
+          col("n_distinct"), col("kl_vs_store"), col("tv_vs_store"))
+        .orderBy("batch_id")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val expected = Seq(
+      (0L, 5L, 3L, None, None),
+      (1L, 4L, 3L, Some(0.1031), Some(0.1806)))
+    assert(driftRows() === expected)
+    // replay batch 1 directly (post-failure restart): the half-written
+    // slice is excluded from the prior read, the drift row is replaced
+    // not appended, and the store did not double-count
+    Streaming.driftMonitorBatch(
+      Seq((3L, "a b b d")).toDF("doc_id", "text"), 1L,
+      storeDir, driftDir, "text")
+    assert(driftRows() === expected)
+    assert(spark.read.option("basePath", storeDir).parquet(storeDir)
+      .agg(sum(col("c"))).head().getLong(0) === 9L)
+  }
+
+  test("driftMonitor: reduce-compaction changes neither drift nor " +
+      "store content, and bounds the store to a vocab-sized base") {
+    import spark.implicits._
+    def run(compactEvery: Int): (String, Seq[(Long, Double)]) = {
+      val storeDir = java.nio.file.Files
+        .createTempDirectory(s"graft-drift-cmp$compactEvery-store").toString
+      val driftDir = java.nio.file.Files
+        .createTempDirectory(s"graft-drift-cmp$compactEvery-out").toString
+      (0L to 8L).foreach { b =>
+        Streaming.driftMonitorBatch(
+          Seq((b, s"w${b % 3} w${(b + 1) % 4} common tail")
+            ).toDF("doc_id", "text"),
+          b, storeDir, driftDir, "text", compactEvery = compactEvery)
+      }
+      val drift = spark.read.option("basePath", driftDir).parquet(driftDir)
+        .select(col("batch_id").cast("long"), col("kl_vs_store"))
+        .filter(col("batch_id") > 0) // batch 0's drift is NULL by contract
+        .orderBy("batch_id")
+        .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+      (storeDir, drift)
+    }
+    val (compacted, driftA) = run(compactEvery = 4)
+    val (plain, driftB) = run(compactEvery = 0)
+    assert(driftA === driftB) // bit-identical drift with or without
+    def counts(dir: String): Map[String, Long] =
+      graft.streaming.IngestStore.readStore(spark, dir)
+        .groupBy(col("tok")).agg(sum(col("c")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(compacted) === counts(plain))
+    // compaction at batch 8 sum-merged [0,8) into ONE row per token:
+    // base rows = vocabulary size, not 8 batches × their vocabularies
+    val base = spark.read.option("basePath", compacted)
+      .parquet(s"$compacted/batch_id=-8")
+    assert(base.count() ===
+      base.select(col("tok")).distinct().count())
   }
 
   test("intervalJoinStreams renames case-variant column collisions too") {
