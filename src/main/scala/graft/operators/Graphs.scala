@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Static graph kernels over edge DataFrames: bipartite co-occurrence
+  * projection, degree-ordered triangle counting, and common-neighbor
+  * link prediction — the non-iterative complement of [[PageRank]] /
+  * [[ConnectedComponents]] (clustering structure and link scoring
+  * rather than reachability or centrality).
+  *
+  * All kernels are equi-join + partial/final-aggregate plans: nothing
+  * is collected, no windows over unbounded partitions, and the one
+  * genuinely super-linear step (per-left-entity pair generation in the
+  * projection) carries an explicit hub cap with a documented recall
+  * contract, the same df-cap discipline as [[Dedup]]'s candidate
+  * generators. */
+object Graphs {
+
+  /** Co-occurrence projection of a bipartite relation (Newman 2001's
+    * one-mode projection): an undirected edge `(a, b, n_shared)` per
+    * pair of right-side entities sharing at least `minShared` distinct
+    * left-side entities. `a < b` canonically; the relation is
+    * de-duplicated first, so multiplicity on the input carries no
+    * weight.
+    *
+    * Scale shape: pair generation is one self-equi-join on the left
+    * key — a left entity of degree d contributes C(d,2) rows, so cost
+    * is Σ C(d,2), never |R|². `maxLeftDegree` caps that sum: left
+    * entities with more than the cap distinct right neighbors are
+    * DROPPED from pair generation (the [[Dedup]] `maxDocFreq` recall
+    * contract: an edge is lost only if every shared left entity is
+    * that hot — and such hub-mediated co-occurrence is exactly the
+    * signal (a customer who buys everything, a stopword-like token)
+    * that projection weighting schemes discount anyway). None = exact. */
+  def coOccurrence(
+      rel: DataFrame, leftCol: String, rightCol: String,
+      minShared: Long = 1L,
+      maxLeftDegree: Option[Int] = None): DataFrame = {
+    val r = dedupedRel(rel, leftCol, rightCol, maxLeftDegree)
+    val x = r.select(col("l"), col("r").as("a"))
+    val y = r.select(col("l").as("__l"), col("r").as("b"))
+    x.join(y, col("l") === col("__l") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The shared (l, r)-distinct + hub-cap step of [[coOccurrence]] and
+    * [[adamicAdar]]. Columns renamed to (l, r) so self-joins downstream
+    * have unambiguous attribute ids. */
+  private def dedupedRel(
+      rel: DataFrame, leftCol: String, rightCol: String,
+      maxLeftDegree: Option[Int]): DataFrame = {
+    val r = rel.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .distinct()
+    maxLeftDegree match {
+      case Some(cap) =>
+        // one aggregate over the deduped relation; the cap filter is a
+        // semi-join shape (broadcastable: the hot-hub ledger is small
+        // by construction — it only holds entities ABOVE the cap)
+        val hot = r.groupBy(col("l")).agg(count(lit(1)).as("__d"))
+          .filter(col("__d") > cap).select(col("l"))
+        r.join(broadcast(hot), Seq("l"), "left_anti")
+      case None => r
+    }
+  }
+
+  /** Per-node triangle participation over an undirected simple graph.
+    * Input edges `(aCol, bCol)` are canonicalized (self-loops dropped,
+    * both orderings of a pair collapse to one); output is one row per
+    * node appearing in an edge: `(id, degree, n_triangles)`.
+    *
+    * The plan is the degree-ordered orientation algorithm (Chiba–
+    * Nishizeki / Schank's forward counting, the shape every
+    * distributed triangle counter uses): orient each edge from its
+    * lower to its higher endpoint under the total order (degree, id) —
+    * every out-neighborhood then has size O(√m) on any graph — build
+    * wedges by joining out-edges on their source, and close each wedge
+    * with one more equi-join against the oriented edge set. Wedge
+    * volume is Σ C(outdeg,2) ≤ O(m^1.5) worst-case (vs Σ C(deg,2),
+    * which a star graph drives to n² under naive id-ordering); each
+    * triangle {x≺y≺z} is produced exactly once, as wedge (x→y, x→z)
+    * closed by y→z. The orientation is internal — the triangle SET is
+    * orientation-invariant, so an id-ordered oracle enumerates the
+    * same triangles. */
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true) // consumed 3× (two orientation joins + output)
+    // orient along the (degree, id) total order; carry the head's rank
+    // key so the wedge join can compare heads without re-joining deg
+    val du = deg.select(col("id").as("u"), col("degree").as("__du"))
+    val dv = deg.select(col("id").as("v"), col("degree").as("__dv"))
+    val uFirst = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val dirE = e.join(du, "u").join(dv, "v")
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("__dv")).otherwise(col("__du")).as("ddeg"))
+      .localCheckpoint(true) // consumed 3× (both wedge sides + closure)
+    val e1 = dirE.select(col("src"), col("dst").as("y"), col("ddeg").as("__dy"))
+    val e2 = dirE.select(col("src").as("__s"), col("dst").as("z"),
+      col("ddeg").as("__dz"))
+    val wedge = e1.join(e2,
+      col("src") === col("__s") &&
+        (col("__dy") < col("__dz") ||
+          (col("__dy") === col("__dz") && col("y") < col("z"))))
+    val tri = wedge.join(
+      dirE.select(col("src").as("__cs"), col("dst").as("__cd")),
+      col("y") === col("__cs") && col("z") === col("__cd"))
+      .select(col("src"), col("y"), col("z"))
+    val corners = tri.select(col("src").as("id"))
+      .unionAll(tri.select(col("y").as("id")))
+      .unionAll(tri.select(col("z").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__n"))
+    deg.join(corners, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("__n"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Adamic–Adar link scores (Adamic & Adar 2003) over a bipartite
+    * relation: for each right-side pair sharing at least one left
+    * entity, `aa = Σ_{shared l} 1 / ln(degree(l))` — common neighbors,
+    * discounted by how promiscuous each shared neighbor is. Returns
+    * `(a, b, n_shared, aa)` with `a < b`, `aa` rounded to `decimals`.
+    *
+    * Every shared left entity has degree ≥ 2 (sharing requires two
+    * right neighbors), so `ln` never sees 1 and the score is finite.
+    * Same pair-generation shape and `maxLeftDegree` contract as
+    * [[coOccurrence]] — the hub cap here approximates the exact score
+    * from below by at most `n_hot / ln(cap)`, and the entities it
+    * drops are the ones AA's own 1/ln weight already sends toward 0. */
+  def adamicAdar(
+      rel: DataFrame, leftCol: String, rightCol: String,
+      maxLeftDegree: Option[Int] = None,
+      decimals: Int = 4): DataFrame = {
+    val r = dedupedRel(rel, leftCol, rightCol, maxLeftDegree)
+      .localCheckpoint(true) // consumed 3× (degree agg + both join sides)
+    val ldeg = r.groupBy(col("l")).agg(count(lit(1)).as("__ld"))
+    val x = r.select(col("l"), col("r").as("a"))
+    val y = r.select(col("l").as("__l"), col("r").as("b"))
+    x.join(y, col("l") === col("__l") && col("a") < col("b"))
+      .join(ldeg, Seq("l"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"),
+        round(sum(lit(1.0) / log(col("__ld"))), decimals).as("aa"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{ConnectedComponents, Dedup, PageRank}
+import graft.operators.{ConnectedComponents, Dedup, Graphs, PageRank}
 
 /** Graph-analytics composites: link-analysis ranking and quality-aware
   * dedup-cluster consolidation. The reference runtime's programming
@@ -44,7 +44,100 @@ object GraphQueries {
         ed AS (SELECT eb.src, eb.dst, dg.dg FROM eb JOIN dg USING (src)),
         n AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),"""
 
+  /** Shared bipartite (customer, supplier) relation SQL for q148/q149:
+    * one row per distinct trade within a market segment. */
+  private def relSql(segment: String): String = s"""
+        rel AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                WHERE c_mktsegment = '$segment')"""
+
+  /** The Spark side of [[relSql]]. */
+  private def relDf(s: org.apache.spark.sql.SparkSession, dir: String,
+      segment: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = Tables(s, dir, "customer")
+      .filter(col("c_mktsegment") === segment).select("c_custkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+  }
+
   val defs: Map[String, Q] = Map(
+
+    // ------------------------------------------------------------------
+    // Per-supplier triangle participation in the co-purchase graph:
+    // project the bipartite (customer, supplier) trade relation onto
+    // suppliers (edge = co-purchased by enough shared customers), then
+    // count each supplier's triangles — the local clustering signal
+    // community detectors seed from. The edge threshold is
+    // SCALE-ADAPTIVE (1.25× the mean pair weight, exact integer
+    // arithmetic) so the graph is non-degenerate at every SF rather
+    // than complete at one and empty at another. Degree-ordered
+    // orientation bounds the wedge join (see Graphs.triangles); the
+    // oracle enumerates the same (orientation-invariant) triangle set
+    // with plain id-ordering.
+    // ------------------------------------------------------------------
+    "q148_triangle_count" -> Q(
+      fn = (s, dir) => {
+        // pinned once: the cutoff scalar and the edge filter both
+        // consume the pair aggregate
+        val pairs = Graphs.coOccurrence(relDf(s, dir, "BUILDING"),
+          "cust", "supp").localCheckpoint(true)
+        val th = graft.plans.Scalars.of(pairs.agg(
+          expr("(5 * sum(`n_shared`)) div (4 * count(1))").as("th")))
+        Graphs.triangles(pairs.filter(col("n_shared") >= th), "a", "b")
+          .select(col("id").as("s_key"), col("degree"),
+            col("n_triangles"))
+          .orderBy("s_key")
+      },
+      oracle = Some(s"""
+        WITH ${relSql("BUILDING")},
+        p AS (SELECT a.s AS a, b.s AS b, count(*) AS n
+              FROM rel a JOIN rel b ON a.c = b.c AND a.s < b.s
+              GROUP BY 1, 2),
+        cut AS (SELECT (5 * sum(n)) // (4 * count(*)) AS th FROM p),
+        e AS (SELECT a, b FROM p CROSS JOIN cut WHERE n >= th),
+        deg AS (SELECT id, count(*) AS degree FROM (
+                  SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        tc AS (SELECT id, count(*) AS n FROM (
+                 SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri) GROUP BY 1)
+        SELECT d.id AS s_key, CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_triangles
+        FROM deg d LEFT JOIN tc ON d.id = tc.id
+        ORDER BY s_key""")),
+
+    // ------------------------------------------------------------------
+    // Adamic–Adar link prediction on the trade relation: score supplier
+    // pairs by their shared customers, discounting each shared customer
+    // by 1/ln(its supplier count) — a customer who buys from everyone
+    // says little about any pair. Top 50 predicted links (deterministic:
+    // rounded score, then keys).
+    // ------------------------------------------------------------------
+    "q149_adamic_adar" -> Q(
+      fn = (s, dir) => {
+        Graphs.adamicAdar(relDf(s, dir, "MACHINERY"), "cust", "supp")
+          .orderBy(col("aa").desc, col("a"), col("b"))
+          .limit(50)
+          .select(col("a").as("s_a"), col("b").as("s_b"),
+            col("n_shared"), col("aa"))
+      },
+      oracle = Some(s"""
+        WITH ${relSql("MACHINERY")},
+        d AS (SELECT c, count(*) AS ld FROM rel GROUP BY 1),
+        p AS (SELECT a.s AS s_a, b.s AS s_b, count(*) AS n_shared,
+                     round(sum(1.0 / ln(d.ld)), 4) AS aa
+              FROM rel a JOIN rel b ON a.c = b.c AND a.s < b.s
+              JOIN d ON d.c = a.c
+              GROUP BY 1, 2)
+        SELECT s_a, s_b, CAST(n_shared AS BIGINT) AS n_shared, aa
+        FROM p ORDER BY aa DESC, s_a, s_b LIMIT 50""")),
 
     // ------------------------------------------------------------------
     // PageRank over the customer–supplier transaction graph (an edge

@@ -1,0 +1,122 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Static graph kernels ([[Graphs]]): bipartite projection, triangle
+  * counting (degree-ordered orientation vs an in-test brute force),
+  * Adamic–Adar scores vs hand arithmetic, and the hub-cap recall
+  * contract. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coOccurrence: shared-left counts, canonical a<b, multiplicity " +
+      "ignored, minShared filters") {
+    // c1 -> {A,B}, c2 -> {A,B}, c3 -> {B,C}; duplicate rows are noise
+    val rel = Seq(("c1", "A"), ("c1", "B"), ("c1", "B"),
+      ("c2", "A"), ("c2", "B"), ("c3", "B"), ("c3", "C"))
+      .toDF("cust", "item")
+    val all = Graphs.coOccurrence(rel, "cust", "item")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(all === Set(("A", "B", 2L), ("B", "C", 1L)))
+    val filtered = Graphs.coOccurrence(rel, "cust", "item", minShared = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(filtered === Set(("A", "B", 2L)))
+  }
+
+  test("coOccurrence maxLeftDegree: hub lefts drop from pair generation; " +
+      "an edge survives iff SOME shared left is under the cap") {
+    // hub sees everything; (A,B) is also shared by c1 and survives with
+    // its count reduced; (A,C)/(B,C) were hub-only and vanish
+    val rel = Seq(("hub", "A"), ("hub", "B"), ("hub", "C"),
+      ("c1", "A"), ("c1", "B")).toDF("cust", "item")
+    val capped = Graphs.coOccurrence(rel, "cust", "item",
+      maxLeftDegree = Some(2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(capped === Set(("A", "B", 1L)))
+  }
+
+  /** O(n³) reference count over canonical undirected edges. */
+  private def bruteTriangles(edges: Set[(Long, Long)])
+      : Map[Long, (Long, Long)] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keySet
+    val tri = for {
+      x <- nodes.toSeq; y <- adj(x) if y > x; z <- adj(y) if z > y
+      if adj(x).contains(z)
+    } yield Seq(x, y, z)
+    val perNode = tri.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    nodes.map(n =>
+      n -> (adj(n).size.toLong, perNode.getOrElse(n, 0L))).toMap
+  }
+
+  test("triangles: hand case — one triangle, a pendant, reversed and " +
+      "self-loop edges canonicalized") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), // dup reversed
+      (3L, 4L), (4L, 4L), // pendant + self-loop
+      (5L, 6L)).toDF("a", "b")
+    val got = Graphs.triangles(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(
+      1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (3L, 1L),
+      4L -> (1L, 0L), 5L -> (1L, 0L), 6L -> (1L, 0L)))
+  }
+
+  test("triangles: complete K5 — every node in C(4,2) triangles") {
+    val edges = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b))
+      .toDF("a", "b")
+    val got = Graphs.triangles(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got === (1L to 5L).map(_ -> 6L).toMap)
+  }
+
+  test("triangles: star graph has none (and the skewed hub exercises " +
+      "the degree orientation, not a hub-squared wedge join)") {
+    val edges = (1L to 40L).map(i => (0L, i)).toDF("a", "b")
+    val got = Graphs.triangles(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(0L) === (40L, 0L))
+    assert((1L to 40L).forall(i => got(i) === (1L, 0L)))
+  }
+
+  test("triangles agree with brute force on a seeded random graph") {
+    val rnd = new Random(7)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toSet
+    val got = Graphs.triangles(edges.toSeq.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === bruteTriangles(edges))
+  }
+
+  test("adamicAdar: hand arithmetic, finite by construction") {
+    // shared lefts: (A,B) via c1 (deg 2) and c2 (deg 3);
+    // (A,C)/(B,C) via c2 only
+    val rel = Seq(("c1", "A"), ("c1", "B"),
+      ("c2", "A"), ("c2", "B"), ("c2", "C")).toDF("cust", "item")
+    val got = Graphs.adamicAdar(rel, "cust", "item")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3))))
+      .toMap
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map(
+      ("A", "B") -> (2L, r4(1 / math.log(2) + 1 / math.log(3))),
+      ("A", "C") -> (1L, r4(1 / math.log(3))),
+      ("B", "C") -> (1L, r4(1 / math.log(3)))))
+  }
+}
