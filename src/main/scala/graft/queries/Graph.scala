@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{ConnectedComponents, Dedup, Graphs, PageRank}
+import graft.operators.{ConnectedComponents, Dedup, Graphs, LabelPropagation, PageRank}
 
 /** Graph-analytics composites: link-analysis ranking and quality-aware
   * dedup-cluster consolidation. The reference runtime's programming
@@ -43,6 +43,20 @@ object GraphQueries {
         dg AS (SELECT src, count(*) AS dg FROM eb GROUP BY src),
         ed AS (SELECT eb.src, eb.dst, dg.dg FROM eb JOIN dg USING (src)),
         n AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),"""
+
+  /** One unrolled label-propagation iteration in DuckDB SQL — the
+    * exact argmax of [[graft.operators.LabelPropagation]]: per-node
+    * neighbor-label counts, winner by (count desc, label asc). */
+  private def lpIter(i: Int): String = s"""
+        v$i AS (
+          SELECT e.src AS id, l.lbl, count(*) AS c
+          FROM eb e JOIN l${i - 1} l ON e.dst = l.id
+          GROUP BY 1, 2),
+        l$i AS (
+          SELECT id, lbl FROM (
+            SELECT id, lbl, row_number() OVER (
+              PARTITION BY id ORDER BY c DESC, lbl) AS rn
+            FROM v$i) WHERE rn = 1)"""
 
   /** Shared bipartite (customer, supplier) relation SQL for q148/q149:
     * one row per distinct trade within a market segment. */
@@ -229,6 +243,50 @@ object GraphQueries {
                CAST(id // 2 AS BIGINT) AS key,
                CAST(pr_rank AS BIGINT) AS pr_rank
         FROM r5 ORDER BY pr_rank DESC, node_type, key LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // Synchronous label-propagation communities over the trade graph:
+    // q141's symmetrized customer–supplier edges, 4 majority-vote
+    // rounds from self-labels, reported as community ledgers. Exact
+    // integer votes + total tie order (count desc, label asc) make the
+    // unrolled DuckDB replay bit-exact; the fixed iteration count
+    // samples the bipartite two-cycle orbit deterministically.
+    // ------------------------------------------------------------------
+    "q150_label_propagation" -> Q(
+      fn = (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        // symmetrized + parity-disjoint: vote dedup and the sink-node
+        // join are both skippable; 4 iterations pipeline as one job
+        LabelPropagation(edges, "src", "dst", iterations = 4,
+          dedupEdges = false, noSinkNodes = true, checkpointEvery = 4)
+          .groupBy(col("lbl"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("id_checksum"))
+          .select(col("lbl").as("community"), col("n_nodes"),
+            col("id_checksum"))
+          .orderBy("community")
+      },
+      oracle = Some(s"""
+        WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        eb AS (SELECT src, dst FROM e0
+               UNION ALL SELECT dst, src FROM e0),
+        n AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+        l0 AS (SELECT id, id AS lbl FROM n),
+        ${(1 to 4).map(lpIter).mkString(",")}
+        SELECT CAST(lbl AS BIGINT) AS community,
+               count(*) AS n_nodes,
+               CAST(sum(id) AS BIGINT) AS id_checksum
+        FROM l4 GROUP BY lbl ORDER BY community""")),
 
     // ------------------------------------------------------------------
     // Quality-aware near-dup consolidation: the q64 char-ngram cluster
