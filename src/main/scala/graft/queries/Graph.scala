@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{ConnectedComponents, Dedup, Graphs, LabelPropagation, PageRank}
+import graft.operators.{ConnectedComponents, Dedup, Graphs, Hits, LabelPropagation, PageRank}
 
 /** Graph-analytics composites: link-analysis ranking and quality-aware
   * dedup-cluster consolidation. The reference runtime's programming
@@ -43,6 +43,27 @@ object GraphQueries {
         dg AS (SELECT src, count(*) AS dg FROM eb GROUP BY src),
         ed AS (SELECT eb.src, eb.dst, dg.dg FROM eb JOIN dg USING (src)),
         n AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),"""
+
+  /** One unrolled HITS iteration in DuckDB SQL — the exact integer
+    * arithmetic of [[graft.operators.Hits]]: authority half-step
+    * (sum of in-hub scores, L∞-normalized so max = 10^6 via BIGINT
+    * floor division — positive operands, so DuckDB `//` equals
+    * Spark's truncating `div`), then the hub half-step likewise. */
+  private def hitsIter(i: Int): String = s"""
+        ar$i AS (
+          SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS r
+          FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY 1),
+        a$i AS (
+          SELECT id, CAST((r * 1000000) // (SELECT max(r) FROM ar$i)
+                     AS BIGINT) AS a
+          FROM ar$i),
+        hr$i AS (
+          SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS r
+          FROM e JOIN a$i a ON e.dst = a.id GROUP BY 1),
+        h$i AS (
+          SELECT id, CAST((r * 1000000) // (SELECT max(r) FROM hr$i)
+                     AS BIGINT) AS h
+          FROM hr$i)"""
 
   /** One unrolled label-propagation iteration in DuckDB SQL — the
     * exact argmax of [[graft.operators.LabelPropagation]]: per-node
@@ -287,6 +308,54 @@ object GraphQueries {
                count(*) AS n_nodes,
                CAST(sum(id) AS BIGINT) AS id_checksum
         FROM l4 GROUP BY lbl ORDER BY community""")),
+
+    // ------------------------------------------------------------------
+    // HITS hubs & authorities over the DIRECTED customer→supplier
+    // trade graph: hub customers buy from authoritative suppliers,
+    // authoritative suppliers are bought by hub customers — the
+    // two-sided ranking the one-walk PageRank family can't express
+    // (q141 had to symmetrize; here direction IS the signal). Integer
+    // fixed-point with per-half-step L∞ normalization; top 100 by
+    // (authority, hub) with key tie-breaks.
+    // ------------------------------------------------------------------
+    "q151_hits" -> Q(
+      fn = (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        Hits(e0, "src", "dst", iterations = 3, dedupEdges = false)
+          .select(
+            when(pmod(col("id"), lit(2)) === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            expr("`id` div 2").as("key"),
+            col("hub"), col("authority"))
+          .orderBy(col("authority").desc, col("hub").desc,
+            col("node_type"), col("key"))
+          .limit(100)
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS h
+               FROM e),
+        ${(1 to 3).map(hitsIter).mkString(",")},
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+        SELECT CASE WHEN n.id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS node_type,
+               CAST(n.id // 2 AS BIGINT) AS key,
+               CAST(COALESCE(h.h, 0) AS BIGINT) AS hub,
+               CAST(COALESCE(a.a, 0) AS BIGINT) AS authority
+        FROM nodes n
+        LEFT JOIN h3 h ON n.id = h.id
+        LEFT JOIN a3 a ON n.id = a.id
+        ORDER BY authority DESC, hub DESC, node_type, key
+        LIMIT 100""")),
 
     // ------------------------------------------------------------------
     // Quality-aware near-dup consolidation: the q64 char-ngram cluster
