@@ -582,6 +582,52 @@ object TextStats {
     * explode three times). Corpus totals ride scalar subqueries.
     * Output: group, n_tokens, n_distinct, kl_vs_corpus,
     * tv_vs_corpus (both rounded to `decimals`). */
+  /** Context-length planning ledger: for each candidate maximum
+    * sequence length, what a truncate-at-L (or pad-to-L, or
+    * pack-to-L) regime costs on this corpus — the profile read before
+    * committing a training run's `max_seq_len`:
+    *
+    *   - `n_docs_fit` / `pct_docs_fit` — documents at or under L;
+    *   - `trunc_loss_pct` — fraction of corpus tokens LOST by
+    *     truncating every document at L;
+    *   - `pad_utilization` — non-pad fraction of a pad-to-L batch
+    *     with one (truncated) document per row, the no-packing cost;
+    *   - `packed_seqs` — ⌈kept tokens / L⌉, the sequence count a
+    *     perfect packer ([[Packing]]) would emit.
+    *
+    * One corpus pass: a slim per-document token-count projection
+    * fans out by `explode` over the LITERAL candidate array (|L|
+    * small by contract — it rides the plan as a literal, no join),
+    * then one partial+final aggregate keyed by L. Ratios are exact
+    * long arithmetic until the final rounded division. */
+  def seqLenPlan(
+      df: DataFrame, textCol: String, lengths: Seq[Int],
+      decimals: Int = 4): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ > 0),
+      "candidate lengths must be positive")
+    import graft.functions.{TextFunctions => T}
+    df.select(T.tokenCount(col(textCol)).as("__len"))
+      .select(col("__len"),
+        explode(array(lengths.map(l => lit(l.toLong)): _*)).as("max_len"))
+      .groupBy(col("max_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__len") <= col("max_len"), 1L).otherwise(0L))
+          .as("n_docs_fit"),
+        sum(col("__len")).as("__tot"),
+        sum(least(col("__len"), col("max_len"))).as("__kept"))
+      .select(
+        col("max_len"),
+        col("n_docs_fit"),
+        round(col("n_docs_fit").cast("double") / col("n_docs"), decimals)
+          .as("pct_docs_fit"),
+        round(lit(1.0) - col("__kept").cast("double") / col("__tot"),
+          decimals).as("trunc_loss_pct"),
+        round(col("__kept").cast("double") / (col("n_docs") * col("max_len")),
+          decimals).as("pad_utilization"),
+        expr("(`__kept` + `max_len` - 1) div `max_len`").as("packed_seqs"))
+  }
+
   def unigramDrift(
       df: DataFrame, textCol: String, groupCol: String,
       decimals: Int = 4): DataFrame = {

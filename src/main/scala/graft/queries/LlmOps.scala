@@ -1828,6 +1828,45 @@ object LlmOps {
                 FROM j CROSS JOIN s)
         ORDER BY batch_id""")),
 
+    // ------------------------------------------------------------------
+    // Context-length planning: the truncate/pad/pack cost ledger for
+    // candidate max_seq_len values — docs that fit, token loss under
+    // truncation, pad-batch utilization, and the perfectly-packed
+    // sequence count — the profile read before committing a training
+    // run's sequence length (the planning step ahead of q66's packer).
+    // ------------------------------------------------------------------
+    "q152_seqlen_plan" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.seqLenPlan(Tables(s, dir, "documents"), "text",
+          lengths = Seq(32, 64, 128, 256, 512, 1024))
+          .orderBy("max_len")
+      },
+      oracle = Some("""
+        WITH lens AS (
+          SELECT len(string_split(text, ' ')) AS len FROM documents),
+        x AS (
+          SELECT l.max_len, lens.len
+          FROM lens CROSS JOIN (VALUES (32), (64), (128), (256), (512),
+                                       (1024)) AS l(max_len)),
+        g AS (
+          SELECT max_len,
+                 count(*) AS n_docs,
+                 CAST(sum(CASE WHEN len <= max_len THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_docs_fit,
+                 CAST(sum(len) AS BIGINT) AS tot,
+                 CAST(sum(least(len, max_len)) AS BIGINT) AS kept
+          FROM x GROUP BY 1)
+        SELECT CAST(max_len AS BIGINT) AS max_len,
+               n_docs_fit,
+               round(n_docs_fit::DOUBLE / n_docs, 4) AS pct_docs_fit,
+               round(1.0 - kept::DOUBLE / tot, 4) AS trunc_loss_pct,
+               round(kept::DOUBLE / (n_docs * max_len), 4)
+                 AS pad_utilization,
+               CAST((kept + max_len - 1) // max_len AS BIGINT)
+                 AS packed_seqs
+        FROM g ORDER BY max_len""")),
+
     // Corpus snapshot diff (data-versioning): two snapshots derived
     // deterministically from the documents table (old drops ids
     // ≡3 mod 10, new drops ids ≡2 mod 7 and appends ' v2' to ids

@@ -384,4 +384,23 @@ class TextStatsSpec extends SparkSpec {
     assert(z.getAs[Double]("kl_vs_corpus") === 0.0)
     assert(z.getAs[Double]("tv_vs_corpus") === 0.0)
   }
+
+  test("seqLenPlan: hand-computed truncate/pad/pack ledger") {
+    import spark.implicits._
+    // token lengths: 2, 4, 6 (total 12)
+    val docs = Seq("a b", "a b c d", "a b c d e f").toDS().toDF("text")
+    val got = TextStats.seqLenPlan(docs, "text", lengths = Seq(4, 8))
+      .orderBy("max_len").collect()
+    // L=4: fit 2/3, kept 2+4+4=10, loss 2/12, pad util 10/12,
+    //      packed ⌈10/4⌉=3
+    val l4 = got(0)
+    assert(l4.getLong(0) === 4L && l4.getLong(1) === 2L)
+    assert(l4.getDouble(2) === 0.6667 && l4.getDouble(3) === 0.1667)
+    assert(l4.getDouble(4) === 0.8333 && l4.getLong(5) === 3L)
+    // L=8: everything fits, kept 12, pad util 12/24, packed 2
+    val l8 = got(1)
+    assert(l8.getLong(0) === 8L && l8.getLong(1) === 3L)
+    assert(l8.getDouble(2) === 1.0 && l8.getDouble(3) === 0.0)
+    assert(l8.getDouble(4) === 0.5 && l8.getLong(5) === 2L)
+  }
 }
