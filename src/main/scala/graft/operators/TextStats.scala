@@ -628,6 +628,60 @@ object TextStats {
         expr("(`__kept` + `max_len` - 1) div `max_len`").as("packed_seqs"))
   }
 
+  /** Vocabulary coverage curve (the Zipf profile behind tokenizer
+    * vocab sizing): for each candidate vocabulary size K, what
+    * fraction of corpus TOKENS the K most frequent types cover —
+    * "does a 32k vocab suffice for this corpus".
+    *
+    * Rank ties never matter: types are ranked by (count desc, type)
+    * but every type at the cut boundary carries the SAME count, so
+    * coverage(K) = tokens_above_boundary + (K − types_above) ·
+    * boundary_count regardless of which boundary types are taken —
+    * which is why the whole computation runs on the DISTINCT-COUNT
+    * ledger, never a vocab-wide rank: one (type, count) aggregate, one
+    * (count → n_types) aggregate, a cumulative window over that
+    * ledger, and one boundary lookup per K (the literal K array
+    * explodes against the ledger; exactly one row satisfies the
+    * boundary predicate after clamping K to the vocab size).
+    *
+    * The ledger window is single-partition but BOUNDED: distinct count
+    * values satisfy Σc ≥ V(V+1)/2, so the ledger is ≤ √(2·n_tokens)
+    * rows (~6M at 10^13 tokens — window-safe), vs the vocab itself
+    * which is not. Output per K: k, n_types_used (= min(K, vocab)),
+    * coverage_tokens, coverage_pct. Exact long arithmetic until the
+    * final rounded division. */
+  def vocabCoverage(
+      df: DataFrame, textCol: String, ks: Seq[Long],
+      decimals: Int = 4): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0),
+      "candidate vocab sizes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // consumed by ledger + two scalars
+    val nTot = graft.plans.Scalars.of(counts.agg(sum(col("c")).as("n")))
+    val vTot = graft.plans.Scalars.of(counts.agg(count(lit(1)).as("v")))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val led = counts.groupBy(col("c"))
+      .agg(count(lit(1)).as("n_types"))
+      .withColumn("toks", col("c") * col("n_types"))
+      .withColumn("ctb", coalesce(sum(col("n_types")).over(w), lit(0L)))
+      .withColumn("ckb", coalesce(sum(col("toks")).over(w), lit(0L)))
+    led.select(col("c"), col("n_types"), col("ctb"), col("ckb"),
+        explode(array(ks.map(lit): _*)).as("k"))
+      .withColumn("k0", least(col("k"), vTot))
+      .filter(col("ctb") < col("k0") &&
+        col("k0") <= col("ctb") + col("n_types"))
+      .select(col("k"),
+        col("k0").as("n_types_used"),
+        (col("ckb") + (col("k0") - col("ctb")) * col("c"))
+          .as("coverage_tokens"),
+        round((col("ckb") + (col("k0") - col("ctb")) * col("c"))
+          .cast("double") / nTot, decimals).as("coverage_pct"))
+  }
+
   def unigramDrift(
       df: DataFrame, textCol: String, groupCol: String,
       decimals: Int = 4): DataFrame = {

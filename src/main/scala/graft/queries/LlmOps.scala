@@ -1867,6 +1867,52 @@ object LlmOps {
                  AS packed_seqs
         FROM g ORDER BY max_len""")),
 
+    // ------------------------------------------------------------------
+    // Vocabulary coverage curve (the Zipf profile behind tokenizer
+    // vocab sizing): token share covered by the K most frequent types,
+    // for candidate vocab sizes K. Runs entirely on the distinct-count
+    // ledger (≤ √(2·n_tokens) rows by the distinct-sum bound) — rank
+    // ties carry equal counts, so no vocab-wide ordering exists
+    // anywhere in the plan.
+    // ------------------------------------------------------------------
+    "q153_vocab_coverage" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.vocabCoverage(Tables(s, dir, "documents"), "text",
+          ks = Seq(100L, 1000L, 4000L, 16000L, 64000L))
+          .orderBy("k")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        bc AS (SELECT c, count(*) AS n_types, c * count(*) AS toks
+               FROM cnt GROUP BY 1),
+        led AS (
+          SELECT c, n_types, toks,
+                 COALESCE(sum(n_types) OVER (ORDER BY c DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS ctb,
+                 COALESCE(sum(toks) OVER (ORDER BY c DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS ckb
+          FROM bc),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS v FROM cnt),
+        kk AS (SELECT k.k, least(k.k, tot.v) AS k0
+               FROM (VALUES (100), (1000), (4000), (16000), (64000))
+                 k(k) CROSS JOIN tot)
+        SELECT CAST(kk.k AS BIGINT) AS k,
+               CAST(kk.k0 AS BIGINT) AS n_types_used,
+               CAST(led.ckb + (kk.k0 - led.ctb) * led.c AS BIGINT)
+                 AS coverage_tokens,
+               round((led.ckb + (kk.k0 - led.ctb) * led.c)::DOUBLE
+                 / tot.n, 4) AS coverage_pct
+        FROM kk
+        JOIN led ON led.ctb < kk.k0 AND kk.k0 <= led.ctb + led.n_types
+        CROSS JOIN tot
+        ORDER BY k""")),
+
     // Corpus snapshot diff (data-versioning): two snapshots derived
     // deterministically from the documents table (old drops ids
     // ≡3 mod 10, new drops ids ≡2 mod 7 and appends ' v2' to ids

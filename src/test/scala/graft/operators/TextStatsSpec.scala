@@ -403,4 +403,25 @@ class TextStatsSpec extends SparkSpec {
     assert(l8.getDouble(2) === 1.0 && l8.getDouble(3) === 0.0)
     assert(l8.getDouble(4) === 0.5 && l8.getLong(5) === 2L)
   }
+
+  test("vocabCoverage: hand-computed curve, boundary ties, K past the " +
+      "vocabulary clamps to full coverage") {
+    import spark.implicits._
+    // counts: a:4 b:3 c:2 d:1 → total 10, vocab 4
+    val docs = Seq("a a a a b", "b b c c d").toDS().toDF("text")
+    val got = TextStats.vocabCoverage(docs, "text",
+      ks = Seq(1L, 2L, 3L, 10L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((1L, 4L, 0.4)))
+    assert(got(2L) === ((2L, 7L, 0.7)))
+    assert(got(3L) === ((3L, 9L, 0.9)))
+    assert(got(10L) === ((4L, 10L, 1.0))) // clamped to vocab
+    // tie at the cut: a:2 b:2 c:1 — K=1 takes ONE of the count-2 types;
+    // coverage is tie-independent because both carry the same count
+    val tie = Seq("a a b b c").toDS().toDF("text")
+    val k1 = TextStats.vocabCoverage(tie, "text", ks = Seq(1L))
+      .collect()(0)
+    assert(k1.getLong(2) === 2L && k1.getDouble(3) === 0.4)
+  }
 }
