@@ -484,6 +484,40 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Deterministic negative sampling for contrastive training
+    * (word2vec / SimCLR-style random negatives — Mikolov 2013 §2.2,
+    * public): per anchor, `k` pseudo-random DIFFERENT-label items,
+    * drawn by ranking md5(seed:anchor:item) — content-stable (every
+    * engine, run and cluster size draws the same negatives) and
+    * re-seedable (a new `seed` per epoch gives an independent draw),
+    * the [[shuffleOrder]] determinism contract applied to pair
+    * sampling. The complement of [[Similarity.tripletMine]]: that
+    * mines the HARDEST negative, this draws the unbiased background
+    * sample the loss also needs.
+    *
+    * Scale shape: the anchor side is broadcast (model-sized by
+    * contract — O(10³) anchors per pass, the tripletMine sharding
+    * rule), candidates stream map-side, and the per-anchor draw is
+    * [[topKPerStratum]]'s salted two-pass top-k (no anchor-sized
+    * window partition ever serializes). Null labels never pair
+    * (conservative; the module null-key policy). */
+  def negativeSample(
+      anchors: DataFrame, aIdCol: String, aLblCol: String,
+      items: DataFrame, iIdCol: String, iLblCol: String,
+      k: Int, seed: String = "", salts: Int = 64): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val a = anchors.select(col(aIdCol).as("anchor_id"),
+      col(aLblCol).as("__albl"))
+    val cand = items
+      .select(col(iIdCol).as("neg_id"), col(iLblCol).as("__ilbl"))
+      .crossJoin(broadcast(a))
+      .filter(col("__albl") =!= col("__ilbl"))
+      .withColumn("__h", md5(concat_ws(":", lit(seed),
+        col("anchor_id"), col("neg_id"))))
+    topKPerStratum(cand, "anchor_id", "__h", "neg_id", k, salts)
+      .select(col("anchor_id"), col("neg_id"))
+  }
+
   /** Deterministic GLOBAL training-order shuffle: adds `shuffle_pos`
     * (0-based, a permutation of 0..n-1) ranking rows by
     * md5(seed ':' key) — the "shuffle the corpus before writing
@@ -1197,5 +1231,85 @@ object Sampling {
             when(col("__i") - col("__F") <= col("__rem"), lit(1L))
               .otherwise(lit(0L))))
       .select(sizes.columns.map(col) :+ col(outCol): _*)
+  }
+
+  /** Leave-last-out temporal split with an embargo gap — the held-out
+    * protocol for behavioral/recsys training data: each key's LAST
+    * interaction becomes the eval example, and interactions within
+    * `embargoMs` BEFORE it are quarantined so near-boundary leakage
+    * (features computed "just before" the target) can't contaminate
+    * the train side (the purged/embargoed walk-forward discipline of
+    * financial ML, López de Prado 2018 ch.7, public).
+    *
+    * Adds `split`: "eval" for the (ts, tie)-max row per key, "embargo"
+    * for rows with ts strictly inside (last_ts − embargoMs, last_ts),
+    * "train" for the rest. A single-interaction key contributes only
+    * its eval row. `tieCol` must be unique per key (it breaks
+    * same-timestamp ties AND identifies the eval row — a duplicated
+    * (ts, tie) pair would mark both copies eval). Null keys/timestamps
+    * are dropped (module null-key policy).
+    *
+    * Scale shape: ONE per-key window aggregate (max of the
+    * (epoch-ms, tie) struct) — a key's history is the state bound,
+    * never the corpus (the EventAnalytics contract). Timestamp
+    * arithmetic is whole epoch-milliseconds on both engines (the
+    * sessionize discipline: `unix_millis` ↔ DuckDB `epoch_ms`). */
+  def leaveLastOut(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, embargoMs: Long): DataFrame = {
+    require(embargoMs >= 0L, "embargoMs must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+    val ms = unix_millis(col(tsCol))
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__last",
+        max(struct(ms.as("ms"), col(tieCol).as("t"))).over(w))
+      .withColumn("split",
+        when(ms === col("__last.ms") && col(tieCol) === col("__last.t"),
+          lit("eval"))
+          .when(ms > col("__last.ms") - lit(embargoMs), lit("embargo"))
+          .otherwise(lit("train")))
+      .drop("__last")
+  }
+
+  /** Deterministic length-curriculum training order: adds
+    * `curriculum_pos` (0-based, a permutation of 0..n-1) ordering rows
+    * by (`weightCol` div `bucketWidth` ASC, md5(seed ':' key), key) —
+    * coarse difficulty buckets ascending (short sequences first:
+    * curriculum learning, Bengio 2009, public; equally the
+    * length-bucketed shard order that cuts pad waste in batch
+    * assembly), with a content-stable, re-seedable [[shuffleOrder]]
+    * shuffle INSIDE each bucket so input order carries no secondary
+    * correlation.
+    *
+    * Shape: [[withStratumRank]] with the difficulty bucket as the
+    * stratum — per-bucket md5 ranks run in parallel over 256 hash
+    * sub-buckets — plus ONE broadcast ledger of difficulty-bucket base
+    * offsets (n_rows/bucketWidth-bounded, model-sized; its cumulative
+    * window orders a tiny aggregate, never rows). No global sort, no
+    * single-task window anywhere. Null keys/weights are dropped
+    * (module null-key policy); negative weights are caller error
+    * (`div` truncates toward zero, which would interleave bucket
+    * −0 with bucket 0). */
+  def curriculumOrder(df: DataFrame, weightCol: String, bucketWidth: Long,
+      keyCol: String, seed: String = ""): DataFrame = {
+    require(bucketWidth >= 1L, "bucketWidth must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val out = df.columns.map(col) :+ col("curriculum_pos")
+    val base = df
+      .filter(col(weightCol).isNotNull && col(keyCol).isNotNull)
+      .withColumn("__cb",
+        expr(s"cast(`$weightCol` as long) div $bucketWidth"))
+      .withColumn("__sk",
+        concat(lit(seed), lit(":"), col(keyCol).cast("string")))
+    val ledger = base.groupBy(col("__cb"))
+      .agg(count(lit(1)).as("__bc"))
+      .withColumn("__bbase", coalesce(
+        sum(col("__bc")).over(Window.orderBy(col("__cb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__cb").as("__lcb"), col("__bbase"))
+    withStratumRank(base, "__sk", "__cb")
+      .join(broadcast(ledger), col("__cb") === col("__lcb"))
+      .withColumn("curriculum_pos", col("__bbase") + col("__rk") - 1)
+      .select(out: _*)
   }
 }

@@ -779,4 +779,43 @@ object Similarity {
       .select(col("id"), col("grp"), col("cos_centroid"),
         (col("cos_centroid") < threshold).as("is_outlier"))
   }
+
+  /** Label-centroid confusion matrix — the label-quality diagnostic
+    * before training a classifier or contrastive head on the corpus:
+    * pairwise cosine between per-label mean vectors. Label pairs whose
+    * centroids nearly coincide are merge candidates (or annotation
+    * noise); the matrix is the read that finds them without any
+    * per-example pass.
+    *
+    * Scale shape: centroids come from ONE (label, dim)-keyed
+    * partial+final average over the posexploded corpus (the
+    * [[centroidCosineOutliers]] kernel — corpus-linear, no windows);
+    * the pairwise stage is a broadcast self-join of the LABEL-sized
+    * centroid frame (labels² pairs — model-sized by definition, never
+    * corpus-sized). Upper triangle only (grp_a < grp_b by the
+    * column's natural order). Cosines rounded to 4dp (the q134
+    * precedent: double averages agree cross-engine at that grain). */
+  def labelConfusion(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+      V.toDouble(col(vecCol)).as("v"))
+      .filter(col("grp").isNotNull)
+    val centroids = base
+      .select(col("grp"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("cnt"))
+      .groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"),
+        max(col("cnt")).as("n"))
+      .withColumn("cn", sqrt(DotProduct(col("c"), col("c"))))
+    val a = centroids.select(col("grp").as("grp_a"), col("c").as("ca"),
+      col("cn").as("na"), col("n").as("n_a"))
+    val b = centroids.select(col("grp").as("grp_b"), col("c").as("cb"),
+      col("cn").as("nb"), col("n").as("n_b"))
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        round(DotProduct(col("ca"), col("cb")) / (col("na") * col("nb")), 4)
+          .as("centroid_cosine"))
+  }
 }

@@ -725,4 +725,50 @@ object TextStats {
       .select(col("__g").as(groupCol), col("n_tokens"),
         col("n_distinct"), col("kl_vs_corpus"), col("tv_vs_corpus"))
   }
+
+  /** Collocation (phrase) mining over adjacent token bigrams — the
+    * phrase-detection pass of word2vec-style preprocessing (Mikolov
+    * et al. 2013 §4, arXiv:1310.4546, public): score(a,b) =
+    * (count(ab) − delta) · N / (count(a) · count(b)), where N is the
+    * corpus token count and `delta` discounts rare accidents. Pairs
+    * scoring high co-occur far more than their unigram frequencies
+    * predict — the "New York" detector. Returns the `k` top-scoring
+    * bigrams with count ≥ `minCount`, score in exact MILLI fixed
+    * point (pure rational arithmetic over exact long counts — no
+    * logs, no doubles — so every engine agrees bit-for-bit).
+    *
+    * Scale shape: one token explode → unigram counts; one in-doc
+    * bigram explode (an index-transform expression, no self-join) →
+    * bigram counts; two vocabulary-keyed equi-joins attach unigram
+    * counts to bigram rows (the unigram side stays distributed — a
+    * 100 TB vocabulary never broadcasts); N rides a scalar subquery;
+    * top-k plans as TakeOrderedAndProject. Overflow contract:
+    * (count(ab) − delta) · N · 1000 must fit a long — at
+    * trillion-token corpora compute the score per million
+    * (drop the ·1000) or move to DECIMAL. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      delta: Long, k: Int): DataFrame = {
+    require(minCount >= 1L && delta >= 0L && k >= 1)
+    val toks = df.select(split(col(textCol), " ").as("arr"))
+    val uni = toks.select(explode(col("arr")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = graft.plans.Scalars.of(
+      toks.agg(sum(size(col("arr"))).cast("long").as("n")))
+    val big = toks
+      .select(explode(expr(
+        "transform(sequence(1, size(`arr`) - 1), " +
+          "i -> struct(`arr`[i-1] as a, `arr`[i] as b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= lit(minCount))
+    big
+      .join(uni.select(col("w").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c").as("cb")), Seq("b"))
+      .withColumn("__n", n)
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+        expr(s"((`cab` - ${delta}L) * `__n` * 1000L) div (`ca` * `cb`)")
+          .as("score_milli"))
+      .orderBy(col("score_milli").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

@@ -11,6 +11,52 @@ object Advanced {
 
   val defs: Map[String, Q] = Map(
 
+    // ------------------------------------------------------------------
+    // Behavioral sequence construction: each user's event-type stream
+    // as a training token sequence — (ts, event_id)-ordered, CONSECUTIVE
+    // repeats collapsed (the run-length dedup every behavioral-LM prep
+    // applies), truncated to the first 64 tokens. User-keyed windows
+    // only (the EventAnalytics state bound — a user's history, never
+    // the corpus); the ordered reassembly is one sort_array over the
+    // per-user collapsed rows.
+    // ------------------------------------------------------------------
+    "q156_event_sequences" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val collapsed = ev
+          .withColumn("__prev", lag(col("event_type"), 1).over(w))
+          .filter(!(col("__prev") <=> col("event_type")))
+        collapsed.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))).as("__arr"))
+          .select(col("user_id"), col("n_tokens"),
+            array_join(expr("transform(slice(`__arr`, 1, 64), " +
+              "x -> x.event_type)"), " ").as("seq_text"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events),
+        k AS (SELECT user_id, ts, event_id, event_type FROM o
+              WHERE prev IS DISTINCT FROM event_type),
+        r AS (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM k)
+        SELECT user_id, count(*) AS n_tokens,
+               string_agg(CASE WHEN rn <= 64 THEN event_type END,
+                          ' ' ORDER BY rn) AS seq_text
+        FROM r GROUP BY user_id ORDER BY user_id""")),
+
     // Gap-based sessionization (batch form; the streaming form shares
     // semantics — see graft.streaming.Streaming.sessionize + its spec).
     // Gap arithmetic is done in whole epoch-milliseconds on BOTH sides

@@ -123,6 +123,107 @@ object CurationQueries {
         ORDER BY p.anchor_id""")),
 
     // ------------------------------------------------------------------
+    // Deterministic negative sampling: per anchor, 8 pseudo-random
+    // different-label negatives drawn by md5(seed:anchor:item) rank —
+    // content-stable and re-seedable per epoch; the unbiased-background
+    // complement of q144's hardest-negative mining. The salted
+    // two-pass top-k does the per-anchor draw without an anchor-sized
+    // window partition.
+    // ------------------------------------------------------------------
+    "q155_negative_sample" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Sampling.negativeSample(
+          emb.filter(col("vec_id") < 16), "vec_id", "label",
+          emb, "vec_id", "label", k = 8, seed = "ep0")
+          .orderBy("anchor_id", "neg_id")
+      },
+      oracle = Some("""
+        WITH a AS (SELECT vec_id AS anchor_id, label AS albl
+                   FROM embeddings WHERE vec_id < 16),
+        i AS (SELECT vec_id AS neg_id, label AS ilbl FROM embeddings),
+        cand AS (
+          SELECT a.anchor_id, i.neg_id,
+                 md5(concat_ws(':', 'ep0', a.anchor_id, i.neg_id)) AS h
+          FROM a JOIN i ON a.albl <> i.ilbl),
+        r AS (SELECT anchor_id, neg_id,
+                     row_number() OVER (PARTITION BY anchor_id
+                                        ORDER BY h DESC, neg_id) AS rn
+              FROM cand)
+        SELECT anchor_id, neg_id FROM r WHERE rn <= 8
+        ORDER BY anchor_id, neg_id""")),
+
+    // ------------------------------------------------------------------
+    // Leave-last-out temporal split with a 1-hour embargo: each user's
+    // last event is the eval example; events inside the hour before it
+    // are quarantined (near-boundary leakage); the rest train. One
+    // per-user window aggregate — a user's history is the state bound.
+    // Epoch-ms arithmetic on both engines (the sessionize discipline).
+    // ------------------------------------------------------------------
+    "q158_temporal_split" -> Q(
+      fn = (s, dir) => {
+        val ev = graft.Tables.eventsWithTs(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"))
+        Sampling.leaveLastOut(ev, "user_id", "ts", "event_id",
+            embargoMs = 3600000L)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("event_id")).as("id_checksum"))
+          .orderBy("split")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        r AS (
+          SELECT user_id, event_id, ms,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ms DESC, event_id DESC) AS rn,
+                 first_value(ms) OVER (PARTITION BY user_id
+                                       ORDER BY ms DESC, event_id DESC)
+                   AS lms
+          FROM e),
+        s AS (SELECT user_id, event_id,
+                     CASE WHEN rn = 1 THEN 'eval'
+                          WHEN ms > lms - 3600000 THEN 'embargo'
+                          ELSE 'train' END AS split
+              FROM r)
+        SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(event_id) AS BIGINT) AS id_checksum
+        FROM s GROUP BY split ORDER BY split""")),
+
+    // ------------------------------------------------------------------
+    // Length-curriculum training order: token-count buckets of 32
+    // ascending (short docs first), content-stable md5 shuffle inside
+    // each bucket — the two-phase prefix rank, no global sort. The
+    // oracle recomputes it as the single global window the Spark side
+    // deliberately avoids (the q124/q125 pattern).
+    // ------------------------------------------------------------------
+    "q160_curriculum_order" -> Q(
+      fn = (s, dir) => {
+        val docs = graft.Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ntok"))
+        Sampling.curriculumOrder(docs, "ntok", bucketWidth = 32L,
+            "doc_id", seed = "c0")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                            AS ntok
+                   FROM documents)
+        SELECT doc_id, ntok,
+               CAST(row_number() OVER (
+                 ORDER BY ntok // 32,
+                          md5('c0:' || CAST(doc_id AS VARCHAR)),
+                          'c0:' || CAST(doc_id AS VARCHAR)) - 1
+                 AS BIGINT) AS curriculum_pos
+        FROM d ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // Unigram-distribution drift per source vs the whole corpus:
     // add-one-smoothed KL divergence + total-variation distance over
     // the corpus vocabulary — the per-dump distribution-shift monitor

@@ -33,7 +33,56 @@ object LlmOps {
     out
   }
 
+  /** One relation's skew-profile block in DuckDB SQL — the exact
+    * integer arithmetic of [[graft.operators.Profile.skewProfile]]
+    * (distinct-frequency ledger, discrete-lower percentiles over keys,
+    * milli fixed-point ratios via BIGINT floor division). */
+  private def skewSql(rel: String, table: String, key: String): String = s"""
+        SELECT '$rel' AS relation, n_rows, n_keys, max_freq,
+               avg_freq_milli, p50_freq, p99_freq,
+               (max_freq * 1000000) // avg_freq_milli AS skew_ratio_milli,
+               (max_freq * 1000 + avg_freq_milli - 1) // avg_freq_milli
+                 AS suggested_salt
+        FROM (
+          WITH f AS (SELECT count(*) AS f FROM $table GROUP BY $key),
+          led AS (SELECT f, count(*) AS nk FROM f GROUP BY 1),
+          c AS (SELECT f, nk, sum(nk) OVER (ORDER BY f) AS ck FROM led),
+          s AS (SELECT CAST(sum(f * nk) AS BIGINT) AS n_rows,
+                       CAST(sum(nk) AS BIGINT) AS n_keys,
+                       CAST(max(f) AS BIGINT) AS max_freq FROM c)
+          SELECT s.n_rows, s.n_keys, s.max_freq,
+                 (s.n_rows * 1000) // s.n_keys AS avg_freq_milli,
+                 (SELECT CAST(min(f) AS BIGINT) FROM c CROSS JOIN s
+                  WHERE ck * 100 >= 50 * s.n_keys) AS p50_freq,
+                 (SELECT CAST(min(f) AS BIGINT) FROM c CROSS JOIN s
+                  WHERE ck * 100 >= 99 * s.n_keys) AS p99_freq
+          FROM s)"""
+
   val defs: Map[String, Q] = Map(
+
+    // ------------------------------------------------------------------
+    // Join-key skew profile: per-key frequency extremes, discrete
+    // percentiles, max/avg skew ratio and the leveling salt factor —
+    // the diagnostic read before choosing hash join vs SkewJoin
+    // salting vs AQE skew splits for a key. Everything beyond the
+    // (key → freq) aggregate runs on the distinct-frequency ledger
+    // (the q153 √(2n) bound), in exact milli fixed-point integers.
+    // ------------------------------------------------------------------
+    "q154_skew_profile" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Profile
+        Profile.skewProfile(Tables(s, dir, "events"), "user_id")
+          .select(lit("events.user_id").as("relation"), col("*"))
+          .unionByName(
+            Profile.skewProfile(Tables(s, dir, "lineitem"), "l_partkey")
+              .select(lit("lineitem.l_partkey").as("relation"), col("*")))
+          .orderBy("relation")
+      },
+      oracle = Some(s"""
+        ${skewSql("events.user_id", "events", "user_id")}
+        UNION ALL
+        ${skewSql("lineitem.l_partkey", "lineitem", "l_partkey")}
+        ORDER BY relation""")),
 
     // ---------------------------------------------------------- dedup
     "q22_dedup_exact" -> Q(
@@ -1912,6 +1961,119 @@ object LlmOps {
         JOIN led ON led.ctb < kk.k0 AND kk.k0 <= led.ctb + led.n_types
         CROSS JOIN tot
         ORDER BY k""")),
+
+    // ------------------------------------------------------------------
+    // Per-source duplication report: what share of each source's docs
+    // is exact-duplicated (normalized fingerprint) anywhere in the
+    // corpus, and what share collides ACROSS sources — the
+    // provenance-level dedup observability read before deciding which
+    // source's copies to keep. One fingerprint aggregate joined back;
+    // text never shuffles twice.
+    // ------------------------------------------------------------------
+    "q157_source_dup_report" -> Q(
+      fn = (s, dir) => {
+        import graft.functions.{TextFunctions => T}
+        val fp = Tables(s, dir, "documents")
+          .select(col("source"), T.fingerprint(col("text")).as("fp"))
+        val g = fp.groupBy(col("fp"))
+          .agg(count(lit(1)).as("__n"),
+            countDistinct(col("source")).as("__ns"))
+        fp.join(g, Seq("fp"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(when(col("__ns") > 1, 1L).otherwise(0L))
+              .as("n_cross_source_docs"))
+          .select(col("source"), col("n_docs"), col("n_dup_docs"),
+            round(col("n_dup_docs").cast("double") / col("n_docs"), 4)
+              .as("dup_share"),
+            col("n_cross_source_docs"),
+            round(col("n_cross_source_docs").cast("double")
+              / col("n_docs"), 4).as("cross_share"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH fp AS (
+          SELECT source,
+                 md5(regexp_replace(lower(text), '[^\p{L}\p{N} ]', '',
+                     'g')) AS fp
+          FROM documents),
+        g AS (SELECT fp, count(*) AS n,
+                     count(DISTINCT source) AS ns
+              FROM fp GROUP BY 1)
+        SELECT fp.source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs,
+               round(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS dup_share,
+               CAST(sum(CASE WHEN g.ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cross_source_docs,
+               round(sum(CASE WHEN g.ns > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS cross_share
+        FROM fp JOIN g ON fp.fp = g.fp
+        GROUP BY fp.source ORDER BY fp.source""")),
+
+    // ------------------------------------------------------------------
+    // Collocation (phrase) mining: adjacent-bigram phrase scores à la
+    // word2phrase — (c(ab) − δ)·N / (c(a)·c(b)) in exact milli fixed
+    // point (pure rational arithmetic over exact counts: both engines
+    // agree bit-for-bit, no log in sight). In-doc bigrams come from an
+    // index-transform expression (no self-join); the unigram side
+    // stays a distributed equi-join (a 100 TB vocab never broadcasts).
+    // ------------------------------------------------------------------
+    "q159_collocations" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.TextStats
+        TextStats.collocations(Tables(s, dir, "documents"), "text",
+          minCount = 5L, delta = 5L, k = 40)
+      },
+      oracle = Some("""
+        WITH tk AS (SELECT string_split(text, ' ') AS l FROM documents),
+        n AS (SELECT CAST(sum(len(l)) AS BIGINT) AS n FROM tk),
+        ug AS (SELECT unnest(l) AS w FROM tk),
+        uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ug GROUP BY 1),
+        ix AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+               FROM tk),
+        bg AS (SELECT l[i] AS a, l[i + 1] AS b FROM ix),
+        bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+               FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT bc.a, bc.b, bc.cab, ua.c AS ca, ub.c AS cb,
+               ((bc.cab - 5) * n.n * 1000) // (ua.c * ub.c) AS score_milli
+        FROM bc JOIN uc ua ON bc.a = ua.w
+                JOIN uc ub ON bc.b = ub.w
+                CROSS JOIN n
+        ORDER BY score_milli DESC, a, b LIMIT 40""")),
+
+    // ------------------------------------------------------------------
+    // Label-centroid confusion matrix: pairwise cosine between
+    // per-label mean embeddings — the label-quality read (merge
+    // candidates, annotation noise) before training on the labels.
+    // Centroids are one (label, dim)-keyed partial+final average; the
+    // pairwise stage is a broadcast self-join of the LABEL-sized
+    // centroid frame (upper triangle).
+    // ------------------------------------------------------------------
+    "q161_label_confusion" -> Q(
+      fn = (s, dir) => {
+        Similarity.labelConfusion(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", "label")
+          .orderBy("grp_a", "grp_b")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT label, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE label IS NOT NULL),
+        d AS (SELECT label, unnest(v) AS x,
+                     generate_subscripts(v, 1) AS i FROM e),
+        m AS (SELECT label, i, avg(x) AS m, CAST(count(*) AS BIGINT) AS n
+              FROM d GROUP BY label, i),
+        c AS (SELECT label, list(m ORDER BY i) AS c, max(n) AS n
+              FROM m GROUP BY label)
+        SELECT a.label AS grp_a, b.label AS grp_b, a.n AS n_a, b.n AS n_b,
+               round(list_inner_product(a.c, b.c) /
+                 (sqrt(list_inner_product(a.c, a.c)) *
+                  sqrt(list_inner_product(b.c, b.c))), 4)
+                 AS centroid_cosine
+        FROM c a JOIN c b ON a.label < b.label
+        ORDER BY grp_a, grp_b""")),
 
     // Corpus snapshot diff (data-versioning): two snapshots derived
     // deterministically from the documents table (old drops ids

@@ -783,4 +783,35 @@ class SamplingSpec extends SparkSpec {
       assert(got(id)._3 === want, s"ensemble of $id")
     }
   }
+
+  test("negativeSample: exact-k different-label draws, equal to the " +
+      "md5-rank brute force, deterministic, re-seedable") {
+    import spark.implicits._
+    val items = (1L to 40L).map(i => (i, (i % 4).toInt))
+      .toDF("vec_id", "label")
+    val anchors = items.filter(col("vec_id") <= 3)
+    def draw(seed: String): Map[Long, Seq[Long]] =
+      Sampling.negativeSample(anchors, "vec_id", "label",
+        items, "vec_id", "label", k = 5, seed = seed, salts = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val got = draw("s1")
+    // brute force: per anchor, top-5 candidates by (md5 desc, id)
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = (1L to 3L).map { a =>
+      val albl = a % 4
+      a -> (1L to 40L).filter(i => i % 4 != albl)
+        .sortBy(i => (md5Hex(s"s1:$a:$i"), i))(
+          Ordering.Tuple2(Ordering.String.reverse, Ordering.Long))
+        .take(5).sorted
+    }.toMap
+    assert(got === expected)
+    // same-label never sampled; exactly k per anchor
+    assert(got.values.forall(_.size === 5))
+    // deterministic across runs; a different seed draws differently
+    assert(draw("s1") === got)
+    assert(draw("s2") !== got)
+  }
 }

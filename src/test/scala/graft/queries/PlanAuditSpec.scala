@@ -19,6 +19,23 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     run(name).queryExecution.executedPlan.toString
 
+  /** Collects across AQE boundaries: AdaptiveSparkPlanExec is a LEAF
+    * node, so a plain `plan.collect` never sees the final physical
+    * plan — a structural assertion made with it is vacuous. Every
+    * WindowExec/operator-node contract below must use this. */
+  private def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T])
+      : Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    val here = p.collect(pf)
+    val nested = p.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q: QueryStageExec => q.plan
+    }.flatMap(deepCollect(_)(pf))
+    here ++ nested
+  }
+
   test("q02: predicates and projection reach the parquet scan") {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("PushedFilters: ["), p.take(1500))
@@ -262,7 +279,7 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     val exec145 = run("q145_unigram_drift").queryExecution.executedPlan
     assert(!exec145.toString.contains("CartesianProduct"))
-    assert(exec145.collect { case w: WindowExec => w }.isEmpty)
+    assert(deepCollect(exec145) { case w: WindowExec => w }.isEmpty)
   }
 
   test("q63: rank plan has ZERO single-partition windows (r6 contract — " +
@@ -272,11 +289,54 @@ class PlanAuditSpec extends SparkSpec {
     val exec = run("q63_quality_gate").queryExecution.executedPlan
     // windows may appear only inside the slim-projection subqueries,
     // and even there always bucket-partitioned
-    val mainWindows = exec.collect { case w: WindowExec => w }
+    val mainWindows = deepCollect(exec) { case w: WindowExec => w }
     assert(mainWindows.isEmpty, mainWindows.headOption.toString)
-    val unpartitioned = exec.subqueriesAll.flatMap(_.collect {
+    val unpartitioned = exec.subqueriesAll.flatMap(deepCollect(_) {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     })
     assert(unpartitioned.isEmpty, unpartitioned.headOption.toString)
+  }
+
+  test("q148/q149: co-purchase projection + triangle closure stay " +
+      "equi-join shaped — no cartesian, no nested loop, no windows") {
+    for (q <- Seq("q148_triangle_count", "q149_adamic_adar")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(800)}")
+      assert(!p.contains("Window"), s"$q: ${p.take(800)}")
+    }
+  }
+
+  test("q152: the seq-len ledger plans with NO join at all — literal " +
+      "candidates explode map-side") {
+    val p = plan("q152_seqlen_plan")
+    assert(!p.contains("Join"), p.take(1200))
+    assert("(Hash|Sort)Aggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
+  test("q153: the only window sits over the distinct-count ledger " +
+      "(an aggregate child), never the corpus or the vocab") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val exec = run("q153_vocab_coverage").queryExecution.executedPlan
+    val wins = deepCollect(exec) { case w: WindowExec => w }
+    assert(wins.nonEmpty, "ledger window missing — plan restructured?")
+    // every window's input subtree must bottom out in an aggregate
+    // (the count→n_types ledger), never a raw corpus/vocab scan
+    assert(wins.forall(w =>
+      deepCollect(w.child) { case a: BaseAggregateExec => a }.nonEmpty),
+      wins.head.toString.take(800))
+    assert(!exec.toString.contains("CartesianProduct"))
+  }
+
+  test("q155: the per-anchor draw never serializes — zero " +
+      "unpartitioned windows, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = run("q155_negative_sample").queryExecution.executedPlan
+    val unpart = deepCollect(exec) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, unpart.headOption.toString)
+    assert(!exec.toString.contains("CartesianProduct"))
   }
 }
