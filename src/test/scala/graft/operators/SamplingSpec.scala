@@ -814,4 +814,72 @@ class SamplingSpec extends SparkSpec {
     assert(draw("s1") === got)
     assert(draw("s2") !== got)
   }
+
+  test("leaveLastOut: eval is the (ts, tie)-max row, embargo is the " +
+      "strict window before it, single-row keys are eval-only") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: train at 0, train at exactly last-embargo (7000 is NOT
+      // > 10000-3000), embargo inside the window, eval at the max
+      (1L, 0L, 10L), (1L, 7000L, 11L), (1L, 8000L, 12L),
+      (1L, 10000L, 13L),
+      // user 2: single event
+      (2L, 500L, 20L),
+      // user 3: two rows at the SAME max ts — tie id 31 wins eval, 30
+      // lands in the embargo zone (its ms equals last.ms > last.ms - e)
+      (3L, 9000L, 30L), (3L, 9000L, 31L))
+      .toDF("user_id", "ms", "event_id")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val got = Sampling.leaveLastOut(ev, "user_id", "ts", "event_id",
+        embargoMs = 3000L)
+      .collect().map(r => r.getLong(2) -> r.getString(4)).toMap
+    assert(got === Map(
+      10L -> "train", 11L -> "train", 12L -> "embargo", 13L -> "eval",
+      20L -> "eval", 30L -> "embargo", 31L -> "eval"))
+  }
+
+  test("leaveLastOut: null keys and timestamps are dropped; embargo 0 " +
+      "keeps everything below the max as train") {
+    import spark.implicits._
+    val ev = Seq(
+      (Some(1L), Some(0L), 1L), (Some(1L), Some(100L), 2L),
+      (None, Some(5L), 3L), (Some(2L), None, 4L))
+      .toDF("user_id", "ms", "event_id")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val got = Sampling.leaveLastOut(ev, "user_id", "ts", "event_id",
+        embargoMs = 0L)
+      .collect().map(r => r.getLong(2) -> r.getString(4)).toMap
+    assert(got === Map(1L -> "train", 2L -> "eval"))
+  }
+
+  test("curriculumOrder: a permutation ordered by (bucket, md5) — " +
+      "equal to the brute-force global sort, deterministic, " +
+      "re-seedable, null rows dropped") {
+    import spark.implicits._
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = (1L to 100L).map(i => (i, (i * 37) % 250))
+    val df = rows.toDF("id", "w")
+    def order(seed: String): Map[Long, Long] =
+      Sampling.curriculumOrder(df, "w", bucketWidth = 64L, "id", seed)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = order("e1")
+    val expected = rows
+      .sortBy { case (i, w) => (w / 64, md5Hex(s"e1:$i"), s"e1:$i") }
+      .zipWithIndex.map { case ((i, _), p) => i -> p.toLong }.toMap
+    assert(got === expected)
+    // permutation of 0..n-1
+    assert(got.values.toSeq.sorted === (0L until 100L))
+    // deterministic; a new seed reorders within buckets
+    assert(order("e1") === got)
+    assert(order("e2") !== got)
+    // null weight/key rows are dropped, positions stay dense
+    val withNulls = df.withColumn("w",
+      when(col("id") === 5L, lit(null)).otherwise(col("w")))
+    val n2 = Sampling.curriculumOrder(withNulls, "w", 64L, "id", "e1")
+      .collect()
+    assert(n2.length === 99)
+    assert(n2.map(_.getLong(2)).sorted.toSeq === (0L until 99L))
+  }
 }

@@ -424,4 +424,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1).sorted.toSeq === Seq(1L, 2L))
     assert(got.forall(t => t._3 == 3L)) // the only other-label vector
   }
+
+  test("labelConfusion: hand-computed centroid cosines, upper " +
+      "triangle only, null labels dropped") {
+    import spark.implicits._
+    // label 1: (1,0),(0,1) → centroid (.5,.5); label 2: (1,0);
+    // label 3: (0,2),(0,4) → (0,3); null-label row ignored
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), Some(1)), (2L, Seq(0.0f, 1.0f), Some(1)),
+      (3L, Seq(1.0f, 0.0f), Some(2)),
+      (4L, Seq(0.0f, 2.0f), Some(3)), (5L, Seq(0.0f, 4.0f), Some(3)),
+      (6L, Seq(9.0f, 9.0f), None))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelConfusion(vecs, "vec_id", "embedding",
+      "label").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set((1, 2), (1, 3), (2, 3)))
+    assert(got((1, 2)) === ((2L, 1L, 0.7071)))
+    assert(got((1, 3)) === ((2L, 2L, 0.7071)))
+    assert(got((2, 3)) === ((1L, 2L, 0.0)))
+  }
 }

@@ -424,4 +424,27 @@ class TextStatsSpec extends SparkSpec {
       .collect()(0)
     assert(k1.getLong(2) === 2L && k1.getDouble(3) === 0.4)
   }
+
+  test("collocations: hand-computed phrase scores — exact milli fixed " +
+      "point, min-count gate, (score desc, a, b) order") {
+    import spark.implicits._
+    // tokens: doc1 = a b a b, doc2 = a b c → N = 7; unigrams a:3 b:3
+    // c:1; bigrams (a,b):3 (b,a):1 (b,c):1 → only (a,b) meets
+    // minCount 2; score = (3-1)*7*1000 div (3*3) = 1555
+    val docs = Seq("a b a b", "a b c").toDS().toDF("text")
+    val got = TextStats.collocations(docs, "text",
+      minCount = 2L, delta = 1L, k = 10).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === (("a", "b", 3L, 3L, 3L, 1555L)))
+    // delta at the count zeroes the score; minCount 1 admits the
+    // singletons, tie order is (score desc, a, b)
+    val all = TextStats.collocations(docs, "text",
+      minCount = 1L, delta = 1L, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+    // (b,a): (1-1)*7000 div 9 = 0; (b,c): 0*7000 div 3 = 0
+    assert(all.toSeq === Seq(("a", "b", 1555L), ("b", "a", 0L),
+      ("b", "c", 0L)))
+  }
 }

@@ -339,4 +339,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(unpart.isEmpty, unpart.headOption.toString)
     assert(!exec.toString.contains("CartesianProduct"))
   }
+
+  test("q158: every window is user-partitioned; q159 mines with " +
+      "equi-joins + TakeOrderedAndProject, zero windows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val e158 = run("q158_temporal_split").queryExecution.executedPlan
+    val unpart = deepCollect(e158) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, unpart.headOption.toString)
+    val p159 = plan("q159_collocations")
+    assert(!p159.contains("CartesianProduct") &&
+      !p159.contains("BroadcastNestedLoopJoin"), p159.take(1200))
+    assert(p159.contains("TakeOrderedAndProject"), p159.take(1200))
+    assert(deepCollect(run("q159_collocations").queryExecution
+      .executedPlan) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q160: the only unpartitioned window orders the bucket LEDGER " +
+      "(an aggregate child) — the corpus rank stays hash-bucketed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val exec = run("q160_curriculum_order").queryExecution.executedPlan
+    val wins = deepCollect(exec) { case w: WindowExec => w }
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.nonEmpty, "ledger window missing — plan restructured?")
+    assert(unpart.forall(w =>
+      deepCollect(w.child) { case a: BaseAggregateExec => a }.nonEmpty),
+      unpart.head.toString.take(800))
+    assert(!exec.toString.contains("CartesianProduct"))
+  }
+
+  test("q161: the pairwise stage is label-sized — no unpartitioned " +
+      "window, no cartesian; the nested-loop join is the documented " +
+      "broadcast label-matrix self-join only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = run("q161_label_confusion").queryExecution.executedPlan
+    assert(deepCollect(exec) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty)
+    assert(!exec.toString.contains("CartesianProduct"))
+  }
 }
