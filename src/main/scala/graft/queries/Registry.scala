@@ -21,5 +21,6 @@ object Registry {
   /** All query groups, merged for SparkEntry. */
   def allQueries: Map[String, Q] =
     Relational.defs ++ Pipelines.defs ++ LlmOps.defs ++ LlmOps.defs2 ++
-      Advanced.defs ++ GraphQueries.defs ++ CurationQueries.defs
+      Advanced.defs ++ GraphQueries.defs ++ CurationQueries.defs ++
+      EmbeddingQueries.defs
 }
