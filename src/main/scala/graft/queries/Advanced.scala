@@ -57,6 +57,65 @@ object Advanced {
                           ' ' ORDER BY rn) AS seq_text
         FROM r GROUP BY user_id ORDER BY user_id""")),
 
+    // ------------------------------------------------------------------
+    // Point-in-time-correct feature backfill: each purchase event gets
+    // its user's trailing-7-day activity count/spend and recency,
+    // computed over STRICTLY-PRIOR events only (frame ends at
+    // 1 ms PRECEDING — the current row and its exact-timestamp peers
+    // never leak into their own features, the López de Prado
+    // train-time discipline q158 applies to splits, applied here to
+    // features). User-keyed RANGE windows only — a user's history is
+    // the state bound, never the corpus; features ride ONE sort per
+    // user partition. Epoch-ms arithmetic + milli-long spend on both
+    // engines (the sessionize parity discipline) — bit-exact gate.
+    // ------------------------------------------------------------------
+    "q163_rolling_features" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.eventsWithTs(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"),
+            round(col("value") * 1000).cast("long").as("vm"))
+        val w7 = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+          .rangeBetween(-604800000L, -1L)
+        val wa = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+          .rangeBetween(Window.unboundedPreceding, -1L)
+        ev.withColumn("n_prior_7d", count(lit(1)).over(w7))
+          .withColumn("spend_milli_7d",
+            coalesce(sum(col("vm")).over(w7), lit(0L)))
+          .withColumn("n_prior_total", count(lit(1)).over(wa))
+          .withColumn("ms_since_last", col("ms") - max(col("ms")).over(wa))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ms"),
+            col("n_prior_7d"), col("spend_milli_7d"),
+            col("n_prior_total"), col("ms_since_last"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+                 CAST(round(value * 1000) AS BIGINT) AS vm
+          FROM events),
+        f AS (
+          SELECT event_id, user_id, ms, event_type,
+                 count(*) OVER w7 AS n_prior_7d,
+                 COALESCE(sum(vm) OVER w7, 0) AS spend_milli_7d,
+                 count(*) OVER wa AS n_prior_total,
+                 ms - max(ms) OVER wa AS ms_since_last
+          FROM ev
+          WINDOW w7 AS (PARTITION BY user_id ORDER BY ms
+                        RANGE BETWEEN 604800000 PRECEDING
+                        AND 1 PRECEDING),
+                 wa AS (PARTITION BY user_id ORDER BY ms
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING))
+        SELECT event_id, user_id, ms,
+               CAST(n_prior_7d AS BIGINT) AS n_prior_7d,
+               CAST(spend_milli_7d AS BIGINT) AS spend_milli_7d,
+               CAST(n_prior_total AS BIGINT) AS n_prior_total,
+               ms_since_last
+        FROM f WHERE event_type = 'purchase' ORDER BY event_id""")),
+
     // Gap-based sessionization (batch form; the streaming form shares
     // semantics — see graft.streaming.Streaming.sessionize + its spec).
     // Gap arithmetic is done in whole epoch-milliseconds on BOTH sides

@@ -370,6 +370,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.toString.contains("CartesianProduct"))
   }
 
+  // q162/q164's iteration plans are pinned operator-side (joins +
+  // aggregates by construction, gated by PcaSpec's integer replay);
+  // their returned frames are checkpointed leaves, so a plan audit
+  // on them would inspect only the final scan.
+  test("q163: rolling features ride user-partitioned windows only — " +
+      "zero unpartitioned windows, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val e163 = run("q163_rolling_features").queryExecution.executedPlan
+    val unpart = deepCollect(e163) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, unpart.headOption.toString)
+    assert(!e163.toString.contains("CartesianProduct"))
+  }
+
   test("q161: the pairwise stage is label-sized — no unpartitioned " +
       "window, no cartesian; the nested-loop join is the documented " +
       "broadcast label-matrix self-join only") {
