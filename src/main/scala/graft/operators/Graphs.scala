@@ -153,4 +153,66 @@ object Graphs {
       .agg(count(lit(1)).as("n_shared"),
         round(sum(lit(1.0) / log(col("__ld"))), decimals).as("aa"))
   }
+
+  /** Synchronous k-core peel (Seidman 1983, the Batagelj–Zaveršnik
+    * bulk variant): `rounds` rounds of "drop every node whose current
+    * degree < k", over an edge list treated as DIRECTED ROWS of an
+    * undirected graph (pass both orientations — the [[PageRank]] q141
+    * symmetrization; degree(n) = row count with src = n). Returns the
+    * surviving `(id, degree)` frame — the k-core exactly once the
+    * peel has converged (survivors stabilize), a decreasing superset
+    * after a fixed prefix of rounds otherwise: peeling is monotone,
+    * so extra rounds are no-ops and the fixed count samples
+    * convergence deterministically (the [[LabelPropagation]]
+    * finite-plan contract).
+    *
+    * `k` is a Column so callers can pin scale-adaptive thresholds
+    * (e.g. an exact-integer mean-degree scalar subquery) that stay
+    * non-degenerate at every corpus size.
+    *
+    * Survivors are reported FROM THE LIVE EDGE ROWS: a node that
+    * passes a round's degree vote but loses every incident edge (all
+    * neighbors fell the same round) reports no row — which is exactly
+    * right at convergence, where every k-core member has degree
+    * ≥ k ≥ 1 by definition; mid-peel, such a node is one the next
+    * round would drop anyway (spec-pinned on the path graph).
+    *
+    * Scale shape: per round ONE degree aggregate over the live edge
+    * set + two semi-join shapes against the survivor ledger — |E|-row
+    * bounded, no windows, nothing collected; the live set only
+    * shrinks. Eager checkpoint per round, superseded frames released
+    * (the [[PageRank]] loop discipline). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: org.apache.spark.sql.Column, rounds: Int = 6,
+      dedupEdges: Boolean = true): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
+    def ckRdd(df: DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+    var e = {
+      val e0 = edges
+        .select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      (if (dedupEdges) e0.distinct() else e0).localCheckpoint(true)
+    }
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("__src")).agg(count(lit(1)).as("__dg"))
+        .filter(col("__dg") >= k)
+        .select(col("__src").as("__id"))
+        .localCheckpoint(true) // node-sized; two semi-join consumers
+      val next = e
+        .join(keep, col("__src") === col("__id"), "left_semi")
+        .join(keep, col("__dst") === col("__id"), "left_semi")
+        .localCheckpoint(true)
+      Seq(e, keep).flatMap(ckRdd)
+        .foreach(_.unpersist(blocking = false))
+      e = next
+    }
+    val out = e.groupBy(col("__src")).agg(count(lit(1)).as("degree"))
+      .select(col("__src").as("id"), col("degree"))
+      .localCheckpoint(true) // node-sized; the release below needs it
+    ckRdd(e).foreach(_.unpersist(blocking = false))
+    out
+  }
 }

@@ -79,6 +79,24 @@ object GraphQueries {
               PARTITION BY id ORDER BY c DESC, lbl) AS rn
             FROM v$i) WHERE rn = 1)"""
 
+  /** One unrolled synchronous k-core peel round in DuckDB SQL — the
+    * exact protocol of [[graft.operators.Graphs.kCore]]: survivors =
+    * nodes whose live degree meets the scalar threshold, then both
+    * edge endpoints re-screened. MATERIALIZED: each round references
+    * its predecessor twice (and kk re-references e0), so DuckDB's
+    * default CTE inlining would re-expand the recurrence ~2^rounds. */
+  private def kcIter(i: Int): String = {
+    val prev = if (i == 1) "eb" else s"e${i - 1}"
+    s"""
+        d$i AS MATERIALIZED (
+          SELECT src AS id FROM $prev GROUP BY src
+          HAVING count(*) >= (SELECT k FROM kk)),
+        e$i AS MATERIALIZED (
+          SELECT e.src, e.dst FROM $prev e
+          JOIN d$i a ON e.src = a.id
+          JOIN d$i b ON e.dst = b.id)"""
+  }
+
   /** Shared bipartite (customer, supplier) relation SQL for q148/q149:
     * one row per distinct trade within a market segment. */
   private def relSql(segment: String): String = s"""
@@ -356,6 +374,61 @@ object GraphQueries {
         LEFT JOIN a3 a ON n.id = a.id
         ORDER BY authority DESC, hub DESC, node_type, key
         LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // k-core of the trade graph: peel nodes below half the mean degree
+    // until the dense backbone remains — the cohesion read (which
+    // counterparties sit in the mutually-dense trading core) that
+    // degree alone overstates (a hub with many one-shot partners
+    // peels; a moderately-connected clique member survives). The
+    // threshold is SCALE-ADAPTIVE (exact-integer half-mean via a
+    // scalar subquery) so the core is non-degenerate at every SF; 6
+    // synchronous peel rounds, fixed (monotone — extra rounds no-op
+    // once converged). Exact integer degrees → bit-exact oracle.
+    // ------------------------------------------------------------------
+    "q165_kcore" -> Q(
+      fn = (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        // half-mean degree of the symmetrized graph, spelled on the
+        // directed half: |E| div (|V_left| + |V_right|) — exact ints
+        val k = graft.plans.Scalars.of(e0.agg(expr(
+          "count(1) div (count(distinct `src`) + count(distinct `dst`))")
+          .as("k")))
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        // parity-disjoint symmetrization of a distinct half: no dedup
+        Graphs.kCore(edges, "src", "dst", k, rounds = 6,
+            dedupEdges = false)
+          .select(
+            when(pmod(col("id"), lit(2)) === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            expr("`id` div 2").as("key"),
+            col("degree"))
+          .orderBy("node_type", "key")
+      },
+      oracle = Some(s"""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        kk AS MATERIALIZED (
+          SELECT count(*) // (count(DISTINCT src) + count(DISTINCT dst))
+            AS k
+          FROM e0),
+        eb AS MATERIALIZED (SELECT src, dst FROM e0
+               UNION ALL SELECT dst, src FROM e0),
+        ${(1 to 6).map(kcIter).mkString(",")}
+        SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS node_type,
+               CAST(src // 2 AS BIGINT) AS key,
+               CAST(count(*) AS BIGINT) AS degree
+        FROM e6 GROUP BY src ORDER BY node_type, key""")),
 
     // ------------------------------------------------------------------
     // Quality-aware near-dup consolidation: the q64 char-ngram cluster

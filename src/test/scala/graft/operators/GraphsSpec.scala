@@ -102,6 +102,73 @@ class GraphsSpec extends SparkSpec {
     assert(got === bruteTriangles(edges))
   }
 
+  /** Exact replay of kCore's synchronous peel on symmetrized rows. */
+  private def bruteKCore(sym: Seq[(Long, Long)], k: Long, rounds: Int)
+      : Map[Long, Long] = {
+    var e = sym.distinct
+    for (_ <- 1 to rounds) {
+      val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      e = e.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+  }
+
+  private def runKCore(sym: Seq[(Long, Long)], k: Long, rounds: Int)
+      : Map[Long, Long] =
+    Graphs.kCore(sym.toDF("src", "dst"), "src", "dst", lit(k),
+        rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def sym(e: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    e ++ e.map(_.swap)
+
+  test("kCore: peeling a path CASCADES across rounds — each round " +
+      "exposes the next endpoint") {
+    // path 1-2-3-4-5 with k=2: endpoints peel one per round until empty
+    val path = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(runKCore(path, k = 2, rounds = 1).keySet === Set(2L, 3L, 4L))
+    // round 2: node 3 passes the degree vote but both neighbors fall —
+    // it keeps no live edge, so the edge-row report drops it, matching
+    // the converged 2-core of a path (empty)
+    assert(runKCore(path, k = 2, rounds = 2) === Map.empty)
+    assert(runKCore(path, k = 2, rounds = 3) === Map.empty)
+  }
+
+  test("kCore: triangle with a pendant — the triangle IS the 2-core, " +
+      "final degrees reported") {
+    val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)))
+    val got = runKCore(g, k = 2, rounds = 4)
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore agrees with the brute-force replay on a seeded random " +
+      "graph, at every round count") {
+    val rnd = new Random(13)
+    val edges = (1 to 260).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val g = sym(edges).distinct
+    for (r <- Seq(1, 2, 4, 8); k <- Seq(3L, 6L, 9L)) {
+      assert(runKCore(g, k, r) === bruteKCore(g, k, r), s"k=$k rounds=$r")
+    }
+  }
+
+  test("kCore: duplicate rows dedup by default; dedupEdges=false " +
+      "counts multiplicity (the caller-guarantees-distinct fast path)") {
+    val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val doubled = g ++ g
+    assert(Graphs.kCore(doubled.toDF("src", "dst"), "src", "dst",
+        lit(2L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // multiplicity doubles degrees when dedup is off
+    assert(Graphs.kCore(doubled.toDF("src", "dst"), "src", "dst",
+        lit(4L), rounds = 2, dedupEdges = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 4L, 2L -> 4L, 3L -> 4L))
+  }
+
   test("adamicAdar: hand arithmetic, finite by construction") {
     // shared lefts: (A,B) via c1 (deg 2) and c2 (deg 3);
     // (A,C)/(B,C) via c2 only
