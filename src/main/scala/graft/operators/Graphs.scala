@@ -181,7 +181,10 @@ object Graphs {
     * set + two semi-join shapes against the survivor ledger — |E|-row
     * bounded, no windows, nothing collected; the live set only
     * shrinks. Eager checkpoint per round, superseded frames released
-    * (the [[PageRank]] loop discipline). */
+    * (the [[PageRank]] loop discipline), and the loop exits at the
+    * fixed point (equal live-edge counts — monotonicity makes that a
+    * set equality, so the early exit provably returns the same frame
+    * the full `rounds` run would). */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
       k: org.apache.spark.sql.Column, rounds: Int = 6,
       dedupEdges: Boolean = true): DataFrame = {
@@ -196,18 +199,31 @@ object Graphs {
         .filter(col("__src").isNotNull && col("__dst").isNotNull)
       (if (dedupEdges) e0.distinct() else e0).localCheckpoint(true)
     }
-    for (_ <- 1 to rounds) {
+    // early exit at the fixed point: the peel is monotone (next ⊆ e),
+    // so equal live-edge COUNTS mean equal SETS, and every further
+    // round is a no-op — the result equals the full `rounds` run
+    // exactly. The count is a driver-side scalar over an
+    // already-materialized checkpoint, not a collect.
+    var live = e.count()
+    var r = 0
+    var fixed = false
+    while (r < rounds && !fixed) {
+      // keep stays LAZY: its two semi-join consumers share one
+      // canonical aggregate plan, so ReuseExchange materializes the
+      // survivor ledger once — no extra checkpoint job per round
       val keep = e.groupBy(col("__src")).agg(count(lit(1)).as("__dg"))
         .filter(col("__dg") >= k)
         .select(col("__src").as("__id"))
-        .localCheckpoint(true) // node-sized; two semi-join consumers
       val next = e
         .join(keep, col("__src") === col("__id"), "left_semi")
         .join(keep, col("__dst") === col("__id"), "left_semi")
         .localCheckpoint(true)
-      Seq(e, keep).flatMap(ckRdd)
-        .foreach(_.unpersist(blocking = false))
+      val nextLive = next.count()
+      ckRdd(e).foreach(_.unpersist(blocking = false))
+      fixed = nextLive == live
+      live = nextLive
       e = next
+      r += 1
     }
     val out = e.groupBy(col("__src")).agg(count(lit(1)).as("degree"))
       .select(col("__src").as("id"), col("degree"))
