@@ -116,6 +116,79 @@ object Advanced {
                ms_since_last
         FROM f WHERE event_type = 'purchase' ORDER BY event_id""")),
 
+    // ------------------------------------------------------------------
+    // Automation screen: per-user inter-event-gap regularity — machine
+    // traffic fires on a clock (squared coefficient of variation ≪ 1),
+    // humans are bursty (cv² ≈ 1 for Poisson-ish arrivals) — the
+    // row-source hygiene screen run BEFORE events feed behavioral
+    // training (q156/q163). Exact integer protocol: second-granular
+    // gaps from a per-user lag, per-user long sums, floor-division
+    // mean/var/cv² in milli fixed point with the var clamped at 0
+    // (floor rounding can push a near-zero variance to −1) — bit-exact
+    // cross-engine, positive operands so DuckDB // = Spark div.
+    // Overflow contract: n·maxgap² ≤ span² bounds the widest term
+    // 10^6·(Σg² div n) — month-long second-granular histories sit at
+    // ~7·10^18 < 2^63; longer spans coarsen the gap unit.
+    // ------------------------------------------------------------------
+    "q166_bot_regularity" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.eventsWithTs(s, dir)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_millis(`ts`) div 1000").as("sec"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"), col("event_id"))
+        ev.withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("gap")).as("__sg"),
+            sum(col("gap") * col("gap")).as("__sg2"))
+          .filter(col("n_gaps") >= 8)
+          .select(col("user_id"), col("n_gaps"),
+            expr("`__sg` div `n_gaps`").as("mean_gap_s"),
+            expr("""greatest(`__sg2` div `n_gaps` -
+                    (`__sg` div `n_gaps`) * (`__sg` div `n_gaps`), 0L)
+                 """).as("__var"))
+          .filter(col("mean_gap_s") > 0)
+          .withColumn("cv2_milli", expr(
+            "(1000000L * `__var`) div (`mean_gap_s` * `mean_gap_s`)"))
+          .select(col("user_id"), col("n_gaps"), col("mean_gap_s"),
+            col("cv2_milli"),
+            (col("cv2_milli") < 250000L).as("is_bot"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_ms(ts) // 1000 AS sec
+          FROM events),
+        g AS (
+          SELECT user_id,
+                 sec - lag(sec) OVER (PARTITION BY user_id
+                                      ORDER BY sec, event_id) AS gap
+          FROM ev),
+        a AS (
+          SELECT user_id, count(*) AS n_gaps,
+                 CAST(sum(gap) AS BIGINT) AS sg,
+                 CAST(sum(gap * gap) AS BIGINT) AS sg2
+          FROM g WHERE gap IS NOT NULL
+          GROUP BY user_id HAVING count(*) >= 8),
+        v AS (
+          SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
+                 greatest(sg2 // n_gaps -
+                          (sg // n_gaps) * (sg // n_gaps), 0) AS var
+          FROM a),
+        c AS (
+          SELECT user_id, n_gaps, mean_gap_s,
+                 (1000000 * var) // (mean_gap_s * mean_gap_s)
+                   AS cv2_milli
+          FROM v WHERE mean_gap_s > 0)
+        SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+               CAST(mean_gap_s AS BIGINT) AS mean_gap_s,
+               CAST(cv2_milli AS BIGINT) AS cv2_milli,
+               cv2_milli < 250000 AS is_bot
+        FROM c ORDER BY user_id""")),
+
     // Gap-based sessionization (batch form; the streaming form shares
     // semantics — see graft.streaming.Streaming.sessionize + its spec).
     // Gap arithmetic is done in whole epoch-milliseconds on BOTH sides

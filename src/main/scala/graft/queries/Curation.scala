@@ -13,6 +13,34 @@ object CurationQueries {
   val defs: Map[String, Q] = Map(
 
     // ------------------------------------------------------------------
+    // k-anonymity suppression ledger (Sweeney 2002): group the corpus
+    // by its quasi-identifier tuple (lang, source, length centile) and
+    // suppress combos with fewer than k=5 members — the re-
+    // identification screen a data RELEASE runs after the row-level
+    // PII redaction (q65) has scrubbed direct identifiers: a rare
+    // combo is itself identifying even with clean text. One keyed
+    // partial+final count; the ledger IS the output (combo-sized, not
+    // corpus-sized).
+    // ------------------------------------------------------------------
+    "q167_k_anonymity" -> Q(
+      fn = (s, dir) => {
+        Tables(s, dir, "documents")
+          .groupBy(col("lang"), col("source"),
+            expr("`n_chars` div 100").as("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(col("lang"), col("source"), col("len_bucket"),
+            col("n_docs"), (col("n_docs") >= 5L).as("kept"))
+          .orderBy("lang", "source", "len_bucket")
+      },
+      oracle = Some("""
+        SELECT lang, source, n_chars // 100 AS len_bucket,
+               count(*) AS n_docs,
+               count(*) >= 5 AS kept
+        FROM documents
+        GROUP BY lang, source, len_bucket
+        ORDER BY lang, source, len_bucket""")),
+
+    // ------------------------------------------------------------------
     // UniMax budget allocation (Chung et al. 2023): total budget = 2
     // average epochs, per-language epoch cap = 3 (chosen so the cap BINDS on this
     // corpus: the smallest language is fully funded at its cap while
