@@ -318,6 +318,52 @@ object TextStats {
           e => e.getField("tok"))).as("chunk_text"))
   }
 
+  /** Content-defined chunking (Muthitacharoen 2001's LBFS cut-point
+    * discipline at word granularity): a chunk boundary opens BEFORE
+    * token `i` whenever the rolling window of the `gram` preceding
+    * tokens hashes into the cut set — here, md5 first hex nibble `0`,
+    * a 1/16 cut rate giving ~`16 + gram`-token expected chunks. Cut
+    * points depend only on LOCAL content, so an edit re-chunks ONLY
+    * the chunks it touches — every chunk after the edit's
+    * boundary-resync keeps its fingerprint, which is what makes
+    * chunk-level reuse across corpus snapshots possible where
+    * fixed-stride chunking (chunkTokens) shifts every downstream
+    * chunk. Returns `(id, seg, n_tokens, chunk_md5)` — `seg` 0-based
+    * in document order.
+    *
+    * Scale shape: boundary flags are per-row expressions over the
+    * token ARRAY (a `gram`-token slice + md5 each — local, no joins);
+    * segment ids ride ONE document-keyed running-sum window (a doc's
+    * length is the state bound, the q156 discipline); chunks
+    * reassemble with one (doc, seg)-keyed sorted aggregation. Nothing
+    * corpus-wide, nothing collected. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      gram: Int = 4): DataFrame = {
+    require(gram >= 1 && gram <= 64, "gram must be in [1, 64]")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+        split(col(textCol), " ").as("__toks"))
+      .select(col("id"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos", "tok")))
+      // boundary BEFORE pos i: the gram window tokens[i-g..i-1]
+      // (1-based slice start i-g+1) cuts when its md5 leads with '0'
+      .select(col("id"), col("pos"), col("tok"),
+        when(col("pos") >= gram,
+          substring(md5(concat_ws(" ",
+            slice(col("__toks"), col("pos") - gram + lit(1), lit(gram)))
+            .cast("binary")), 1, 1) === "0")
+          .otherwise(lit(false)).as("__cut"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("seg", sum(col("__cut").cast("long")).over(w))
+      .groupBy(col("id"), col("seg"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).cast("binary")).as("chunk_md5"))
+  }
+
   /** BPE merge learning (Sennrich et al., ACL 2016): learns `nMerges`
     * byte-pair merges and returns the ordered merge table
     * (rank, left, right, merged, pair_count).

@@ -2115,6 +2115,134 @@ object LlmOps {
                CAST(sum(id) AS BIGINT) AS id_checksum
         FROM d GROUP BY status ORDER BY status""")),
 
+    // ------------------------------------------------------------------
+    // Chunk-level snapshot reuse via content-defined chunking: q121's
+    // old/new snapshots re-chunked with rolling-hash cut points
+    // (TextStats.cdcChunks), then per-status reuse accounting — the
+    // read that justifies INCREMENTAL crawl processing: a changed doc
+    // re-pays only the chunks its edit touched (boundaries resync
+    // because cut points are local content), where fixed-stride
+    // chunking would shift and invalidate every downstream chunk.
+    // Multiset reuse per (doc, fingerprint): least(old, new) copies.
+    // ------------------------------------------------------------------
+    "q168_cdc_chunk_reuse" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.{Dedup, TextStats}
+        val docs = Tables(s, dir, "documents")
+        val oldSnap = docs.filter(col("doc_id") % 10 =!= 3)
+        val newSnap = docs.filter(col("doc_id") % 7 =!= 2)
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        def ledger(snap: org.apache.spark.sql.DataFrame, side: String) =
+          TextStats.cdcChunks(snap, "doc_id", "text")
+            .groupBy(col("id"), col("chunk_md5"))
+            .agg(count(lit(1)).as(s"c_$side"),
+              min(col("n_tokens")).as(s"nt_$side"))
+        val j = ledger(oldSnap, "old")
+          .join(ledger(newSnap, "new"), Seq("id", "chunk_md5"),
+            "full_outer")
+          .select(col("id"),
+            coalesce(col("c_old"), lit(0L)).as("c_old"),
+            coalesce(col("c_new"), lit(0L)).as("c_new"),
+            coalesce(col("nt_old"), col("nt_new")).as("nt"))
+        val perDoc = j.groupBy(col("id")).agg(
+          sum(col("c_old")).as("d_old"),
+          sum(col("c_new")).as("d_new"),
+          sum(least(col("c_old"), col("c_new"))).as("d_reused"),
+          sum(col("c_new") * col("nt")).as("d_tok_new"),
+          sum(least(col("c_old"), col("c_new")) * col("nt"))
+            .as("d_tok_reused"))
+        Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+          .select(col("id"), col("status"))
+          .join(perDoc, Seq("id"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("d_old")).as("n_chunks_old"),
+            sum(col("d_new")).as("n_chunks_new"),
+            sum(col("d_reused")).as("n_chunks_reused"),
+            sum(col("d_tok_new")).as("n_tokens_new"),
+            sum(col("d_tok_reused")).as("n_tokens_reused"))
+          .orderBy("status")
+      },
+      oracle = Some("""
+        WITH oldd AS MATERIALIZED (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3),
+        newd AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 7 != 2),
+        tko AS MATERIALIZED (
+          SELECT doc_id, unnest([{'pos': i, 'tok': toks[i+1],
+                   'cut': CASE WHEN i >= 4 THEN
+                     substr(md5(array_to_string(toks[i-3:i], ' ')), 1, 1)
+                       = '0' ELSE false END}
+                 for i in range(len(toks))]) AS u
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM oldd)),
+        cho AS MATERIALIZED (
+          SELECT doc_id, seg, count(*) AS nt,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+          FROM (SELECT doc_id, u.pos AS pos, u.tok AS tok,
+                       sum(CASE WHEN u.cut THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY u.pos
+                               ROWS UNBOUNDED PRECEDING) AS seg
+                FROM tko)
+          GROUP BY doc_id, seg),
+        co AS MATERIALIZED (
+          SELECT doc_id, fp, count(*) AS c_old, min(nt) AS nt_old
+          FROM cho GROUP BY 1, 2),
+        tkn AS MATERIALIZED (
+          SELECT doc_id, unnest([{'pos': i, 'tok': toks[i+1],
+                   'cut': CASE WHEN i >= 4 THEN
+                     substr(md5(array_to_string(toks[i-3:i], ' ')), 1, 1)
+                       = '0' ELSE false END}
+                 for i in range(len(toks))]) AS u
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM newd)),
+        chn AS MATERIALIZED (
+          SELECT doc_id, seg, count(*) AS nt,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+          FROM (SELECT doc_id, u.pos AS pos, u.tok AS tok,
+                       sum(CASE WHEN u.cut THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY u.pos
+                               ROWS UNBOUNDED PRECEDING) AS seg
+                FROM tkn)
+          GROUP BY doc_id, seg),
+        cn AS MATERIALIZED (
+          SELECT doc_id, fp, count(*) AS c_new, min(nt) AS nt_new
+          FROM chn GROUP BY 1, 2),
+        jj AS MATERIALIZED (
+          SELECT coalesce(co.doc_id, cn.doc_id) AS id,
+                 coalesce(c_old, 0) AS c_old,
+                 coalesce(c_new, 0) AS c_new,
+                 coalesce(nt_old, nt_new) AS nt
+          FROM co FULL OUTER JOIN cn
+            ON co.doc_id = cn.doc_id AND co.fp = cn.fp),
+        pd AS MATERIALIZED (
+          SELECT id, sum(c_old) AS d_old, sum(c_new) AS d_new,
+                 sum(least(c_old, c_new)) AS d_reused,
+                 sum(c_new * nt) AS d_tok_new,
+                 sum(least(c_old, c_new) * nt) AS d_tok_reused
+          FROM jj GROUP BY id),
+        st AS MATERIALIZED (
+          SELECT coalesce(o.doc_id, n.doc_id) AS id,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN md5(o.text) IS DISTINCT FROM md5(n.text)
+                        THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+        SELECT st.status, count(*) AS n_docs,
+               CAST(sum(d_old) AS BIGINT) AS n_chunks_old,
+               CAST(sum(d_new) AS BIGINT) AS n_chunks_new,
+               CAST(sum(d_reused) AS BIGINT) AS n_chunks_reused,
+               CAST(sum(d_tok_new) AS BIGINT) AS n_tokens_new,
+               CAST(sum(d_tok_reused) AS BIGINT) AS n_tokens_reused
+        FROM st JOIN pd ON st.id = pd.id
+        GROUP BY st.status ORDER BY st.status""")),
+
     // Leakage-safe split: near-dup CLUSTERS (q55's char-ngram pair
     // graph on the zh slice, closed by CC) are the split unit, so no
     // near-dup pair can straddle train/test — the contamination mode

@@ -111,6 +111,59 @@ class TextStatsSpec extends SparkSpec {
     assert(got((8L, 0)) === ((3L, "a b c")))
   }
 
+  test("cdcChunks: chunks partition the document in order, and an " +
+      "in-test replay of the cut rule agrees") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("spark", "scan", "join", "agg", "sort", "row",
+      "key", "value", "batch", "merge")
+    val toks = (0 until 400).map(_ => words(rnd.nextInt(words.size)))
+    val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val got = TextStats.cdcChunks(df, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // replay: cut before i (i >= 4) iff md5 of the preceding 4-gram
+    // leads with hex '0'
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cuts = (0 until toks.size).map(i =>
+      i >= 4 && md5hex(toks.slice(i - 4, i).mkString(" ")).head == '0')
+    val segs = cuts.scanLeft(0L)((a, c) => a + (if (c) 1 else 0)).tail
+    val expect = toks.zip(segs).groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (seg, ts) =>
+        seg -> ((ts.size.toLong, md5hex(ts.map(_._1).mkString(" ")))) }
+    assert(got.toSeq === expect)
+    assert(got.map(_._2._1).sum === 400L) // chunks partition the doc
+    assert(got.map(_._1) === (0L until got.size).toArray) // dense segs
+  }
+
+  test("cdcChunks: cut points are LOCAL — prepending tokens preserves " +
+      "every chunk after the first boundary (the reuse property " +
+      "fixed-stride chunking lacks)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val base = (0 until 300).map(_ => words(rnd.nextInt(words.size)))
+    val prepended = Seq("new", "crawl", "header", "tokens", "here") ++ base
+    def fps(text: String): Seq[(Long, String)] =
+      TextStats.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(1) -> r.getString(3))
+        .sortBy(_._1).map(_._2).zipWithIndex.map(_.swap)
+        .map { case (i, f) => (i.toLong, f) }
+    val baseFps = fps(base.mkString(" ")).map(_._2)
+    val prepFps = fps(prepended.mkString(" ")).map(_._2).toSet
+    // every base chunk except the first (whose start shifted) must
+    // reappear verbatim in the prepended version: cut decisions at
+    // base position i >= 4 depend only on the 4 preceding original
+    // tokens, which the prepend leaves intact
+    assert(baseFps.size >= 10) // non-degenerate chunking
+    val lost = baseFps.tail.filterNot(prepFps)
+    assert(lost.isEmpty, s"lost ${lost.size} of ${baseFps.size}")
+  }
+
   test("ngramRepetition: looped text saturates, distinct text scores low") {
     import spark.implicits._
     val df = Seq(
