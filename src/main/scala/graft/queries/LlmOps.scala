@@ -2731,8 +2731,13 @@ object LlmOps {
     // ------------------------------------------------------------------
     "q136_knn_graph" -> Q(
       fn = (s, dir) => {
+        // cell count AUTO-SCALES with the corpus (n / targetCellSize)
+        // — a pinned nCells keeps Σ|cell|² quadratic in n (the r7
+        // 10x probe measured e10 = 1.39 with nCells = 16); the auto
+        // rule holds cell size ~constant so candidate volume is linear
         Similarity.knnGraph(Tables(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 5, nCells = 16, probes = 2)
+          "vec_id", "embedding", k = 5, targetCellSize = 256,
+          probes = 2)
           .orderBy("query_id", "rank")
       }),
 
