@@ -189,6 +189,86 @@ object Advanced {
                cv2_milli < 250000 AS is_bot
         FROM c ORDER BY user_id""")),
 
+    // ------------------------------------------------------------------
+    // In-engine eval harness: leave-last-out next-event prediction.
+    // Train = every user transition EXCEPT each user's final one
+    // (q158's temporal-split discipline applied to a model eval);
+    // model = the argmax bigram transition matrix (count desc, label
+    // asc tie — deterministic); score = per-context accuracy on the
+    // held-out finals, milli fixed point. A held-out context unseen
+    // in training predicts nothing and scores INCORRECT (left join,
+    // null never equals). The transition matrix and argmax live on an
+    // event-type²-sized aggregate — model-sized windows only; the
+    // corpus passes once through user-keyed lag/rank windows.
+    // ------------------------------------------------------------------
+    "q169_next_event_eval" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.eventsWithTs(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+        val wAsc = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        val wDesc = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms").desc, col("event_id").desc)
+        val t2 = ev
+          .withColumn("prv", lag(col("event_type"), 1).over(wAsc))
+          .withColumn("rdesc", row_number().over(wDesc))
+          .filter(col("prv").isNotNull)
+          .select(col("prv"), col("event_type").as("nxt"),
+            (col("rdesc") === 1).as("heldout"))
+        val train = t2.filter(!col("heldout"))
+          .groupBy(col("prv"), col("nxt"))
+          .agg(count(lit(1)).as("c"))
+        val pred = train
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("prv"))
+              .orderBy(col("c").desc, col("nxt"))))
+          .filter(col("rn") === 1)
+          .select(col("prv"), col("nxt").as("pred"))
+        t2.filter(col("heldout"))
+          .join(pred, Seq("prv"), "left")
+          .groupBy(col("prv"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("nxt") === col("pred"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("acc_milli",
+            expr("(1000 * `n_correct`) div `n_eval`"))
+          .orderBy("prv")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+          FROM events),
+        tr AS (
+          SELECT user_id, event_type AS nxt,
+                 lag(event_type) OVER w AS prv,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ms DESC, event_id DESC)
+                   AS rdesc
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        t2 AS (
+          SELECT prv, nxt, rdesc = 1 AS heldout
+          FROM tr WHERE prv IS NOT NULL),
+        train AS (
+          SELECT prv, nxt, count(*) AS c
+          FROM t2 WHERE NOT heldout GROUP BY 1, 2),
+        pred AS (
+          SELECT prv, nxt AS pred FROM (
+            SELECT prv, nxt, row_number() OVER (
+              PARTITION BY prv ORDER BY c DESC, nxt) AS rn
+            FROM train) WHERE rn = 1)
+        SELECT t2.prv, count(*) AS n_eval,
+               CAST(sum(CASE WHEN t2.nxt = p.pred THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct,
+               CAST((1000 * sum(CASE WHEN t2.nxt = p.pred
+                                     THEN 1 ELSE 0 END)) // count(*)
+                 AS BIGINT) AS acc_milli
+        FROM t2 LEFT JOIN pred p ON t2.prv = p.prv
+        WHERE t2.heldout
+        GROUP BY t2.prv ORDER BY t2.prv""")),
+
     // Gap-based sessionization (batch form; the streaming form shares
     // semantics — see graft.streaming.Streaming.sessionize + its spec).
     // Gap arithmetic is done in whole epoch-milliseconds on BOTH sides
