@@ -376,6 +376,74 @@ object GraphQueries {
         LIMIT 100""")),
 
     // ------------------------------------------------------------------
+    // Degree assortativity (Newman 2002) of the trade graph: the
+    // Pearson correlation of endpoint degrees over the symmetrized
+    // edge rows — negative r is the hub-periphery signature
+    // (small-degree nodes attach to hubs), positive r a core of
+    // mutually-connected heavyweights; the one-number structure read
+    // before choosing between q165's core peel and q150's
+    // communities. The six moment sums are EXACT longs (one degree
+    // aggregate + two slim joins + one fold); only the final Pearson
+    // assembles in double — both engines fold identical longs through
+    // identical IEEE ops, rounded 4dp (the q149 discipline).
+    // ------------------------------------------------------------------
+    "q170_assortativity" -> Q(
+      fn = (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val eb = e0.union(
+            e0.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint(true) // 3 consumers: deg agg + 2 joins
+        val deg = eb.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        val xy = eb
+          .join(deg.select(col("src"), col("dg").as("x")), Seq("src"))
+          .join(deg.select(col("src").as("dst"), col("dg").as("y")),
+            Seq("dst"))
+        xy.agg(count(lit(1)).as("n_edges"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sx2"),
+            sum(col("y") * col("y")).as("sy2"))
+          .select(col("n_edges"),
+            round((col("n_edges").cast("double") * col("sxy") -
+                col("sx").cast("double") * col("sy")) /
+              (sqrt(col("n_edges").cast("double") * col("sx2") -
+                col("sx").cast("double") * col("sx")) *
+               sqrt(col("n_edges").cast("double") * col("sy2") -
+                col("sy").cast("double") * col("sy"))), 4)
+              .as("assortativity"))
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        eb AS (SELECT src, dst FROM e0
+               UNION ALL SELECT dst, src FROM e0),
+        dg AS (SELECT src, count(*) AS dg FROM eb GROUP BY src),
+        xy AS (SELECT a.dg AS x, b.dg AS y
+               FROM eb JOIN dg a ON eb.src = a.src
+                       JOIN dg b ON eb.dst = b.src),
+        m AS (SELECT count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sx2,
+                     CAST(sum(y * y) AS BIGINT) AS sy2
+              FROM xy)
+        SELECT n AS n_edges,
+               round((n::DOUBLE * sxy - sx::DOUBLE * sy) /
+                 (sqrt(n::DOUBLE * sx2 - sx::DOUBLE * sx) *
+                  sqrt(n::DOUBLE * sy2 - sy::DOUBLE * sy)), 4)
+                 AS assortativity
+        FROM m""")),
+
+    // ------------------------------------------------------------------
     // k-core of the trade graph: peel nodes below half the mean degree
     // until the dense backbone remains — the cohesion read (which
     // counterparties sit in the mutually-dense trading core) that
