@@ -2243,6 +2243,83 @@ object LlmOps {
         FROM st JOIN pd ON st.id = pd.id
         GROUP BY st.status ORDER BY st.status""")),
 
+    // ------------------------------------------------------------------
+    // Quality-signal correlation matrix: pairwise Pearson between the
+    // per-doc signals an ensemble (q139) would fuse — token count,
+    // type-token ratio, chars-per-token — computed from exact-integer
+    // per-row signals through ONE global fold of long moment sums
+    // (the q170 device); only the final correlations assemble in
+    // double, rounded 4dp. The redundancy read BEFORE weighting an
+    // ensemble: on this corpus TTR is ~anti-proportional to length
+    // (Heaps' law) — fusing both double-counts one signal.
+    // ------------------------------------------------------------------
+    "q171_signal_correlation" -> Q(
+      fn = (s, dir) => {
+        val sig = Tables(s, dir, "documents").select(
+          size(split(col("text"), " ")).cast("long").as("nt"),
+          expr("""(size(array_distinct(split(`text`, ' '))) * 1000L)
+                  div size(split(`text`, ' '))""").as("ttr"),
+          expr("(`n_chars` * 1000) div size(split(`text`, ' '))")
+            .as("cpt"))
+        def r(n: org.apache.spark.sql.Column,
+            sx: org.apache.spark.sql.Column, sy: org.apache.spark.sql.Column,
+            sxy: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column,
+            syy: org.apache.spark.sql.Column) =
+          round((n.cast("double") * sxy - sx.cast("double") * sy) /
+            (sqrt(n.cast("double") * sxx - sx.cast("double") * sx) *
+             sqrt(n.cast("double") * syy - sy.cast("double") * sy)), 4)
+        sig.agg(count(lit(1)).as("n"),
+            sum(col("nt")).as("sa"), sum(col("ttr")).as("sb"),
+            sum(col("cpt")).as("sc"),
+            sum(col("nt") * col("nt")).as("saa"),
+            sum(col("ttr") * col("ttr")).as("sbb"),
+            sum(col("cpt") * col("cpt")).as("scc"),
+            sum(col("nt") * col("ttr")).as("sab"),
+            sum(col("nt") * col("cpt")).as("sac"),
+            sum(col("ttr") * col("cpt")).as("sbc"))
+          .select(col("n").as("n_docs"),
+            r(col("n"), col("sa"), col("sb"), col("sab"), col("saa"),
+              col("sbb")).as("r_tokens_ttr"),
+            r(col("n"), col("sa"), col("sc"), col("sac"), col("saa"),
+              col("scc")).as("r_tokens_cpt"),
+            r(col("n"), col("sb"), col("sc"), col("sbc"), col("sbb"),
+              col("scc")).as("r_ttr_cpt"))
+      },
+      oracle = Some("""
+        WITH sig AS (
+          SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                 CAST((len(list_distinct(string_split(text, ' '))) * 1000)
+                      // len(string_split(text, ' ')) AS BIGINT) AS ttr,
+                 CAST((n_chars * 1000) // len(string_split(text, ' '))
+                      AS BIGINT) AS cpt
+          FROM documents),
+        m AS (
+          SELECT count(*) AS n,
+                 CAST(sum(nt) AS BIGINT) sa,
+                 CAST(sum(ttr) AS BIGINT) sb,
+                 CAST(sum(cpt) AS BIGINT) sc,
+                 CAST(sum(nt * nt) AS BIGINT) saa,
+                 CAST(sum(ttr * ttr) AS BIGINT) sbb,
+                 CAST(sum(cpt * cpt) AS BIGINT) scc,
+                 CAST(sum(nt * ttr) AS BIGINT) sab,
+                 CAST(sum(nt * cpt) AS BIGINT) sac,
+                 CAST(sum(ttr * cpt) AS BIGINT) sbc
+          FROM sig)
+        SELECT n AS n_docs,
+               round((n::DOUBLE * sab - sa::DOUBLE * sb) /
+                 (sqrt(n::DOUBLE * saa - sa::DOUBLE * sa) *
+                  sqrt(n::DOUBLE * sbb - sb::DOUBLE * sb)), 4)
+                 AS r_tokens_ttr,
+               round((n::DOUBLE * sac - sa::DOUBLE * sc) /
+                 (sqrt(n::DOUBLE * saa - sa::DOUBLE * sa) *
+                  sqrt(n::DOUBLE * scc - sc::DOUBLE * sc)), 4)
+                 AS r_tokens_cpt,
+               round((n::DOUBLE * sbc - sb::DOUBLE * sc) /
+                 (sqrt(n::DOUBLE * sbb - sb::DOUBLE * sb) *
+                  sqrt(n::DOUBLE * scc - sc::DOUBLE * sc)), 4)
+                 AS r_ttr_cpt
+        FROM m""")),
+
     // Leakage-safe split: near-dup CLUSTERS (q55's char-ngram pair
     // graph on the zh slice, closed by CC) are the split unit, so no
     // near-dup pair can straddle train/test — the contamination mode
