@@ -2320,6 +2320,59 @@ object LlmOps {
                  AS r_ttr_cpt
         FROM m""")),
 
+    // ------------------------------------------------------------------
+    // Deterministic Poisson bootstrap (Chamandy 2012, the streaming
+    // bootstrap): 32 replicates where doc d's weight in replicate b is
+    // the Poisson(1) inverse-CDF of the hash-uniform u =
+    // substr(md5(b:id), 1, 4) — the q56 hex-threshold device, cuts
+    // precomputed as 4-hex literals (tail truncated at 7, mass ~1e-4,
+    // protocol-documented). Content-stable: the same corpus gives the
+    // same replicates on any engine or cluster size, so the CI itself
+    // is gate-checkable. ONE pass: the 32-way explode collapses
+    // map-side into 32 partial aggregates per partition — replicate
+    // ledgers, never 32 corpus copies, shuffle. Exact milli means.
+    // ------------------------------------------------------------------
+    "q172_bootstrap_ci" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        docs.withColumn("b", explode(sequence(lit(0), lit(31))))
+          .withColumn("u", substring(md5(
+            concat(col("b").cast("string"), lit(":"),
+              col("doc_id").cast("string")).cast("binary")), 1, 4))
+          .withColumn("w",
+            when(col("u") < "5e2d", 0L).when(col("u") < "bc5a", 1L)
+              .when(col("u") < "eb71", 2L).when(col("u") < "fb23", 3L)
+              .when(col("u") < "ff10", 4L).when(col("u") < "ffd9", 5L)
+              .when(col("u") < "fffa", 6L).otherwise(7L))
+          .groupBy(col("b"))
+          .agg(sum(col("w")).as("n_eff"),
+            sum(col("w") * col("nt")).as("__ts"))
+          .filter(col("n_eff") > 0)
+          .select(col("b").cast("long").as("replicate"), col("n_eff"),
+            expr("(`__ts` * 1000) div `n_eff`").as("mean_tokens_milli"))
+          .orderBy("replicate")
+      },
+      oracle = Some("""
+        WITH reps AS (
+          SELECT t.b, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                 substr(md5(t.b || ':' || doc_id), 1, 4) AS u
+          FROM documents, (SELECT unnest(range(0, 32)) AS b) t),
+        w AS (
+          SELECT b, nt,
+                 CASE WHEN u < '5e2d' THEN 0 WHEN u < 'bc5a' THEN 1
+                      WHEN u < 'eb71' THEN 2 WHEN u < 'fb23' THEN 3
+                      WHEN u < 'ff10' THEN 4 WHEN u < 'ffd9' THEN 5
+                      WHEN u < 'fffa' THEN 6 ELSE 7 END AS w
+          FROM reps)
+        SELECT CAST(b AS BIGINT) AS replicate,
+               CAST(sum(w) AS BIGINT) AS n_eff,
+               CAST((CAST(sum(w * nt) AS BIGINT) * 1000) //
+                    CAST(sum(w) AS BIGINT) AS BIGINT)
+                 AS mean_tokens_milli
+        FROM w GROUP BY b HAVING sum(w) > 0 ORDER BY replicate""")),
+
     // Leakage-safe split: near-dup CLUSTERS (q55's char-ngram pair
     // graph on the zh slice, closed by CC) are the split unit, so no
     // near-dup pair can straddle train/test — the contamination mode
