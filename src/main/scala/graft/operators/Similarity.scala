@@ -422,6 +422,16 @@ object Similarity {
   /** The shared sample-size bound for both model trainers — one
     * definition so the ceiling cannot drift between the IVF and PQ
     * paths. */
+  /** Scale-correct cell count: n / targetCellSize (≥ 4, clamped at
+    * [[Dedup.MaxAutoCells]]). A PINNED cell count makes the IVF
+    * candidate join Σ|cell|² quadratic in corpus size (the r7 10x
+    * probe measured e10 = 1.39 on q136 with nCells = 16); this rule
+    * holds cell size ~constant so candidate volume stays linear up to
+    * the clamp. */
+  private[operators] def autoCells(n: Long, targetCellSize: Int): Int =
+    math.min(Dedup.MaxAutoCells.toLong,
+      math.max(4L, n / targetCellSize)).toInt
+
   private[operators] def trainCap(nCells: Int, trainPerCell: Int): Int = {
     require(nCells > 0, "nCells must be positive")
     require(trainPerCell >= 4, "trainPerCell must be at least 4")
@@ -702,10 +712,8 @@ object Similarity {
     require(probes >= 1, "probes must be at least 1")
     val c = maybeSpread(df, spread)
       .select(col(idCol).as("id"), V.toDouble(col(vecCol)).as("v"))
-    val kc =
-      if (nCells > 0) nCells
-      else math.min(Dedup.MaxAutoCells.toLong,
-        math.max(4L, df.count() / targetCellSize)).toInt
+    val kc = if (nCells > 0) nCells
+             else autoCells(df.count(), targetCellSize)
     val centroids = centroidModel(c, "id", "v", kc, seed, lloydIters)
     val assigned = c
       .withColumn("cell",

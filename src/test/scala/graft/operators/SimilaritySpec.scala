@@ -257,6 +257,20 @@ class SimilaritySpec extends SparkSpec {
       s"anchor side must broadcast, got:\n$plan")
   }
 
+  test("knnGraph auto cell rule: cell COUNT scales with the corpus so " +
+      "cell SIZE stays ~constant (the r7 10x-probe fix: a pinned cell " +
+      "count makes the candidate join quadratic in n)") {
+    assert(Similarity.autoCells(500L, 256) === 4)     // floor at 4
+    assert(Similarity.autoCells(5000L, 256) === 19)
+    assert(Similarity.autoCells(50000L, 256) === 195) // 10x data → ~10x cells
+    assert(Similarity.autoCells(10_000_000L, 256) === 2048) // clamp
+    // and the auto path produces exact-k ranked rows end to end
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+      k = 3, targetCellSize = 30, probes = 2)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    assert(g.values.forall(_.length === 3))
+  }
+
   test("knnGraph: exact per-query counts, deterministic, recall vs brute") {
     val g = Similarity.knnGraph(emb, "vec_id", "embedding",
       k = 5, nCells = 8, probes = 2)
