@@ -2244,6 +2244,78 @@ object LlmOps {
         GROUP BY st.status ORDER BY st.status""")),
 
     // ------------------------------------------------------------------
+    // Per-source Kolmogorov–Smirnov drift of the doc-length
+    // distribution vs the whole corpus — the NONPARAMETRIC
+    // distribution-shift test beside q145's (vocabulary-bound) KL: KS
+    // sees shape changes KL smoothing can blur, needs no binning
+    // choices, and is exact here. Everything runs on the
+    // distinct-length LEDGER (sources × distinct lengths — bounded by
+    // the max doc length, never corpus-sized), so the cumulative
+    // windows are ledger-windows (the q153/q154 device). The distance
+    // itself is EXACT integer cross-multiplication:
+    // max |cumS·N − cumG·nS| over the merged step points, divided
+    // once at the end — no per-step floating CDFs to disagree on.
+    // ------------------------------------------------------------------
+    "q173_ks_length_drift" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+          .select(col("source"), col("n_chars"))
+        val g = docs.groupBy(col("n_chars").as("v"))
+          .agg(count(lit(1)).as("cg"))
+        val sv = docs.groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("cs"))
+        val srcs = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("ns"))
+        val n = graft.plans.Scalars.of(docs.agg(count(lit(1)).as("n")))
+        val grid = srcs.crossJoin(g)
+          .join(sv, Seq("source", "v"), "left")
+          .withColumn("cs", coalesce(col("cs"), lit(0L)))
+        val w = Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid
+          .withColumn("cums", sum(col("cs")).over(w))
+          .withColumn("cumg", sum(col("cg")).over(w))
+          .withColumn("__n", n)
+          .groupBy(col("source"))
+          .agg(min(col("ns")).as("n_docs"),
+            max(abs(col("cums") * col("__n") - col("cumg") * col("ns")))
+              .as("__m"),
+            min(col("__n")).as("__nn"))
+          .select(col("source"), col("n_docs"),
+            expr("(1000 * `__m`) div (`n_docs` * `__nn`)").as("ks_milli"))
+          .orderBy(col("ks_milli").desc, col("source"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT n_chars AS v, count(*) AS cg FROM documents GROUP BY 1),
+        s AS (
+          SELECT source, n_chars AS v, count(*) AS cs
+          FROM documents GROUP BY 1, 2),
+        src AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM documents),
+        grid AS (
+          SELECT src.source, src.ns, g.v, g.cg, COALESCE(s.cs, 0) AS cs
+          FROM src CROSS JOIN g
+          LEFT JOIN s ON s.source = src.source AND s.v = g.v),
+        c AS (
+          SELECT source, ns,
+                 sum(cs) OVER w AS cums, sum(cg) OVER w AS cumg
+          FROM grid
+          WINDOW w AS (PARTITION BY source ORDER BY v
+                       ROWS UNBOUNDED PRECEDING)),
+        d AS (
+          SELECT source,
+                 CAST(max(abs(cums * (SELECT n FROM nn) - cumg * ns))
+                   AS BIGINT) AS m,
+                 CAST(min(ns) AS BIGINT) AS ns
+          FROM c GROUP BY source)
+        SELECT source, ns AS n_docs,
+               CAST((1000 * m) // (ns * (SELECT n FROM nn)) AS BIGINT)
+                 AS ks_milli
+        FROM d ORDER BY ks_milli DESC, source""")),
+
+    // ------------------------------------------------------------------
     // Quality-signal correlation matrix: pairwise Pearson between the
     // per-doc signals an ensemble (q139) would fuse — token count,
     // type-token ratio, chars-per-token — computed from exact-integer
