@@ -2244,6 +2244,62 @@ object LlmOps {
         GROUP BY st.status ORDER BY st.status""")),
 
     // ------------------------------------------------------------------
+    // Per-source token-mass Gini: how head-heavy is each source's doc
+    // length distribution — the concentration read behind packing
+    // efficiency (q66/q152) and per-doc token budgets (q125). Exact
+    // integers end-to-end on the distinct-count LEDGER: ties share
+    // consecutive ranks, so the rank-weighted mass is
+    // v·(c·C_below + c(c+1)/2) per ledger row (no doc-level rank
+    // anywhere), and Gini_milli = 1000·(2S − (n+1)T) / (nT) by
+    // Chebyshev's sum inequality is provably ≥ 0 — positive operands,
+    // so DuckDB // equals Spark div.
+    // ------------------------------------------------------------------
+    "q174_token_gini" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val led = Tables(s, dir, "documents")
+          .groupBy(col("source"),
+            size(split(col("text"), " ")).cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        led
+          .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n"),
+            sum(col("v") * col("c")).as("t"),
+            sum(col("v") * (col("c") * col("cb") +
+              expr("(`c` * (`c` + 1)) div 2"))).as("s"))
+          .select(col("source"), col("n").as("n_docs"),
+            col("t").as("total_tokens"),
+            expr("(1000 * (2 * `s` - (`n` + 1) * `t`)) div (`n` * `t`)")
+              .as("gini_milli"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH led AS (
+          SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+                 count(*) AS c
+          FROM documents GROUP BY 1, 2),
+        cb AS (
+          SELECT source, v, c,
+                 COALESCE(sum(c) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cb
+          FROM led),
+        a AS (
+          SELECT source,
+                 CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(v * c) AS BIGINT) AS t,
+                 CAST(sum(v * (c * cb + (c * (c + 1)) // 2)) AS BIGINT)
+                   AS s
+          FROM cb GROUP BY source)
+        SELECT source, n AS n_docs, t AS total_tokens,
+               CAST((1000 * (2 * s - (n + 1) * t)) // (n * t) AS BIGINT)
+                 AS gini_milli
+        FROM a ORDER BY source""")),
+
+    // ------------------------------------------------------------------
     // Per-source Kolmogorov–Smirnov drift of the doc-length
     // distribution vs the whole corpus — the NONPARAMETRIC
     // distribution-shift test beside q145's (vocabulary-bound) KL: KS
