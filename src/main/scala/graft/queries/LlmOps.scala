@@ -2244,6 +2244,50 @@ object LlmOps {
         GROUP BY st.status ORDER BY st.status""")),
 
     // ------------------------------------------------------------------
+    // Source mirror matrix: which source PAIRS share rare word-4-grams
+    // — the cross-crawl mirror/syndication detector (q84 checks two
+    // named corpora; this scans all C(sources,2) pairs at once). The
+    // pair generation is [[Graphs.coOccurrence]] verbatim with grams
+    // as the left (blocking) side: cost Σ C(sources-per-gram, 2),
+    // never sources²·grams, and the df-cap drops grams in > 10
+    // sources (boilerplate — exactly what mirror detection should
+    // ignore; recall contract inherited from the kernel, replayed by
+    // the oracle's HAVING). Top 30 by (shared grams, pair) — total
+    // order.
+    // ------------------------------------------------------------------
+    "q175_source_mirror_matrix" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Graphs
+        val rel = Tables(s, dir, "documents")
+          .select(col("source"), explode(expr(
+            """transform(sequence(0, size(split(`text`, ' ')) - 4),
+                 i -> array_join(slice(split(`text`, ' '), i + 1, 4),
+                                 ' '))""")).as("g"))
+        Graphs.coOccurrence(rel, "g", "source",
+            minShared = 1L, maxLeftDegree = Some(10))
+          .select(col("a").as("s_a"), col("b").as("s_b"),
+            col("n_shared"))
+          .orderBy(col("n_shared").desc, col("s_a"), col("s_b"))
+          .limit(30)
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT source, string_split(text, ' ') AS toks FROM documents),
+        g0 AS (
+          SELECT source, unnest([array_to_string(toks[i+1:i+4], ' ')
+                   for i in range(len(toks) - 3)]) AS g
+          FROM t),
+        g AS (SELECT DISTINCT source, g FROM g0),
+        keep AS (SELECT g FROM g GROUP BY g HAVING count(*) <= 10),
+        gg AS (SELECT g.source, g.g FROM g JOIN keep USING (g)),
+        p AS (
+          SELECT a.source AS s_a, b.source AS s_b, count(*) AS n_shared
+          FROM gg a JOIN gg b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT s_a, s_b, CAST(n_shared AS BIGINT) AS n_shared
+        FROM p ORDER BY n_shared DESC, s_a, s_b LIMIT 30""")),
+
+    // ------------------------------------------------------------------
     // Per-source token-mass Gini: how head-heavy is each source's doc
     // length distribution — the concentration read behind packing
     // efficiency (q66/q152) and per-doc token budgets (q125). Exact
