@@ -2244,6 +2244,60 @@ object LlmOps {
         GROUP BY st.status ORDER BY st.status""")),
 
     // ------------------------------------------------------------------
+    // Screen-bite matrix: per-source pass counts for each cheap
+    // quality gate (length band, word-shape band, blocklist) and
+    // their conjunction — the "which screens bite where" read a
+    // curation pipeline runs BEFORE committing to a gate stack:
+    // a screen that zeroes one source is usually a domain mismatch,
+    // not a quality signal. Every gate is a per-row expression over
+    // one scan; the matrix is one keyed conditional aggregate.
+    // ------------------------------------------------------------------
+    "q176_screen_bite_matrix" -> Q(
+      fn = (s, dir) => {
+        val d = Tables(s, dir, "documents").select(col("source"),
+          col("n_chars"), size(split(col("text"), " ")).cast("long")
+            .as("nt"),
+          size(filter(split(lower(col("text")), " "),
+            t => t.isin("dup", "crash"))).cast("long").as("nb"))
+        d.select(col("source"),
+            col("n_chars").between(200, 1200).as("p_len"),
+            expr("(`n_chars` * 10) div `nt`").between(48, 60)
+              .as("p_shape"),
+            (col("nb") === 0L).as("p_block"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("p_len"), 1L).otherwise(0L)).as("pass_len"),
+            sum(when(col("p_shape"), 1L).otherwise(0L)).as("pass_shape"),
+            sum(when(col("p_block"), 1L).otherwise(0L)).as("pass_block"),
+            sum(when(col("p_len") && col("p_shape") && col("p_block"),
+              1L).otherwise(0L)).as("pass_all"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT source, n_chars,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                 len(list_filter(string_split(lower(text), ' '),
+                   t -> list_contains(['dup', 'crash'], t))) AS nb
+          FROM documents),
+        f AS (
+          SELECT source,
+                 n_chars BETWEEN 200 AND 1200 AS p_len,
+                 (n_chars * 10) // nt BETWEEN 48 AND 60 AS p_shape,
+                 nb = 0 AS p_block
+          FROM d)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT)
+                 AS pass_len,
+               CAST(sum(CASE WHEN p_shape THEN 1 ELSE 0 END) AS BIGINT)
+                 AS pass_shape,
+               CAST(sum(CASE WHEN p_block THEN 1 ELSE 0 END) AS BIGINT)
+                 AS pass_block,
+               CAST(sum(CASE WHEN p_len AND p_shape AND p_block
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        FROM f GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------------------------
     // Source mirror matrix: which source PAIRS share rare word-4-grams
     // — the cross-crawl mirror/syndication detector (q84 checks two
     // named corpora; this scans all C(sources,2) pairs at once). The
