@@ -52,8 +52,14 @@ object Graphs {
   private def dedupedRel(
       rel: DataFrame, leftCol: String, rightCol: String,
       maxLeftDegree: Option[Int]): DataFrame = {
+    // the deduped relation is materialized ONCE: every caller consumes
+    // it at least twice (both self-join sides; plus the hub-degree
+    // ledger when capped), and an expensive upstream lineage — an
+    // n-gram explode, a multi-table join — would otherwise re-run per
+    // consumer (measured ~3x of q175's gram relation)
     val r = rel.select(col(leftCol).as("l"), col(rightCol).as("r"))
       .distinct()
+      .localCheckpoint(true)
     maxLeftDegree match {
       case Some(cap) =>
         // one aggregate over the deduped relation; the cap filter is a

@@ -2298,7 +2298,7 @@ object LlmOps {
         FROM f GROUP BY source ORDER BY source""")),
 
     // ------------------------------------------------------------------
-    // Source mirror matrix: which source PAIRS share rare word-4-grams
+    // Source mirror matrix: which source PAIRS share rare word-5-grams
     // — the cross-crawl mirror/syndication detector (q84 checks two
     // named corpora; this scans all C(sources,2) pairs at once). The
     // pair generation is [[Graphs.coOccurrence]] verbatim with grams
@@ -2314,8 +2314,8 @@ object LlmOps {
         import graft.operators.Graphs
         val rel = Tables(s, dir, "documents")
           .select(col("source"), explode(expr(
-            """transform(sequence(0, size(split(`text`, ' ')) - 4),
-                 i -> array_join(slice(split(`text`, ' '), i + 1, 4),
+            """transform(sequence(0, size(split(`text`, ' ')) - 5),
+                 i -> array_join(slice(split(`text`, ' '), i + 1, 5),
                                  ' '))""")).as("g"))
         Graphs.coOccurrence(rel, "g", "source",
             minShared = 1L, maxLeftDegree = Some(10))
@@ -2328,8 +2328,8 @@ object LlmOps {
         WITH t AS (
           SELECT source, string_split(text, ' ') AS toks FROM documents),
         g0 AS (
-          SELECT source, unnest([array_to_string(toks[i+1:i+4], ' ')
-                   for i in range(len(toks) - 3)]) AS g
+          SELECT source, unnest([array_to_string(toks[i+1:i+5], ' ')
+                   for i in range(len(toks) - 4)]) AS g
           FROM t),
         g AS (SELECT DISTINCT source, g FROM g0),
         keep AS (SELECT g FROM g GROUP BY g HAVING count(*) <= 10),
