@@ -160,6 +160,77 @@ object Graphs {
         round(sum(lit(1.0) / log(col("__ld"))), decimals).as("aa"))
   }
 
+  /** Multi-source BFS hop distance: for every node reachable from the
+    * seed set within `maxHops` edge traversals, the minimum hop count
+    * (seeds report 0). Edges are DIRECTED ROWS — pass both orientations
+    * for an undirected graph (the [[PageRank]] q141 symmetrization).
+    * Returns `(id, hop)`.
+    *
+    * The plan is textbook frontier BFS (Cormen et al., the level-
+    * synchronous form every distributed BFS uses — Pregel's canonical
+    * example): per level, expand the frontier along one equi-join,
+    * `distinct` the candidates down to |V|-bounded size BEFORE the
+    * visited check, anti-join the visited ledger, and stop early when
+    * the frontier empties — on small-diameter graphs (trade networks,
+    * co-occurrence graphs: O(log n) diameter) that exit, not `maxHops`,
+    * is the usual bound. Per level: two slim shuffles (candidate
+    * distinct + visited anti-join), both |E|/|V|-bounded; nothing is
+    * collected, no windows. Eager checkpoint per level with superseded
+    * frames released (the [[kCore]] loop discipline) keeps lineage
+    * flat across levels.
+    *
+    * Seeds not present in any edge row still report hop 0 (reachable
+    * by the empty path); `maxHops = 0` returns exactly the seed set. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int,
+      dedupEdges: Boolean = true): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 64, "maxHops must be in [0, 64]")
+    def ckRdd(df: DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+    val e = {
+      val e0 = edges
+        .select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      (if (dedupEdges) e0.distinct() else e0)
+        .localCheckpoint(true) // consumed once per BFS level
+    }
+    var dist = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("hop", lit(0).cast("int"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var h = 0
+    var exhausted = false
+    while (h < maxHops && !exhausted) {
+      h += 1
+      // distinct BEFORE the visited anti-join: candidate volume is
+      // frontier-out-degree-bounded pre-distinct, |V|-bounded after —
+      // the anti-join then probes the (larger) visited ledger with the
+      // small side
+      val next = frontier
+        .join(e, col("id") === col("__src"))
+        .select(col("__dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("hop", lit(h).cast("int"))
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        exhausted = true
+        ckRdd(next).foreach(_.unpersist(blocking = false))
+      } else {
+        val grown = dist.unionAll(next).localCheckpoint(true)
+        ckRdd(dist).foreach(_.unpersist(blocking = false))
+        if (h > 1) ckRdd(frontier).foreach(_.unpersist(blocking = false))
+        dist = grown
+        frontier = next
+      }
+    }
+    if (frontier ne dist) // the last level's frame; its rows live in dist
+      ckRdd(frontier).foreach(_.unpersist(blocking = false))
+    ckRdd(e).foreach(_.unpersist(blocking = false))
+    dist
+  }
+
   /** Synchronous k-core peel (Seidman 1983, the Batagelj–Zaveršnik
     * bulk variant): `rounds` rounds of "drop every node whose current
     * degree < k", over an edge list treated as DIRECTED ROWS of an

@@ -292,6 +292,42 @@ object CurationQueries {
                  ((d.gC + 1)::DOUBLE / (tot.n + vv.v)))) / 2, 4)
                  AS tv_vs_corpus
         FROM dense d CROSS JOIN tot CROSS JOIN vv
-        GROUP BY d.source ORDER BY d.source"""))
+        GROUP BY d.source ORDER BY d.source""")),
+
+    // ------------------------------------------------------------------
+    // Curation-signal AUC: does a proposed quality signal (here the
+    // exact whitespace token count) actually rank the target cohort
+    // (English docs) above the rest? The tie-aware Mann–Whitney AUC is
+    // the standard acceptance gate for a new curation classifier
+    // before it's allowed to move tokens (q120/q139 produce scores;
+    // this measures them). Exact integer U statistic via the two-phase
+    // bucketed prefix sum — corpus rows shuffle once, as two longs;
+    // the oracle recomputes the same statistic with a direct global
+    // window over the per-score ledger.
+    // ------------------------------------------------------------------
+    "q178_signal_auc" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Eval
+        Eval.auc(Tables(s, dir, "documents"),
+          score = size(split(col("text"), " ")),
+          label = col("lang") === "en")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT len(string_split(text, ' ')) AS s,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        g AS (SELECT s, sum(y) AS np, sum(1 - y) AS nn
+              FROM b GROUP BY s),
+        c AS (SELECT np, nn,
+                     COALESCE(sum(nn) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below
+              FROM g)
+        SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               round(sum(np * (2 * below + nn))::DOUBLE /
+                     (2.0 * sum(np) * sum(nn)), 6) AS auc
+        FROM c"""))
   )
 }

@@ -44,6 +44,21 @@ object GraphQueries {
         ed AS (SELECT eb.src, eb.dst, dg.dg FROM eb JOIN dg USING (src)),
         n AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),"""
 
+  /** One unrolled BFS min-relaxation round in DuckDB SQL — the exact
+    * level set of [[graft.operators.Graphs.bfsHops]]: settled nodes
+    * keep their hop, the frontier's out-neighbors are offered hop+1,
+    * min() resolves both re-reached and multiply-reached nodes.
+    * MATERIALIZED: each round references its predecessor twice, so
+    * default CTE inlining would re-expand the recurrence ~2^rounds. */
+  private def bfsIter(i: Int): String = s"""
+        d$i AS MATERIALIZED (
+          SELECT id, min(hop) AS hop FROM (
+            SELECT id, hop FROM d${i - 1}
+            UNION ALL
+            SELECT e.dst AS id, d.hop + 1 AS hop
+            FROM d${i - 1} d JOIN eb e ON d.id = e.src) u
+          GROUP BY id)"""
+
   /** One unrolled HITS iteration in DuckDB SQL — the exact integer
     * arithmetic of [[graft.operators.Hits]]: authority half-step
     * (sum of in-hub scores, L∞-normalized so max = 10^6 via BIGINT
@@ -201,6 +216,53 @@ object GraphQueries {
     // long sums are order-independent, so Spark and DuckDB agree
     // bit-for-bit with no rounding step at all (see PageRank scaladoc).
     // ------------------------------------------------------------------
+    // ------------------------------------------------------------------
+    // Multi-source BFS hop distance from a supplier seed set over the
+    // symmetrized trade graph — "how many trade hops away is every
+    // customer/supplier from these four suppliers": the reachability
+    // complement of q146's proximity RANKING (PPR weights paths; BFS
+    // reports the shortest one). The oracle replays the frontier
+    // expansion as unrolled min-relaxation rounds (Bellman-Ford over
+    // unit weights): after k rounds every node within k hops carries
+    // its exact BFS level — identical to the operator's frontier
+    // protocol, which merely skips already-settled nodes.
+    // ------------------------------------------------------------------
+    "q177_bfs_hops" -> Q(
+      fn = (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = Tables(s, dir, "supplier")
+          .filter(col("s_suppkey") <= 4)
+          .select((col("s_suppkey") * 2 + 1).cast("long").as("nid"))
+        Graphs.bfsHops(edges, "src", "dst", seeds, "nid", maxHops = 3,
+          dedupEdges = false)
+          .select(
+            when(pmod(col("id"), lit(2)) === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            expr("`id` div 2").as("key"),
+            col("hop"))
+          .orderBy("node_type", "key")
+      },
+      oracle = Some(s"""
+        $edgeSql
+        d0 AS MATERIALIZED (
+          SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS id, 0 AS hop
+          FROM supplier WHERE s_suppkey <= 4),
+        ${(1 to 3).map(bfsIter).mkString(",")}
+        SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS node_type,
+               CAST(id // 2 AS BIGINT) AS key,
+               CAST(hop AS INT) AS hop
+        FROM d3 ORDER BY node_type, key""")),
+
     "q141_pagerank" -> Q(
       fn = (s, dir) => {
         val li = Tables(s, dir, "lineitem")

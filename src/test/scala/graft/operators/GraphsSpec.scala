@@ -186,4 +186,57 @@ class GraphsSpec extends SparkSpec {
       ("A", "C") -> (1L, r4(1 / math.log(3))),
       ("B", "C") -> (1L, r4(1 / math.log(3)))))
   }
+
+  private def runBfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxHops: Int): Map[Long, Int] =
+    Graphs.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("nid"), "nid", maxHops)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("bfsHops: hand case — levels on a directed path + branch; " +
+      "unreachable and beyond-maxHops nodes absent") {
+    // 1 -> 2 -> 3 -> 4, 2 -> 5; 9 isolated downstream of nothing
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (9L, 1L))
+    assert(runBfs(e, Seq(1L), maxHops = 2) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 5L -> 2))
+    assert(runBfs(e, Seq(1L), maxHops = 8) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 2))
+  }
+
+  test("bfsHops: multi-source min wins; seeds off-graph report hop 0; " +
+      "maxHops=0 returns exactly the seed set") {
+    val e = Seq((1L, 2L), (2L, 3L), (7L, 3L))
+    // node 3 reachable at hop 2 from seed 1 and hop 1 from seed 7
+    assert(runBfs(e, Seq(1L, 7L, 42L), maxHops = 3) ===
+      Map(1L -> 0, 7L -> 0, 42L -> 0, 2L -> 1, 3L -> 1))
+    assert(runBfs(e, Seq(1L, 42L), maxHops = 0) ===
+      Map(1L -> 0, 42L -> 0))
+  }
+
+  test("bfsHops: early exit on a cycle — frontier empties once all " +
+      "nodes settle, revisits never relabel") {
+    val e = sym(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(runBfs(e, Seq(1L), maxHops = 50) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("bfsHops agrees with a brute-force BFS on a seeded random graph") {
+    val rnd = new Random(7)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val seeds = Seq(0L, 1L, 2L)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (mh <- Seq(1, 3, 7)) {
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (h <- 1 to mh) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .diff(dist.keySet)
+        dist ++= next.map(_ -> h)
+        frontier = next
+      }
+      assert(runBfs(edges, seeds, mh) === dist, s"maxHops=$mh")
+    }
+  }
 }
