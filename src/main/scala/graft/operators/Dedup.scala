@@ -295,6 +295,69 @@ object Dedup {
     verifyPairs(cands, index, threshold)
   }
 
+  /** Edit-distance similarity join (Ed-Join, Xiao/Wang/Lin 2008):
+    * all pairs with character Levenshtein distance <= `maxDist`,
+    * reported as `(a_id, b_id, ed)` — the string-level twin of
+    * [[ngramJaccardPairs]] for corpora where "near duplicate" means a
+    * handful of character EDITS (OCR noise, typo-mutated mirrors)
+    * rather than set overlap.
+    *
+    * Candidate generation is the q-gram PREFIX FILTER, and it is
+    * LOSSLESS: one edit destroys at most `q` positional char q-grams,
+    * so `ed(a,b) <= k` implies at most `k*q` distinct gram TYPES of
+    * each side vanish from the other (a type lost loses its every
+    * occurrence, each at some destroyed position); order all types by
+    * global rarity (ascending df, hash tie-break — the [[prefixIndex]]
+    * order) and keep each doc's first `k*q + 1`: if the two prefixes
+    * were disjoint, the side whose prefix ends LATER in the order
+    * (say a) yields >= 1 of b's prefix types present in a (b's prefix
+    * has k*q+1 types, at most k*q missing from a) — which then sits in
+    * a's SUFFIX, after a's prefix end, contradicting that b's prefix
+    * precedes it. Hence candidates = the prefix-prefix equi-join.
+    * Strings with fewer than `k*q + q` chars can in principle lose ALL
+    * their gram types to k edits; callers joining such short strings
+    * should lower q (the guarantee needs `len - q + 1 > k*q`).
+    *
+    * Verification is exact and banded: a length filter first
+    * (`|len_a - len_b| <= k` — each edit changes length by at most 1),
+    * then Spark's built-in threshold Levenshtein, which early-exits
+    * the DP past `k` (codegen'd, O(len·k) not O(len²)). Values are
+    * always computed from the full strings — the filter stack can only
+    * drop candidates, never corrupt a reported distance.
+    *
+    * Scale shape: the only corpus-sized shuffles are the gram-index
+    * aggregates and the prefix equi-join on RARE grams (hot grams fall
+    * out of every prefix — same economics as [[prefixIndex]]); texts
+    * travel once, to verify surviving candidates. */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      q: Int = 8, maxDist: Int = 5,
+      spread: Boolean = true): DataFrame = {
+    require(q >= 2 && q <= 32, "q must be in [2, 32]")
+    require(maxDist >= 0 && maxDist <= 64, "maxDist must be in [0, 64]")
+    val index =
+      shingleIndex(df, idCol, textCol, q, None, charLevel = true, spread)
+    val kdf = index.groupBy("k").agg(count(lit(1)).as("kdf"))
+    val wid = Window.partitionBy("id")
+    val pref = index.join(kdf, "k")
+      .withColumn("rn",
+        row_number().over(wid.orderBy(col("kdf"), col("k"))))
+      .filter(col("rn") <= maxDist * q + 1)
+      .select("k", "id")
+    val t = df.select(col(idCol).as("id"), col(textCol).as("__t"),
+      length(col(textCol)).as("__len"))
+    val a = t.select(col("id").as("a_id"), col("__t").as("__ta"),
+      col("__len").as("__la"))
+    val b = t.select(col("id").as("b_id"), col("__t").as("__tb"),
+      col("__len").as("__lb"))
+    candidatePairs(pref)
+      .join(a, "a_id").join(b, "b_id")
+      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .withColumn("ed", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("ed") >= 0) // threshold form returns -1 past maxDist
+      .select(col("a_id"), col("b_id"), col("ed"))
+  }
+
   /** MinHash + LSH near-dup pairs: signature → band keys → bucket join
     * for candidates → exact-Jaccard verification computed ONLY over
     * candidate pairs (per-pair joins against the full index — see

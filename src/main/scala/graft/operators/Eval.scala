@@ -53,28 +53,11 @@ object Eval {
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("__np"),
         sum(lit(1L) - col("__y")).as("__nn"))
-    val mm = g.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
-    val bucketed = g.crossJoin(broadcast(mm))
-      .withColumn("__bkt",
-        floor((col("__s") - col("__lo")).cast("double") * buckets /
-          (col("__hi") - col("__lo") + lit(1)).cast("double"))
-          .cast("long"))
-    val inBucket = Window.partitionBy(col("__bkt")).orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withInner = bucketed.withColumn("__inner",
-      coalesce(sum(col("__nn")).over(inBucket), lit(0L)))
-    val bucketBase = withInner.groupBy(col("__bkt"))
-      .agg(sum(col("__nn")).as("__btot"))
-      .withColumn("__base", coalesce(
-        sum(col("__btot")).over(Window.orderBy(col("__bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bkt"), col("__base"))
-    withInner
-      .join(broadcast(bucketBase), "__bkt")
+    withBelow(g, "__s", "__nn", buckets, "__below")
       .agg(sum(col("__np")).as("n_pos"),
         sum(col("__nn")).as("n_neg"),
         sum(col("__np") *
-          (lit(2L) * (col("__base") + col("__inner")) + col("__nn")))
+          (lit(2L) * col("__below") + col("__nn")))
           .as("__u2"))
       .select(
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
@@ -83,5 +66,203 @@ object Eval {
           round(col("__u2").cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg")), decimals))
           .as("auc"))
+  }
+
+  /** The shared two-phase distributed prefix sum over a one-row-per-
+    * distinct-value ledger: adds `out` = Σ `w` over all STRICTLY
+    * SMALLER `v` (exclusive running sum in global `v` order) without a
+    * global-order window. Range buckets come from a broadcast
+    * (min, max) scalar — bucket assignment only needs monotonicity in
+    * `v`, so the double arithmetic in the bucket formula is harmless;
+    * in-bucket exclusive prefixes are bucket-partitioned windows; the
+    * only unpartitioned window runs over the `buckets`-row bucket
+    * ledger (model-sized by construction). */
+  private def withBelow(ledger: DataFrame, v: String, w: String,
+      buckets: Int, out: String): DataFrame = {
+    val mm = ledger.agg(min(col(v)).as("__lo"), max(col(v)).as("__hi"))
+    val bucketed = ledger.crossJoin(broadcast(mm))
+      .withColumn("__bkt",
+        floor((col(v) - col("__lo")).cast("double") * buckets /
+          (col("__hi") - col("__lo") + lit(1)).cast("double"))
+          .cast("long"))
+    val inBucket = Window.partitionBy(col("__bkt")).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withInner = bucketed.withColumn("__inner",
+      coalesce(sum(col(w)).over(inBucket), lit(0L)))
+    val bucketBase = withInner.groupBy(col("__bkt"))
+      .agg(sum(col(w)).as("__btot"))
+      .withColumn("__base", coalesce(
+        sum(col("__btot")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__base"))
+    withInner
+      .join(broadcast(bucketBase), "__bkt")
+      .withColumn(out, col("__base") + col("__inner"))
+      .drop("__lo", "__hi", "__bkt", "__inner", "__base")
+  }
+
+  /** Spearman rank correlation between two integral signals: Pearson
+    * over tie-averaged ranks (Spearman 1904; the tie-aware form, NOT
+    * the 6·Σd² shortcut, which is only valid tie-free). Returns ONE
+    * row `(n, rho)` — `rho` rounded to `decimals`, null when n < 2 or
+    * either signal is constant (zero rank variance). Rows where either
+    * signal is null are excluded.
+    *
+    * Exactness: the tie-averaged rank of value v is
+    * `below(v) + (c(v) + 1) / 2`; doubling (`r2 = 2·below + c + 1`)
+    * keeps it integral. All five moment sums accumulate in
+    * decimal(38,0) — exact: Σ r2x·r2y <= 4n³ < 10^38 for any real
+    * corpus — and only the final correlation assembles in double (the
+    * q171 discipline), from integer sums both engines agree on
+    * bit-for-bit.
+    *
+    * Plan shape: one slim (x, y) projection; per-signal rank ledgers
+    * via [[withBelow]] (grouped by distinct value — corpus rows never
+    * window-sort); two equi-joins stamping ranks back onto the rows
+    * (ledger-sized build sides); one global moment fold. */
+  def spearman(df: DataFrame, x: Column, y: Column,
+      buckets: Int = 256, decimals: Int = 4): DataFrame = {
+    val base = df
+      .select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def rankLedger(v: String, r: String): DataFrame =
+      withBelow(
+        base.groupBy(col(v)).agg(count(lit(1)).as("__c")),
+        v, "__c", buckets, "__below")
+        .select(col(v),
+          (lit(2L) * col("__below") + col("__c") + lit(1L)).as(r))
+    val dec = "decimal(38,0)"
+    val m = base
+      .join(rankLedger("__x", "__rx"), "__x")
+      .join(rankLedger("__y", "__ry"), "__y")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx").cast(dec)).as("__sx"),
+        sum(col("__ry").cast(dec)).as("__sy"),
+        sum((col("__rx").cast(dec) * col("__ry")).cast(dec)).as("__sxy"),
+        sum((col("__rx").cast(dec) * col("__rx")).cast(dec)).as("__sxx"),
+        sum((col("__ry").cast(dec) * col("__ry")).cast(dec)).as("__syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val varX = nD * d("__sxx") - d("__sx") * d("__sx")
+    val varY = nD * d("__syy") - d("__sy") * d("__sy")
+    m.select(col("n"),
+      when(col("n") >= 2 && varX > 0 && varY > 0,
+        round((nD * d("__sxy") - d("__sx") * d("__sy")) /
+          (sqrt(varX) * sqrt(varY)), decimals))
+        .as("rho"))
+  }
+
+  /** Per-group ordinary-least-squares trend line of an integral signal
+    * `y` against an integral regressor `x` (a time bucket, a batch id):
+    * one ledger row per group `(grp, n, slope, icept)` — the drift
+    * monitor read "is this source's quality trending down", the
+    * regression complement of [[graft.operators.TextStats]]' KS /
+    * KL drift snapshots.
+    *
+    * Exactness: the five moment sums accumulate in decimal(38,0) —
+    * exact for any real corpus — and only the closed-form assembly
+    * (`slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, intercept from the
+    * means) runs in double, from integer sums both engines agree on
+    * bit-for-bit (the q171 discipline). `slope`/`icept` are null when
+    * n < 2 or x is constant within the group (the line is undefined,
+    * not 0). Rows with a null x or y are excluded.
+    *
+    * Plan shape: ONE partial+final aggregate over a slim 3-column
+    * projection — no windows, no joins, nothing driver-side. */
+  def olsTrend(df: DataFrame, group: Column, x: Column, y: Column,
+      decimals: Int = 6): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = df
+      .select(group.as("grp"), x.cast("long").as("__x"),
+        y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x").cast(dec) * col("__y")).cast(dec)).as("__sxy"),
+        sum((col("__x").cast(dec) * col("__x")).cast(dec)).as("__sxx"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val den = nD * d("__sxx") - d("__sx") * d("__sx")
+    val slope = (nD * d("__sxy") - d("__sx") * d("__sy")) / den
+    m.select(col("grp"), col("n"),
+      when(col("n") >= 2 && den > 0, round(slope, decimals)).as("slope"),
+      when(col("n") >= 2 && den > 0,
+        round((d("__sy") - slope * d("__sx")) / nD, decimals)).as("icept"))
+  }
+
+  /** Exact per-stratum median + MAD (median absolute deviation —
+    * Hampel's robust scale estimate) over an integral signal, with a
+    * robust-z outlier count: one ledger row per stratum
+    * `(stratum, n_docs, med2, mad4, n_outliers)` where
+    * `med2 = 2·median(x)`, `mad4 = 4·MAD(x)` (both exact integers —
+    * doubling clears the even-count midpoint average, the repo-wide
+    * fixed-point discipline), and an outlier is `|x − med| > k·MAD`,
+    * evaluated as the integer predicate `2·dev2 > k·mad4` with
+    * `dev2 = |2x − med2|`.
+    *
+    * Scale shape: the corpus is scanned ONCE and shuffled ONCE, into
+    * the `(stratum, value) → count` ledger; every subsequent step —
+    * cumulative counts, the two order statistics bracketing the
+    * median, the deviation re-ledger (derived from the value ledger,
+    * not the corpus), MAD, and the outlier count — runs on ledger
+    * rows. The ledger windows partition BY STRATUM over DISTINCT
+    * VALUES, so partition size is bounded by the signal's value
+    * domain (char lengths, milli-scores — domain-bounded by
+    * construction), not by corpus rows; callers with genuinely
+    * unbounded-domain signals should quantize the value first (the
+    * same contract as [[auc]]'s score).
+    *
+    * Null values are excluded from the statistic; a null stratum is
+    * its own ledger row (Spark and DuckDB group nulls identically). */
+  def medianMad(df: DataFrame, stratum: Column, value: Column,
+      k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    // all internal keying goes through a struct-wrapped stratum:
+    // complex-type equality is null-safe, so a NULL stratum survives
+    // every equi-join below (a bare-column join key would drop it)
+    val g = df
+      .select(struct(stratum.as("stratum")).as("__sk"),
+        value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__sk"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = g.groupBy(col("__sk")).agg(sum(col("__c")).as("n"))
+    // x_k = min value whose cumulative count reaches k; the median is
+    // the (n+1) div 2 and n div 2 + 1 bracket (equal when n is odd)
+    def bracket(ledger: DataFrame, v: String): DataFrame = {
+      val cum = ledger
+        .withColumn("__cum", sum(col("__c")).over(
+          Window.partitionBy(col("__sk")).orderBy(col(v))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(totals), Seq("__sk"))
+      cum.groupBy(col("__sk")).agg(
+        min(col("n")).as("n"),
+        (min(when(col("__cum") >= expr("(`n` + 1) div 2"), col(v))) +
+          min(when(col("__cum") >= expr("`n` div 2 + 1"), col(v))))
+          .as("__stat2"))
+    }
+    val med = bracket(g, "__v")
+      .select(col("__sk"), col("__stat2").as("med2"))
+    // deviation ledger DERIVED from the value ledger (two values can
+    // collapse onto one deviation, hence the re-aggregate)
+    val devLedger = g.join(broadcast(med), Seq("__sk"))
+      .select(col("__sk"),
+        abs(lit(2L) * col("__v") - col("med2")).as("__d"), col("__c"))
+      .groupBy(col("__sk"), col("__d"))
+      .agg(sum(col("__c")).as("__c"))
+    val mad = bracket(devLedger, "__d")
+      .select(col("__sk"), col("__stat2").as("mad4"))
+    val outliers = devLedger.join(broadcast(mad), Seq("__sk"))
+      .groupBy(col("__sk"))
+      .agg(sum(when(lit(2L) * col("__d") > lit(k.toLong) * col("mad4"),
+        col("__c")).otherwise(lit(0L))).as("n_outliers"))
+    totals.select(col("__sk"), col("n").as("n_docs"))
+      .join(broadcast(med), Seq("__sk"))
+      .join(broadcast(mad), Seq("__sk"))
+      .join(broadcast(outliers), Seq("__sk"))
+      .select(col("__sk").getField("stratum").as("stratum"),
+        col("n_docs"), col("med2"), col("mad4"), col("n_outliers"))
   }
 }

@@ -675,6 +675,52 @@ object Advanced {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
                      RANGE BETWEEN 3600000000000 PRECEDING
                            AND CURRENT ROW)
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // ------------------------------------------------------------------
+    // Per-event-type value trend: OLS slope/intercept of the milli-
+    // fixed-point event value against the hour index — the regression
+    // drift monitor ("is this stream's value drifting, and how fast")
+    // complementing the distributional snapshots (q145/q147/q173).
+    // Exact decimal moment sums through one aggregate; both engines
+    // assemble the closed form from bit-identical integers (the q171
+    // discipline), with the q163 round(value·1000) milli device.
+    // Units: slope = milli-value per hour.
+    // ------------------------------------------------------------------
+    "q182_event_value_trend" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Eval
+        val ev = Tables.eventsWithTs(s, dir)
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 3600000").as("h"),
+            round(col("value") * 1000).cast("long").as("vm"))
+        Eval.olsTrend(ev, group = col("event_type"),
+          x = col("h"), y = col("vm"))
+          .withColumnRenamed("grp", "event_type")
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_type, epoch_ms(ts) // 3600000 AS x,
+                 CAST(round(value * 1000) AS BIGINT) AS y
+          FROM events),
+        m AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+                     sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM ev GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CASE WHEN n >= 2 AND n::DOUBLE * sxx::DOUBLE -
+                         sx::DOUBLE * sx::DOUBLE > 0 THEN
+                 round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
+                   6)
+               END AS slope,
+               CASE WHEN n >= 2 AND n::DOUBLE * sxx::DOUBLE -
+                         sx::DOUBLE * sx::DOUBLE > 0 THEN
+                 round((sy::DOUBLE -
+                   ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                   * sx::DOUBLE) / n::DOUBLE, 6)
+               END AS icept
+        FROM m ORDER BY event_type"""))
   )
 }

@@ -328,6 +328,132 @@ object CurationQueries {
                CAST(sum(nn) AS BIGINT) AS n_neg,
                round(sum(np * (2 * below + nn))::DOUBLE /
                      (2.0 * sum(np) * sum(nn)), 6) AS auc
-        FROM c"""))
+        FROM c""")),
+
+    // ------------------------------------------------------------------
+    // Robust per-source length profile: exact median + MAD (the
+    // outlier-immune center/scale pair — a source whose mean length a
+    // single megadoc can drag keeps an honest median) and a robust-z
+    // outlier count at |x − med| > 3·MAD. All integer fixed-point
+    // (med2 = 2·median, mad4 = 4·MAD), computed on the
+    // (source, length) → count ledger, never corpus-row windows; the
+    // oracle replays the identical bracket order statistics.
+    // ------------------------------------------------------------------
+    "q180_robust_length_profile" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Eval
+        Eval.medianMad(Tables(s, dir, "documents"),
+          stratum = col("source"), value = col("n_chars"), k = 3)
+          .withColumnRenamed("stratum", "source")
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH g AS (SELECT source, n_chars AS v, count(*) AS c
+                   FROM documents GROUP BY 1, 2),
+        t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+              FROM g GROUP BY 1),
+        cum AS (SELECT g.source, g.v, g.c, t.n,
+                       sum(g.c) OVER (PARTITION BY g.source
+                                      ORDER BY g.v) AS cm
+                FROM g JOIN t USING (source)),
+        med AS (SELECT source, min(n) AS n,
+                       min(CASE WHEN cm >= (n + 1) // 2 THEN v END) +
+                       min(CASE WHEN cm >= n // 2 + 1 THEN v END) AS med2
+                FROM cum GROUP BY source),
+        dl AS (SELECT g.source, abs(2 * g.v - m.med2) AS d,
+                      CAST(sum(g.c) AS BIGINT) AS c
+               FROM g JOIN med m USING (source) GROUP BY 1, 2),
+        dcum AS (SELECT dl.source, dl.d, dl.c, m.n,
+                        sum(dl.c) OVER (PARTITION BY dl.source
+                                        ORDER BY dl.d) AS cm
+                 FROM dl JOIN med m USING (source)),
+        mad AS (SELECT source,
+                       min(CASE WHEN cm >= (n + 1) // 2 THEN d END) +
+                       min(CASE WHEN cm >= n // 2 + 1 THEN d END) AS mad4
+                FROM dcum GROUP BY source),
+        outl AS (SELECT dl.source,
+                        CAST(sum(CASE WHEN 2 * dl.d > 3 * mad.mad4
+                                 THEN dl.c ELSE 0 END) AS BIGINT)
+                          AS n_outliers
+                 FROM dl JOIN mad USING (source) GROUP BY 1)
+        SELECT med.source, med.n AS n_docs,
+               CAST(med.med2 AS BIGINT) AS med2,
+               CAST(mad.mad4 AS BIGINT) AS mad4,
+               outl.n_outliers
+        FROM med JOIN mad USING (source) JOIN outl USING (source)
+        ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // l-diversity release ledger (Machanavajjhala 2007): k-anonymity
+    // (q167) alone can't stop attribute disclosure — a combo whose
+    // members all share one sensitive value (here: language) leaks it
+    // even at k >= 5. Each quasi-identifier combo must also carry >= l
+    // distinct sensitive values. One keyed partial+final count +
+    // distinct-count pass; the ledger IS the output.
+    // ------------------------------------------------------------------
+    "q183_l_diversity" -> Q(
+      fn = (s, dir) => {
+        Tables(s, dir, "documents")
+          .groupBy(col("source"),
+            expr("`n_chars` div 100").as("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_sensitive"))
+          .select(col("source"), col("len_bucket"), col("n_docs"),
+            col("n_sensitive"),
+            (col("n_docs") >= 5L && col("n_sensitive") >= 3L).as("kept"))
+          .orderBy("source", "len_bucket")
+      },
+      oracle = Some("""
+        SELECT source, n_chars // 100 AS len_bucket,
+               count(*) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
+               count(*) >= 5 AND count(DISTINCT lang) >= 3 AS kept
+        FROM documents
+        GROUP BY source, len_bucket
+        ORDER BY source, len_bucket""")),
+
+    // ------------------------------------------------------------------
+    // Spearman rank correlation between two curation signals (char
+    // length vs vocabulary size): the robust, monotone-only complement
+    // of q171's Pearson matrix — outlier docs can't drag it, and a
+    // nonlinear-but-monotone redundancy still shows as |rho| ~ 1. Tie-
+    // averaged integer ranks from distinct-value ledgers (corpus rows
+    // never window-sort), exact decimal moment sums, double only in
+    // the final assembly; the oracle replays the identical rank
+    // arithmetic.
+    // ------------------------------------------------------------------
+    "q181_spearman_signals" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Eval
+        Eval.spearman(Tables(s, dir, "documents"),
+          x = col("n_chars"),
+          y = size(array_distinct(split(col("text"), " "))))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT n_chars AS x,
+                 len(list_distinct(string_split(text, ' '))) AS y
+          FROM documents),
+        rx AS (SELECT x, 2 * COALESCE(sum(c) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) + c + 1 AS rxv
+               FROM (SELECT x, count(*) AS c FROM b GROUP BY x)),
+        ry AS (SELECT y, 2 * COALESCE(sum(c) OVER (ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) + c + 1 AS ryv
+               FROM (SELECT y, count(*) AS c FROM b GROUP BY y)),
+        j AS (SELECT rx.rxv, ry.ryv
+              FROM b JOIN rx USING (x) JOIN ry USING (y)),
+        m AS (SELECT count(*) AS n, sum(rxv) AS sx, sum(ryv) AS sy,
+                     sum(rxv * ryv) AS sxy, sum(rxv * rxv) AS sxx,
+                     sum(ryv * ryv) AS syy
+              FROM j)
+        SELECT CAST(n AS BIGINT) AS n,
+               round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                     (sqrt(n::DOUBLE * sxx::DOUBLE -
+                           sx::DOUBLE * sx::DOUBLE) *
+                      sqrt(n::DOUBLE * syy::DOUBLE -
+                           sy::DOUBLE * sy::DOUBLE)), 4) AS rho
+        FROM m"""))
   )
 }

@@ -3263,7 +3263,34 @@ object LlmOps {
           FROM sc)
         SELECT vec_id, aid AS best_anchor, c AS cosine,
                c >= 0.3 AS keep
-        FROM best WHERE rn = 1 ORDER BY vec_id"""))
+        FROM best WHERE rn = 1 ORDER BY vec_id""")),
+
+    // ------------------------------------------------------------------
+    // Edit-distance similarity join (Ed-Join): every doc pair within 5
+    // character edits — the typo/OCR-noise notion of "near duplicate",
+    // complementing the set-overlap families (q23-q25, q43, q55). The
+    // q-gram prefix filter is LOSSLESS here (len 48+ docs, q=8, k=5:
+    // len-q+1 > k*q holds corpus-wide), so the operator's output is
+    // the EXACT pair set and the oracle can brute-force it directly
+    // (length band |Δlen| <= k, then full Levenshtein). Both engines
+    // compute character-level distance; the corpus is ASCII, where
+    // DuckDB's byte-level implementation coincides.
+    // ------------------------------------------------------------------
+    "q179_dedup_edit_distance" -> Q(
+      fn = (s, dir) => {
+        Dedup.editDistancePairs(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          q = 8, maxDist = 5)
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(levenshtein(a.text, b.text) AS INT) AS ed
+        FROM d a JOIN d b
+          ON a.doc_id < b.doc_id AND abs(a.L - b.L) <= 5
+        WHERE levenshtein(a.text, b.text) <= 5
+        ORDER BY a_id, b_id"""))
   )
 }
 

@@ -493,4 +493,70 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) === "changed")   // null -> value is a content change
     assert(got(2L) === "unchanged") // null on both sides is not
   }
+
+  /** Character-level Levenshtein, the textbook O(n·m) DP. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistancePairs: hand case — k edits found at <= k, absent " +
+      "past k; exact copies report 0") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val twoEdits = "the quick crown fox jumps over the lazy dog again and agaiX"
+    val df = Seq((1L, base), (2L, twoEdits), (3L, base),
+      (4L, "completely unrelated text about spark shuffle partitions ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(df, "doc_id", "text",
+        q = 4, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(got === Map((1L, 2L) -> 2, (1L, 3L) -> 0, (2L, 3L) -> 2))
+    val strict = Dedup.editDistancePairs(df, "doc_id", "text",
+        q = 4, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(strict === Map((1L, 3L) -> 0))
+  }
+
+  test("editDistancePairs equals brute force on randomized mutated " +
+      "corpora (prefix filter is lossless above the length bound)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("spark", "join", "table", "scan", "merge", "sort",
+      "batch", "row", "key", "agg")
+    // 40 base docs of 20 words (>= 100 chars, so len-q+1 > k*q holds
+    // for q=6, k=3), plus mutated copies at 1-6 char edits
+    val bases = (1 to 40).map { i =>
+      i.toLong -> (1 to 20).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val mutated = bases.take(15).zipWithIndex.map { case ((id, t), j) =>
+      val nEdits = 1 + j % 6
+      var s = t
+      for (_ <- 1 to nEdits) {
+        val p = 1 + rnd.nextInt(s.length - 2)
+        s = s.substring(0, p) + ('A' + rnd.nextInt(26)).toChar +
+          s.substring(p + 1) // substitution keeps length (band stays 0)
+      }
+      (100L + id) -> s
+    }
+    val all = bases ++ mutated
+    val df = all.toDF("doc_id", "text")
+    val want = (for {
+      (ai, at) <- all; (bi, bt) <- all if ai < bi
+      d = lev(at, bt) if d <= 3
+    } yield (ai, bi) -> d).toMap
+    val got = Dedup.editDistancePairs(df, "doc_id", "text",
+        q = 6, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(got === want)
+  }
 }

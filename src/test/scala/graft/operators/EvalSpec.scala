@@ -73,4 +73,160 @@ class EvalSpec extends SparkSpec {
     val rows = Seq((-5L, false), (-1L, true), (0L, false), (3L, true))
     assert(runAuc(rows, buckets = 2)._3 === Some(r9(bruteAuc(rows))))
   }
+
+  /** Tie-averaged ranks then textbook Pearson — the reference for
+    * [[Eval.spearman]]. */
+  private def bruteSpearman(rows: Seq[(Long, Long)]): Double = {
+    def ranks(xs: Seq[Long]): Seq[Double] = {
+      val below = xs.groupBy(identity).view.mapValues(_.size).toMap
+      xs.map { v =>
+        val b = xs.count(_ < v)
+        b + (below(v) + 1) / 2.0
+      }
+    }
+    val rx = ranks(rows.map(_._1))
+    val ry = ranks(rows.map(_._2))
+    val n = rows.size
+    val sx = rx.sum; val sy = ry.sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val sxx = rx.map(a => a * a).sum
+    val syy = ry.map(a => a * a).sum
+    (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+  }
+
+  private def runSpearman(rows: Seq[(Long, Long)], buckets: Int = 256)
+      : (Long, Option[Double]) = {
+    val r = Eval.spearman(rows.toDF("x", "y"), col("x"), col("y"),
+        buckets = buckets, decimals = 9)
+      .collect().head
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+  }
+
+  private def r9d(x: Double) = BigDecimal(x)
+    .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("spearman: hand cases — monotone = 1 even when nonlinear, " +
+      "reversed = -1, constant signal = null") {
+    val mono = Seq((1L, 1L), (2L, 8L), (3L, 27L), (4L, 1000L))
+    assert(runSpearman(mono) === ((4L, Some(1.0))))
+    val rev = mono.map { case (a, b) => (a, -b) }
+    assert(runSpearman(rev) === ((4L, Some(-1.0))))
+    assert(runSpearman(Seq((1L, 5L), (2L, 5L), (3L, 5L)))._2 === None)
+    assert(runSpearman(Seq((1L, 2L)))._2 === None) // n < 2
+  }
+
+  test("spearman agrees with tie-averaged brute force on seeded " +
+      "random data with heavy ties, at several bucket counts") {
+    val rnd = new Random(31)
+    val rows = (1 to 300).map { _ =>
+      val x = rnd.nextInt(15).toLong
+      (x, x / 2 + rnd.nextInt(8).toLong) // correlated, tied, noisy
+    }
+    val want = r9d(bruteSpearman(rows))
+    for (b <- Seq(1, 5, 256)) {
+      assert(runSpearman(rows, buckets = b) === ((300L, Some(want))),
+        s"buckets=$b")
+    }
+  }
+
+  private def runTrend(rows: Seq[(String, Long, Long)])
+      : Map[String, (Long, Option[Double], Option[Double])] =
+    Eval.olsTrend(rows.toDF("g", "x", "y"), col("g"), col("x"), col("y"),
+        decimals = 9)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+
+  test("olsTrend: exact line recovered; constant-x and singleton " +
+      "groups report null slope") {
+    val line = (0L to 10L).map(x => ("a", x, 7L * x + 3L))
+    val flat = Seq(("b", 5L, 1L), ("b", 5L, 9L)) // constant x
+    val single = Seq(("c", 1L, 2L))
+    val got = runTrend(line ++ flat ++ single)
+    assert(got("a") === ((11L, Some(7.0), Some(3.0))))
+    assert(got("b") === ((2L, None, None)))
+    assert(got("c") === ((1L, None, None)))
+  }
+
+  test("olsTrend agrees with the closed-form reference on seeded " +
+      "random noisy groups") {
+    val rnd = new Random(37)
+    val rows = for {
+      g <- Seq("p", "q"); i <- 1 to 80
+    } yield (g, i.toLong, 5L * i + rnd.nextInt(40).toLong - 20L)
+    val got = runTrend(rows)
+    for (g <- Seq("p", "q")) {
+      val xs = rows.collect { case (`g`, x, _) => x }
+      val ys = rows.collect { case (`g`, _, y) => y }
+      val n = xs.size.toDouble
+      val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+      val sxy = xs.zip(ys).map { case (a, b) => (a * b).toDouble }.sum
+      val sxx = xs.map(a => (a * a).toDouble).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      def r9x(v: Double) = BigDecimal(v)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(g) === ((80L, Some(r9x(slope)), Some(r9x(icept)))), g)
+    }
+  }
+
+  /** Brute-force 2·median of a sorted-able long seq (bracket average). */
+  private def med2Of(xs: Seq[Long]): Long = {
+    val s = xs.sorted
+    val n = s.length
+    s((n + 1) / 2 - 1) + s(n / 2 + 1 - 1)
+  }
+
+  private def runMedianMad(rows: Seq[(String, java.lang.Long)], k: Int = 3)
+      : Map[String, (Long, Long, Long, Long)] =
+    Eval.medianMad(rows.toDF("src", "v"), col("src"), col("v"), k)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+  test("medianMad: hand case — odd and even counts, exact integer " +
+      "med2/mad4, outlier counted by the 2·dev2 > k·mad4 predicate") {
+    // src a: values 1,3,5,7,100 → med 5, deviations 4,2,0,2,95 →
+    // MAD 2; outlier iff |x−5| > 3·2=6 → only 100
+    val a = Seq(1L, 3L, 5L, 7L, 100L).map(v => ("a", Long.box(v)))
+    // src b: even count 2,4,6,8 → med 5 (med2=10), devs 3,1,1,3 →
+    // MAD 2 (mad4=8); no |x−5| > 6
+    val b = Seq(2L, 4L, 6L, 8L).map(v => ("b", Long.box(v)))
+    assert(runMedianMad(a ++ b) === Map(
+      "a" -> ((5L, 10L, 8L, 1L)),
+      "b" -> ((4L, 10L, 8L, 0L))))
+  }
+
+  test("medianMad: null values are excluded; a null stratum is its own " +
+      "ledger row") {
+    val rows = Seq(("a", Long.box(1L)), ("a", null: java.lang.Long),
+      ("a", Long.box(3L)), (null: String, Long.box(9L)))
+    val got = Eval.medianMad(rows.toDF("src", "v"), col("src"), col("v"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(Some("a")) === ((2L, 4L)))   // median of 1,3 = 2 → med2 4
+    assert(got(None) === ((1L, 18L)))       // singleton stratum
+  }
+
+  test("medianMad agrees with brute force on seeded random strata " +
+      "with heavy ties") {
+    val rnd = new Random(23)
+    val rows = for {
+      s <- Seq("x", "y", "z")
+      _ <- 1 to (50 + rnd.nextInt(51)) // odd or even per stratum
+    } yield (s, Long.box(rnd.nextInt(12).toLong - 3))
+    val got = runMedianMad(rows, k = 2)
+    for (s <- Seq("x", "y", "z")) {
+      val xs = rows.collect { case (`s`, v) => v.longValue }
+      val med2 = med2Of(xs)
+      val mad4 = med2Of(xs.map(x => math.abs(2 * x - med2)))
+      val nOut = xs.count(x => 2 * math.abs(2 * x - med2) > 2 * mad4)
+      assert(got(s) === ((xs.size.toLong, med2, mad4, nOut.toLong)), s)
+    }
+  }
 }

@@ -395,4 +395,45 @@ class PlanAuditSpec extends SparkSpec {
     }.isEmpty)
     assert(!exec.toString.contains("CartesianProduct"))
   }
+
+  test("q178/q181: every unpartitioned window orders an AGGREGATE " +
+      "child (score/rank ledgers) — corpus rows never window-sort; " +
+      "no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (q <- Seq("q178_signal_auc", "q181_spearman_signals")) {
+      val exec = run(q).queryExecution.executedPlan
+      val unpart = deepCollect(exec) {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.nonEmpty, s"$q: ledger window missing — restructured?")
+      assert(unpart.forall(w =>
+        deepCollect(w.child) { case a: BaseAggregateExec => a }.nonEmpty),
+        s"$q: " + unpart.head.toString.take(800))
+      assert(!exec.toString.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q180: median/MAD brackets ride stratum-partitioned ledger " +
+      "windows only — zero unpartitioned windows, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = run("q180_robust_length_profile").queryExecution.executedPlan
+    assert(deepCollect(exec) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty)
+    assert(!exec.toString.contains("CartesianProduct"))
+  }
+
+  test("q179: candidate generation is the prefix equi-join — no " +
+      "cartesian/nested-loop pair enumeration; the only windows are " +
+      "the per-doc prefix ranks") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = run("q179_dedup_edit_distance").queryExecution.executedPlan
+    assert(deepCollect(exec) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty)
+    val s = exec.toString
+    assert(!s.contains("CartesianProduct"))
+    assert(!s.contains("BroadcastNestedLoopJoin"))
+  }
 }
