@@ -335,8 +335,13 @@ object Dedup {
       spread: Boolean = true): DataFrame = {
     require(q >= 2 && q <= 32, "q must be in [2, 32]")
     require(maxDist >= 0 && maxDist <= 64, "maxDist must be in [0, 64]")
+    // materialized ONCE (the dedupedRel discipline): the gram index is
+    // consumed twice — the df aggregate and the prefix join — and its
+    // lineage is the O(len) char-shingle explode (measured ~35% of the
+    // query re-run per consumer)
     val index =
       shingleIndex(df, idCol, textCol, q, None, charLevel = true, spread)
+        .localCheckpoint(true)
     val kdf = index.groupBy("k").agg(count(lit(1)).as("kdf"))
     val wid = Window.partitionBy("id")
     val pref = index.join(kdf, "k")

@@ -3290,7 +3290,58 @@ object LlmOps {
         FROM d a JOIN d b
           ON a.doc_id < b.doc_id AND abs(a.L - b.L) <= 5
         WHERE levenshtein(a.text, b.text) <= 5
-        ORDER BY a_id, b_id"""))
+        ORDER BY a_id, b_id""")),
+
+    // ------------------------------------------------------------------
+    // Streaming trending tokens, gated END-TO-END like q147: the
+    // corpus arrives as two micro-batches (doc_id parity) through the
+    // per-batch step — batch 0 seeds the counts store and emits no
+    // rows (no reference yet), batch 1 reports its top-10 tokens by
+    // smoothed integer-milli frequency lift against the accumulated
+    // store. The drift alarm (q147) says THAT the batch moved; this
+    // says WHERE. The oracle recomputes the lift ledger directly from
+    // the parity split — same smoothing, same (lift desc, tok) total
+    // order, bit-exact integer arithmetic.
+    // ------------------------------------------------------------------
+    "q184_trending_tokens" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-q184-store").toString
+        val trendDir = java.nio.file.Files
+          .createTempDirectory("graft-q184-trend").toString
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        Streaming.trendingTokensBatch(docs.filter(col("doc_id") % 2 === 0),
+          0L, storeDir, trendDir, "text")
+        Streaming.trendingTokensBatch(docs.filter(col("doc_id") % 2 =!= 0),
+          1L, storeDir, trendDir, "text")
+        materializeAndClean(
+          s.read.option("basePath", trendDir).parquet(trendDir)
+            .select(col("batch_id").cast("long").as("batch_id"),
+              col("tok"), col("cb"), col("cp"), col("lift_milli"))
+            .orderBy(col("lift_milli").desc, col("tok")),
+          storeDir, trendDir)
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id % 2 AS b, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        c AS (SELECT b, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        b0 AS (SELECT tok, c FROM c WHERE b = 0),
+        b1 AS (SELECT tok, c FROM c WHERE b = 1),
+        j AS (SELECT COALESCE(b1.tok, b0.tok) AS tok,
+                     COALESCE(b1.c, 0) AS cb, COALESCE(b0.c, 0) AS cp
+              FROM b1 FULL OUTER JOIN b0 ON b1.tok = b0.tok),
+        s AS (SELECT CAST(sum(cb) AS BIGINT) AS nb,
+                     CAST(sum(cp) AS BIGINT) AS np,
+                     count(*) AS v FROM j)
+        SELECT CAST(1 AS BIGINT) AS batch_id, tok,
+               CAST(cb AS BIGINT) AS cb, CAST(cp AS BIGINT) AS cp,
+               CAST((1000 * (cb + 1) * (np + v)) //
+                    ((nb + v) * (cp + 1)) AS BIGINT) AS lift_milli
+        FROM j CROSS JOIN s
+        WHERE cb > 0
+        ORDER BY lift_milli DESC, tok LIMIT 10"""))
   )
 }
 

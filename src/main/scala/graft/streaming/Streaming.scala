@@ -614,6 +614,84 @@ object Streaming {
         compactEvery)
     }
 
+  /** Streaming trending-token monitor: per micro-batch, the top-k
+    * tokens by smoothed frequency LIFT against the accumulated corpus
+    * — "what vocabulary is this batch suddenly heavy in", the
+    * token-level read beside [[driftMonitor]]'s one-number KL/TV (a
+    * drift alarm says THAT the batch moved; this says WHERE). Shares
+    * the drift monitor's counts-store protocol byte-for-byte (same
+    * `(tok, c)` slices, same reduce-compaction, same replay-idempotent
+    * slice overwrite), so one store can feed both monitors.
+    *
+    * Lift arithmetic (exact integer milli): with batch counts `cb`,
+    * store counts `cp`, totals `nb`/`np`, union vocabulary `V`,
+    * `lift_milli = (1000·(cb+1)·(np+|V|)) div ((nb+|V|)·(cp+1))` — the
+    * add-one-smoothed p(t)/q(t) ratio of [[driftMonitor]] in milli
+    * fixed point, positive operands so DuckDB `//` = Spark `div`.
+    * Overflow contract: 1000·(max cb + 1)·(np+|V|) < 2^63 — a
+    * ~10^15-token store at kilotoken batch counts; past that, coarsen
+    * the unit. Top-k order is (lift_milli desc, tok asc) — total, so
+    * the cut is deterministic. Batch 0 has no reference and emits NO
+    * rows (its counts still seed the store). */
+  def trendingTokens(
+      stream: DataFrame, storePath: String, trendPath: String,
+      textCol: String, k: Int = 10, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      trendingTokensBatch(batch, batchId, storePath, trendPath, textCol,
+        k, compactEvery)
+    }
+
+  /** The per-batch step of [[trendingTokens]] — separated so tests and
+    * manual backfills can replay a batch directly. */
+  def trendingTokensBatch(
+      batch: DataFrame, batchId: Long, storePath: String,
+      trendPath: String, textCol: String, k: Int = 10,
+      compactEvery: Int = 16): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = batch.sparkSession
+    val cntSchema = StructType(Seq(
+      StructField("tok", StringType, nullable = true),
+      StructField("c", LongType, nullable = true)))
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      IngestStore.compact(spark, storePath, cntSchema, upTo = batchId,
+        reduce = Some(rows => rows.groupBy(col("tok"))
+          .agg(sum(col("c")).as("c"))
+          .withColumn("batch_id", lit(0L))))
+    writeBatch(
+      batch.select(explode(split(col(textCol), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c")),
+      storePath, "parquet", batchId)
+    val bc = spark.read.schema(cntSchema)
+      .parquet(s"$storePath/batch_id=$batchId")
+    val prior = IngestStore
+      .read(spark, storePath, cntSchema, excludeBatch = batchId)
+      .filter(col("batch_id") < lit(batchId))
+      .groupBy(col("tok")).agg(sum(col("c")).as("cp"))
+    // union-vocabulary frame, pinned once: three scalar subqueries and
+    // the top-k rank all consume it
+    val joined = bc.select(col("tok"), col("c").as("cb"))
+      .join(prior, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("cp"), lit(0L)).as("cp"))
+      .localCheckpoint(true)
+    import graft.plans.Scalars
+    val nb = Scalars.of(joined.agg(sum(col("cb")).as("v")))
+    val np = Scalars.of(joined.agg(sum(col("cp")).as("v")))
+    val v = Scalars.of(joined.agg(count(lit(1)).as("v")))
+    val trend = joined
+      .filter(col("cb") > 0 && np > 0) // batch vocab only; batch 0 empty
+      .withColumn("__nb", nb).withColumn("__np", np).withColumn("__v", v)
+      .withColumn("lift_milli",
+        expr("(1000L * (`cb` + 1) * (`__np` + `__v`)) " +
+          "div ((`__nb` + `__v`) * (`cp` + 1))"))
+      .orderBy(col("lift_milli").desc, col("tok"))
+      .limit(k)
+      .select(col("tok"), col("cb"), col("cp"), col("lift_milli"))
+    writeBatch(trend, trendPath, "parquet", batchId)
+  }
+
   /** The per-batch step — separated so tests and manual backfills can
     * replay a batch directly and observe idempotence. */
   def driftMonitorBatch(

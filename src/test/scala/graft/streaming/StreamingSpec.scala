@@ -736,6 +736,52 @@ class StreamingSpec extends SparkSpec {
       .agg(sum(col("c"))).head().getLong(0) === 9L)
   }
 
+  test("trendingTokens: per-batch top-k by exact milli lift vs the " +
+      "accumulated store; batch 0 emits NO rows; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-trend-store").toString
+    val trendDir = java.nio.file.Files
+      .createTempDirectory("graft-trend-out").toString
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-trend-ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val writer = Streaming.trendingTokens(
+      ms.toDF().toDF("doc_id", "text"), storeDir, trendDir, "text", k = 2)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+    // batch 0 counts: a:2 b:2 c:1 (n=5) — seeds the store, no rows
+    ms.addData((1L, "a a b"), (2L, "b c"))
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    // batch 1 counts: a:1 b:2 d:1 (nb=4); union vocab {a,b,c,d} (V=4),
+    // store totals np=5. lift = 1000·(cb+1)·9 div (8·(cp+1)):
+    //   a: 1000·2·9 div (8·3) = 750;  b: 1000·3·9 div (8·3) = 1125
+    //   d: 1000·2·9 div (8·1) = 2250  → top-2 = d(2250), b(1125)
+    ms.addData((3L, "a b b d"))
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+    def trendRows(): Seq[(Long, String, Long, Long, Long)] =
+      spark.read.option("basePath", trendDir).parquet(trendDir)
+        .select(col("batch_id").cast("long"), col("tok"), col("cb"),
+          col("cp"), col("lift_milli"))
+        .orderBy(col("batch_id"), col("lift_milli").desc, col("tok"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    val expected = Seq(
+      (1L, "d", 1L, 0L, 2250L),
+      (1L, "b", 2L, 2L, 1125L))
+    assert(trendRows() === expected)
+    // replay batch 1 directly (post-failure restart): slice excluded
+    // from its own prior read, trend rows replaced not appended
+    Streaming.trendingTokensBatch(
+      Seq((3L, "a b b d")).toDF("doc_id", "text"), 1L,
+      storeDir, trendDir, "text", k = 2)
+    assert(trendRows() === expected)
+    assert(spark.read.option("basePath", storeDir).parquet(storeDir)
+      .agg(sum(col("c"))).head().getLong(0) === 9L)
+  }
+
   test("driftMonitor: reduce-compaction changes neither drift nor " +
       "store content, and bounds the store to a vocab-sized base") {
     import spark.implicits._
