@@ -678,6 +678,121 @@ object Advanced {
         ORDER BY user_id, event_id""")),
 
     // ------------------------------------------------------------------
+    // Conversion-latency profile: per first-view hour-of-day cohort,
+    // the robust center/scale of view→purchase latency — each user's
+    // FIRST view and their FIRST purchase at-or-after it, latency in
+    // whole seconds, then [[graft.operators.Eval.medianMad]] over the
+    // (cohort, latency) ledger (exact median + MAD + robust-z outlier
+    // count; a p99-dragging whale can't move it). Two user-keyed
+    // aggregates + one ledger pass; the funnel-timing read beside
+    // q79/q81's conversion COUNTS.
+    // ------------------------------------------------------------------
+    "q187_conversion_latency" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Eval
+        val ev = Tables.eventsWithTs(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ms")).as("vms"))
+        val latency = ev.filter(col("event_type") === "purchase")
+          .join(firstView, Seq("user_id"))
+          .filter(col("ms") >= col("vms"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ms")).as("pms"), min(col("vms")).as("vms2"))
+          .select(
+            expr("(`vms2` div 3600000) % 24").as("view_hour"),
+            expr("(`pms` - `vms2`) div 1000").as("latency_s"))
+        Eval.medianMad(latency, stratum = col("view_hour"),
+          value = col("latency_s"), k = 3)
+          .withColumnRenamed("stratum", "view_hour")
+          .withColumnRenamed("n_docs", "n_users")
+          .orderBy("view_hour")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+                    FROM events),
+        fv AS (SELECT user_id, min(ms) AS vms FROM ev
+               WHERE event_type = 'view' GROUP BY 1),
+        lat AS (SELECT (fv.vms // 3600000) % 24 AS view_hour,
+                       (min(ev.ms) - fv.vms) // 1000 AS latency_s
+                FROM ev JOIN fv USING (user_id)
+                WHERE ev.event_type = 'purchase' AND ev.ms >= fv.vms
+                GROUP BY ev.user_id, fv.vms),
+        g AS (SELECT view_hour, latency_s AS v, count(*) AS c
+              FROM lat GROUP BY 1, 2),
+        t AS (SELECT view_hour, CAST(sum(c) AS BIGINT) AS n
+              FROM g GROUP BY 1),
+        cum AS (SELECT g.view_hour, g.v, g.c, t.n,
+                       sum(g.c) OVER (PARTITION BY g.view_hour
+                                      ORDER BY g.v) AS cm
+                FROM g JOIN t USING (view_hour)),
+        med AS (SELECT view_hour, min(n) AS n,
+                       min(CASE WHEN cm >= (n + 1) // 2 THEN v END) +
+                       min(CASE WHEN cm >= n // 2 + 1 THEN v END) AS med2
+                FROM cum GROUP BY view_hour),
+        dl AS (SELECT g.view_hour, abs(2 * g.v - m.med2) AS d,
+                      CAST(sum(g.c) AS BIGINT) AS c
+               FROM g JOIN med m USING (view_hour) GROUP BY 1, 2),
+        dcum AS (SELECT dl.view_hour, dl.d, dl.c, m.n,
+                        sum(dl.c) OVER (PARTITION BY dl.view_hour
+                                        ORDER BY dl.d) AS cm
+                 FROM dl JOIN med m USING (view_hour)),
+        mad AS (SELECT view_hour,
+                       min(CASE WHEN cm >= (n + 1) // 2 THEN d END) +
+                       min(CASE WHEN cm >= n // 2 + 1 THEN d END) AS mad4
+                FROM dcum GROUP BY view_hour),
+        outl AS (SELECT dl.view_hour,
+                        CAST(sum(CASE WHEN 2 * dl.d > 3 * mad.mad4
+                                 THEN dl.c ELSE 0 END) AS BIGINT)
+                          AS n_outliers
+                 FROM dl JOIN mad USING (view_hour) GROUP BY 1)
+        SELECT med.view_hour, med.n AS n_users,
+               CAST(med.med2 AS BIGINT) AS med2,
+               CAST(mad.mad4 AS BIGINT) AS mad4,
+               outl.n_outliers
+        FROM med JOIN mad USING (view_hour) JOIN outl USING (view_hour)
+        ORDER BY view_hour""")),
+
+    // ------------------------------------------------------------------
+    // Frequent behavioral trigrams: the top-20 length-3 event-type
+    // patterns across all user streams — the sequential-pattern read
+    // behind next-event models (q169 evaluates one; this says which
+    // contexts dominate) and behavioral-LM vocab design (q156 builds
+    // the sequences; this profiles them). Two user-keyed lead()
+    // windows (a user's stream is the state bound, never the corpus)
+    // + one partial+final trigram count; top-20 plans as
+    // TakeOrderedAndProject under the (n desc, trigram) total order.
+    // ------------------------------------------------------------------
+    "q186_event_trigrams" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("t1"))
+          .withColumn("t2", lead(col("t1"), 1).over(w))
+          .withColumn("t3", lead(col("t1"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .groupBy(col("t1"), col("t2"), col("t3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT event_type AS t1,
+                 lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT t1, t2, t3, count(*) AS n
+        FROM o WHERE t3 IS NOT NULL
+        GROUP BY t1, t2, t3
+        ORDER BY n DESC, t1, t2, t3 LIMIT 20""")),
+
+    // ------------------------------------------------------------------
     // Per-event-type value trend: OLS slope/intercept of the milli-
     // fixed-point event value against the hour index — the regression
     // drift monitor ("is this stream's value drifting, and how fast")

@@ -413,6 +413,57 @@ object CurationQueries {
         ORDER BY source, len_bucket""")),
 
     // ------------------------------------------------------------------
+    // Chi-square independence of language × source (Pearson 1900) with
+    // Cramér's V effect size: "is the language mix the same across
+    // sources" — the mixture-design read before per-source language
+    // quotas (q128/q143) are set; a large V says per-source language
+    // balancing is load-bearing, a small one says source quotas alone
+    // suffice. One corpus shuffle into the (lang, source) contingency
+    // ledger; everything else — row/col totals, the χ² fold, dof —
+    // runs on ledger rows (languages × sources, model-sized). The χ²
+    // terms assemble in double from exact integer cell/marginal counts
+    // (the q171 discipline), rounded 4dp on both engines.
+    // ------------------------------------------------------------------
+    "q185_chi2_lang_source" -> Q(
+      fn = (s, dir) => {
+        val g = Tables(s, dir, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rt = g.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+        val ct = g.groupBy(col("source")).agg(sum(col("o")).as("c"))
+        g.join(broadcast(rt), Seq("lang"))
+          .join(broadcast(ct), Seq("source"))
+          .agg(sum(col("o")).as("n"),
+            countDistinct(col("lang")).as("__nr"),
+            countDistinct(col("source")).as("__nc"),
+            sum(col("o").cast("double") * col("o") /
+              (col("r").cast("double") * col("c"))).as("__t"))
+          .select(col("n"),
+            ((col("__nr") - 1) * (col("__nc") - 1)).as("dof"),
+            round(col("n") * col("__t") - col("n"), 4).as("chi2"),
+            round(sqrt((col("n") * col("__t") - col("n")) /
+              (col("n") * (least(col("__nr"), col("__nc")) - 1))), 4)
+              .as("cramers_v"))
+      },
+      oracle = Some("""
+        WITH g AS (SELECT lang, source, count(*) AS o
+                   FROM documents GROUP BY 1, 2),
+        rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r
+               FROM g GROUP BY 1),
+        ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c
+               FROM g GROUP BY 1),
+        m AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                     CAST(count(DISTINCT g.lang) AS BIGINT) AS nr,
+                     CAST(count(DISTINCT g.source) AS BIGINT) AS nc,
+                     sum(o::DOUBLE * o / (r::DOUBLE * c)) AS t
+              FROM g JOIN rt USING (lang) JOIN ct USING (source))
+        SELECT n, (nr - 1) * (nc - 1) AS dof,
+               round(n * t - n, 4) AS chi2,
+               round(sqrt((n * t - n) / (n * (least(nr, nc) - 1))), 4)
+                 AS cramers_v
+        FROM m""")),
+
+    // ------------------------------------------------------------------
     // Spearman rank correlation between two curation signals (char
     // length vs vocabulary size): the robust, monotone-only complement
     // of q171's Pearson matrix — outlier docs can't drag it, and a

@@ -396,6 +396,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.toString.contains("CartesianProduct"))
   }
 
+  test("q186: trigram top-20 plans as TakeOrderedAndProject over a " +
+      "partial+final count; windows are user-partitioned only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = run("q186_event_trigrams").queryExecution.executedPlan
+    assert(exec.toString.contains("TakeOrderedAndProject"),
+      exec.toString.take(1500))
+    assert(deepCollect(exec) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty)
+  }
+
   test("q178/q181: every unpartitioned window orders an AGGREGATE " +
       "child (score/rank ledgers) — corpus rows never window-sort; " +
       "no cartesian") {
