@@ -78,27 +78,78 @@ object Eval {
     * only unpartitioned window runs over the `buckets`-row bucket
     * ledger (model-sized by construction). */
   private def withBelow(ledger: DataFrame, v: String, w: String,
-      buckets: Int, out: String): DataFrame = {
-    val mm = ledger.agg(min(col(v)).as("__lo"), max(col(v)).as("__hi"))
-    val bucketed = ledger.crossJoin(broadcast(mm))
+      buckets: Int, out: String, keys: Seq[String] = Nil): DataFrame = {
+    // with `keys`, every step partitions by them too: (min, max) come
+    // from a keys-sized broadcast ledger, the bucket-base window runs
+    // per key over <= `buckets` rows — stratified prefix sums at the
+    // same cost shape. Callers wrap nullable keys in a struct (complex-
+    // type equality is null-safe; a bare nullable join key is not).
+    val bucketed =
+      if (keys.isEmpty) {
+        val mm = ledger.agg(min(col(v)).as("__lo"), max(col(v)).as("__hi"))
+        ledger.crossJoin(broadcast(mm))
+      } else {
+        val mm = ledger.groupBy(keys.map(col): _*)
+          .agg(min(col(v)).as("__lo"), max(col(v)).as("__hi"))
+        ledger.join(broadcast(mm), keys)
+      }
+    val kc = keys.map(col)
+    val inBucket = Window.partitionBy(kc :+ col("__bkt"): _*)
+      .orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withInner = bucketed
       .withColumn("__bkt",
         floor((col(v) - col("__lo")).cast("double") * buckets /
           (col("__hi") - col("__lo") + lit(1)).cast("double"))
           .cast("long"))
-    val inBucket = Window.partitionBy(col("__bkt")).orderBy(col(v))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withInner = bucketed.withColumn("__inner",
-      coalesce(sum(col(w)).over(inBucket), lit(0L)))
-    val bucketBase = withInner.groupBy(col("__bkt"))
+      .withColumn("__inner",
+        coalesce(sum(col(w)).over(inBucket), lit(0L)))
+    val bucketBase = withInner
+      .groupBy(kc :+ col("__bkt"): _*)
       .agg(sum(col(w)).as("__btot"))
       .withColumn("__base", coalesce(
-        sum(col("__btot")).over(Window.orderBy(col("__bkt"))
+        sum(col("__btot")).over(Window.partitionBy(kc: _*)
+          .orderBy(col("__bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bkt"), col("__base"))
+      .select((keys :+ "__bkt" :+ "__base").map(col): _*)
     withInner
-      .join(broadcast(bucketBase), "__bkt")
+      .join(broadcast(bucketBase), keys :+ "__bkt")
       .withColumn(out, col("__base") + col("__inner"))
       .drop("__lo", "__hi", "__bkt", "__inner", "__base")
+  }
+
+  /** [[auc]] stratified: one AUC ledger row per stratum
+    * `(stratum, n_pos, n_neg, auc)` — "does the signal's discriminative
+    * power hold across sources/languages", the per-cohort acceptance
+    * read a single corpus-wide AUC can mask (a signal can be strong
+    * overall yet inverted inside one source — Simpson's reversal).
+    * Same exact doubled-U arithmetic and null-when-degenerate contract
+    * as [[auc]], per stratum; same plan shape with every step
+    * additionally keyed by the stratum (the struct wrap keeps a NULL
+    * stratum alive through the joins). */
+  def aucPerStratum(df: DataFrame, stratum: Column, score: Column,
+      label: Column, buckets: Int = 256, decimals: Int = 6): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20),
+      "buckets must be in [1, 2^20]")
+    val g = df
+      .select(struct(stratum.as("stratum")).as("__sk"),
+        score.cast("long").as("__s"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__sk"), col("__s"))
+      .agg(sum(col("__y")).as("__np"),
+        sum(lit(1L) - col("__y")).as("__nn"))
+    withBelow(g, "__s", "__nn", buckets, "__below", keys = Seq("__sk"))
+      .groupBy(col("__sk"))
+      .agg(sum(col("__np")).as("n_pos"),
+        sum(col("__nn")).as("n_neg"),
+        sum(col("__np") *
+          (lit(2L) * col("__below") + col("__nn"))).as("__u2"))
+      .select(col("__sk").getField("stratum").as("stratum"),
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), decimals))
+          .as("auc"))
   }
 
   /** Spearman rank correlation between two integral signals: Pearson

@@ -413,6 +413,90 @@ object CurationQueries {
         ORDER BY source, len_bucket""")),
 
     // ------------------------------------------------------------------
+    // Per-source signal AUC: q178's acceptance gate, stratified — a
+    // signal can look strong corpus-wide yet be flat or inverted
+    // inside one source (Simpson's reversal), and a per-source ledger
+    // is what catches it before the signal moves tokens everywhere.
+    // Same exact doubled-U arithmetic, every step additionally keyed
+    // by the source.
+    // ------------------------------------------------------------------
+    "q188_auc_per_source" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Eval
+        Eval.aucPerStratum(Tables(s, dir, "documents"),
+          stratum = col("source"),
+          score = size(split(col("text"), " ")),
+          label = col("lang") === "en")
+          .withColumnRenamed("stratum", "source")
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT source, len(string_split(text, ' ')) AS s,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        g AS (SELECT source, s, sum(y) AS np, sum(1 - y) AS nn
+              FROM b GROUP BY source, s),
+        c AS (SELECT source, np, nn,
+                     COALESCE(sum(nn) OVER (PARTITION BY source ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below
+              FROM g)
+        SELECT source,
+               CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+                 round(sum(np * (2 * below + nn))::DOUBLE /
+                       (2.0 * sum(np) * sum(nn)), 6)
+               END AS auc
+        FROM c GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // k-fold cross-validation assignment balance: folds from the q56
+    // content-stable md5 device (fold = first md5 nibbles mod k — the
+    // same doc lands in the same fold on any engine, cluster size, or
+    // run), reported as a fold × language balance ledger with each
+    // fold's share in exact milli. The protocol read before k-fold
+    // evaluation: a fold that under-represents a language invalidates
+    // its round's eval.
+    // ------------------------------------------------------------------
+    "q189_fold_balance" -> Q(
+      fn = (s, dir) => {
+        val folds = 5
+        // fold from the first FOUR md5 nibbles (the q56 hex device made
+        // numeric): both engines parse the same 16-bit value, so fold
+        // assignment is content-stable and engine-portable
+        val withFold = Tables(s, dir, "documents")
+          .withColumn("fold",
+            expr("conv(substring(md5(cast(`doc_id` as string)), 1, 4)," +
+              s" 16, 10)").cast("long") % folds)
+        withFold.groupBy(col("fold"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("fold_share_milli",
+            expr("1000L * `n_docs` div " +
+              "sum(`n_docs`) over (partition by `lang`)"))
+          .orderBy("fold", "lang")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS m
+          FROM documents),
+        f AS (
+          SELECT lang,
+                 ((instr('0123456789abcdef', m[1:1]) - 1) * 4096 +
+                  (instr('0123456789abcdef', m[2:2]) - 1) * 256 +
+                  (instr('0123456789abcdef', m[3:3]) - 1) * 16 +
+                  (instr('0123456789abcdef', m[4:4]) - 1)) % 5 AS fold
+          FROM h),
+        g AS (SELECT fold, lang, count(*) AS n_docs
+              FROM f GROUP BY 1, 2)
+        SELECT CAST(fold AS BIGINT) AS fold, lang, n_docs,
+               CAST(1000 * n_docs //
+                 (sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT)
+                 AS fold_share_milli
+        FROM g ORDER BY fold, lang""")),
+
+    // ------------------------------------------------------------------
     // Chi-square independence of language × source (Pearson 1900) with
     // Cramér's V effect size: "is the language mix the same across
     // sources" — the mixture-design read before per-source language

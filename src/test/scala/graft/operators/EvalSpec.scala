@@ -74,6 +74,42 @@ class EvalSpec extends SparkSpec {
     assert(runAuc(rows, buckets = 2)._3 === Some(r9(bruteAuc(rows))))
   }
 
+  test("aucPerStratum: per-stratum AUCs equal the global kernel run " +
+      "per slice; degenerate strata null; NULL stratum survives") {
+    val rnd = new Random(29)
+    val rows = for {
+      s <- Seq("a", "b", null: String); i <- 1 to 120
+    } yield {
+      val sc = rnd.nextInt(15).toLong
+      // stratum b gets an INVERTED signal — the Simpson's-reversal case
+      val pos = if (s == "b") rnd.nextInt(20) >= sc + 3
+        else rnd.nextInt(20) < sc + 3
+      (s, sc, pos, i)
+    }
+    val df = rows.map(r => (r._1, r._2, r._3)).toDF("s", "sc", "y")
+    val got = Eval.aucPerStratum(df, col("s"), col("sc"), col("y"),
+        decimals = 9)
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    for (s <- Seq(Some("a"), Some("b"), None)) {
+      val slice = rows.filter(r => Option(r._1) == s)
+        .map(r => (r._2, r._3))
+      val want = (slice.count(_._2).toLong, slice.count(!_._2).toLong,
+        Some(r9(bruteAuc(slice))))
+      assert(got(s) === want, s)
+    }
+    assert(got(Some("b"))._3.get < 0.5) // the inversion is visible
+    // a single-class stratum reports null, others unaffected
+    val deg = (rows :+ (("c", 5L, true, 0))).map(r => (r._1, r._2, r._3))
+      .toDF("s", "sc", "y")
+    val got2 = Eval.aucPerStratum(deg, col("s"), col("sc"), col("y"))
+      .collect().map(r => Option(r.getString(0)) -> r.isNullAt(3)).toMap
+    assert(got2(Some("c")))
+    assert(!got2(Some("a")))
+  }
+
   /** Tie-averaged ranks then textbook Pearson — the reference for
     * [[Eval.spearman]]. */
   private def bruteSpearman(rows: Seq[(Long, Long)]): Double = {
