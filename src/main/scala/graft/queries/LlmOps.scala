@@ -3341,7 +3341,41 @@ object LlmOps {
                     ((nb + v) * (cp + 1)) AS BIGINT) AS lift_milli
         FROM j CROSS JOIN s
         WHERE cb > 0
-        ORDER BY lift_milli DESC, tok LIMIT 10"""))
+        ORDER BY lift_milli DESC, tok LIMIT 10""")),
+
+    // ------------------------------------------------------------------
+    // Language-ID confusion matrix: q31's n-gram-marker classifier
+    // scored against the gold lang column — (gold, predicted, count,
+    // per-gold share in exact milli). The standard error-analysis read
+    // for ANY classifier the engine hosts: accuracy per class lives on
+    // the diagonal, and the off-diagonal mass says WHICH languages the
+    // marker set confuses (the q161 label-confusion idea applied to a
+    // real in-engine model). One per-row expression pass + one ledger
+    // aggregate; the oracle embeds the q31 classifier SQL verbatim, so
+    // the two gates can never drift apart.
+    // ------------------------------------------------------------------
+    "q190_langid_confusion" -> Q(
+      fn = (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("lang"), T.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("gold_share_milli",
+            expr("1000L * `n_docs` div " +
+              "sum(`n_docs`) over (partition by `lang`)"))
+          .orderBy("lang", "lang_pred")
+      },
+      oracle = Some(s"""
+        WITH pred AS (${LangIdOracle.core}),
+        g AS (
+          SELECT d.lang, p.lang_pred, count(*) AS n_docs
+          FROM documents d JOIN pred p USING (doc_id)
+          GROUP BY 1, 2)
+        SELECT lang, lang_pred, n_docs,
+               CAST(1000 * n_docs //
+                 (sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT)
+                 AS gold_share_milli
+        FROM g ORDER BY lang, lang_pred"""))
   )
 }
 
@@ -3372,5 +3406,12 @@ object LangIdOracle {
                     $cases
                     END AS lang_pred
         FROM sc ORDER BY doc_id"""
+  }
+
+  /** [[sql]] without the trailing ORDER BY — embeddable as a CTE body
+    * (q190 wraps it to join predictions against gold labels). */
+  val core: String = {
+    val s = sql
+    s.substring(0, s.lastIndexOf("ORDER BY doc_id")).trim
   }
 }
