@@ -163,4 +163,111 @@ class KernelPropertiesSpec extends AnyFunSuite {
       g1 == g2 && !g1.isNaN && !g1.isInfinite
     })
   }
+
+  // ---- model-space kernels (the golden-gated q29/q108 machinery):
+  // mathematical identities gate what no DuckDB oracle can ----
+
+  private val smallVec: Gen[List[Double]] =
+    Gen.listOfN(8, Gen.choose(-3.0, 3.0))
+
+  test("NearestCells: the first probe IS the exact cosine argmax over " +
+      "the centroid model (index tie-break), probes are distinct and " +
+      "in cosine order") {
+    val centroidsGen =
+      Gen.listOfN(6, Gen.listOfN(8, Gen.choose(-2.0, 2.0)))
+    check(Prop.forAll(smallVec, centroidsGen, Gen.choose(1, 6)) {
+      (v, cs, nProbe) =>
+        val cents = cs.map(_.toArray).toArray
+        val got = NearestCells(
+          Literal.create(v, ArrayType(DoubleType)), cents, nProbe)
+          .eval().asInstanceOf[ArrayData].toIntArray().toSeq
+        def cos(a: Seq[Double], b: Array[Double]): Double = {
+          val dot = a.zip(b).map { case (x, y) => x * y }.sum
+          val na = math.sqrt(a.map(x => x * x).sum)
+          val nb = math.sqrt(b.map(x => x * x).sum)
+          if (na == 0.0 || nb == 0.0) -2.0 else dot / (na * nb)
+        }
+        val want = cents.indices
+          .sortBy(i => (-cos(v, cents(i)), i)).take(nProbe)
+        got == want && got.distinct.size == got.size
+    })
+  }
+
+  test("PqEncode: each sub-code is the exact L2 argmin in its " +
+      "codebook — quantize(centroid) returns the centroid's own code") {
+    val cbGen = Gen.listOfN(4,
+      Gen.listOfN(5, Gen.listOfN(2, Gen.choose(-2.0, 2.0))))
+    check(Prop.forAll(smallVec, cbGen) { (v, cb) =>
+      val books = cb.map(_.map(_.toArray).toArray).toArray
+      val codes = PqEncode(
+        Literal.create(v, ArrayType(DoubleType)), books)
+        .eval().asInstanceOf[ArrayData].toIntArray()
+      val exact = books.zipWithIndex.forall { case (book, j) =>
+        val sub = v.slice(j * 2, j * 2 + 2)
+        val d2 = book.map(c =>
+          sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+        d2(codes(j)) == d2.min
+      }
+      // a vector assembled FROM centroids must quantize back to them
+      val self = books.map(_.head).flatten.toList
+      val selfCodes = PqEncode(
+        Literal.create(self, ArrayType(DoubleType)), books)
+        .eval().asInstanceOf[ArrayData].toIntArray()
+      // head centroid may tie with another equal-distance centroid at
+      // a LOWER index only if identical; require d2 == 0
+      val selfExact = books.zipWithIndex.forall { case (book, j) =>
+        val sub = self.slice(j * 2, j * 2 + 2)
+        sub.zip(book(selfCodes(j))).map { case (x, y) =>
+          (x - y) * (x - y) }.sum == 0.0
+      }
+      exact && selfExact
+    })
+  }
+
+  test("PqAdcTable: ADC(code) table walk == exact dot(query, " +
+      "reconstruction) — the identity IVFADC scoring relies on") {
+    val cbGen = Gen.listOfN(4,
+      Gen.listOfN(5, Gen.listOfN(2, Gen.choose(-2.0, 2.0))))
+    check(Prop.forAll(smallVec, smallVec, cbGen) { (q, v, cb) =>
+      val books = cb.map(_.map(_.toArray).toArray).toArray
+      val codes = PqEncode(
+        Literal.create(v, ArrayType(DoubleType)), books)
+        .eval().asInstanceOf[ArrayData].toIntArray()
+      val table = PqAdcTable(
+        Literal.create(q, ArrayType(DoubleType)), books)
+        .eval().asInstanceOf[ArrayData].toDoubleArray()
+      val ksub = 5
+      val walked = codes.zipWithIndex
+        .map { case (c, j) => table(j * ksub + c) }.sum
+      val recon = codes.zipWithIndex.flatMap { case (c, j) => books(j)(c) }
+      val exact = q.zip(recon).map { case (x, y) => x * y }.sum
+      math.abs(walked - exact) < 1e-9
+    })
+  }
+
+  test("TextEntropyExpr: 0 <= H <= log2(#distinct); zero iff one " +
+      "distinct token; top share in (0, 1]") {
+    check(Prop.forAll(tokens) { ws =>
+      val s = ws.mkString(" ")
+      val row = TextEntropyExpr(Literal.create(s, StringType)).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val (wh, share) = (row.getDouble(0), row.getDouble(2))
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      val distinct = ws.distinct.size
+      wh >= -1e-12 && wh <= log2(distinct.toDouble) + 1e-12 &&
+        ((distinct == 1) == (math.abs(wh) < 1e-12)) &&
+        share > 0.0 && share <= 1.0
+    })
+  }
+
+  test("DotProduct equals the scalar reference sum") {
+    check(Prop.forAll(smallVec, smallVec) { (a, b) =>
+      val got = DotProduct(
+        Literal.create(a, ArrayType(DoubleType)),
+        Literal.create(b, ArrayType(DoubleType))).eval()
+        .asInstanceOf[Double]
+      val want = a.zip(b).map { case (x, y) => x * y }.sum
+      math.abs(got - want) < 1e-12
+    })
+  }
 }
