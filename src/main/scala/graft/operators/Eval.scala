@@ -273,12 +273,17 @@ object Eval {
     // all internal keying goes through a struct-wrapped stratum:
     // complex-type equality is null-safe, so a NULL stratum survives
     // every equi-join below (a bare-column join key would drop it)
+    // the value ledger is materialized ONCE (the dedupedRel
+    // discipline): three consumers (totals, the median bracket, the
+    // deviation re-ledger) would otherwise each re-run the corpus
+    // shuffle's whole lineage
     val g = df
       .select(struct(stratum.as("stratum")).as("__sk"),
         value.cast("long").as("__v"))
       .filter(col("__v").isNotNull)
       .groupBy(col("__sk"), col("__v"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val totals = g.groupBy(col("__sk")).agg(sum(col("__c")).as("n"))
     // x_k = min value whose cumulative count reaches k; the median is
     // the (n+1) div 2 and n div 2 + 1 bracket (equal when n is odd)
