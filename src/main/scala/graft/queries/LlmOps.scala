@@ -3344,6 +3344,181 @@ object LlmOps {
         ORDER BY lift_milli DESC, tok LIMIT 10""")),
 
     // ------------------------------------------------------------------
+    // Near-dup provenance matrix: VERIFIED J>=0.5 pairs grouped by the
+    // (unordered) source pair they straddle — the provenance
+    // refinement of q157's per-source dup shares, on exact verified
+    // pairs where q175's mirror matrix counts rare-gram candidates
+    // (signal vs evidence: this is the one you act on). A cross-source
+    // cell is syndication; a diagonal cell is re-crawl within one
+    // source. Pair volume is output-sized, so the provenance joins
+    // ride a slim (doc_id, source) projection.
+    // ------------------------------------------------------------------
+    "q193_neardup_source_matrix" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, partitionCol = Some("lang"))
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("a_id"),
+            col("source").as("__sa")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"),
+            col("source").as("__sb")), "b_id")
+          .groupBy(least(col("__sa"), col("__sb")).as("src_a"),
+            greatest(col("__sa"), col("__sb")).as("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("src_a"), col("src_b"))
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id, lang, source,
+                 list_distinct([array_to_string(
+                   string_split(text,' ')[i+1:i+3],' ')
+                   for i in range(len(string_split(text,' '))-2)]) AS s
+          FROM documents),
+        p AS (
+          SELECT least(a.source, b.source) AS src_a,
+                 greatest(a.source, b.source) AS src_b
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.s,b.s))::DOUBLE /
+                (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 3)
+                >= 0.5)
+        SELECT src_a, src_b, count(*) AS n_pairs
+        FROM p GROUP BY 1, 2
+        ORDER BY n_pairs DESC, src_a, src_b""")),
+
+    // ------------------------------------------------------------------
+    // Per-document dedup disposition: the governance audit trail a
+    // production pipeline files BEFORE rows disappear — every doc
+    // labeled drop_exact (an exact copy that lost the min-id keeper
+    // vote), review_near_dup (member of a J>=0.5 near-dup pair), or
+    // keep. Composes the q22 fingerprint family vote and the q23 pair
+    // graph into one per-doc ledger; counts alone (q157) can't answer
+    // "why did doc 4711 vanish".
+    // ------------------------------------------------------------------
+    "q191_dedup_disposition" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val fp = docs.select(col("doc_id"),
+          T.fingerprint(col("text")).as("fp"))
+        val keepers = Dedup.exact(docs, "doc_id", "text")
+          .select(col("fp"), col("keep_id"))
+        val exactDrop = fp.join(keepers, Seq("fp"))
+          .filter(col("doc_id") =!= col("keep_id"))
+          .select(col("doc_id")).withColumn("__ex", lit(true))
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, partitionCol = Some("lang"))
+        val nearMember = pairs.select(col("a_id").as("doc_id"))
+          .unionAll(pairs.select(col("b_id").as("doc_id")))
+          .distinct().withColumn("__nd", lit(true))
+        docs.select(col("doc_id"), col("lang"), col("source"))
+          .join(exactDrop, Seq("doc_id"), "left")
+          .join(nearMember, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("source"),
+            when(coalesce(col("__ex"), lit(false)), "drop_exact")
+              .when(coalesce(col("__nd"), lit(false)), "review_near_dup")
+              .otherwise("keep").as("disposition"))
+          .filter(col("disposition") =!= "keep") // the audit rows
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH fp AS (
+          SELECT doc_id, lang, source,
+                 md5(regexp_replace(lower(text), '[^\p{L}\p{N} ]', '',
+                     'g')) AS fp
+          FROM documents),
+        keepers AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY 1),
+        ex AS (SELECT f.doc_id FROM fp f JOIN keepers k USING (fp)
+               WHERE f.doc_id <> k.keep_id),
+        sh AS (
+          SELECT doc_id, lang,
+                 list_distinct([array_to_string(
+                   string_split(text,' ')[i+1:i+3],' ')
+                   for i in range(len(string_split(text,' '))-2)]) AS s
+          FROM documents),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.s,b.s))::DOUBLE /
+                (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 3)
+                >= 0.5),
+        nd AS (SELECT a_id AS doc_id FROM p
+               UNION SELECT b_id FROM p)
+        SELECT d.doc_id, d.lang, d.source,
+               CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
+                      THEN 'drop_exact'
+                    WHEN d.doc_id IN (SELECT doc_id FROM nd)
+                      THEN 'review_near_dup'
+                    ELSE 'keep' END AS disposition
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM ex)
+           OR d.doc_id IN (SELECT doc_id FROM nd)
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Dedup threshold sensitivity: how many pairs (and docs) each
+    // candidate Jaccard threshold would implicate — the sweep read
+    // before committing a dedup config, from ONE pair computation at
+    // the LOWEST threshold re-thresholded upward (lossless: the prefix
+    // filter at 0.3 provably keeps every pair any higher threshold
+    // admits). Thresholds ride the plan as a literal array (the q152
+    // device); the pair frame is output-sized, so the per-threshold
+    // distinct-doc explode is free.
+    // ------------------------------------------------------------------
+    "q192_dedup_sensitivity" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val pairs = Dedup.ngramJaccardPairs(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.3, partitionCol = Some("lang"))
+        val hit = pairs.select(col("a_id"), col("b_id"), col("jaccard"),
+            explode(typedLit(Seq(300, 500, 700, 900))).as("t_milli"))
+          .filter(col("jaccard") >= col("t_milli").cast("double") / 1000.0)
+        val nPairs = hit.groupBy(col("t_milli"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val nDocs = hit
+          .select(col("t_milli"),
+            explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+          .groupBy(col("t_milli"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        Seq(300, 500, 700, 900).toDF("t_milli")
+          .join(nPairs, Seq("t_milli"), "left")
+          .join(nDocs, Seq("t_milli"), "left")
+          .select(col("t_milli"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+          .orderBy("t_milli")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id, lang,
+                 list_distinct([array_to_string(
+                   string_split(text,' ')[i+1:i+3],' ')
+                   for i in range(len(string_split(text,' '))-2)]) AS s
+          FROM documents),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 round(len(list_intersect(a.s,b.s))::DOUBLE /
+                   (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 3)
+                   AS j
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.s,b.s))::DOUBLE /
+                (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 3)
+                >= 0.3),
+        t(t_milli) AS (VALUES (300), (500), (700), (900)),
+        f AS (SELECT t.t_milli, p.a_id, p.b_id
+              FROM t LEFT JOIN p ON p.j >= t.t_milli / 1000.0),
+        g AS (SELECT t_milli, count(a_id) AS n_pairs FROM f GROUP BY 1),
+        d AS (SELECT t_milli, count(DISTINCT id) AS n_docs
+              FROM (SELECT t_milli, unnest([a_id, b_id]) AS id
+                    FROM f WHERE a_id IS NOT NULL)
+              GROUP BY 1)
+        SELECT g.t_milli, g.n_pairs,
+               COALESCE(d.n_docs, 0) AS n_docs
+        FROM g LEFT JOIN d USING (t_milli)
+        ORDER BY t_milli""")),
+
+    // ------------------------------------------------------------------
     // Language-ID confusion matrix: q31's n-gram-marker classifier
     // scored against the gold lang column — (gold, predicted, count,
     // per-gold share in exact milli). The standard error-analysis read
