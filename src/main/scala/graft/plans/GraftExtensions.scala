@@ -21,13 +21,15 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   * like the built-ins' `approx_percentile(col, 0.5)` accuracy argument.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.plans.GraftExtensions", null, name, usage, ""),
         builder))
     }
+    e.injectOptimizerRule(_ => LevenshteinBand)
+  }
 }
 
 object GraftExtensions {
@@ -153,10 +155,16 @@ object GraftExtensions {
         HashedBowScoreExpr(args.head, w.length, w) }))
 
   /** Post-hoc registration into an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, usage, builder) =>
       GraftSqlBridge.registerFunction(spark, name,
         new ExpressionInfo("graft.plans.GraftExtensions", null, name, usage, ""),
         builder)
     }
+    // live sessions can't re-run the extensions hook; the experimental
+    // post-optimization batch is the public equivalent for rules
+    if (!spark.experimental.extraOptimizations.contains(LevenshteinBand))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LevenshteinBand
+  }
 }

@@ -163,6 +163,49 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(other !== got)
   }
 
+  test("LevenshteinBand: a fuzzy-match filter gains the implied " +
+      "length-band prefilter; results unchanged; rule is idempotent") {
+    GraftExtensions.register(spark) // adds the rule to the live session
+    val df = Seq((1L, "kitten", "sitting"), (2L, "abc", "abd"),
+      (3L, "short", "a much longer string than that"))
+      .toDF("id", "a", "b")
+    val q = df.filter(expr("levenshtein(a, b) <= 2")).select("id")
+    assert(q.collect().map(_.getLong(0)).toSet === Set(2L))
+    // threshold form: non-negativity means "within thr"
+    val q2 = df.filter(expr("levenshtein(a, b, 2) >= 0")).select("id")
+    assert(q2.collect().map(_.getLong(0)).toSet === Set(2L))
+    // plan shape over a real scan (a local relation constant-folds
+    // away before the band could be observed): the band conjunct is
+    // present and precedes the DP predicate
+    val docs = spark.read
+      .parquet(sf("sf0.001") + "/documents.parquet")
+    val qp = docs.filter(expr("levenshtein(text, source) <= 2"))
+      .select("doc_id")
+    val optimized = qp.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs(") && optimized.contains("length("),
+      optimized)
+    assert(optimized.indexOf("abs(") < optimized.indexOf("levenshtein("),
+      optimized)
+    // idempotence: re-applying the rule to an already-banded plan is
+    // a no-op (no duplicate conjuncts under repeated batches)
+    val once = LevenshteinBand(qp.queryExecution.optimizedPlan)
+    assert(once.toString === LevenshteinBand(once).toString)
+    // the band never flips a verdict: a pair INSIDE the band but past
+    // the distance stays filtered, one outside the band never runs
+    // the DP (same answer either way — semantic no-op)
+    val brute = df.collect().filter { r =>
+      val (x, y) = (r.getString(1), r.getString(2))
+      // textbook DP
+      val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length) <= 2
+    }.map(_.getLong(0)).toSet
+    assert(q.collect().map(_.getLong(0)).toSet === brute)
+  }
+
   test("graft_text_entropy: SQL matches the operator") {
     GraftExtensions.register(spark)
     import spark.implicits._
