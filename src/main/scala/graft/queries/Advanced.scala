@@ -678,6 +678,39 @@ object Advanced {
         ORDER BY user_id, event_id""")),
 
     // ------------------------------------------------------------------
+    // Semi-structured schema-on-read: the events' JSON props column
+    // parsed ONCE into Spark 4's VARIANT type (binary-encoded,
+    // shredding-ready — the open-format answer to schema-free
+    // payloads, exactly the reference's "keyed binary rows" data model
+    // made queryable), then typed extraction and per-type aggregation.
+    // The oracle reads the same payloads through DuckDB's JSON
+    // extraction — exact integers end to end.
+    // ------------------------------------------------------------------
+    "q194_variant_props" -> Q(
+      fn = (s, dir) => {
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            expr("variant_get(parse_json(props), '$.k', 'bigint')")
+              .as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+               count(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
+               CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT)
+                 AS sum_k,
+               min(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
+               max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
     // Conversion-latency profile: per first-view hour-of-day cohort,
     // the robust center/scale of view→purchase latency — each user's
     // FIRST view and their FIRST purchase at-or-after it, latency in
