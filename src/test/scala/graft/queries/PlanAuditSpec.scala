@@ -396,6 +396,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.toString.contains("CartesianProduct"))
   }
 
+  test("q194: the scan reads only (event_type, props) — the variant " +
+      "parse does not widen the schema; one partial+final agg") {
+    val p = plan("q194_variant_props")
+    assert(p.contains("ReadSchema"), p.take(1500))
+    assert(!p.contains("user_id") && !p.contains("value"),
+      "scan reads unused columns")
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val aggs = deepCollect(
+      run("q194_variant_props").queryExecution.executedPlan) {
+      case a: BaseAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"partial+final expected, got ${aggs.size}")
+  }
+
   test("q186: trigram top-20 plans as TakeOrderedAndProject over a " +
       "partial+final count; windows are user-partitioned only") {
     import org.apache.spark.sql.execution.window.WindowExec
