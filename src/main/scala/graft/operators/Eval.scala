@@ -77,6 +77,12 @@ object Eval {
     * in-bucket exclusive prefixes are bucket-partitioned windows; the
     * only unpartitioned window runs over the `buckets`-row bucket
     * ledger (model-sized by construction). */
+  /** [[withBelow]] for sibling operators ([[Sampling.topKWithTies]]
+    * runs it over negated values to get the strictly-ABOVE mass). */
+  private[operators] def exclusivePrefix(ledger: DataFrame, v: String,
+      w: String, buckets: Int, out: String): DataFrame =
+    withBelow(ledger, v, w, buckets, out)
+
   private def withBelow(ledger: DataFrame, v: String, w: String,
       buckets: Int, out: String, keys: Seq[String] = Nil): DataFrame = {
     // with `keys`, every step partitions by them too: (min, max) come

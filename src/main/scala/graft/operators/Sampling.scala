@@ -1312,4 +1312,33 @@ object Sampling {
       .withColumn("curriculum_pos", col("__bbase") + col("__rk") - 1)
       .select(out: _*)
   }
+
+  /** ANSI `FETCH FIRST k ROWS WITH TIES` over a descending integral
+    * order — the standard top-k whose cut NEVER splits a tie group
+    * (Spark's `orderBy().limit(k)` picks an arbitrary k rows inside a
+    * tie; rank-aware selection needs a window). Keeps every row whose
+    * `RANK() <= k`, i.e. whose value has fewer than k STRICTLY GREATER
+    * rows.
+    *
+    * The scale-safe spelling: no global-order window ever sees corpus
+    * rows. One (value → count) ledger; the strictly-greater mass comes
+    * from the two-phase bucketed prefix sum over the NEGATED value
+    * (below(-v) = mass above v); the threshold — the smallest value
+    * with rank <= k — is a one-row scalar subquery; the result is
+    * `df.filter(value >= threshold)`, a pure filter that preserves the
+    * input partitioning (the q63/q125 threshold discipline). Null
+    * values never qualify (ANSI: NULLS LAST under DESC, and the
+    * threshold is non-null whenever the input has >= 1 non-null row). */
+  def topKWithTies(df: DataFrame, value: Column, k: Long,
+      buckets: Int = 256): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val g = df.select(value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__nv", -col("__v"))
+    val above = Eval.exclusivePrefix(g, "__nv", "__c", buckets, "__above")
+    val threshold = graft.plans.Scalars.of(
+      above.filter(col("__above") < k).agg(min(col("__v")).as("__t")))
+    df.filter(value.cast("long") >= threshold)
+  }
 }

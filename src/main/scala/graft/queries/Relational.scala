@@ -244,6 +244,30 @@ object Relational {
         LIMIT 10""")),
 
     // ------------------------------------------------------------------
+    // ANSI FETCH FIRST k ROWS WITH TIES — the top-k whose cut never
+    // splits a tie group (q08's limit(10) keeps an ARBITRARY 10 inside
+    // a tie; rank-aware selection is what reproducible leaderboards
+    // need). Spark has no native WITH TIES; the operator realizes it
+    // as a pure threshold filter — the strictly-greater mass from the
+    // bucketed prefix sum over the (value → count) ledger, the kth
+    // value as a scalar subquery — so no global-order window ever sees
+    // corpus rows. The oracle is DuckDB's native QUALIFY rank().
+    // ------------------------------------------------------------------
+    "q195_topk_with_ties" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sampling
+        Sampling.topKWithTies(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          value = col("n_chars"), k = 50)
+          .orderBy(col("n_chars").desc, col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id, n_chars
+        FROM documents
+        QUALIFY rank() OVER (ORDER BY n_chars DESC) <= 50
+        ORDER BY n_chars DESC, doc_id""")),
+
+    // ------------------------------------------------------------------
     // Set ops: UNION (distinct), INTERSECT, EXCEPT.
     // ------------------------------------------------------------------
     "q09_union" -> Q(

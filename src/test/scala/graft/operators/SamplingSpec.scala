@@ -882,4 +882,38 @@ class SamplingSpec extends SparkSpec {
     assert(n2.length === 99)
     assert(n2.map(_.getLong(2)).sorted.toSeq === (0L until 99L))
   }
+
+  test("topKWithTies: the cut never splits a tie group — hand case, " +
+      "brute-force equality, k >= n keeps all, nulls never qualify") {
+    import spark.implicits._
+    // values 9,9,7,7,7,3 with k=3: rank of the 7s is 3 -> ALL three
+    // 7s stay (plain limit(3) would drop one arbitrarily)
+    val hand = Seq((1L, 9L), (2L, 9L), (3L, 7L), (4L, 7L), (5L, 7L),
+      (6L, 3L)).toDF("id", "v")
+    def ids(df: org.apache.spark.sql.DataFrame, k: Long): Set[Long] =
+      Sampling.topKWithTies(df, col("v"), k)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(hand, 3) === Set(1L, 2L, 3L, 4L, 5L))
+    assert(ids(hand, 2) === Set(1L, 2L))
+    assert(ids(hand, 6) === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(ids(hand, 100) === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    val rnd = new scala.util.Random(43)
+    val rows = (1L to 300L).map(i => (i, rnd.nextInt(25).toLong - 5L))
+    val df = rows.toDF("id", "v")
+    for (k <- Seq(1L, 7L, 50L, 299L)) {
+      val want = {
+        val sorted = rows.map(_._2).sorted(Ordering[Long].reverse)
+        val cut = sorted(math.min(k, sorted.size).toInt - 1)
+        rows.filter(_._2 >= cut).map(_._1).toSet
+      }
+      assert(ids(df, k) === want, s"k=$k")
+    }
+    // null values: never qualify, never poison the threshold
+    val withNull =
+      (rows.map { case (i, v) => (i, Some(v): Option[Long]) } :+
+        ((301L, None: Option[Long]))).toDF("id", "v")
+    assert(Sampling.topKWithTies(withNull, col("v"), 1)
+      .collect().map(_.getLong(0)).toSet ===
+      rows.filter(_._2 == rows.map(_._2).max).map(_._1).toSet)
+  }
 }

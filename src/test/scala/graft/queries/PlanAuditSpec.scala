@@ -421,6 +421,19 @@ class PlanAuditSpec extends SparkSpec {
     }.isEmpty)
   }
 
+  test("q195: WITH TIES is a PURE FILTER — zero windows in the main " +
+      "plan (the ledger rank lives in the threshold scalar subquery), " +
+      "no global sort of corpus rows before the cut") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = run("q195_topk_with_ties").queryExecution.executedPlan
+    assert(deepCollect(exec) { case w: WindowExec => w }.isEmpty,
+      "main plan must not window-sort")
+    val opt = run("q195_topk_with_ties").queryExecution
+      .optimizedPlan.toString
+    assert(opt.contains("scalar-subquery"), opt.take(1200))
+    assert(!exec.toString.contains("CartesianProduct"))
+  }
+
   test("q178/q181: every unpartitioned window orders an AGGREGATE " +
       "child (score/rank ledgers) — corpus rows never window-sort; " +
       "no cartesian") {
