@@ -83,8 +83,19 @@ object Eval {
       w: String, buckets: Int, out: String): DataFrame =
     withBelow(ledger, v, w, buckets, out)
 
+  /** The MAX-monoid twin of [[exclusivePrefix]]: `out` = max `w` over
+    * strictly smaller `v`, NULL when no smaller row exists (a running
+    * max has no zero element, so the empty prefix must stay
+    * distinguishable — skyline callers treat it as "undominated").
+    * Same bucketed two-phase shape ([[Sampling.topKWithTies]]'s
+    * device); [[paretoFrontier2D]] runs it over negated x. */
+  private[operators] def exclusivePrefixMax(ledger: DataFrame, v: String,
+      w: String, buckets: Int, out: String): DataFrame =
+    withBelow(ledger, v, w, buckets, out, useMax = true)
+
   private def withBelow(ledger: DataFrame, v: String, w: String,
-      buckets: Int, out: String, keys: Seq[String] = Nil): DataFrame = {
+      buckets: Int, out: String, keys: Seq[String] = Nil,
+      useMax: Boolean = false): DataFrame = {
     // with `keys`, every step partitions by them too: (min, max) come
     // from a keys-sized broadcast ledger, the bucket-base window runs
     // per key over <= `buckets` rows — stratified prefix sums at the
@@ -103,24 +114,30 @@ object Eval {
     val inBucket = Window.partitionBy(kc :+ col("__bkt"): _*)
       .orderBy(col(v))
       .rowsBetween(Window.unboundedPreceding, -1)
+    def part(c: Column) = if (useMax) max(c) else sum(c)
+    // the sum monoid has a zero (empty prefix = 0); max does not, so
+    // its empty prefix stays NULL and the combine is null-skipping
+    // `greatest` instead of `+`
+    def z(c: Column) = if (useMax) c else coalesce(c, lit(0L))
     val withInner = bucketed
       .withColumn("__bkt",
         floor((col(v) - col("__lo")).cast("double") * buckets /
           (col("__hi") - col("__lo") + lit(1)).cast("double"))
           .cast("long"))
-      .withColumn("__inner",
-        coalesce(sum(col(w)).over(inBucket), lit(0L)))
+      .withColumn("__inner", z(part(col(w)).over(inBucket)))
     val bucketBase = withInner
       .groupBy(kc :+ col("__bkt"): _*)
-      .agg(sum(col(w)).as("__btot"))
-      .withColumn("__base", coalesce(
-        sum(col("__btot")).over(Window.partitionBy(kc: _*)
+      .agg(part(col(w)).as("__btot"))
+      .withColumn("__base", z(
+        part(col("__btot")).over(Window.partitionBy(kc: _*)
           .orderBy(col("__bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .rowsBetween(Window.unboundedPreceding, -1))))
       .select((keys :+ "__bkt" :+ "__base").map(col): _*)
     withInner
       .join(broadcast(bucketBase), keys :+ "__bkt")
-      .withColumn(out, col("__base") + col("__inner"))
+      .withColumn(out,
+        if (useMax) greatest(col("__base"), col("__inner"))
+        else col("__base") + col("__inner"))
       .drop("__lo", "__hi", "__bkt", "__inner", "__base")
   }
 
@@ -247,6 +264,40 @@ object Eval {
       when(col("n") >= 2 && den > 0, round(slope, decimals)).as("slope"),
       when(col("n") >= 2 && den > 0,
         round((d("__sy") - slope * d("__sx")) / nD, decimals)).as("icept"))
+  }
+
+  /** 2-D Pareto frontier (the skyline operator, Börzsönyi 2001): the
+    * rows no other row dominates, where `a` dominates `b` iff
+    * `x_a >= x_b && y_a >= y_b` with at least one strict — both
+    * criteria maximized. Duplicated points never dominate each other,
+    * so all copies of a frontier point survive. Returns the input
+    * rows (original columns) filtered to the frontier.
+    *
+    * In 2-D the frontier is the STAIRCASE: a row survives iff its y is
+    * the maximum within its x AND strictly exceeds every y at larger
+    * x. That makes the skyline — quadratic in general dimension — two
+    * ledger passes here: one (x → max y) aggregate, the bucketed
+    * prefix-MAX over descending x (the [[Sampling.topKWithTies]]
+    * device with the max monoid), and a pure per-row filter. No
+    * windows over corpus rows, no pairwise comparisons. */
+  def paretoFrontier2D(df: DataFrame, x: Column, y: Column,
+      buckets: Int = 256): DataFrame = {
+    val pts = df
+      .withColumn("__x", x.cast("long"))
+      .withColumn("__y", y.cast("long"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val ledger = pts.groupBy(col("__x")).agg(max(col("__y")).as("__my"))
+      .withColumn("__nx", -col("__x"))
+    val withAbove =
+      exclusivePrefixMax(ledger, "__nx", "__my", buckets, "__above")
+        .select(col("__x"), col("__my"), col("__above"))
+    // the ledger is distinct-x-sized (domain-bounded for integral
+    // signals — the module contract); the join back to rows is a
+    // plain equi-join on x
+    pts.join(withAbove, Seq("__x"))
+      .filter(col("__y") === col("__my") &&
+        (col("__above").isNull || col("__y") > col("__above")))
+      .drop("__x", "__y", "__my", "__above")
   }
 
   /** Exact per-stratum median + MAD (median absolute deviation —

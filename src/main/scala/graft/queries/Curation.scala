@@ -497,6 +497,38 @@ object CurationQueries {
         FROM g ORDER BY fold, lang""")),
 
     // ------------------------------------------------------------------
+    // Skyline / 2-D Pareto frontier (Börzsönyi 2001): the documents no
+    // other document beats on BOTH length and vocabulary size — the
+    // multi-criteria shortlist a single weighted score can't express
+    // (any weighting picks one frontier point; the skyline returns
+    // them all). Two ledger passes + a pure per-row filter — no
+    // pairwise comparisons, no corpus-row windows; the oracle is the
+    // literal NOT EXISTS dominance definition.
+    // ------------------------------------------------------------------
+    "q196_pareto_frontier" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Eval
+        val pts = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            size(array_distinct(split(col("text"), " "))).as("n_types"))
+        Eval.paretoFrontier2D(pts, x = col("n_chars"),
+            y = col("n_types"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id, n_chars,
+                 len(list_distinct(string_split(text, ' '))) AS n_types
+          FROM documents)
+        SELECT doc_id, n_chars, n_types
+        FROM p b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p a
+          WHERE a.n_chars >= b.n_chars AND a.n_types >= b.n_types
+            AND (a.n_chars > b.n_chars OR a.n_types > b.n_types))
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // Chi-square independence of language × source (Pearson 1900) with
     // Cramér's V effect size: "is the language mix the same across
     // sources" — the mixture-design read before per-source language

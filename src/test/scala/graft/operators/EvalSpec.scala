@@ -209,6 +209,49 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  /** O(n²) dominance check — the reference for
+    * [[Eval.paretoFrontier2D]]. */
+  private def bruteSkyline(pts: Seq[(Long, Long, Long)])
+      : Set[Long] =
+    pts.filterNot { case (_, xb, yb) =>
+      pts.exists { case (_, xa, ya) =>
+        xa >= xb && ya >= yb && (xa > xb || ya > yb)
+      }
+    }.map(_._1).toSet
+
+  private def runSkyline(pts: Seq[(Long, Long, Long)], buckets: Int = 256)
+      : Set[Long] =
+    Eval.paretoFrontier2D(pts.toDF("id", "x", "y"), col("x"), col("y"),
+        buckets = buckets)
+      .collect().map(_.getLong(0)).toSet
+
+  test("paretoFrontier2D: hand staircase — dominated points fall, " +
+      "duplicated frontier points ALL survive, null coords drop") {
+    val pts = Seq(
+      (1L, 10L, 1L), (2L, 5L, 5L), (3L, 1L, 10L), // the staircase
+      (4L, 4L, 4L),  // dominated by (5,5)
+      (5L, 5L, 5L),  // duplicate of id 2 — neither dominates
+      (6L, 10L, 0L), // same x as 1, smaller y — dominated
+      (7L, 0L, 10L)) // same y as 3, smaller x — dominated
+    assert(runSkyline(pts) === Set(1L, 2L, 3L, 5L))
+    val withNull = pts.map { case (i, x, y) => (i, Some(x), Some(y)) } :+
+      ((8L, None: Option[Long], Some(99L)))
+    val got = Eval.paretoFrontier2D(withNull.toDF("id", "x", "y"),
+        col("x"), col("y"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 3L, 5L))
+  }
+
+  test("paretoFrontier2D equals the O(n²) dominance check on seeded " +
+      "random points with heavy ties, at several bucket counts") {
+    val rnd = new Random(47)
+    val pts = (1L to 400L).map(i =>
+      (i, rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val want = bruteSkyline(pts)
+    for (b <- Seq(1, 5, 256))
+      assert(runSkyline(pts, buckets = b) === want, s"buckets=$b")
+  }
+
   /** Brute-force 2·median of a sorted-able long seq (bracket average). */
   private def med2Of(xs: Seq[Long]): Long = {
     val s = xs.sorted
