@@ -295,6 +295,69 @@ object Dedup {
     verifyPairs(cands, index, threshold)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: every ORDERED pair
+    * (src, sup) of distinct docs with
+    * `C(src→sup) = |S_src ∩ S_sup| / |S_src| >= threshold` over
+    * distinct word (or char) n-gram sets — the subset/superset notion
+    * of duplication that symmetric Jaccard structurally misses: a page
+    * fully quoted inside a 10× larger page has J ≈ 0.1 but C = 1.0.
+    * Production corpora are full of these (wrapper pages, quote
+    * aggregators, doc+boilerplate mirrors), and dropping the contained
+    * side is the standard cleanup. Output: `src_id`, `sup_id`,
+    * `containment` (rounded to 3; both directions reported when both
+    * clear the threshold).
+    *
+    * Candidate generation is LOSSLESS and one-sided: C >= t needs
+    * overlap O >= t·sz_src, and admission is by `round(C,3) >= t`, so
+    * with t_s = t − 0.001 an admitted pair has O > t_s·sz_src >=
+    * ceil(t_s·sz_src) − 1 = |suffix| — the src doc's RARITY PREFIX
+    * (the [[prefixIndex]] machinery verbatim: the per-side prefix
+    * length it computes for Jaccard, sz − ceil(t_s·sz) + 1, is exactly
+    * the containment bound, because J >= t also forces O >= t·sz_a
+    * per side) must share a key with the sup doc. The sup side has no
+    * usable prune (its size places NO constraint on C(src→sup)), so
+    * candidates = src-prefix ⋈ FULL index on the gram key. That stays
+    * scale-sane for the same reason the Jaccard join does: prefixes
+    * hold each doc's RAREST grams, so the per-key fan-out df(k) is
+    * small by construction; hyper-frequent grams never enter any
+    * prefix. `maxDocFreq`/ratio caps apply to the src prefix only and
+    * carry the same recall caveat as [[prefixIndex]].
+    *
+    * Verification is exact on per-doc compacted sets ([[docSets]] +
+    * the sorted-merge intersect kernel): texts never shuffle, each
+    * candidate ships two sorted arrays once. No length filter is
+    * interposed — for containment the only candidate-side necessary
+    * condition (sz_sup >= t·sz_src) would need per-row sup sizes,
+    * costing an extra corpus-sized exchange to save a filter the
+    * verify's containment check subsumes anyway. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      partitionCol: Option[String] = None,
+      maxDocFreq: Option[Int] = None,
+      charLevel: Boolean = false,
+      maxDocFreqRatio: Option[Double] = None,
+      spread: Boolean = true): DataFrame = {
+    val index =
+      shingleIndex(df, idCol, textCol, n, partitionCol, charLevel, spread)
+    val srcPrefix = prefixIndex(index, threshold, maxDocFreq, maxDocFreqRatio)
+    val cands = srcPrefix.select(col("k"), col("id").as("src_id"))
+      .join(index.select(col("k"), col("id").as("sup_id")), Seq("k"))
+      .filter(col("src_id") =!= col("sup_id"))
+      .select("src_id", "sup_id").distinct()
+    val sets = docSets(index)
+    cands
+      .join(sets.select(col("id").as("src_id"), col("ks").as("src_ks"),
+        col("sz").as("src_sz")), "src_id")
+      .join(sets.select(col("id").as("sup_id"), col("ks").as("sup_ks")),
+        "sup_id")
+      .withColumn("containment", round(
+        SK.sortedIntersectCount(col("src_ks"), col("sup_ks")).cast("double") /
+          col("src_sz"), 3))
+      .filter(col("containment") >= threshold)
+      .select("src_id", "sup_id", "containment")
+  }
+
   /** Edit-distance similarity join (Ed-Join, Xiao/Wang/Lin 2008):
     * all pairs with character Levenshtein distance <= `maxDist`,
     * reported as `(a_id, b_id, ed)` — the string-level twin of

@@ -817,4 +817,70 @@ object TextStats {
       .orderBy(col("score_milli").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** Exact heavy hitters over the corpus token stream WITHOUT a
+    * full-vocabulary shuffle: every token whose global count strictly
+    * exceeds `N / (k+1)` (N = total tokens), with its exact count.
+    *
+    * The plain spelling — `groupBy(token).count()` then filter — is
+    * correct but its map-side partial-agg hash tables grow with the
+    * per-partition DISTINCT vocabulary; at web scale (billions of
+    * types: URLs, hashes, code identifiers) they spill and the shuffle
+    * carries the whole long-tail vocabulary just to discard it. This
+    * operator is the two-pass sketch-then-recount:
+    *
+    *   1. each partition summarizes its token stream with a
+    *      MISRA–GRIES summary of `k` counters (Misra & Gries 1982 —
+    *      O(k) memory, one pass, no sort) via `mapPartitions`;
+    *   2. the union of per-partition survivors — at most
+    *      `#partitions · k` tokens, model-sized by construction — is
+    *      broadcast back as a semi-join filter, and ONE exact count
+    *      aggregation runs over just the candidate tokens.
+    *
+    * The candidate set is provably a SUPERSET of every qualifying
+    * token (zero false negatives): MG with k counters undercounts any
+    * token by at most n_p/(k+1) decrement events on a partition of n_p
+    * tokens, so a token with partition count > n_p/(k+1) survives that
+    * partition's summary; if the GLOBAL count exceeds N/(k+1) =
+    * Σn_p/(k+1), pigeonhole gives at least one partition where the
+    * partition-local bound is beaten. False positives cost only
+    * recount work and are filtered by the exact threshold — reported
+    * counts are always exact. Output: (`tok`, `cnt`), count-desc.
+    *
+    * `mapPartitions` here is the genuine per-partition imperative case
+    * the module reserves it for: a bounded-memory streaming summary
+    * has no declarative DataFrame spelling (any groupBy materializes
+    * the very vocabulary the sketch exists to avoid). */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(T.tokens(col(textCol))).as("tok"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { tok =>
+        if (counters.contains(tok)) counters(tok) += 1L
+        else if (counters.size < k) counters(tok) = 1L
+        else {
+          // decrement-all: one shared event for the k counters and the
+          // incoming token; zeroed counters free their slots
+          val dead = List.newBuilder[String]
+          counters.keysIterator.foreach { key =>
+            val v = counters(key) - 1L
+            if (v == 0L) dead += key else counters(key) = v
+          }
+          dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("tok").distinct()
+    val total = graft.plans.Scalars.of(
+      df.agg(sum(size(T.tokens(col(textCol)))).cast("long").as("n")))
+    toks.join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("__n", total)
+      .filter(col("cnt") * lit(k + 1).cast("long") > col("__n"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
 }

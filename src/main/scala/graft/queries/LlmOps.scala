@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
 import graft.functions.{TextFunctions => T}
 
 /** The LLM-training-data operator surface: dedup families, similarity
@@ -3550,7 +3550,60 @@ object LlmOps {
                CAST(1000 * n_docs //
                  (sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT)
                  AS gold_share_milli
-        FROM g ORDER BY lang, lang_pred"""))
+        FROM g ORDER BY lang, lang_pred""")),
+
+    // ------------------------------------------------------------------
+    // Asymmetric containment near-dups: ordered (src, sup) pairs with
+    // |S_src ∩ S_sup| / |S_src| >= 0.6 over word-3-gram sets, confined
+    // to a language — the subset/superset duplication symmetric
+    // Jaccard misses (a page quoted inside a 10x page has J≈0.1,
+    // C=1.0). Candidates from the src side's lossless rarity prefix
+    // against the full index; exact sorted-merge verify. The oracle
+    // brute-forces the pairwise definition directly.
+    // ------------------------------------------------------------------
+    "q197_dedup_containment" -> Q(
+      fn = (s, dir) => {
+        Dedup.containmentPairs(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6, partitionCol = Some("lang"))
+          .orderBy("src_id", "sup_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id, lang,
+                 list_distinct([array_to_string(string_split(text,' ')[i+1:i+3],' ')
+                                for i in range(len(string_split(text,' '))-2)]) AS sh
+          FROM documents
+          WHERE len(string_split(text,' ')) >= 3)
+        SELECT a.doc_id AS src_id, b.doc_id AS sup_id,
+               round(len(list_intersect(a.sh,b.sh))::DOUBLE / len(a.sh), 3)
+                 AS containment
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        WHERE round(len(list_intersect(a.sh,b.sh))::DOUBLE / len(a.sh), 3)
+              >= 0.6
+        ORDER BY src_id, sup_id""")),
+
+    // ------------------------------------------------------------------
+    // Exact heavy hitters WITHOUT a vocabulary-wide shuffle: every
+    // token with global count strictly > N/(k+1), k=30 — per-partition
+    // Misra–Gries summaries (bounded memory), then one exact recount
+    // restricted to the model-sized candidate union (a provable
+    // superset: pigeonhole over the per-partition undercount bound).
+    // The oracle is the plain exact spelling; the operator's point is
+    // the PHYSICAL plan, so equality IS the gate.
+    // ------------------------------------------------------------------
+    "q198_heavy_hitters" -> Q(
+      fn = (s, dir) => {
+        TextStats.heavyHitters(Tables(s, dir, "documents"), "text", k = 30)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT tok, count(*) AS cnt
+        FROM toks GROUP BY tok
+        HAVING count(*) * 31 > (SELECT n FROM tot)
+        ORDER BY cnt DESC, tok"""))
   )
 }
 

@@ -559,4 +559,59 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(got === want)
   }
+
+  test("containmentPairs equals brute force on randomized corpora " +
+      "(asymmetric, both directions, src-prefix candidates lossless)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    for (threshold <- Seq(0.4, 0.7)) {
+      // base docs plus true SUBSET docs (a slice of a base doc), the
+      // regime where containment fires and Jaccard doesn't
+      val bases = (1L to 30L).map { id =>
+        val len = 10 + rnd.nextInt(30)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val subsets = bases.take(10).map { case (id, t) =>
+        val w = t.split(" ")
+        (100L + id) -> w.slice(0, 5 + rnd.nextInt(w.length - 5)).mkString(" ")
+      }
+      val all = bases ++ subsets
+      def sh(t: String): Set[String] =
+        t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val expected = (for {
+        (a, ta) <- all; (b, tb) <- all if a != b
+        sa = sh(ta); sb = sh(tb)
+        c = BigDecimal((sa & sb).size.toDouble / sa.size)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if c >= threshold
+      } yield (a, b, c)).toSet
+      val got = Dedup.containmentPairs(all.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, threshold = threshold)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"threshold=$threshold")
+    }
+  }
+
+  test("containment finds the quoted-subset pairs Jaccard misses") {
+    import spark.implicits._
+    // doc 2 = doc 1's text embedded in 9x unrelated filler: J ~ 0.1,
+    // C(1 -> 2) = 1.0. Distinct filler vocab keeps the planted overlap
+    // the ONLY shared grams.
+    val quoted = (1 to 12).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 108).map(i => s"f$i").mkString(" ")
+    val df = Seq(
+      (1L, quoted),
+      (2L, s"$filler $quoted"),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    val jaccard = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        n = 3, threshold = 0.9).count()
+    assert(jaccard === 0L)
+  }
 }

@@ -500,4 +500,39 @@ class TextStatsSpec extends SparkSpec {
     assert(all.toSeq === Seq(("a", "b", 1555L), ("b", "a", 0L),
       ("b", "c", 0L)))
   }
+
+  test("heavyHitters equals the exact groupBy spelling on skewed " +
+      "randomized corpora (MG candidates are a lossless superset)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // Zipf-ish skew over a vocabulary much larger than k: a handful of
+    // hot tokens plus a long tail of near-singletons — the regime the
+    // sketch exists for (tail stays out of the shuffle), with the
+    // qualifying set a strict subset of the vocabulary.
+    for (k <- Seq(5, 20)) {
+      val docs = (1L to 60L).map { id =>
+        val words = (1 to 40).map { _ =>
+          val r = rnd.nextInt(100)
+          if (r < 55) s"hot${rnd.nextInt(3)}"
+          else if (r < 80) s"warm${rnd.nextInt(15)}"
+          else s"tail${rnd.nextInt(500)}"
+        }
+        id -> words.mkString(" ")
+      }
+      val df = docs.toDF("doc_id", "text")
+      val toks = docs.flatMap(_._2.split(" "))
+      val n = toks.size.toLong
+      val expected = toks.groupBy(identity).view
+        .mapValues(_.size.toLong)
+        .filter { case (_, c) => c * (k + 1) > n }
+        .toMap
+      val got = TextStats.heavyHitters(df, "text", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"k=$k")
+      // output order contract: count desc, token asc
+      val rows = TextStats.heavyHitters(df, "text", k)
+        .collect().map(r => (r.getLong(1), r.getString(0)))
+      assert(rows.sortBy { case (c, t) => (-c, t) }.toSeq === rows.toSeq)
+    }
+  }
 }
