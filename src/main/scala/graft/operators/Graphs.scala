@@ -132,6 +132,28 @@ object Graphs {
         coalesce(col("__n"), lit(0L)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node (Watts & Strogatz 1998):
+    * the fraction of a node's neighbor pairs that are themselves
+    * connected, `2·tri / (deg·(deg−1))`, reported in exact MILLI fixed
+    * point (truncating integer division — engine-portable, no float
+    * rounding to disagree on). Nodes of degree < 2 have no wedge to
+    * close and report 0 by convention. Output:
+    * `(id, degree, n_triangles, cc_milli)`.
+    *
+    * Pure post-processing of [[triangles]] — one per-row expression on
+    * its output, so the cost and the O(m^1.5) wedge bound are exactly
+    * the triangle count's. Degree alone says how CONNECTED a node is;
+    * cc says how CLIQUISH its neighborhood is — the pair (hub with
+    * cc≈0 vs hub inside a near-clique) is the standard community/
+    * bridge discrimination read. */
+  def clusteringCoefficient(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    triangles(edges, aCol, bCol)
+      .withColumn("cc_milli",
+        when(col("degree") >= 2,
+          expr("(2000 * `n_triangles`) div (`degree` * (`degree` - 1))"))
+          .otherwise(lit(0L)))
+
   /** Adamic–Adar link scores (Adamic & Adar 2003) over a bipartite
     * relation: for each right-side pair sharing at least one left
     * entity, `aa = Σ_{shared l} 1 / ln(degree(l))` — common neighbors,

@@ -612,6 +612,54 @@ object GraphQueries {
         SELECT doc_id, source, n_chars
         FROM documents
         WHERE lang = 'zh' AND doc_id NOT IN (SELECT id FROM drops)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Local clustering coefficient over the co-purchase projection:
+    // per supplier, the fraction of its co-purchase neighbors that are
+    // themselves co-purchased (2·tri / deg·(deg−1), exact milli) —
+    // degree says how CONNECTED, cc says how CLIQUISH; a high-degree/
+    // low-cc node is a bridge, high/high sits inside a community. Same
+    // scale-adaptive edge threshold and orientation-bounded triangle
+    // kernel as q148, on a different market segment; the cc arithmetic
+    // is pure integer post-processing, so the oracle replays it
+    // verbatim on the id-ordered triangle enumeration.
+    // ------------------------------------------------------------------
+    "q199_clustering_coefficient" -> Q(
+      fn = (s, dir) => {
+        val pairs = Graphs.coOccurrence(relDf(s, dir, "AUTOMOBILE"),
+          "cust", "supp").localCheckpoint(true)
+        val th = graft.plans.Scalars.of(pairs.agg(
+          expr("(5 * sum(`n_shared`)) div (4 * count(1))").as("th")))
+        Graphs.clusteringCoefficient(
+            pairs.filter(col("n_shared") >= th), "a", "b")
+          .select(col("id").as("s_key"), col("degree"),
+            col("n_triangles"), col("cc_milli"))
+          .orderBy("s_key")
+      },
+      oracle = Some(s"""
+        WITH ${relSql("AUTOMOBILE")},
+        p AS (SELECT a.s AS a, b.s AS b, count(*) AS n
+              FROM rel a JOIN rel b ON a.c = b.c AND a.s < b.s
+              GROUP BY 1, 2),
+        cut AS (SELECT (5 * sum(n)) // (4 * count(*)) AS th FROM p),
+        e AS (SELECT a, b FROM p CROSS JOIN cut WHERE n >= th),
+        deg AS (SELECT id, count(*) AS degree FROM (
+                  SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        tc AS (SELECT id, count(*) AS n FROM (
+                 SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri) GROUP BY 1)
+        SELECT d.id AS s_key, CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_triangles,
+               CAST(CASE WHEN d.degree >= 2
+                         THEN (2000 * COALESCE(tc.n, 0)) //
+                              (d.degree * (d.degree - 1))
+                         ELSE 0 END AS BIGINT) AS cc_milli
+        FROM deg d LEFT JOIN tc ON d.id = tc.id
+        ORDER BY s_key"""))
   )
 }

@@ -239,4 +239,24 @@ class GraphsSpec extends SparkSpec {
       assert(runBfs(edges, seeds, mh) === dist, s"maxHops=$mh")
     }
   }
+
+  test("clusteringCoefficient: triangle + pendant hand case, and K5 is " +
+      "all-1000") {
+    import spark.implicits._
+    // triangle {1,2,3} with pendant 4 on node 1: node 1 closes 1 of
+    // its C(3,2)=3 wedges (cc=333 milli truncating), nodes 2/3 close
+    // their single wedge (1000), the pendant has no wedge (0)
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("a", "b")
+    val got = Graphs.clusteringCoefficient(df, "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 333L)), 2L -> ((2L, 1L, 1000L)),
+      3L -> ((2L, 1L, 1000L)), 4L -> ((1L, 0L, 0L))))
+    val k5 = (for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b))
+      .toDF("a", "b")
+    val ccs = Graphs.clusteringCoefficient(k5, "a", "b")
+      .collect().map(_.getLong(3)).toSet
+    assert(ccs === Set(1000L))
+  }
 }
