@@ -287,4 +287,41 @@ object EventAnalytics {
         // the exactness contract shared with q82/q95)
         expr("__lag_ns div 1000000000").as("lag_seconds"))
   }
+
+  /** Half-life-decayed per-user engagement ledger: each event's milli
+    * value contributes `vm >> k` where `k = elapsed div halfLife`
+    * halvings relative to the CORPUS reference instant (the max event
+    * time, an in-plan one-row scalar — no wall clock, so the result is
+    * content-deterministic and replay-stable). Truncating binary
+    * halving is the fixed-point spelling of exponential decay: exact
+    * integer arithmetic end to end, so both engines agree bit-for-bit
+    * — a float `pow(0.5, dt/hl)` would hand every comparison a
+    * rounding dispute. Arithmetic right-shift IS floor division by
+    * 2^k on both engines; k clamps at 62 (beyond which every long
+    * value has decayed to 0 or −1) so shift widths stay in range.
+    *
+    * Output per user: `n_events`, `raw_milli` (undecayed sum), and
+    * `decayed_milli` — the recency-weighted feature-store read (who is
+    * engaged NOW) beside q163's point-in-time trailing windows. One
+    * partial+final aggregate keyed by user; per-row state is three
+    * longs, never an event list. Null values ride SUM's null-skipping
+    * on both engines; `msCol` must be non-null epoch millis. */
+  def decayedEngagement(
+      events: DataFrame, userCol: String, msCol: String,
+      valueMilli: Column, halfLifeHours: Long = 24L): DataFrame = {
+    require(halfLifeHours > 0, "half-life must be positive")
+    val hlMs = 3600000L * halfLifeHours
+    val refMs = graft.plans.Scalars.of(
+      events.agg(max(col(msCol)).as("m")))
+    events
+      .withColumn("__vm", valueMilli.cast("long"))
+      .withColumn("__ref", refMs)
+      .withColumn("__k",
+        least(expr(s"(__ref - `$msCol`) div ${hlMs}L"), lit(62L)))
+      .withColumn("__dec", expr("shiftright(__vm, cast(__k as int))"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__vm")).as("raw_milli"),
+        sum(col("__dec")).as("decayed_milli"))
+  }
 }

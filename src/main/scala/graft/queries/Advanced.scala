@@ -869,6 +869,39 @@ object Advanced {
                     (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
                    * sx::DOUBLE) / n::DOUBLE, 6)
                END AS icept
-        FROM m ORDER BY event_type"""))
+        FROM m ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // Half-life-decayed engagement: per-user recency-weighted value,
+    // one halving per elapsed 24 h relative to the corpus max event
+    // time — exponential decay in EXACT integer fixed point (vm >> k;
+    // arithmetic shift = floor division by 2^k on both engines), so
+    // the gate is bit-exact where a float pow() spelling would be a
+    // rounding dispute. The "who is engaged NOW" feature-store read
+    // beside q163's point-in-time trailing windows; one partial+final
+    // user-keyed aggregate.
+    // ------------------------------------------------------------------
+    "q200_decayed_engagement" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.EventAnalytics
+        val ev = Tables.eventsWithTs(s, dir).select(
+          col("user_id"), unix_millis(col("ts")).as("ms"),
+          round(col("value") * 1000).cast("long").as("vm"))
+        EventAnalytics.decayedEngagement(ev, "user_id", "ms",
+            col("vm"), halfLifeHours = 24L)
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_ms(ts) AS ms,
+                 CAST(round(value * 1000) AS BIGINT) AS vm
+          FROM events),
+        r AS (SELECT max(ms) AS ref FROM ev)
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(vm) AS BIGINT) AS raw_milli,
+               CAST(sum(vm >> LEAST((ref - ms) // 86400000, 62))
+                 AS BIGINT) AS decayed_milli
+        FROM ev CROSS JOIN r
+        GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -220,4 +220,34 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(got === want, s"trial $trial")
     }
   }
+
+  test("decayedEngagement: hand-computed halvings against the corpus " +
+      "reference instant; clamp and null-value semantics") {
+    import spark.implicits._
+    val H = 3600000L // one hour in ms
+    // reference instant = max ms = 10*H (user 2's event)
+    val ev = Seq(
+      (1L, 10L * H, Some(1000L)),  // 0 halvings -> 1000
+      (1L, 9L * H, Some(1000L)),   // 1 hour -> 500
+      (1L, 7L * H, Some(999L)),    // 3 hours -> 124 (truncating)
+      (2L, 10L * H, Some(800L)),   // reference row itself -> 800
+      (2L, 0L, Some(1000L)),       // 10 hours -> 0 (1000 >> 10)
+      (2L, 8L * H, None)           // null value: counted, sums skip it
+    ).toDF("user_id", "ms", "vm")
+    val got = EventAnalytics.decayedEngagement(
+        ev, "user_id", "ms", col("vm"), halfLifeHours = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2999L, 1624L)),
+      2L -> ((3L, 1800L, 800L))))
+    // 48h half-life at 24h elapsed: k = 0 — no decay before a full
+    // half-life elapses (truncating div contract)
+    val oneUser = Seq((1L, 24L * H, Some(1000L)), (1L, 0L, Some(1000L)))
+      .toDF("user_id", "ms", "vm")
+    val slow = EventAnalytics.decayedEngagement(
+        oneUser, "user_id", "ms", col("vm"), halfLifeHours = 48L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(slow.toSeq === Seq((2L, 2000L, 2000L)))
+  }
 }
