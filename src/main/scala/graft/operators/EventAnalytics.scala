@@ -324,4 +324,57 @@ object EventAnalytics {
         sum(col("__vm")).as("raw_milli"),
         sum(col("__dec")).as("decayed_milli"))
   }
+
+  /** RFM segmentation (the classic recency/frequency/monetary read):
+    * per-user `rec` (ms since last event, against the corpus max event
+    * time — no wall clock), `freq` (event count), `mon` (milli-value
+    * sum), each quartile-coded 1–4 by EXACT discrete quartiles of the
+    * per-user distribution, then rolled up to the 4×4×4 segment grid
+    * with user counts and segment value mass.
+    *
+    * Codes are uniformly ascending in the underlying value — `r_seg 1`
+    * = most recent (smallest staleness), `f_seg`/`m_seg 1` = lowest
+    * activity/value — with quartile q's threshold the smallest value
+    * whose cumulative user count reaches ceil(q·n/4) (discrete-lower,
+    * ties share a code; integral spelling `4·cum >= q·n`).
+    *
+    * Scale shape: corpus rows shuffle ONCE (the per-user aggregate);
+    * each dimension's thresholds come from a (value → user count)
+    * ledger run through the bucketed two-phase exclusive prefix sum
+    * ([[Sampling.topKWithTies]]'s device — no user-wide ordering
+    * window anywhere), landing as nine in-plan scalars; assignment is
+    * a pure per-row expression and the output is the model-sized
+    * 64-cell grid. */
+  def rfmSegments(
+      events: DataFrame, userCol: String, msCol: String,
+      valueMilli: Column): DataFrame = {
+    import graft.plans.Scalars
+    val refMs = Scalars.of(events.agg(max(col(msCol)).as("m")))
+    val users = events
+      .withColumn("__vm", valueMilli.cast("long"))
+      .groupBy(col(userCol))
+      .agg(max(col(msCol)).as("__last"),
+        count(lit(1)).as("freq"), sum(col("__vm")).as("mon"))
+      .withColumn("rec", refMs - col("__last"))
+      .localCheckpoint(true) // 3 threshold ledgers + the assignment pass
+    val nUsers = Scalars.of(users.agg(count(lit(1)).as("n")))
+    def quartiles(vc: String): Column = {
+      val g = users.groupBy(col(vc).as("__v")).agg(count(lit(1)).as("__c"))
+      val pref = Eval.exclusivePrefix(g, "__v", "__c", 256, "__below")
+        .localCheckpoint(true) // 3 quartile scalars
+      def t(q: Int) = Scalars.of(
+        pref.filter((col("__below") + col("__c")) * 4 >=
+            lit(q.toLong) * nUsers)
+          .agg(min(col("__v")).as("__t")))
+      (lit(1) + when(col(vc) > t(1), 1).otherwise(0) +
+        when(col(vc) > t(2), 1).otherwise(0) +
+        when(col(vc) > t(3), 1).otherwise(0)).cast("long")
+    }
+    users
+      .withColumn("r_seg", quartiles("rec"))
+      .withColumn("f_seg", quartiles("freq"))
+      .withColumn("m_seg", quartiles("mon"))
+      .groupBy("r_seg", "f_seg", "m_seg")
+      .agg(count(lit(1)).as("n_users"), sum(col("mon")).as("mon_milli"))
+  }
 }

@@ -902,6 +902,69 @@ object Advanced {
                CAST(sum(vm >> LEAST((ref - ms) // 86400000, 62))
                  AS BIGINT) AS decayed_milli
         FROM ev CROSS JOIN r
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // RFM segmentation: per-user recency/frequency/monetary, each
+    // quartile-coded by EXACT discrete quartiles (smallest value whose
+    // cumulative user count reaches ceil(q·n/4) — the integral 4·cum
+    // >= q·n spelling), rolled up to the 4×4×4 segment grid. Corpus
+    // rows shuffle once; the nine thresholds ride the bucketed
+    // two-phase prefix-sum ledgers as in-plan scalars — never a
+    // user-wide ordering window. Ascending codes: r_seg 1 = most
+    // recent, f/m_seg 1 = lowest.
+    // ------------------------------------------------------------------
+    "q201_rfm_segments" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.EventAnalytics
+        val ev = Tables.eventsWithTs(s, dir).select(
+          col("user_id"), unix_millis(col("ts")).as("ms"),
+          round(col("value") * 1000).cast("long").as("vm"))
+        EventAnalytics.rfmSegments(ev, "user_id", "ms", col("vm"))
+          .orderBy("r_seg", "f_seg", "m_seg")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_ms(ts) AS ms,
+                 CAST(round(value * 1000) AS BIGINT) AS vm
+          FROM events),
+        u AS (
+          SELECT user_id,
+                 (SELECT max(ms) FROM ev) - max(ms) AS rec,
+                 count(*) AS freq,
+                 CAST(sum(vm) AS BIGINT) AS mon
+          FROM ev GROUP BY user_id),
+        n AS (SELECT count(*) AS n FROM u),
+        cr AS (SELECT rec AS v, count(*) OVER (ORDER BY rec) AS cum FROM u),
+        cf AS (SELECT freq AS v, count(*) OVER (ORDER BY freq) AS cum FROM u),
+        cm AS (SELECT mon AS v, count(*) OVER (ORDER BY mon) AS cum FROM u),
+        t AS (SELECT
+          (SELECT min(v) FROM cr WHERE cum*4 >= 1*(SELECT n FROM n)) AS r1,
+          (SELECT min(v) FROM cr WHERE cum*4 >= 2*(SELECT n FROM n)) AS r2,
+          (SELECT min(v) FROM cr WHERE cum*4 >= 3*(SELECT n FROM n)) AS r3,
+          (SELECT min(v) FROM cf WHERE cum*4 >= 1*(SELECT n FROM n)) AS f1,
+          (SELECT min(v) FROM cf WHERE cum*4 >= 2*(SELECT n FROM n)) AS f2,
+          (SELECT min(v) FROM cf WHERE cum*4 >= 3*(SELECT n FROM n)) AS f3,
+          (SELECT min(v) FROM cm WHERE cum*4 >= 1*(SELECT n FROM n)) AS m1,
+          (SELECT min(v) FROM cm WHERE cum*4 >= 2*(SELECT n FROM n)) AS m2,
+          (SELECT min(v) FROM cm WHERE cum*4 >= 3*(SELECT n FROM n)) AS m3),
+        s AS (
+          SELECT mon,
+            CAST(1 + (CASE WHEN rec > t.r1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN rec > t.r2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN rec > t.r3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS r_seg,
+            CAST(1 + (CASE WHEN freq > t.f1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN freq > t.f2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN freq > t.f3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS f_seg,
+            CAST(1 + (CASE WHEN mon > t.m1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN mon > t.m2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN mon > t.m3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS m_seg
+          FROM u CROSS JOIN t)
+        SELECT r_seg, f_seg, m_seg, count(*) AS n_users,
+               CAST(sum(mon) AS BIGINT) AS mon_milli
+        FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 }

@@ -250,4 +250,38 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(slow.toSeq === Seq((2L, 2000L, 2000L)))
   }
+
+  test("rfmSegments equals a brute-force replay on randomized events " +
+      "(exact discrete quartiles, tie-sharing codes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 2) {
+      val ev = (1 to 400).map { i =>
+        (rnd.nextInt(40).toLong + 1L,           // user
+          rnd.nextInt(1000).toLong * 3600000L,  // ms
+          rnd.nextInt(5000).toLong)             // vm
+      }
+      val ref = ev.map(_._2).max
+      val users = ev.groupBy(_._1).map { case (u, es) =>
+        (u, ref - es.map(_._2).max, es.size.toLong, es.map(_._3).sum)
+      }.toSeq
+      val n = users.size.toLong
+      def th(vs: Seq[Long], q: Int): Long =
+        vs.sorted.find(v => 4L * vs.count(_ <= v) >= q * n).get
+      def code(v: Long, vs: Seq[Long]): Long =
+        1L + (1 to 3).count(q => v > th(vs, q))
+      val recs = users.map(_._2); val freqs = users.map(_._3)
+      val mons = users.map(_._4)
+      val want = users.groupBy { case (_, r, f, m) =>
+        (code(r, recs), code(f, freqs), code(m, mons))
+      }.map { case (k, us) =>
+        k -> ((us.size.toLong, us.map(_._4).sum))
+      }
+      val got = EventAnalytics.rfmSegments(
+          ev.toDF("user_id", "ms", "vm"), "user_id", "ms", col("vm"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
 }
