@@ -377,4 +377,38 @@ object EventAnalytics {
       .groupBy("r_seg", "f_seg", "m_seg")
       .agg(count(lit(1)).as("n_users"), sum(col("mon")).as("mon_milli"))
   }
+
+  /** Hourly volume-anomaly screen: hours whose event count deviates
+    * from the corpus-wide hourly median by more than `k` robust
+    * standard units (|x − med| > k·MAD, the Hampel identifier — the
+    * outage/bot-burst read a mean/stddev z-score misses, because
+    * anomalies inflate the very stddev meant to flag them while the
+    * median/MAD stay put). Exact integer fixed point throughout:
+    * med2 = 2·median, mad4 = 4·MAD (the [[Eval.medianMad]] doubling
+    * discipline), and the flag is the integral predicate
+    * `2·|2x − med2| > k·mad4` — engines agree bit-for-bit.
+    *
+    * Scale shape: events shuffle ONCE into the hour ledger (one row
+    * per hour — time-bounded by construction, 8.8k rows/year no
+    * matter the corpus size); the median/MAD machinery and the flags
+    * run entirely on that ledger, with the two statistics entering
+    * the plan as scalar subqueries. Output: the anomalous hours only,
+    * `(hour, n_events, med2, mad4)`. */
+  def hourlyVolumeAnomaly(
+      events: DataFrame, msCol: String, k: Int = 3): DataFrame = {
+    import graft.plans.Scalars
+    val hourly = events
+      .groupBy(expr(s"`$msCol` div 3600000").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(true) // the medianMad pass + the flag pass
+    val mm = Eval.medianMad(hourly, lit("all"), col("n_events"), k)
+    val med2 = Scalars.of(mm.select(col("med2")))
+    val mad4 = Scalars.of(mm.select(col("mad4")))
+    hourly
+      .withColumn("med2", med2)
+      .withColumn("mad4", mad4)
+      .filter(lit(2L) * abs(lit(2L) * col("n_events") - col("med2")) >
+        lit(k.toLong) * col("mad4"))
+      .select(col("hour"), col("n_events"), col("med2"), col("mad4"))
+  }
 }

@@ -965,6 +965,50 @@ object Advanced {
           FROM u CROSS JOIN t)
         SELECT r_seg, f_seg, m_seg, count(*) AS n_users,
                CAST(sum(mon) AS BIGINT) AS mon_milli
-        FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+        FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ------------------------------------------------------------------
+    // Hourly volume anomalies: hours whose event count deviates from
+    // the corpus hourly median by > 3 robust units (|x − med| > 3·MAD,
+    // Hampel) — the outage/bot-burst screen a mean/stddev z misses
+    // because bursts inflate the stddev itself. Events shuffle once
+    // into the time-bounded hour ledger; median/MAD ride the q180
+    // exact-integer doubling discipline (med2/mad4) as in-plan
+    // scalars, so the gate is bit-exact.
+    // ------------------------------------------------------------------
+    "q202_volume_anomaly" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.EventAnalytics
+        val ev = Tables.eventsWithTs(s, dir)
+          .select(unix_millis(col("ts")).as("ms"))
+        EventAnalytics.hourlyVolumeAnomaly(ev, "ms", k = 3)
+          .orderBy("hour")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT epoch_ms(ts) // 3600000 AS hour FROM events),
+        h AS (SELECT hour, count(*) AS n_events FROM ev GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM h),
+        c AS (SELECT n_events AS v, count(*) AS c FROM h GROUP BY 1),
+        cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM c),
+        med AS (SELECT
+          (SELECT min(v) FROM cum WHERE cum >= ((SELECT n FROM n)+1)//2)
+          + (SELECT min(v) FROM cum
+             WHERE cum >= (SELECT n FROM n)//2 + 1) AS med2),
+        d AS (SELECT abs(2*h.n_events - (SELECT med2 FROM med)) AS dv
+              FROM h),
+        dc AS (SELECT dv, count(*) AS c FROM d GROUP BY 1),
+        dcum AS (SELECT dv, c, sum(c) OVER (ORDER BY dv) AS cum FROM dc),
+        mad AS (SELECT
+          (SELECT min(dv) FROM dcum WHERE cum >= ((SELECT n FROM n)+1)//2)
+          + (SELECT min(dv) FROM dcum
+             WHERE cum >= (SELECT n FROM n)//2 + 1) AS mad4)
+        SELECT h.hour, h.n_events,
+               CAST((SELECT med2 FROM med) AS BIGINT) AS med2,
+               CAST((SELECT mad4 FROM mad) AS BIGINT) AS mad4
+        FROM h
+        WHERE 2*abs(2*h.n_events - (SELECT med2 FROM med))
+              > 3*(SELECT mad4 FROM mad)
+        ORDER BY hour"""))
   )
 }

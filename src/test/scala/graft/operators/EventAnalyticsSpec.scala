@@ -284,4 +284,34 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(got === want, s"trial $trial")
     }
   }
+
+  test("hourlyVolumeAnomaly flags exactly the hours a hand median/MAD " +
+      "replay flags; steady traffic flags nothing") {
+    import spark.implicits._
+    val H = 3600000L
+    // 20 steady hours of ~10 events, one 100-event burst, one 1-event
+    // trough
+    val ev = (0 until 20).flatMap(h =>
+      (1 to (10 + h % 2)).map(_ => h * H + 1L)) ++
+      (1 to 100).map(_ => 20L * H + 5L) ++ Seq(21L * H + 7L)
+    val counts = ev.groupBy(_ / H).view.mapValues(_.size.toLong).toMap
+    def stat2(vs: Seq[Long]): Long = {
+      val s = vs.sorted; val n = s.size
+      s((n + 1) / 2 - 1) + s(n / 2)
+    }
+    val med2 = stat2(counts.values.toSeq)
+    val mad4 = stat2(counts.values.toSeq.map(v => (2 * v - med2).abs))
+    val want = counts.filter { case (_, v) =>
+      2 * (2 * v - med2).abs > 3 * mad4
+    }.keySet
+    val got = EventAnalytics.hourlyVolumeAnomaly(
+        ev.toDF("ms"), "ms", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want && want === Set(20L, 21L))
+    // steady traffic: identical counts everywhere -> MAD 0, but dev 0
+    // too — nothing flags
+    val steady = (0 until 10).flatMap(h => (1 to 5).map(_ => h * H + 1L))
+    assert(EventAnalytics.hourlyVolumeAnomaly(
+      steady.toDF("ms"), "ms", k = 3).count() === 0L)
+  }
 }
