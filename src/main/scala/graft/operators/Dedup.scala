@@ -100,8 +100,16 @@ object Dedup {
     * exchange total, instead of a separate groupBy-and-join that
     * re-shuffled the whole index.
     */
-  private def prefixIndex(
-      index: DataFrame, threshold: Double,
+  /** The full index ranked in the global rarity order: every (k, id)
+    * row with `sz` (FULL pre-cap per-doc shingle count) and `rn` (the
+    * row's position in its doc's ascending-df, hash-tie-broken order).
+    * [[prefixIndex]] is this frame filtered to the prefix length;
+    * [[containmentPairs]] additionally consumes the UNfiltered frame
+    * as its sup side, so positional pruning can compare positions in
+    * the one shared order. Cap semantics documented on
+    * [[prefixIndex]]. */
+  private def rankedIndex(
+      index: DataFrame,
       maxDocFreq: Option[Int],
       maxDocFreqRatio: Option[Double] = None,
       nDocsAgg: Option[DataFrame] = None): DataFrame = {
@@ -128,24 +136,37 @@ object Dedup {
       case (None, Some(_)) => sized.filter(col("kdf") <= relCap)
       case _ => sized
     }
-    // prefix length from threshold − 0.001, NOT threshold: downstream
-    // verification (and every oracle) admits by round(value, 3) >= t,
-    // so a pair with true score as low as t − 0.0005 is a legitimate
-    // output; a prefix sized for score >= t exactly would be allowed
-    // to miss it (all O shared keys could sit exactly in the
-    // ceil(t·sz) − 1 suffix). With t_s = t − 0.001: an admitted pair
-    // has O > t_s·sz >= ceil(t_s·sz) − 1 = |suffix|, so a shared
-    // prefix key exists — the pigeonhole survives the admission band.
-    // Cost: prefixes grow by at most 0.001·sz + 1 keys.
-    val ts = math.max(0.0, threshold - 0.001)
     guarded
       .withColumn("rn", row_number().over(wid.orderBy(col("kdf"), col("k"))))
-      .filter(col("rn") <= col("sz") - ceil(lit(ts) * col("sz")) + 1)
+      .select("k", "id", "sz", "rn")
+  }
+
+  /** The per-doc rarity-prefix length for `threshold`, shared by the
+    * prefix filter and its callers. Sized from threshold − 0.001, NOT
+    * threshold: downstream verification (and every oracle) admits by
+    * the ROUNDED value `round(v, 3) >= t`, so a pair with true score
+    * as low as t − 0.0005 is a legitimate output; a prefix sized for
+    * score >= t exactly would be allowed to miss it (all O shared
+    * keys could sit in the ceil(t·sz) − 1 suffix). With
+    * t_s = t − 0.001: an admitted pair has O > t_s·sz >=
+    * ceil(t_s·sz) − 1 = |suffix|, so a shared prefix key exists — the
+    * pigeonhole survives the admission band. Cost: prefixes grow by
+    * at most 0.001·sz + 1 keys. */
+  private def inPrefix(threshold: Double): Column = {
+    val ts = math.max(0.0, threshold - 0.001)
+    col("rn") <= col("sz") - ceil(lit(ts) * col("sz")) + 1
+  }
+
+  private def prefixIndex(
+      index: DataFrame, threshold: Double,
+      maxDocFreq: Option[Int],
+      maxDocFreqRatio: Option[Double] = None,
+      nDocsAgg: Option[DataFrame] = None): DataFrame =
+    rankedIndex(index, maxDocFreq, maxDocFreqRatio, nDocsAgg)
+      .filter(inPrefix(threshold))
       // sz (full pre-cap shingle count) and rn (prefix position in the
       // global rarity order) ride along for the Jaccard-only candidate
       // pruning filters; plain-key consumers just project them away
-      .select("k", "id", "sz", "rn")
-  }
 
   /** Candidate pairs from any (k, id) candidate index: equi-join on the
     * derived key, ordered ids, deduped. */
@@ -325,11 +346,16 @@ object Dedup {
     *
     * Verification is exact on per-doc compacted sets ([[docSets]] +
     * the sorted-merge intersect kernel): texts never shuffle, each
-    * candidate ships two sorted arrays once. No length filter is
-    * interposed — for containment the only candidate-side necessary
-    * condition (sz_sup >= t·sz_src) would need per-row sup sizes,
-    * costing an extra corpus-sized exchange to save a filter the
-    * verify's containment check subsumes anyway. */
+    * candidate ships two sorted arrays once. No candidate-side
+    * length/positional pruning is interposed: the PPJoin-style
+    * in-join filters need per-row (sz, rn) on the sup side, i.e. the
+    * full index run through the rarity ranking — and an A/B at sf0.1
+    * measured that extra kdf-join + per-doc window on the sup branch
+    * at 2–3× the whole operator's cost, far more than the pruned
+    * candidates save (the containment length bound `sz_sup >=
+    * t·sz_src` is weak by nature — the sup side is usually the BIGGER
+    * document). The verify's containment check subsumes both bounds
+    * exactly. */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
