@@ -838,42 +838,27 @@ object TextStats {
     *      aggregation runs over just the candidate tokens.
     *
     * The candidate set is provably a SUPERSET of every qualifying
-    * token (zero false negatives): MG with k counters undercounts any
-    * token by at most n_p/(k+1) decrement events on a partition of n_p
-    * tokens, so a token with partition count > n_p/(k+1) survives that
-    * partition's summary; if the GLOBAL count exceeds N/(k+1) =
-    * Σn_p/(k+1), pigeonhole gives at least one partition where the
-    * partition-local bound is beaten. False positives cost only
-    * recount work and are filtered by the exact threshold — reported
-    * counts are always exact. Output: (`tok`, `cnt`), count-desc.
+    * token (zero false negatives): a Misra–Gries buffer's total
+    * undercount is at most 1/(k+1) of the mass it absorbed (each
+    * decrement event retires >= k+1 units), and undercounts ADD
+    * across merges, so a token with global count > N/(k+1) keeps a
+    * positive estimate in the merged summary and survives. False
+    * positives cost only recount work and are filtered by the exact
+    * threshold — reported counts are always exact. Output:
+    * (`tok`, `cnt`), count-desc.
     *
-    * `mapPartitions` here is the genuine per-partition imperative case
-    * the module reserves it for: a bounded-memory streaming summary
-    * has no declarative DataFrame spelling (any groupBy materializes
-    * the very vocabulary the sketch exists to avoid). */
+    * The sketch is [[graft.plans.MisraGriesAgg]], a native
+    * TypedImperativeAggregate — the map-side partial buffer IS the
+    * per-partition summary (one pass, O(k) memory), the final merge
+    * sees #partitions model-sized buffers, and the same kernel is a
+    * SQL function (`graft_misra_gries`). No mapPartitions, no second
+    * candidate-dedup stage. */
   def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
-    val spark = df.sparkSession
-    import spark.implicits._
     val toks = df.select(explode(T.tokens(col(textCol))).as("tok"))
-    val candidates = toks.as[String].mapPartitions { it =>
-      val counters = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { tok =>
-        if (counters.contains(tok)) counters(tok) += 1L
-        else if (counters.size < k) counters(tok) = 1L
-        else {
-          // decrement-all: one shared event for the k counters and the
-          // incoming token; zeroed counters free their slots
-          val dead = List.newBuilder[String]
-          counters.keysIterator.foreach { key =>
-            val v = counters(key) - 1L
-            if (v == 0L) dead += key else counters(key) = v
-          }
-          dead.result().foreach(counters.remove)
-        }
-      }
-      counters.keysIterator
-    }.toDF("tok").distinct()
+    val candidates = toks
+      .agg(graft.plans.SketchExpressions.misraGries(col("tok"), k).as("__c"))
+      .select(explode(col("__c")).as("tok"))
     val total = graft.plans.Scalars.of(
       df.agg(sum(size(T.tokens(col(textCol)))).cast("long").as("n")))
     toks.join(broadcast(candidates), Seq("tok"), "left_semi")

@@ -122,6 +122,12 @@ object GraftExtensions {
       "graft_dot_product(a, b) - dot product of two double arrays",
       args => { arity(args, 2, "graft_dot_product")
         DotProduct(args.head, args(1)) }),
+    ("graft_misra_gries",
+      "graft_misra_gries(value, k) - Misra-Gries heavy-hitter summary " +
+        "aggregate: the surviving candidate values (a superset of every " +
+        "value with count > N/(k+1); recount exactly downstream)",
+      args => { arity(args, 2, "graft_misra_gries")
+        MisraGriesAgg(args.head, intLit(args, 1, "graft_misra_gries")) }),
     ("graft_bow_score",
       "graft_bow_score(text, weights_milli) - hashed bag-of-words " +
         "linear score over unigram+bigram features: " +

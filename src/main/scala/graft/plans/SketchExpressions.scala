@@ -589,6 +589,11 @@ object SketchExpressions {
 
   def gumbelKey(id: Column, seed: Long): Column =
     GraftSqlBridge.column(GumbelKeyExpr(GraftSqlBridge.expression(id), seed))
+
+  def misraGries(value: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      MisraGriesAgg(GraftSqlBridge.expression(value), k)
+        .toAggregateExpression())
 }
 
 /** Distinct word n-gram shingles in first-occurrence order. The HOF
@@ -982,4 +987,134 @@ case class GumbelKeyExpr(child: Expression, seed: Long)
   override protected def withNewChildInternal(c: Expression): GumbelKeyExpr =
     copy(child = c)
   override def prettyName: String = "gumbel_key"
+}
+
+/** Misra–Gries heavy-hitter summary as a NATIVE aggregate (Misra &
+  * Gries 1982; merge rule from Agarwal et al. 2012's mergeable
+  * summaries): `k` counters per partial buffer, O(k) memory no matter
+  * how many distinct values stream past — the bounded-memory sketch
+  * the [[graft.operators.TextStats.heavyHitters]] recount pass is
+  * built on. Returns the surviving keys (sorted, deterministic) as
+  * `array<string>`.
+  *
+  * Contract: the result is a SUPERSET of every value whose global
+  * count exceeds N/(k+1). Each decrement event (update: k counters +
+  * the discarded arrival; merge: the subtracted (k+1)-th largest
+  * count) removes at least k+1 units of total mass, so a buffer's
+  * total undercount is at most n/(k+1) of the mass it absorbed, and
+  * undercounts ADD across merges — a qualifying value's merged
+  * estimate stays positive. Counts are NOT reported: estimates are
+  * sketch-lossy by design, and every consumer must recount exactly
+  * (the lesson q198 pins: the sketch bounds candidates, the recount
+  * answers).
+  *
+  * A typed-imperative aggregate, not mapPartitions: the map-side
+  * partial buffer IS the per-partition summary, the final merge sees
+  * #partitions model-sized buffers, and the kernel is reusable from
+  * SQL as `graft_misra_gries(value, k)`. */
+case class MisraGriesAgg(
+    child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]] {
+
+  require(k >= 1 && k <= 1000000, "k must be in [1, 10^6]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): MisraGriesAgg = copy(child = cs.head)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"misra_gries expects a string value, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  type Buf = scala.collection.mutable.HashMap[String, Long]
+
+  override def createAggregationBuffer(): Buf =
+    scala.collection.mutable.HashMap.empty[String, Long]
+
+  override def update(
+      buf: Buf, input: org.apache.spark.sql.catalyst.InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String].toString
+      buf.get(key) match {
+        case Some(c) => buf(key) = c + 1L
+        case None if buf.size < k => buf(key) = 1L
+        case None =>
+          // decrement-all: one shared event for the k counters and the
+          // discarded arrival; zeroed counters free their slots
+          val dead = List.newBuilder[String]
+          buf.keysIterator.foreach { key2 =>
+            val c = buf(key2) - 1L
+            if (c == 0L) dead += key2 else buf(key2) = c
+          }
+          dead.result().foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    other.foreach { case (key, c) =>
+      buf(key) = buf.getOrElse(key, 0L) + c
+    }
+    if (buf.size > k) {
+      // subtract the (k+1)-th largest count from everything; at most k
+      // entries can exceed it, and the drop removes >= (k+1)·d mass —
+      // the same amortized bound as update's decrement-all
+      val d = buf.values.toArray.sortWith(_ > _).apply(k)
+      val dead = List.newBuilder[String]
+      buf.keysIterator.foreach { key =>
+        val c = buf(key) - d
+        if (c <= 0L) dead += key else buf(key) = c
+      }
+      dead.result().foreach(buf.remove)
+    }
+    buf
+  }
+
+  override def eval(buf: Buf): Any =
+    new GenericArrayData(
+      buf.keysIterator.toArray.sorted
+        .map(UTF8String.fromString(_).asInstanceOf[Any]))
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (key, c) =>
+      val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      val key = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      buf(key) = in.readLong()
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "misra_gries"
 }

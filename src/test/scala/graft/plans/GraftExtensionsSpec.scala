@@ -228,4 +228,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got === want)
     assert(got(1L)._1 === 0.0 && got(1L)._3 === 1.0)
   }
+
+  test("graft_misra_gries: candidates are a superset of every value " +
+      "with count > N/(k+1), at any partition layout; k must be literal") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val toks = (1 to 4000).map { _ =>
+      val r = rnd.nextInt(100)
+      if (r < 50) s"hot${rnd.nextInt(3)}"
+      else if (r < 75) s"warm${rnd.nextInt(20)}"
+      else s"tail${rnd.nextInt(800)}"
+    }
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = toks.size.toLong
+    for (k <- Seq(4, 25); parts <- Seq(1, 13)) {
+      val qualifying = exact.filter { case (_, c) => c * (k + 1) > n }.keySet
+      toks.toDF("tok").repartition(parts).createOrReplaceTempView("mg_toks")
+      val cands = spark.sql(
+        s"SELECT graft_misra_gries(tok, $k) AS c FROM mg_toks")
+        .collect().head.getSeq[String](0).toSet
+      assert(cands.size <= k, s"k=$k parts=$parts: summary exceeds k")
+      assert(qualifying.subsetOf(cands),
+        s"k=$k parts=$parts: lost ${qualifying.diff(cands)}")
+    }
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_misra_gries(tok, doc_id) FROM " +
+        "(SELECT tok, 1 AS doc_id FROM mg_toks)").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
 }
