@@ -3603,7 +3603,48 @@ object LlmOps {
         SELECT tok, count(*) AS cnt
         FROM toks GROUP BY tok
         HAVING count(*) * 31 > (SELECT n FROM tot)
-        ORDER BY cnt DESC, tok"""))
+        ORDER BY cnt DESC, tok""")),
+
+    // ------------------------------------------------------------------
+    // Syndication DIRECTION matrix: q197's containment pairs grouped
+    // by the (containee source, container source) pair — q193's
+    // symmetric "which sources share near-dups" upgraded with an
+    // arrow: a cell (A, B) with large counts and its mirror (B, A)
+    // near zero says B republishes A's content, not the reverse — the
+    // evidence that decides WHICH source's copies get dropped. Pair
+    // frame is output-sized, provenance joins slim, one keyed count.
+    // ------------------------------------------------------------------
+    "q203_syndication_direction" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.6, partitionCol = Some("lang"))
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("src_id"),
+            col("source").as("containee")), "src_id")
+          .join(src.select(col("doc_id").as("sup_id"),
+            col("source").as("container")), "sup_id")
+          .groupBy("containee", "container")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("containee"), col("container"))
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id, lang, source,
+                 list_distinct([array_to_string(
+                   string_split(text,' ')[i+1:i+3],' ')
+                   for i in range(len(string_split(text,' '))-2)]) AS s
+          FROM documents
+          WHERE len(string_split(text,' ')) >= 3),
+        p AS (
+          SELECT a.source AS containee, b.source AS container
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+          WHERE round(len(list_intersect(a.s,b.s))::DOUBLE / len(a.s), 3)
+                >= 0.6)
+        SELECT containee, container, count(*) AS n_pairs
+        FROM p GROUP BY 1, 2
+        ORDER BY n_pairs DESC, containee, container"""))
   )
 }
 
