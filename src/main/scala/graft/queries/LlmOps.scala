@@ -3644,7 +3644,75 @@ object LlmOps {
                 >= 0.6)
         SELECT containee, container, count(*) AS n_pairs
         FROM p GROUP BY 1, 2
-        ORDER BY n_pairs DESC, containee, container"""))
+        ORDER BY n_pairs DESC, containee, container""")),
+
+    // ------------------------------------------------------------------
+    // Near-dup cluster-size histogram: how duplicated IS the corpus —
+    // (cluster_size → n_clusters, n_docs) over the J>=0.5 pair graph's
+    // connected components, with every doc outside any pair counted as
+    // a size-1 cluster (total docs minus pair members, two in-plan
+    // scalars — no anti-join). The one-table answer to "is duplication
+    // a few giant families or a long tail of twins", which decides
+    // whether cluster-keeper policies (q142) matter or exact dedup
+    // (q22) already covers the mass.
+    // ------------------------------------------------------------------
+    "q204_cluster_size_histogram" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.ConnectedComponents
+        val docs = Tables(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, partitionCol = Some("lang"))
+        val comp = ConnectedComponents(pairs, "a_id", "b_id")
+          .localCheckpoint(true) // sizes + the member-count scalar
+        val hist = comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+        val totalDocs = graft.plans.Scalars.of(
+          docs.agg(count(lit(1)).as("n")))
+        val members = graft.plans.Scalars.of(
+          comp.agg(count(lit(1)).as("n")))
+        val singletons = s.range(1)
+          .select(lit(1L).as("cluster_size"),
+            (totalDocs - members).as("n_clusters"))
+        hist.unionByName(singletons)
+          .groupBy("cluster_size")
+          .agg(sum(col("n_clusters")).as("n_clusters"))
+          .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      oracle = Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, lang,
+                 list_distinct([array_to_string(
+                   string_split(text,' ')[i+1:i+3],' ')
+                   for i in range(len(string_split(text,' '))-2)]) AS s
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.s,b.s))::DOUBLE /
+                (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 3)
+                >= 0.5),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(id, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+        sizes AS (SELECT component, count(*) AS cluster_size
+                  FROM comp GROUP BY 1),
+        hist AS (SELECT cluster_size, count(*) AS n_clusters
+                 FROM sizes GROUP BY 1
+                 UNION ALL
+                 SELECT 1, (SELECT count(*) FROM documents)
+                           - (SELECT count(*) FROM comp))
+        SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * sum(n_clusters) AS BIGINT) AS n_docs
+        FROM hist GROUP BY cluster_size
+        ORDER BY cluster_size"""))
   )
 }
 
