@@ -868,4 +868,48 @@ object TextStats {
       .select(col("tok"), col("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
   }
+
+  /** Vocabulary growth curve (the empirical Heaps'-law read behind
+    * "will more data still grow the vocabulary"): walk the corpus in
+    * the content-stable [[Sampling.shuffleOrder]] permutation (seeded,
+    * engine-reproducible — NOT file order, which correlates with
+    * source and biases the curve) and report, at each of `steps`
+    * checkpoints, how many token TYPES the prefix has introduced.
+    * Output: `(step, cum_docs, new_types, cum_types)`, one row per
+    * step that introduced anything.
+    *
+    * The "first time each type appears" is one (token → min
+    * shuffle_pos) aggregate — corpus-linear, map-side combining, no
+    * per-prefix rescan (the naive spelling re-tokenizes the corpus
+    * once per checkpoint); the step ledger is model-sized and the
+    * only window runs over its <= `steps` rows. Checkpoint arithmetic
+    * is integral (`fs·steps div n + 1`, `(step·n) div steps`) so both
+    * engines agree exactly. `n` > 1 counts word n-gram types instead
+    * of unigram types — the right curve for phrase-aware vocabularies
+    * (and the one with a visible tail on small-vocab corpora). */
+  def vocabGrowth(
+      df: DataFrame, idCol: String, textCol: String,
+      seed: String, steps: Int = 10, n: Int = 1): DataFrame = {
+    require(steps >= 1 && steps <= 1000, "steps must be in [1, 1000]")
+    require(n >= 1, "gram size must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = graft.plans.Scalars.of(df.agg(count(lit(1)).as("n")))
+    val ordered = Sampling.shuffleOrder(
+      df.select(col(idCol), col(textCol)), idCol, seed)
+    val grams = if (n == 1) T.tokens(col(textCol))
+      else T.wordNgrams(col(textCol), n)
+    val first = ordered
+      .select(col("shuffle_pos"), explode(grams).as("tok"))
+      .groupBy("tok").agg(min(col("shuffle_pos")).as("fs"))
+    first
+      .withColumn("__n", nDocs)
+      .withColumn("step", expr(s"`fs` * ${steps}L div `__n` + 1"))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("new_types"), max(col("__n")).as("__n"))
+      .withColumn("cum_docs", expr(s"(`step` * `__n`) div ${steps}L"))
+      .withColumn("cum_types", sum(col("new_types")).over(
+        Window.orderBy("step")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("step", "cum_docs", "new_types", "cum_types")
+  }
 }

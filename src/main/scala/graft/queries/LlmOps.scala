@@ -3712,7 +3712,49 @@ object LlmOps {
         SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
                CAST(cluster_size * sum(n_clusters) AS BIGINT) AS n_docs
         FROM hist GROUP BY cluster_size
-        ORDER BY cluster_size"""))
+        ORDER BY cluster_size""")),
+
+    // ------------------------------------------------------------------
+    // Vocabulary growth curve: token types introduced by each tenth of
+    // the corpus, walked in the seeded content-stable shuffle order
+    // (file order correlates with source and biases the curve) — the
+    // empirical Heaps'-law read behind "will more data still grow the
+    // vocabulary". One (token → min position) aggregate, a step
+    // ledger, integral checkpoint arithmetic on both engines.
+    // ------------------------------------------------------------------
+    "q205_vocab_growth" -> Q(
+      fn = (s, dir) => {
+        TextStats.vocabGrowth(Tables(s, dir, "documents"),
+            "doc_id", "text", seed = "vg0", steps = 10, n = 2)
+          .orderBy("step")
+      },
+      oracle = Some("""
+        WITH ord AS (
+          SELECT text,
+                 row_number() OVER (
+                   ORDER BY md5('vg0:' || CAST(doc_id AS VARCHAR)),
+                            'vg0:' || CAST(doc_id AS VARCHAR)) - 1 AS pos
+          FROM documents),
+        n AS (SELECT count(*) AS n FROM documents),
+        fs AS (
+          SELECT tok, min(pos) AS fs
+          FROM (SELECT pos,
+                       unnest([array_to_string(
+                         string_split(text,' ')[i+1:i+2],' ')
+                         for i in range(len(string_split(text,' '))-1)])
+                         AS tok
+                FROM ord)
+          GROUP BY tok),
+        led AS (
+          SELECT fs * 10 // (SELECT n FROM n) + 1 AS step,
+                 count(*) AS new_types
+          FROM fs GROUP BY 1)
+        SELECT CAST(step AS BIGINT) AS step,
+               CAST((step * (SELECT n FROM n)) // 10 AS BIGINT) AS cum_docs,
+               CAST(new_types AS BIGINT) AS new_types,
+               CAST(sum(new_types) OVER (ORDER BY step) AS BIGINT)
+                 AS cum_types
+        FROM led ORDER BY step"""))
   )
 }
 

@@ -535,4 +535,40 @@ class TextStatsSpec extends SparkSpec {
       assert(rows.sortBy { case (c, t) => (-c, t) }.toSeq === rows.toSeq)
     }
   }
+
+  test("vocabGrowth equals a brute-force replay of the md5 walk on a " +
+      "randomized corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // vocabulary widens with the doc id so later prefixes genuinely
+    // introduce new types under most permutations
+    val docs = (1L to 50L).map { id =>
+      id -> (1 to 12).map(_ => s"w${rnd.nextInt(4 * (1 + id.toInt / 10))}")
+        .mkString(" ")
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pos = docs.map { case (id, _) => id -> s"vg:$id" }
+      .sortBy { case (_, sk) => (md5hex(sk), sk) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    val n = docs.size.toLong
+    val firstSeen = docs
+      .flatMap { case (id, t) => t.split(" ").map(_ -> pos(id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val steps = 10
+    val want = firstSeen.values
+      .groupBy(fs => fs * steps / n + 1)
+      .map { case (step, fss) => step -> fss.size.toLong }
+    val wantRows = want.keys.toSeq.sorted.foldLeft(
+      Seq.empty[(Long, Long, Long, Long)]) { case (acc, step) =>
+      val cum = acc.lastOption.map(_._4).getOrElse(0L) + want(step)
+      acc :+ ((step, step * n / steps, want(step), cum))
+    }
+    val got = TextStats.vocabGrowth(
+        docs.toDF("doc_id", "text"), "doc_id", "text", seed = "vg")
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === wantRows)
+  }
 }
