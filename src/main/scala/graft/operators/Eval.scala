@@ -324,6 +324,34 @@ object Eval {
     *
     * Null values are excluded from the statistic; a null stratum is
     * its own ledger row (Spark and DuckDB group nulls identically). */
+  /** Calibration reliability bins: equal-width bins over a
+    * non-negative integral milli score, each with its doc count,
+    * positive count, exact positive RATE (milli, truncating) and mean
+    * score (milli, truncating) — the reliability-diagram ledger read
+    * next to [[auc]]: AUC says the signal RANKS the cohort, this says
+    * whether its VALUES mean what they claim (a bin whose pos_rate
+    * sits far from its mean score is miscalibrated there, which
+    * decides whether a global threshold is usable or per-bin cuts are
+    * needed). One partial+final aggregate keyed by the bin — the bin
+    * domain is score-range/width, model-sized by construction. All
+    * arithmetic integral (`div`), so engines agree exactly; negative
+    * scores are caller error (truncating vs floor division diverge
+    * below zero — quantize first). */
+  def calibrationBins(df: DataFrame, scoreMilli: Column, label: Column,
+      width: Long): DataFrame = {
+    require(width >= 1, "bin width must be positive")
+    df.select(scoreMilli.cast("long").as("__s"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .filter(col("__s").isNotNull)
+      .groupBy(expr(s"`__s` div ${width}L").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__y")).as("n_pos"),
+        sum(col("__s")).as("__ssum"))
+      .select(col("bin"), (col("bin") * lit(width)).as("bin_lo"),
+        col("n_docs"), col("n_pos"),
+        expr("(1000 * `n_pos`) div `n_docs`").as("pos_rate_milli"),
+        expr("`__ssum` div `n_docs`").as("mean_score_milli"))
+  }
+
   def medianMad(df: DataFrame, stratum: Column, value: Column,
       k: Int = 3): DataFrame = {
     require(k >= 1 && k <= 1000, "k must be in [1, 1000]")

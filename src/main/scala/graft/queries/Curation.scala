@@ -621,6 +621,41 @@ object CurationQueries {
                            sx::DOUBLE * sx::DOUBLE) *
                       sqrt(n::DOUBLE * syy::DOUBLE -
                            sy::DOUBLE * sy::DOUBLE)), 4) AS rho
-        FROM m"""))
+        FROM m""")),
+
+    // ------------------------------------------------------------------
+    // Calibration reliability bins: the type-token-ratio quality
+    // signal bucketed into width-50 milli bins against the q178 'en'
+    // cohort — AUC (q178/q188) says the signal RANKS, this says
+    // whether its VALUES are honest probabilities (a bin whose actual
+    // positive rate sits far from its score is where a global
+    // threshold lies). One bin-keyed partial+final aggregate, exact
+    // integer rates on both engines.
+    // ------------------------------------------------------------------
+    "q206_calibration_bins" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Eval
+        val docs = Tables(s, dir, "documents")
+        Eval.calibrationBins(docs,
+            scoreMilli = expr(
+              "(1000 * size(array_distinct(split(text, ' ')))) div " +
+                "size(split(text, ' '))"),
+            label = col("lang") === "en", width = 50L)
+          .orderBy("bin")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT (1000 * len(list_distinct(string_split(text, ' ')))) //
+                   len(string_split(text, ' ')) AS s,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        g AS (SELECT s // 50 AS bin, count(*) AS n_docs,
+                     CAST(sum(y) AS BIGINT) AS n_pos,
+                     CAST(sum(s) AS BIGINT) AS ssum
+              FROM b GROUP BY 1)
+        SELECT bin, CAST(bin * 50 AS BIGINT) AS bin_lo, n_docs, n_pos,
+               CAST((1000 * n_pos) // n_docs AS BIGINT) AS pos_rate_milli,
+               CAST(ssum // n_docs AS BIGINT) AS mean_score_milli
+        FROM g ORDER BY bin"""))
   )
 }

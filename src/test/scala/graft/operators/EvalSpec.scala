@@ -308,4 +308,24 @@ class EvalSpec extends SparkSpec {
       assert(got(s) === ((xs.size.toLong, med2, mad4, nOut.toLong)), s)
     }
   }
+
+  test("calibrationBins: hand-computed bins — exact truncating rates, " +
+      "null scores dropped, empty bins absent") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(120L), true), (Some(130L), false), (Some(149L), true),
+      (Some(150L), true),                       // bin 3 alone
+      (Some(720L), false), (Some(700L), false), // bin 14, no positives
+      (None, true)                              // null score: dropped
+    ).toDF("s", "y")
+    val got = Eval.calibrationBins(df, col("s"), col("y"), width = 50L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got === Map(
+      // bin 2: scores 120,130,149; 2 of 3 positive -> 666; mean 133
+      2L -> ((100L, 3L, 2L, 666L, 133L)),
+      3L -> ((150L, 1L, 1L, 1000L, 150L)),
+      14L -> ((700L, 2L, 0L, 0L, 710L))))
+  }
 }
