@@ -179,6 +179,41 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Exact stratified three-way split: every stratum is divided
+    * train/val/test at EXACT cumulative boundaries — rank r in the
+    * stratum's content-stable md5 order lands in train iff
+    * `r <= ceil(cutTrain·n_s)`, in val iff
+    * `r <= ceil(cutVal·n_s)`, else test — so each stratum contributes
+    * exactly its share to every split (a hash-threshold split like
+    * [[hashSplit]] is proportional only in expectation, and its
+    * per-stratum shares wander; an eval set where one language is
+    * accidentally 2× under-sampled mis-ranks multilingual models).
+    *
+    * `cutTrain` / `cutVal` are CUMULATIVE boundaries (e.g. 0.8 and
+    * 0.9 = 80/10/10), taken as literals into exact decimal arithmetic
+    * ([[exactCeil]]) — callers must not pass computed doubles like
+    * `0.8 + 0.1` (float noise would shift a boundary rank; the
+    * engines would disagree). Re-seedable; null keys drop (module
+    * policy); a null stratum is its own stratum. Same two-phase
+    * bucketed rank as [[stratifiedSample]] — no giant-stratum window,
+    * broadcast bucket ledger only. Adds `split` to `df`'s columns. */
+  def stratifiedSplit(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      cutTrain: Double, cutVal: Double, seed: String = ""): DataFrame = {
+    require(cutTrain > 0.0 && cutTrain <= cutVal && cutVal <= 1.0,
+      "need 0 < cutTrain <= cutVal <= 1")
+    val out = df.columns.map(col) :+ col("split")
+    df
+      .withColumn("__sk",
+        concat(lit(seed), lit(":"), col(keyCol).cast("string")))
+      .transform(withStratumRank(_, "__sk", stratumCol))
+      .withColumn("split",
+        when(col("__rk") <= exactCeil(cutTrain, col("__n")), "train")
+          .when(col("__rk") <= exactCeil(cutVal, col("__n")), "val")
+          .otherwise("test"))
+      .select(out: _*)
+  }
+
   /** Exact-share training-mix sampling: per-stratum sampling fractions
     * (e.g. per-language or per-source mix ratios), each stratum
     * contributing EXACTLY ceil(frac_s · n_s) rows chosen by the

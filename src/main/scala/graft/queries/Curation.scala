@@ -656,6 +656,40 @@ object CurationQueries {
         SELECT bin, CAST(bin * 50 AS BIGINT) AS bin_lo, n_docs, n_pos,
                CAST((1000 * n_pos) // n_docs AS BIGINT) AS pos_rate_milli,
                CAST(ssum // n_docs AS BIGINT) AS mean_score_milli
-        FROM g ORDER BY bin"""))
+        FROM g ORDER BY bin""")),
+
+    // ------------------------------------------------------------------
+    // Exact stratified 80/10/10 split: every language contributes
+    // exactly ceil-share rows to train/val/test at content-stable,
+    // re-seedable cut ranks — the eval-protocol splitter (a hash-
+    // threshold split drifts per stratum; an accidentally half-sized
+    // eval slice for one language mis-ranks multilingual models).
+    // Gated as per-(lang, split) counts + id checksum.
+    // ------------------------------------------------------------------
+    "q207_stratified_split" -> Q(
+      fn = (s, dir) => {
+        Sampling.stratifiedSplit(Tables(s, dir, "documents"),
+            "doc_id", "lang", cutTrain = 0.8, cutVal = 0.9, seed = "sp")
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("lang", "split")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5('sp:' || CAST(doc_id AS VARCHAR)),
+                            'sp:' || CAST(doc_id AS VARCHAR)) AS rk,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents),
+        s AS (SELECT doc_id, lang,
+                CASE WHEN rk <= ceil(0.8 * n) THEN 'train'
+                     WHEN rk <= ceil(0.9 * n) THEN 'val'
+                     ELSE 'test' END AS split
+              FROM r)
+        SELECT lang, split, count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

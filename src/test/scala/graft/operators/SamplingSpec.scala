@@ -916,4 +916,34 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet ===
       rows.filter(_._2 == rows.map(_._2).max).map(_._1).toSet)
   }
+
+  test("stratifiedSplit: exact ceil shares per stratum, a true " +
+      "partition, deterministic, re-seed moves membership not counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val langs = Vector("en", "de", "zh", "fr")
+    val df = (1L to 237L).map(id => (id, langs(rnd.nextInt(4))))
+      .toDF("id", "lang")
+    def splits(seed: String) = Sampling.stratifiedSplit(
+        df, "id", "lang", cutTrain = 0.8, cutVal = 0.9, seed = seed)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val a = splits("s1")
+    // partition: every row present exactly once
+    assert(a.map(_._1).sorted.toSeq === (1L to 237L))
+    // exact ceil shares per stratum
+    val perLang = a.groupBy(_._2)
+    perLang.foreach { case (lang, rows) =>
+      val n = rows.size
+      val nTrain = rows.count(_._3 == "train")
+      val nVal = rows.count(_._3 == "val")
+      assert(nTrain === math.ceil(0.8 * n).toInt, s"$lang train")
+      assert(nTrain + nVal === math.ceil(0.9 * n).toInt, s"$lang val")
+    }
+    // deterministic; a different seed keeps counts, moves members
+    assert(splits("s1").toSeq === a.toSeq)
+    val b = splits("s2")
+    assert(b.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap ===
+      a.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap)
+    assert(b.toSet !== a.toSet)
+  }
 }
