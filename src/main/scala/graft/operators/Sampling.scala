@@ -214,6 +214,47 @@ object Sampling {
       .select(out: _*)
   }
 
+  /** Deterministic stratum-proportional interleave key: position
+    * every stratum's rows uniformly across the whole training order,
+    * so any contiguous slice (a shard, an epoch prefix, a curriculum
+    * stage) carries each stratum at its corpus share — the
+    * "interleave languages before writing shards" discipline; a plain
+    * [[shuffleOrder]] only gets this in expectation, and source-
+    * clustered file order doesn't get it at all.
+    *
+    * Each row's key is `((2·r − 1) · N) div (2·n_s)` — the r-th of
+    * n_s stratum rows lands at the (2r−1)/(2·n_s) quantile of [0, N),
+    * the exact integral midpoint-quantile placement — with r the
+    * stratum's content-stable, re-seedable md5 rank and (n_s, N) from
+    * the rank ledger and a one-row scalar. Consumers sort by
+    * `(interleave_key, stratum, r)` — a total order; the key alone
+    * ties only across strata, by construction at most #strata rows
+    * per key. Proportionality bound: in any prefix of the full order
+    * a stratum's count deviates from proportional by < 1 + its
+    * per-key collision share (spec-pinned ±1 per stratum on the
+    * integral grid). Adds `interleave_key` and `stratum_rank`; one
+    * two-phase rank, one scalar, zero corpus-wide windows. */
+  def interleaveOrder(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      seed: String = ""): DataFrame = {
+    val total = graft.plans.Scalars.of(
+      df.filter(col(keyCol).isNotNull).agg(count(lit(1)).as("n")))
+    val out = df.columns.map(col) ++
+      Seq(col("interleave_key"), col("stratum_rank"))
+    df
+      .withColumn("__sk",
+        concat(lit(seed), lit(":"), col(keyCol).cast("string")))
+      .transform(withStratumRank(_, "__sk", stratumCol))
+      // NOT "__N": Spark resolution is case-insensitive, so a column
+      // differing from the kernel's "__n" only in case would silently
+      // REPLACE it (measured: the key degenerated to rk - 1)
+      .withColumn("__tot", total)
+      .withColumn("interleave_key",
+        expr("((2 * `__rk` - 1) * `__tot`) div (2 * `__n`)"))
+      .withColumn("stratum_rank", col("__rk"))
+      .select(out: _*)
+  }
+
   /** Exact-share training-mix sampling: per-stratum sampling fractions
     * (e.g. per-language or per-source mix ratios), each stratum
     * contributing EXACTLY ceil(frac_s · n_s) rows chosen by the

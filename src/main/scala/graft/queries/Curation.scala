@@ -690,6 +690,38 @@ object CurationQueries {
               FROM r)
         SELECT lang, split, count(*) AS n_docs,
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Language-proportional interleave order: each language's r-th of
+    // n_s rows lands at the exact integral (2r−1)/(2·n_s) quantile of
+    // [0, N), so every contiguous slice of the training order — a
+    // shard, an epoch prefix — carries each language at its corpus
+    // share (a plain shuffle gets that in expectation; file order not
+    // at all). Gated per-document on the key itself.
+    // ------------------------------------------------------------------
+    "q208_interleave_order" -> Q(
+      fn = (s, dir) => {
+        Sampling.interleaveOrder(Tables(s, dir, "documents")
+            .select(col("doc_id"), col("lang")),
+            "doc_id", "lang", seed = "il")
+          .select(col("doc_id"), col("lang"),
+            col("interleave_key"), col("stratum_rank"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5('il:' || CAST(doc_id AS VARCHAR)),
+                            'il:' || CAST(doc_id AS VARCHAR)) AS rk,
+                 count(*) OVER (PARTITION BY lang) AS n,
+                 count(*) OVER () AS total
+          FROM documents)
+        SELECT doc_id, lang,
+               CAST(((2 * rk - 1) * total) // (2 * n) AS BIGINT)
+                 AS interleave_key,
+               CAST(rk AS BIGINT) AS stratum_rank
+        FROM r ORDER BY doc_id"""))
   )
 }

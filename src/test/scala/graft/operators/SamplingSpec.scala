@@ -946,4 +946,40 @@ class SamplingSpec extends SparkSpec {
       a.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap)
     assert(b.toSet !== a.toSet)
   }
+
+  test("interleaveOrder: every prefix of the order carries each " +
+      "stratum within ±1 of proportional (plus key-tie slack)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    // deliberately skewed strata: 120/40/8
+    val rows = (1L to 120L).map(id => (id, "big")) ++
+      (200L to 239L).map(id => (id, "mid")) ++
+      (300L to 307L).map(id => (id, "small"))
+    val df = rows.toDF("id", "lang")
+    val got = Sampling.interleaveOrder(df, "id", "lang", seed = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val n = rows.size.toLong
+    val nOf = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // key formula replay
+    got.foreach { case (_, lang, key, rk) =>
+      assert(key === ((2 * rk - 1) * n) / (2 * nOf(lang)))
+    }
+    // proportionality: walk the total order; after any prefix of
+    // length p, stratum s has between floor(p·n_s/N)−1 and
+    // ceil(p·n_s/N)+1 members (±1 integral-grid slack, plus ties
+    // resolved by the (key, stratum, rank) total order)
+    val ordered = got.sortBy { case (_, lang, key, rk) => (key, lang, rk) }
+    val seen = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    ordered.zipWithIndex.foreach { case ((_, lang, _, _), i) =>
+      seen(lang) += 1
+      val p = i + 1L
+      nOf.foreach { case (s, ns) =>
+        val expect = p.toDouble * ns / n
+        assert(math.abs(seen(s) - expect) <= 2.0,
+          s"prefix $p stratum $s: ${seen(s)} vs $expect")
+      }
+    }
+  }
 }
