@@ -371,4 +371,75 @@ object ConnectedComponents {
       .select(col("id").as(idCol))
     docs.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** INCREMENTAL closure: fold a batch of new pairs into an existing
+    * (id, component) labeling without re-clustering the old graph —
+    * the delta-ingest asymmetry ([[graft.operators.Dedup
+    * .incrementalJaccardPairs]]'s "never old×old", applied to the
+    * closure step): a continuously-ingesting dedup pipeline gets new
+    * pairs every batch, and re-running the alternating-star loop over
+    * the ACCUMULATED pair set makes per-batch cost grow with corpus
+    * history.
+    *
+    * Correctness rests on label CONTRACTION: because every old
+    * component label is the component's min id, collapsing each old
+    * component to its label loses no connectivity the new edges could
+    * exploit — two old components merge iff some new edge path links
+    * their labels. So: map each new endpoint through the old labeling
+    * (unlabeled ids stay themselves), run the full closure on the
+    * CONTRACTED edge set (bounded by the NEW batch's size, not the
+    * corpus), and join the relabeling back. Min-id labels compose:
+    * the min over a merged component is the min over its old labels
+    * and fresh ids, which is exactly what the contracted closure
+    * emits. Output: (id, component) for every id in `oldComp` or the
+    * new pairs — the same shape [[apply]] emits, so batches chain.
+    *
+    * Scale shape: two slim label joins on the new pairs + the closure
+    * on a contracted graph whose size is O(new pairs); the old
+    * labeling is touched once, by one equi-join on its label column —
+    * never re-shuffled per closure round. */
+  def incremental(
+      oldComp: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String,
+      checkpointDir: Option[String] = None,
+      driverFinishMaxEdges: Long = DriverFinishMaxEdges): DataFrame = {
+    val old = oldComp.select(col("id").as("__oid"),
+      col("component").as("__oc"))
+    // endpoints through the old labeling; ids the old labeling has
+    // never seen label themselves
+    val mapped = newPairs
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .join(old.select(col("__oid").as("__a"), col("__oc").as("__la")),
+        Seq("__a"), "left")
+      .join(old.select(col("__oid").as("__b"), col("__oc").as("__lb")),
+        Seq("__b"), "left")
+      .select(coalesce(col("__la"), col("__a")).as("__ca"),
+        coalesce(col("__lb"), col("__b")).as("__cb"))
+      .filter(col("__ca") =!= col("__cb"))
+    val relabel = apply(mapped, "__ca", "__cb",
+      checkpointDir, driverFinishMaxEdges)
+      .select(col("id").as("__from"), col("component").as("__to"))
+    // old members follow their label's relabeling; untouched old
+    // components keep their label. New ids surface labeled by the
+    // closure directly (their contracted node IS themselves), plus
+    // the self-labeled case of a new id pairing only into old
+    // components whose label won.
+    val oldOut = old
+      .join(relabel.select(col("__from").as("__oc"), col("__to")),
+        Seq("__oc"), "left")
+      .select(col("__oid").as("id"),
+        coalesce(col("__to"), col("__oc")).as("component"))
+    val newIds = newPairs.select(col(aCol).as("__nid"))
+      .unionAll(newPairs.select(col(bCol).as("__nid")))
+      .filter(col("__nid").isNotNull)
+      .distinct()
+      .join(old.select(col("__oid").as("__nid")), Seq("__nid"), "left_anti")
+    val newOut = newIds
+      .join(relabel.select(col("__from").as("__nid"), col("__to")),
+        Seq("__nid"), "left")
+      .select(col("__nid").as("id"),
+        coalesce(col("__to"), col("__nid")).as("component"))
+    oldOut.unionByName(newOut)
+  }
 }

@@ -3754,7 +3754,58 @@ object LlmOps {
                CAST(new_types AS BIGINT) AS new_types,
                CAST(sum(new_types) OVER (ORDER BY step) AS BIGINT)
                  AS cum_types
-        FROM led ORDER BY step"""))
+        FROM led ORDER BY step""")),
+
+    // ------------------------------------------------------------------
+    // Incremental closure: the near-dup pair graph arrives in two
+    // batches; batch 0 is clustered once, batch 1 is FOLDED IN through
+    // label contraction (old components collapse to their min-id
+    // labels, the closure runs on a graph bounded by the new batch,
+    // never the accumulated history) — the delta-ingest asymmetry q70
+    // applies to pair GENERATION, applied here to the closure step.
+    // The oracle recomputes components over the union directly, so the
+    // gate is exactly "incremental == full recompute".
+    // ------------------------------------------------------------------
+    "q209_incremental_cc" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.ConnectedComponents
+        val pairs = Dedup.ngramJaccardPairs(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, partitionCol = Some("lang"))
+          .localCheckpoint(true) // consumed by both batch slices
+        val batch0 = pairs.filter((col("a_id") + col("b_id")) % 2 === 0)
+        val batch1 = pairs.filter((col("a_id") + col("b_id")) % 2 =!= 0)
+        ConnectedComponents.incremental(
+            ConnectedComponents(batch0, "a_id", "b_id"),
+            batch1, "a_id", "b_id")
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("id_checksum"))
+          .orderBy("component")
+      },
+      oracle = Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, lang,
+                 list_distinct([array_to_string(
+                   string_split(text,' ')[i+1:i+3],' ')
+                   for i in range(len(string_split(text,' '))-2)]) AS s
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.s,b.s))::DOUBLE /
+                (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 3)
+                >= 0.5),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(id, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        SELECT component, count(*) AS n_docs,
+               CAST(sum(id) AS BIGINT) AS id_checksum
+        FROM comp GROUP BY component ORDER BY component"""))
   )
 }
 

@@ -240,4 +240,31 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(got === want.toArray, s"trial $trial")
     }
   }
+
+  test("incremental: folding a batch into an old labeling equals the " +
+      "full recompute, on randomized splits (merges, new-only " +
+      "components, untouched components)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 3) {
+      val n = 60L
+      val all = (1 to 150).map(_ =>
+        (rnd.nextInt(n.toInt).toLong + 1, rnd.nextInt(n.toInt).toLong + 1))
+        .filter(p => p._1 != p._2).distinct
+      // arbitrary batch split; batch 1 includes edges that bridge
+      // batch-0 components and edges among entirely fresh ids
+      val (oldE, newE) = all.partition(_ => rnd.nextBoolean())
+      val fresh = Seq((200L, 201L), (201L, 202L), (300L, 1L))
+      val newAll = newE ++ fresh
+      val oldComp = ConnectedComponents(
+        oldE.toDF("a", "b"), "a", "b")
+      val got = ConnectedComponents.incremental(
+          oldComp, newAll.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val want = ConnectedComponents(
+          (oldE ++ newAll).toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
 }
