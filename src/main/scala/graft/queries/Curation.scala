@@ -722,6 +722,50 @@ object CurationQueries {
                CAST(((2 * rk - 1) * total) // (2 * n) AS BIGINT)
                  AS interleave_key,
                CAST(rk AS BIGINT) AS stratum_rank
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Per-source quality drift over crawl order: OLS slope of the
+    // type-token-ratio milli signal against document sequence within
+    // each source — "is this source degrading as the crawl deepens",
+    // the per-source complement of q182's per-type value trend and the
+    // ORDER-correlated read q145/q173's order-blind distribution
+    // drifts can't make. Exact decimal moment sums, double only in
+    // the final rounded assembly.
+    // ------------------------------------------------------------------
+    "q210_source_quality_trend" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Eval
+        Eval.olsTrend(Tables(s, dir, "documents"),
+            group = col("source"), x = col("doc_id"),
+            y = expr("(1000 * size(array_distinct(split(text, ' ')))) " +
+              "div size(split(text, ' '))"))
+          .withColumnRenamed("grp", "source")
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT source, doc_id AS x,
+                 (1000 * len(list_distinct(string_split(text, ' ')))) //
+                   len(string_split(text, ' ')) AS y
+          FROM documents),
+        m AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM b GROUP BY source)
+        SELECT source, CAST(n AS BIGINT) AS n,
+               CASE WHEN n >= 2 AND n::DOUBLE * sxx::DOUBLE -
+                         sx::DOUBLE * sx::DOUBLE > 0 THEN
+                 round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
+                   6)
+               END AS slope,
+               CASE WHEN n >= 2 AND n::DOUBLE * sxx::DOUBLE -
+                         sx::DOUBLE * sx::DOUBLE > 0 THEN
+                 round((sy::DOUBLE -
+                   ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                   * sx::DOUBLE) / n::DOUBLE, 6)
+               END AS icept
+        FROM m ORDER BY source"""))
   )
 }
