@@ -403,6 +403,30 @@ object ConnectedComponents {
       aCol: String, bCol: String,
       checkpointDir: Option[String] = None,
       driverFinishMaxEdges: Long = DriverFinishMaxEdges): DataFrame = {
+    val delta = incrementalDelta(oldComp, newPairs, aCol, bCol,
+      checkpointDir, driverFinishMaxEdges)
+    oldComp
+      .join(delta.select(col("id"), col("component").as("__nc")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__nc"), col("component")).as("component"))
+      .unionByName(
+        delta.join(oldComp.select(col("id")), Seq("id"), "left_anti"))
+  }
+
+  /** The DELTA of [[incremental]]: only the rows the new batch
+    * changed — old members whose component label moved, plus newly
+    * seen ids with their labels. This is what a continuously-
+    * maintained label STORE writes per batch (the full labeling would
+    * be a corpus-sized write every batch; the delta is bounded by the
+    * components the batch touched): current labeling = for each id,
+    * its LATEST delta row, absent ids are singletons.
+    * `incremental = oldComp overridden by delta ∪ delta's new ids`. */
+  def incrementalDelta(
+      oldComp: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String,
+      checkpointDir: Option[String] = None,
+      driverFinishMaxEdges: Long = DriverFinishMaxEdges): DataFrame = {
     val old = oldComp.select(col("id").as("__oid"),
       col("component").as("__oc"))
     // endpoints through the old labeling; ids the old labeling has
@@ -420,16 +444,17 @@ object ConnectedComponents {
     val relabel = apply(mapped, "__ca", "__cb",
       checkpointDir, driverFinishMaxEdges)
       .select(col("id").as("__from"), col("component").as("__to"))
-    // old members follow their label's relabeling; untouched old
-    // components keep their label. New ids surface labeled by the
-    // closure directly (their contracted node IS themselves), plus
-    // the self-labeled case of a new id pairing only into old
-    // components whose label won.
-    val oldOut = old
-      .join(relabel.select(col("__from").as("__oc"), col("__to")),
-        Seq("__oc"), "left")
-      .select(col("__oid").as("id"),
-        coalesce(col("__to"), col("__oc")).as("component"))
+    // old members follow their label's relabeling (only CHANGED labels
+    // surface in the delta); untouched old components stay absent.
+    // New ids surface labeled by the closure directly (their
+    // contracted node IS themselves), or self-labeled when their every
+    // contracted edge collapsed (a pair wholly inside one old
+    // component, or a self-pair).
+    val oldDelta = old
+      .join(relabel.filter(col("__from") =!= col("__to"))
+          .select(col("__from").as("__oc"), col("__to")),
+        Seq("__oc"))
+      .select(col("__oid").as("id"), col("__to").as("component"))
     val newIds = newPairs.select(col(aCol).as("__nid"))
       .unionAll(newPairs.select(col(bCol).as("__nid")))
       .filter(col("__nid").isNotNull)
@@ -440,6 +465,6 @@ object ConnectedComponents {
         Seq("__nid"), "left")
       .select(col("__nid").as("id"),
         coalesce(col("__to"), col("__nid")).as("component"))
-    oldOut.unionByName(newOut)
+    oldDelta.unionByName(newOut)
   }
 }

@@ -3805,6 +3805,70 @@ object LlmOps {
         comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
         SELECT component, count(*) AS n_docs,
                CAST(sum(id) AS BIGINT) AS id_checksum
+        FROM comp GROUP BY component ORDER BY component""")),
+
+    // ------------------------------------------------------------------
+    // Streaming cluster-maintenance parity (the q94 protocol applied
+    // to the CLOSURE): the corpus arrives as two micro-batches through
+    // clusterIngestBatch — each batch's verified pairs FOLD into the
+    // persistent (id, component) labels store by label contraction,
+    // with the per-batch delta bounded by the batch — and the final
+    // accumulated labeling must equal the full-corpus clustering the
+    // oracle recomputes directly. Fresh temp dirs per invocation.
+    // ------------------------------------------------------------------
+    "q211_cluster_ingest_parity" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val corpusDir = java.nio.file.Files
+          .createTempDirectory("graft-q211-corpus").toString
+        val pairsDir = java.nio.file.Files
+          .createTempDirectory("graft-q211-pairs").toString
+        val labelsDir = java.nio.file.Files
+          .createTempDirectory("graft-q211-labels").toString
+        // the ingest path runs language-agnostic (no partitionCol), so
+        // the oracle's pair set below is the unpartitioned one
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        Streaming.clusterIngestBatch(
+          docs.filter(col("doc_id") % 2 === 0), 0L,
+          corpusDir, pairsDir, labelsDir, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        Streaming.clusterIngestBatch(
+          docs.filter(col("doc_id") % 2 =!= 0), 1L,
+          corpusDir, pairsDir, labelsDir, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        materializeAndClean(
+          Streaming.clusterLabels(s, labelsDir,
+              org.apache.spark.sql.types.LongType)
+            .groupBy(col("component"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("id")).as("id_checksum"))
+            .orderBy("component"),
+          corpusDir, pairsDir, labelsDir)
+      },
+      oracle = Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(
+                   string_split(text,' ')[i+1:i+3],' ')
+                   for i in range(len(string_split(text,' '))-2)]) AS s
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.s,b.s))::DOUBLE /
+                (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 3)
+                >= 0.5),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(id, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        SELECT component, count(*) AS n_docs,
+               CAST(sum(id) AS BIGINT) AS id_checksum
         FROM comp GROUP BY component ORDER BY component"""))
   )
 }

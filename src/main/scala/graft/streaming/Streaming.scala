@@ -441,6 +441,95 @@ object Streaming {
     } finally sel.unpersist()
   }
 
+  /** Continuous near-dup CLUSTER maintenance: [[dedupIngest]]'s
+    * per-batch pair emission composed with
+    * [[graft.operators.ConnectedComponents.incrementalDelta]]'s label
+    * contraction — each micro-batch's verified pairs FOLD into a
+    * persistent (id, component) labeling instead of re-clustering the
+    * accumulated pair graph (whose closure cost would grow with
+    * corpus history; the contracted closure is bounded by the batch).
+    *
+    * The labels store is last-writer-wins: slice `batch_id=N` holds
+    * only the labels batch N changed or introduced; the current
+    * labeling is each id's LATEST row ([[clusterLabels]] — ids absent
+    * from the store are singletons, the [[graft.operators
+    * .ConnectedComponents]] nodes-in-pairs convention), and
+    * compaction rewrites the base through the same latest-per-key
+    * supersede the corpus store uses. Replay-idempotent by the slice
+    * protocol (a replaying batch excludes its own half-written slice
+    * from the prior-labels read, and the delta recomputes
+    * identically). */
+  def clusterIngest(
+      stream: DataFrame, corpusPath: String, pairsPath: String,
+      labelsPath: String, idCol: String, textCol: String,
+      n: Int, threshold: Double, compactEvery: Int = 16,
+      idxBloomExpectedItems: Long = 1L << 20,
+      idxBloomFpp: Double = 0.03,
+      oldMaxDocFreq: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      clusterIngestBatch(batch, batchId, corpusPath, pairsPath,
+        labelsPath, idCol, textCol, n, threshold, compactEvery,
+        idxBloomExpectedItems, idxBloomFpp, oldMaxDocFreq)
+    }
+
+  private def labelsSchemaOf(idType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = true),
+      org.apache.spark.sql.types.StructField(
+        "component", idType, nullable = true)))
+
+  /** The current (id, component) labeling a [[clusterIngest]] stream
+    * has accumulated: each id's latest delta row (ids the store never
+    * saw are singleton components by convention). One columnar store
+    * scan + one id-keyed argmax — the standard consumer read. */
+  def clusterLabels(
+      spark: org.apache.spark.sql.SparkSession, labelsPath: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame =
+    IngestStore.read(spark, labelsPath, labelsSchemaOf(idType))
+      .groupBy(col("id"))
+      .agg(expr("max_by(component, batch_id)").as("component"))
+
+  /** The per-batch step, separated for direct replay (the
+    * [[ingestDedupBatch]] convention). */
+  def clusterIngestBatch(
+      batch: DataFrame, batchId: Long, corpusPath: String,
+      pairsPath: String, labelsPath: String, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      compactEvery: Int = 16,
+      idxBloomExpectedItems: Long = 1L << 20,
+      idxBloomFpp: Double = 0.03,
+      oldMaxDocFreq: Option[Int] = None): Unit = {
+    import graft.operators.ConnectedComponents
+    ingestDedupBatch(batch, batchId, corpusPath, pairsPath, idCol,
+      textCol, n, threshold, compactEvery, idxBloomExpectedItems,
+      idxBloomFpp, oldMaxDocFreq)
+    val spark = batch.sparkSession
+    val idType = batch.schema(idCol).dataType
+    val labelsSchema = labelsSchemaOf(idType)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      IngestStore.compact(spark, labelsPath, labelsSchema,
+        upTo = batchId, latestPerKey = Some("id"))
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a_id", idType, true),
+      org.apache.spark.sql.types.StructField("b_id", idType, true),
+      org.apache.spark.sql.types.StructField("jaccard",
+        org.apache.spark.sql.types.DoubleType, true)))
+    val newPairs = spark.read.schema(pairSchema)
+      .parquet(s"$pairsPath/batch_id=$batchId")
+      .select("a_id", "b_id")
+    // prior labeling: latest row per id across base + slices, the
+    // replaying batch's own slice excluded (replay idempotence)
+    val prior = IngestStore
+      .read(spark, labelsPath, labelsSchema, excludeBatch = batchId)
+      .groupBy(col("id"))
+      .agg(expr("max_by(component, batch_id)").as("component"))
+    val delta = ConnectedComponents.incrementalDelta(
+      prior, newPairs, "a_id", "b_id")
+    writeBatch(delta, labelsPath, "parquet", batchId)
+  }
+
   /** Continuous training-data PREPARATION: the ingest-side composition
     * of the batch prep pipeline — each arriving micro-batch is
     * quality-gated (token count ≥ `minTokens`) and only FIRST

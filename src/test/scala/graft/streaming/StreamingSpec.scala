@@ -371,6 +371,61 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(corpusDir).count() === 4)
   }
 
+  test("clusterIngest: label deltas fold to the full-recompute " +
+      "labeling; deltas stay batch-bounded; replay idempotent; " +
+      "compaction supersedes") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-clu-corpus").toString
+    val pairsDir = java.nio.file.Files
+      .createTempDirectory("graft-clu-pairs").toString
+    val labelsDir = java.nio.file.Files
+      .createTempDirectory("graft-clu-labels").toString
+    def step(batchId: Long, docs: Seq[(Long, String)]): Unit =
+      Streaming.clusterIngestBatch(docs.toDF("doc_id", "text"), batchId,
+        corpusDir, pairsDir, labelsDir, "doc_id", "text",
+        n = 3, threshold = 0.4, compactEvery = 2)
+    def labels(): Map[Long, Long] =
+      Streaming.clusterLabels(spark, labelsDir,
+          org.apache.spark.sql.types.LongType)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 0: two separate near-dup families (J = 0.6 within each)
+    step(0L, Seq((1L, "a b c d e f"), (2L, "a b c d e g"),
+      (10L, "p q r s t u"), (11L, "p q r s t v")))
+    assert(labels() === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // batch 1: doc 5 bridges BOTH families at J = 0.4 — the two old
+    // components must merge through label contraction
+    step(1L, Seq((5L, "a b c d e f p q r s t u")))
+    assert(labels() ===
+      Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 1L, 11L -> 1L))
+    // the delta slice is BOUNDED by what changed: docs 1/2 (label
+    // already 1) are not rewritten
+    val slice1 = spark.read
+      .option("basePath", labelsDir).parquet(s"$labelsDir/batch_id=1")
+      .collect().map(_.getLong(0)).toSet
+    assert(slice1 === Set(5L, 10L, 11L))
+    // batch 2 (a compaction batch): a fresh family + an isolated doc
+    // (absent from the labeling — singleton convention)
+    step(2L, Seq((20L, "m n o w x y"), (21L, "m n o w x z"),
+      (30L, "j k l i h g")))
+    val after2 = labels()
+    assert(after2 === Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
+      10L -> 1L, 11L -> 1L, 20L -> 20L, 21L -> 20L))
+    // full-recompute parity over the accumulated pair store
+    val allPairs = spark.read.option("basePath", pairsDir)
+      .parquet(pairsDir).select("a_id", "b_id")
+    val full = graft.operators.ConnectedComponents(
+        allPairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after2 === full)
+    // replay batch 1 (restart): labeling unchanged
+    Streaming.clusterIngestBatch(
+      Seq((5L, "a b c d e f p q r s t u")).toDF("doc_id", "text"), 1L,
+      corpusDir, pairsDir, labelsDir, "doc_id", "text",
+      n = 3, threshold = 0.4, compactEvery = 2)
+    assert(labels() === after2)
+  }
+
   test("ingestDedupBatch: batch 0 succeeds against a pre-created EMPTY corpus dir") {
     import spark.implicits._
     // a provisioned-but-empty corpus path (mkdir -p in a deploy script,
