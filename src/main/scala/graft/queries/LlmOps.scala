@@ -3825,9 +3825,14 @@ object LlmOps {
           .createTempDirectory("graft-q211-pairs").toString
         val labelsDir = java.nio.file.Files
           .createTempDirectory("graft-q211-labels").toString
-        // the ingest path runs language-agnostic (no partitionCol), so
-        // the oracle's pair set below is the unpartitioned one
+        // a two-language slice: the protocol (two replays through the
+        // full ingest + closure machinery) is the thing under test,
+        // and the de+fr slice keeps the gate's bench cost
+        // proportionate while still crossing several cluster families;
+        // the ingest path itself runs language-agnostic (no
+        // partitionCol), so the oracle scopes the same slice
         val docs = Tables(s, dir, "documents")
+          .filter(col("lang").isin("de", "fr"))
           .select(col("doc_id"), col("text"))
         Streaming.clusterIngestBatch(
           docs.filter(col("doc_id") % 2 === 0), 0L,
@@ -3852,7 +3857,7 @@ object LlmOps {
                  list_distinct([array_to_string(
                    string_split(text,' ')[i+1:i+3],' ')
                    for i in range(len(string_split(text,' '))-2)]) AS s
-          FROM documents),
+          FROM documents WHERE lang IN ('de', 'fr')),
         pairs AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
