@@ -826,4 +826,96 @@ object Similarity {
         round(DotProduct(col("ca"), col("cb")) / (col("na") * col("nb")), 4)
           .as("centroid_cosine"))
   }
+
+  /** Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    * 1998, public): greedily select `k` vectors maximizing
+    * `λ·sim(c, query) − (1−λ)·max_{s∈selected} sim(c, s)` — the
+    * relevance/diversity trade every retrieval-for-context and
+    * diverse-few-shot-selection step runs, where a plain top-k returns
+    * k near-copies of the best hit. Output: one row per selection,
+    * `(rank, id, rel_milli, div_milli, score_milli)` in selection
+    * order.
+    *
+    * Exactness: every similarity is ROUNDED to integer milli before
+    * entering a comparison and the score is pure integer arithmetic
+    * (`lambdaMilli·rel − (1000−lambdaMilli)·div`), so the greedy
+    * argmax — ties to the smallest id — is a function of gate-compared
+    * integers and replays bit-identically in SQL (the q120/q141
+    * fixed-point discipline applied to a greedy loop).
+    *
+    * Scale shape: the scored corpus is materialized ONCE; each of the
+    * `k` rounds is one corpus-linear pass — the diversity term is a
+    * `greatest` over sims to the ≤ k already-selected vectors, which
+    * ride the plan as broadcast literals — finished by a
+    * TakeOrderedAndProject of ONE row. The driver holds exactly k
+    * (id, vector) pairs: the bounded-collect contract (k is a
+    * result-page size by use-case, enforced ≤ 1000). Zero-norm
+    * vectors are excluded (cosine undefined). */
+  def mmrSelect(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, lambdaMilli: Long = 700L,
+      spread: Boolean = true): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    require(lambdaMilli >= 0L && lambdaMilli <= 1000L,
+      "lambdaMilli must be in [0, 1000]")
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0, "query vector must have positive norm")
+    val spark = corpus.sparkSession
+    def simMilliTo(vec: Seq[Double],
+        norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val vn = math.sqrt(vec.map(x => x * x).sum)
+      round(lit(1000.0) * DotProduct(col("v"), typedLit(vec)) /
+        (norm * lit(vn))).cast("long")
+    }
+    val c = maybeSpread(corpus, spread)
+      .select(col(idCol).as("id"), V.toDouble(col(vecCol)).as("v"))
+      .withColumn("vn", sqrt(DotProduct(col("v"), col("v"))))
+      .filter(col("vn") > 0)
+      .withColumn("rel_milli", simMilliTo(query.toSeq, col("vn")))
+      .localCheckpoint(true) // k rounds re-scan the scored corpus
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Any, Seq[Double], Long, Long)] // id, vec, rel, div
+    for (_ <- 1 to k) {
+      val divCol =
+        if (selected.isEmpty) lit(0L)
+        else if (selected.size == 1) simMilliTo(selected.head._2, col("vn"))
+        else greatest(selected.toSeq.map(s =>
+          simMilliTo(s._2, col("vn"))): _*)
+      val already = selected.toSeq.map(_._1)
+      val next = c
+        .filter(if (already.isEmpty) lit(true)
+          else !col("id").isin(already: _*))
+        .withColumn("div_milli", divCol)
+        .withColumn("score_milli",
+          lit(lambdaMilli) * col("rel_milli") -
+            lit(1000L - lambdaMilli) * col("div_milli"))
+        .orderBy(col("score_milli").desc, col("id"))
+        .limit(1)
+        .select("id", "v", "rel_milli", "div_milli")
+        .collect()
+      next.foreach { r =>
+        selected += ((r.get(0), r.getSeq[Double](1),
+          r.getLong(2), r.getLong(3)))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = selected.toSeq.zipWithIndex.map {
+      case ((id, _, rel, div), i) =>
+        org.apache.spark.sql.Row(i + 1L, id, rel, div,
+          lambdaMilli * rel - (1000L - lambdaMilli) * div)
+    }
+    val idType = corpus.schema(idCol).dataType
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("id", idType,
+          nullable = true),
+        org.apache.spark.sql.types.StructField("rel_milli",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("div_milli",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("score_milli",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 }

@@ -98,6 +98,81 @@ object EmbeddingQueries {
         SELECT id AS vec_id, proj AS proj_fp,
                CAST(a2 * (SELECT b FROM b) - proj * proj AS BIGINT)
                  AS resid_sq_fp
-        FROM pr ORDER BY vec_id"""))
+        FROM pr ORDER BY vec_id""")),
+
+    // ------------------------------------------------------------------
+    // Maximal Marginal Relevance diverse top-k: greedily pick k=8
+    // vectors maximizing 0.7·rel − 0.3·max-sim-to-selected against the
+    // vec_id-0 query — the retrieval-for-context / diverse-few-shot
+    // selection a plain top-k fails (it returns near-copies of the
+    // best hit). Integer-milli similarities make the greedy argmax a
+    // pure function of gate-compared integers; the oracle unrolls the
+    // 8 greedy steps (the PCA fixed-point discipline applied to a
+    // greedy loop).
+    // ------------------------------------------------------------------
+    "q212_mmr_select" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Similarity
+        import graft.functions.{VectorFunctions => V}
+        val emb = Tables(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(V.toDouble(col("embedding"))).head.getSeq[Double](0)
+        Similarity.mmrSelect(emb.filter(col("vec_id") =!= 0L),
+            "vec_id", "embedding", q.toArray, k = 8, lambdaMilli = 700L)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("rank")
+      },
+      oracle = Some(mmrOracleSql(k = 8, lam = 700L)))
   )
+
+  /** The unrolled greedy MMR replay — generated so the step count and
+    * λ can never drift from the operator call above. */
+  private def mmrOracleSql(k: Int, lam: Long): String = {
+    val lamC = 1000L - lam
+    def sim(s: String): String =
+      s"CAST(round(1000 * list_dot_product(v, (SELECT v FROM $s)) / " +
+        s"(vn * (SELECT vn FROM $s))) AS BIGINT)"
+    val steps = new StringBuilder
+    steps ++= s"""
+        s1 AS MATERIALIZED (
+          SELECT id, v, vn, rel, CAST(0 AS BIGINT) AS div
+          FROM r ORDER BY $lam * rel DESC, id LIMIT 1)"""
+    for (i <- 2 to k) {
+      val prev = (1 until i).map(j => s"s$j")
+      val divExpr =
+        if (prev.size == 1) sim(prev.head)
+        else prev.map(sim).mkString("greatest(", ", ", ")")
+      val notin = prev.map(p => s"SELECT id FROM $p")
+        .mkString(" UNION ALL ")
+      steps ++= s""",
+        s$i AS MATERIALIZED (
+          SELECT id, v, vn, rel, div FROM (
+            SELECT id, v, vn, rel, $divExpr AS div
+            FROM r WHERE id NOT IN ($notin))
+          ORDER BY $lam * rel - $lamC * div DESC, id LIMIT 1)"""
+    }
+    val union = (1 to k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, id AS vec_id,
+               rel AS rel_milli, div AS div_milli,
+               CAST($lam * rel - $lamC * div AS BIGINT) AS score_milli
+        FROM s$i""").mkString("\n        UNION ALL\n        ")
+    s"""
+        WITH c AS MATERIALIZED (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS vn
+          FROM embeddings WHERE vec_id <> 0
+            AND sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[])) > 0),
+        q AS MATERIALIZED (
+          SELECT embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS vn
+          FROM embeddings WHERE vec_id = 0),
+        r AS MATERIALIZED (
+          SELECT id, v, vn, ${sim("q")} AS rel
+          FROM c),$steps
+        $union
+        ORDER BY rank"""
+  }
 }

@@ -459,4 +459,57 @@ class SimilaritySpec extends SparkSpec {
     assert(got((1, 3)) === ((2L, 2L, 0.7071)))
     assert(got((2, 3)) === ((1L, 2L, 0.0)))
   }
+
+  test("mmrSelect equals an exact greedy integer-milli replay on " +
+      "randomized vectors; diversity term breaks up near-duplicate " +
+      "top hits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    def simM(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(1000.0 * dot / (na * nb))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    for ((lam, k) <- Seq((700L, 6), (500L, 4))) {
+      val vecs = (1L to 30L).map(id =>
+        id -> Array.fill(6)(rnd.nextDouble() * 2 - 1))
+      val query = Array.fill(6)(rnd.nextDouble() * 2 - 1)
+      // greedy replay with the identical integer rule
+      val selected = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)] // id, rel, div
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (_ <- 1 to k) {
+        val best = vecs.filterNot(v => chosen.contains(v._1)).map {
+          case (id, v) =>
+            val rel = simM(v, query)
+            val div = if (chosen.isEmpty) 0L
+              else chosen.map(c => simM(v,
+                vecs.find(_._1 == c).get._2)).max
+            (lam * rel - (1000 - lam) * div, id, rel, div)
+        }.maxBy { case (s, id, _, _) => (s, -id) }
+        chosen += best._2
+        selected += ((best._2, best._3, best._4))
+      }
+      val got = Similarity.mmrSelect(
+          vecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec"),
+          "id", "vec", query, k, lam)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq === selected.toSeq, s"lam=$lam k=$k")
+    }
+    // near-duplicate regime: two almost-identical vectors closest to
+    // the query; plain top-2 takes both, MMR (strong diversity) takes
+    // one plus something different
+    val base = Array(1.0, 0.0, 0.0)
+    val dup = Array(0.999, 0.01, 0.0)
+    val other = Array(0.6, 0.8, 0.0)
+    val df = Seq((1L, base.toSeq), (2L, dup.toSeq), (3L, other.toSeq))
+      .toDF("id", "vec")
+    val picks = Similarity.mmrSelect(df, "id", "vec",
+        Array(1.0, 0.0, 0.0), k = 2, lambdaMilli = 300L)
+      .collect().map(_.getLong(1)).toSeq
+    assert(picks === Seq(1L, 3L))
+  }
 }
