@@ -3874,7 +3874,73 @@ object LlmOps {
         comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
         SELECT component, count(*) AS n_docs,
                CAST(sum(id) AS BIGINT) AS id_checksum
-        FROM comp GROUP BY component ORDER BY component"""))
+        FROM comp GROUP BY component ORDER BY component""")),
+
+    // ------------------------------------------------------------------
+    // Streaming volume monitor, gated end-to-end: events arrive as two
+    // micro-batches (event_id parity); batch 0 seeds the hourly-count
+    // store (NULL statistics — no reference yet), batch 1's hours are
+    // scored against batch 0's accumulated hourly distribution by the
+    // exact integer median/MAD rule (q202 made incremental, the q147
+    // store protocol). The oracle recomputes both batch ledgers from
+    // the parity split directly.
+    // ------------------------------------------------------------------
+    "q213_volume_monitor" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-q213-store").toString
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-q213-out").toString
+        val ev = graft.Tables.eventsWithTs(s, dir)
+          .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+        Streaming.volumeMonitorBatch(
+          ev.filter(col("event_id") % 2 === 0), 0L, storeDir, outDir, "ms")
+        Streaming.volumeMonitorBatch(
+          ev.filter(col("event_id") % 2 =!= 0), 1L, storeDir, outDir, "ms")
+        materializeAndClean(
+          s.read.option("basePath", outDir).parquet(outDir)
+            .select(col("batch_id").cast("long").as("batch_id"),
+              col("hour"), col("n_events"), col("med2"), col("mad4"),
+              col("anomaly"))
+            .orderBy("batch_id", "hour"),
+          storeDir, outDir)
+      },
+      oracle = Some("""
+        WITH h0 AS (
+          SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n
+          FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        h1 AS (
+          SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n
+          FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+        n0 AS (SELECT count(*) AS n FROM h0),
+        c AS (SELECT n AS v, count(*) AS c FROM h0 GROUP BY 1),
+        cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM c),
+        med AS (SELECT
+          (SELECT min(v) FROM cum WHERE cum >= ((SELECT n FROM n0)+1)//2)
+          + (SELECT min(v) FROM cum
+             WHERE cum >= (SELECT n FROM n0)//2 + 1) AS med2),
+        d AS (SELECT abs(2*h0.n - (SELECT med2 FROM med)) AS dv FROM h0),
+        dc AS (SELECT dv, count(*) AS c FROM d GROUP BY 1),
+        dcum AS (SELECT dv, c, sum(c) OVER (ORDER BY dv) AS cum FROM dc),
+        mad AS (SELECT
+          (SELECT min(dv) FROM dcum
+           WHERE cum >= ((SELECT n FROM n0)+1)//2)
+          + (SELECT min(dv) FROM dcum
+             WHERE cum >= (SELECT n FROM n0)//2 + 1) AS mad4)
+        SELECT CAST(0 AS BIGINT) AS batch_id, hour,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(NULL AS BIGINT) AS med2, CAST(NULL AS BIGINT) AS mad4,
+               CAST(NULL AS BOOLEAN) AS anomaly
+        FROM h0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), hour, CAST(n AS BIGINT),
+               CAST((SELECT med2 FROM med) AS BIGINT),
+               CAST((SELECT mad4 FROM mad) AS BIGINT),
+               2*abs(2*n - (SELECT med2 FROM med))
+                 > 3*(SELECT mad4 FROM mad)
+        FROM h1
+        ORDER BY batch_id, hour"""))
   )
 }
 

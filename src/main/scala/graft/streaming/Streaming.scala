@@ -530,6 +530,63 @@ object Streaming {
     writeBatch(delta, labelsPath, "parquet", batchId)
   }
 
+  /** Streaming volume-anomaly monitor: each micro-batch's hourly
+    * event counts are scored against the ACCUMULATED hourly-count
+    * store by the exact median/MAD rule
+    * ([[graft.operators.EventAnalytics.hourlyVolumeAnomaly]]'s Hampel
+    * identifier made incremental, the [[driftMonitor]] protocol
+    * applied to volume): batch hours land as replay-idempotent
+    * slices, the prior distribution is one two-column store scan
+    * re-summed per hour, and `med2`/`mad4` ride the q180 integer
+    * doubling discipline so the flags are bit-exact. Batch 0 emits
+    * NULL statistics (no reference distribution yet — the q147
+    * convention, never a fake zero). The counts store sum-merges to
+    * an hours-sized base at compaction (the [[IngestStore]] `reduce`
+    * hook). */
+  def volumeMonitorBatch(
+      batch: DataFrame, batchId: Long, storePath: String,
+      outPath: String, msCol: String, k: Int = 3,
+      compactEvery: Int = 16): Unit = {
+    import graft.operators.Eval
+    import graft.plans.Scalars
+    val spark = batch.sparkSession
+    val hourSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("hour",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      IngestStore.compact(spark, storePath, hourSchema, upTo = batchId,
+        reduce = Some(df => df.groupBy(col("hour"))
+          .agg(sum(col("n")).as("n"))
+          .withColumn("batch_id", lit(0L))))
+    val bh = batch
+      .groupBy(expr(s"`$msCol` div 3600000").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // the slice write + the scoring pass
+    writeBatch(bh, storePath, "parquet", batchId)
+    val prior = IngestStore
+      .read(spark, storePath, hourSchema, excludeBatch = batchId)
+      .groupBy(col("hour")).agg(sum(col("n")).as("n"))
+      .localCheckpoint(true) // emptiness probe + medianMad consumers
+    val scored =
+      if (prior.isEmpty)
+        bh.select(col("hour"), col("n").as("n_events"),
+          lit(null).cast("long").as("med2"),
+          lit(null).cast("long").as("mad4"),
+          lit(null).cast("boolean").as("anomaly"))
+      else {
+        val mm = Eval.medianMad(prior, lit("all"), col("n"), k)
+        val med2 = Scalars.of(mm.select(col("med2")))
+        val mad4 = Scalars.of(mm.select(col("mad4")))
+        bh.select(col("hour"), col("n").as("n_events"),
+          med2.as("med2"), mad4.as("mad4"),
+          (lit(2L) * abs(lit(2L) * col("n") - med2) >
+            lit(k.toLong) * mad4).as("anomaly"))
+      }
+    writeBatch(scored, outPath, "parquet", batchId)
+  }
+
   /** Continuous training-data PREPARATION: the ingest-side composition
     * of the batch prep pipeline — each arriving micro-batch is
     * quality-gated (token count ≥ `minTokens`) and only FIRST

@@ -426,6 +426,38 @@ class StreamingSpec extends SparkSpec {
     assert(labels() === after2)
   }
 
+  test("volumeMonitorBatch: batch 0 emits NULL stats; later batches " +
+      "score against the accumulated store; replay idempotent") {
+    import spark.implicits._
+    val H = 3600000L
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-vm-store").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-vm-out").toString
+    // batch 0: 5 steady hours of 10 events each
+    val b0 = (0 until 5).flatMap(h => (1 to 10).map(_ => h * H + 1L))
+    Streaming.volumeMonitorBatch(b0.toDF("ms"), 0L, storeDir, outDir, "ms")
+    val out0 = spark.read.option("basePath", outDir).parquet(outDir)
+      .filter(col("batch_id") === 0).collect()
+    assert(out0.length === 5 && out0.forall(_.isNullAt(2)))
+    // batch 1: one steady hour, one 100-event burst. Prior med2 = 20,
+    // mad4 = 0 — the burst flags (360 > 0), the steady hour does not
+    // (0 > 0 is false)
+    val b1 = (1 to 10).map(_ => 10L * H + 1L) ++
+      (1 to 100).map(_ => 11L * H + 1L)
+    def run1(): Map[Long, (Long, Long, Boolean)] = {
+      Streaming.volumeMonitorBatch(b1.toDF("ms"), 1L, storeDir, outDir, "ms")
+      spark.read.option("basePath", outDir).parquet(outDir)
+        .filter(col("batch_id") === 1).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    }
+    val got = run1()
+    assert(got === Map(10L -> ((20L, 0L, false)), 11L -> ((20L, 0L, true))))
+    // replay (restart after an unflushed batch): identical output
+    assert(run1() === got)
+  }
+
   test("ingestDedupBatch: batch 0 succeeds against a pre-created EMPTY corpus dir") {
     import spark.implicits._
     // a provisioned-but-empty corpus path (mkdir -p in a deploy script,
