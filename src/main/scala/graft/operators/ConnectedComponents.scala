@@ -455,9 +455,15 @@ object ConnectedComponents {
           .select(col("__from").as("__oc"), col("__to")),
         Seq("__oc"))
       .select(col("__oid").as("id"), col("__to").as("component"))
-    val newIds = newPairs.select(col(aCol).as("__nid"))
-      .unionAll(newPairs.select(col(bCol).as("__nid")))
-      .filter(col("__nid").isNotNull)
+    // endpoints of FULLY non-null pairs only — [[apply]] drops
+    // null-endpoint rows wholesale, and this must emit the node set
+    // apply() would (a pair (x, NULL) contributes NO node there, so
+    // a per-endpoint null filter here would leak x as a singleton and
+    // break incremental-vs-full parity)
+    val bothNonNull = newPairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val newIds = bothNonNull.select(col(aCol).as("__nid"))
+      .unionAll(bothNonNull.select(col(bCol).as("__nid")))
       .distinct()
       .join(old.select(col("__oid").as("__nid")), Seq("__nid"), "left_anti")
     val newOut = newIds

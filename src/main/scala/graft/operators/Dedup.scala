@@ -103,11 +103,12 @@ object Dedup {
   /** The full index ranked in the global rarity order: every (k, id)
     * row with `sz` (FULL pre-cap per-doc shingle count) and `rn` (the
     * row's position in its doc's ascending-df, hash-tie-broken order).
-    * [[prefixIndex]] is this frame filtered to the prefix length;
-    * [[containmentPairs]] additionally consumes the UNfiltered frame
-    * as its sup side, so positional pruning can compare positions in
-    * the one shared order. Cap semantics documented on
-    * [[prefixIndex]]. */
+    * [[prefixIndex]] is this frame filtered to the prefix length
+    * ([[inPrefix]]). Note [[containmentPairs]] deliberately does NOT
+    * consume the ranked frame on its sup side — the A/B documented
+    * there measured the sup-side kdf-join + rank window at 2–3× the
+    * whole operator, more than its pruning saves. Cap semantics
+    * documented on [[prefixIndex]]. */
   private def rankedIndex(
       index: DataFrame,
       maxDocFreq: Option[Int],

@@ -875,7 +875,8 @@ object Similarity {
       .localCheckpoint(true) // k rounds re-scan the scored corpus
     val selected = scala.collection.mutable.ArrayBuffer
       .empty[(Any, Seq[Double], Long, Long)] // id, vec, rel, div
-    for (_ <- 1 to k) {
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
       val divCol =
         if (selected.isEmpty) lit(0L)
         else if (selected.size == 1) simMilliTo(selected.head._2, col("vn"))
@@ -893,6 +894,9 @@ object Similarity {
         .limit(1)
         .select("id", "v", "rel_milli", "div_milli")
         .collect()
+      // fewer than k eligible vectors: stop instead of launching the
+      // remaining rounds as guaranteed-empty corpus scans
+      if (next.isEmpty) exhausted = true
       next.foreach { r =>
         selected += ((r.get(0), r.getSeq[Double](1),
           r.getLong(2), r.getLong(3)))

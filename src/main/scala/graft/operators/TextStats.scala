@@ -829,13 +829,15 @@ object TextStats {
     * carries the whole long-tail vocabulary just to discard it. This
     * operator is the two-pass sketch-then-recount:
     *
-    *   1. each partition summarizes its token stream with a
+    *   1. ONE aggregate summarizes the token stream with a
     *      MISRA–GRIES summary of `k` counters (Misra & Gries 1982 —
-    *      O(k) memory, one pass, no sort) via `mapPartitions`;
-    *   2. the union of per-partition survivors — at most
-    *      `#partitions · k` tokens, model-sized by construction — is
-    *      broadcast back as a semi-join filter, and ONE exact count
-    *      aggregation runs over just the candidate tokens.
+    *      O(k) memory, one pass, no sort): the map-side partial
+    *      buffer is each partition's summary, partials merge by the
+    *      mergeable-summaries rule, and the final summary holds at
+    *      most `k` candidate tokens;
+    *   2. that model-sized candidate set is broadcast back as a
+    *      semi-join filter, and ONE exact count aggregation runs over
+    *      just the candidate tokens.
     *
     * The candidate set is provably a SUPERSET of every qualifying
     * token (zero false negatives): a Misra–Gries buffer's total
@@ -856,11 +858,15 @@ object TextStats {
   def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val toks = df.select(explode(T.tokens(col(textCol))).as("tok"))
-    val candidates = toks
-      .agg(graft.plans.SketchExpressions.misraGries(col("tok"), k).as("__c"))
-      .select(explode(col("__c")).as("tok"))
-    val total = graft.plans.Scalars.of(
-      df.agg(sum(size(T.tokens(col(textCol)))).cast("long").as("n")))
+    // ONE fused sketch pass computes BOTH the candidate summary and
+    // the total token count (the ingestDedupBatch fused bloom+probe
+    // device) — a separate total aggregate would tokenize the corpus
+    // a third time
+    val fused = toks.agg(
+      graft.plans.SketchExpressions.misraGries(col("tok"), k).as("__c"),
+      count(lit(1)).as("__n")).localCheckpoint(true)
+    val candidates = fused.select(explode(col("__c")).as("tok"))
+    val total = graft.plans.Scalars.of(fused.select(col("__n")))
     toks.join(broadcast(candidates), Seq("tok"), "left_semi")
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .withColumn("__n", total)
