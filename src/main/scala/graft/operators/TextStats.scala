@@ -875,6 +875,31 @@ object TextStats {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** [[heavyHitters]] stratified: every (group, token) with count
+    * strictly > n_group/(k+1) — the Misra–Gries aggregate is a true
+    * aggregate function, so per-group summaries are just `groupBy` +
+    * the same fused sketch/count pass, and the recount semi-joins on
+    * (group, token). The per-source/per-language hot-token read
+    * (which boilerplate dominates WHICH crawl) at the same bounded
+    * memory per group. Output: (`group`, `tok`, `cnt`). */
+  def heavyHittersPerGroup(
+      df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = df.select(col(groupCol).as("group"),
+      explode(T.tokens(col(textCol))).as("tok"))
+    val fused = toks.groupBy(col("group")).agg(
+      graft.plans.SketchExpressions.misraGries(col("tok"), k).as("__c"),
+      count(lit(1)).as("__n")).localCheckpoint(true)
+    val cands = fused.select(col("group"), explode(col("__c")).as("tok"))
+    toks.join(broadcast(cands), Seq("group", "tok"), "left_semi")
+      .groupBy(col("group"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(fused.select(col("group"), col("__n"))), Seq("group"))
+      .filter(col("cnt") * lit(k + 1).cast("long") > col("__n"))
+      .select(col("group"), col("tok"), col("cnt"))
+      .orderBy(col("group"), col("cnt").desc, col("tok"))
+  }
+
   /** Vocabulary growth curve (the empirical Heaps'-law read behind
     * "will more data still grow the vocabulary"): walk the corpus in
     * the content-stable [[Sampling.shuffleOrder]] permutation (seeded,

@@ -3606,6 +3606,31 @@ object LlmOps {
         ORDER BY cnt DESC, tok""")),
 
     // ------------------------------------------------------------------
+    // q198 stratified by language: per-language heavy hitters through
+    // the GROUPED Misra–Gries aggregate (a true aggregate function, so
+    // per-group bounded-memory summaries are just groupBy + the same
+    // fused sketch/count pass) — which boilerplate dominates WHICH
+    // language, at O(k) memory per group.
+    // ------------------------------------------------------------------
+    "q214_heavy_hitters_per_lang" -> Q(
+      fn = (s, dir) => {
+        TextStats.heavyHittersPerGroup(Tables(s, dir, "documents"),
+            "lang", "text", k = 30)
+          .withColumnRenamed("group", "lang")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        tot AS (SELECT lang, count(*) AS n FROM toks GROUP BY 1),
+        g AS (SELECT lang, tok, count(*) AS cnt
+              FROM toks GROUP BY 1, 2)
+        SELECT g.lang, g.tok, g.cnt
+        FROM g JOIN tot USING (lang)
+        WHERE g.cnt * 31 > tot.n
+        ORDER BY lang, cnt DESC, tok""")),
+
+    // ------------------------------------------------------------------
     // Syndication DIRECTION matrix: q197's containment pairs grouped
     // by the (containee source, container source) pair — q193's
     // symmetric "which sources share near-dups" upgraded with an

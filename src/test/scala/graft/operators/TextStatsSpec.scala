@@ -536,6 +536,36 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersPerGroup equals per-group exact counts (grouped " +
+      "MG summaries lose no qualifying token)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val docs = (1L to 80L).map { id =>
+      val grp = s"g${id % 3}"
+      val words = (1 to 30).map { _ =>
+        val r = rnd.nextInt(100)
+        if (r < 50) s"${grp}hot${rnd.nextInt(2)}"
+        else if (r < 75) s"warm${rnd.nextInt(10)}"
+        else s"tail${rnd.nextInt(400)}"
+      }
+      (id, grp, words.mkString(" "))
+    }
+    val k = 8
+    val expected = docs.groupBy(_._2).flatMap { case (g, ds) =>
+      val toks = ds.flatMap(_._3.split(" "))
+      val n = toks.size.toLong
+      toks.groupBy(identity).collect {
+        case (t, os) if os.size.toLong * (k + 1) > n =>
+          (g, t) -> os.size.toLong
+      }
+    }.toMap
+    val got = TextStats.heavyHittersPerGroup(
+        docs.toDF("id", "grp", "text"), "grp", "text", k)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === expected)
+  }
+
   test("vocabGrowth equals a brute-force replay of the md5 walk on a " +
       "randomized corpus") {
     import spark.implicits._
