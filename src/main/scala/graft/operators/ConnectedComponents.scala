@@ -455,13 +455,16 @@ object ConnectedComponents {
           .select(col("__from").as("__oc"), col("__to")),
         Seq("__oc"))
       .select(col("__oid").as("id"), col("__to").as("component"))
-    // endpoints of FULLY non-null pairs only — [[apply]] drops
-    // null-endpoint rows wholesale, and this must emit the node set
-    // apply() would (a pair (x, NULL) contributes NO node there, so
-    // a per-endpoint null filter here would leak x as a singleton and
-    // break incremental-vs-full parity)
+    // endpoints of FULLY non-null, NON-SELF pairs only — [[apply]]
+    // drops null-endpoint rows AND self-pairs (a = b) wholesale, and
+    // this must emit the node set apply() would (a pair (x, NULL) or
+    // (x, x) contributes NO node there, so a per-endpoint null filter
+    // or a kept self-pair here would leak x as a singleton and break
+    // incremental-vs-full parity). Unreachable from the Dedup pair
+    // generators (always a < b), but direct callers can feed either.
     val bothNonNull = newPairs
-      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
     val newIds = bothNonNull.select(col(aCol).as("__nid"))
       .unionAll(bothNonNull.select(col(bCol).as("__nid")))
       .distinct()

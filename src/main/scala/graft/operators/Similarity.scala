@@ -843,21 +843,42 @@ object Similarity {
     * integers and replays bit-identically in SQL (the q120/q141
     * fixed-point discipline applied to a greedy loop).
     *
-    * Scale shape: the scored corpus is materialized ONCE; each of the
-    * `k` rounds is one corpus-linear pass — the diversity term is a
-    * `greatest` over sims to the ≤ k already-selected vectors, which
-    * ride the plan as broadcast literals — finished by a
+    * Scale shape: the scored candidate frame is materialized ONCE and
+    * the max-similarity-to-selected term is carried FORWARD on it —
+    * after each selection the frame drops the winner and folds
+    * `div' = greatest(div, sim(·, newest))` in, re-materialized with
+    * the predecessor released — so every round is one candidate-linear
+    * pass embedding exactly ONE vector literal (not the O(k²)
+    * all-selected `greatest` rebuild), finished by a
     * TakeOrderedAndProject of ONE row. The driver holds exactly k
     * (id, vector) pairs: the bounded-collect contract (k is a
     * result-page size by use-case, enforced ≤ 1000). Zero-norm
-    * vectors are excluded (cosine undefined). */
+    * vectors are excluded (cosine undefined).
+    *
+    * `shortlist = Some(N)` (N ≥ k) is the 100 TB spelling: candidates
+    * are pre-cut to the top-N by relevance (rel desc, id asc — total
+    * order, deterministic cut) and the k greedy rounds scan N rows
+    * instead of the corpus. EXACT whenever the shortlist provably
+    * contains every possible selection: N ≥ the eligible corpus size,
+    * or `lambdaMilli = 1000` (pure relevance — the greedy argmax can
+    * never leave the top-k, so any N ≥ k reproduces the full run).
+    * Otherwise it is the standard production recall contract
+    * (Carbonell & Goldstein's reranking framing: MMR re-ranks a
+    * relevance retrieval): a candidate can out-score a shortlist
+    * member only by the diversity term, whose reach is bounded —
+    * λ·(rel_in − rel_out) > 2·(1000−λ)·1000 for the worst in/out
+    * relevance gap guarantees no exclusion matters — so pick N ≫ k
+    * (100× is customary). Default None keeps the exact full-corpus
+    * greedy the q212 gate pins. */
   def mmrSelect(
       corpus: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, lambdaMilli: Long = 700L,
-      spread: Boolean = true): DataFrame = {
+      spread: Boolean = true, shortlist: Option[Int] = None): DataFrame = {
     require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
     require(lambdaMilli >= 0L && lambdaMilli <= 1000L,
       "lambdaMilli must be in [0, 1000]")
+    shortlist.foreach(n => require(n >= k,
+      s"shortlist ($n) must be at least k ($k)"))
     val qn = math.sqrt(query.map(x => x * x).sum)
     require(qn > 0, "query vector must have positive norm")
     val spark = corpus.sparkSession
@@ -867,26 +888,38 @@ object Similarity {
       round(lit(1000.0) * DotProduct(col("v"), typedLit(vec)) /
         (norm * lit(vn))).cast("long")
     }
-    val c = maybeSpread(corpus, spread)
+    // a superseded round frame's cached blocks are dead weight once the
+    // successor is materialized (eager localCheckpoint) — k frames of
+    // executor storage otherwise pile up for the session lifetime
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+    val scored = maybeSpread(corpus, spread)
       .select(col(idCol).as("id"), V.toDouble(col(vecCol)).as("v"))
       .withColumn("vn", sqrt(DotProduct(col("v"), col("v"))))
       .filter(col("vn") > 0)
       .withColumn("rel_milli", simMilliTo(query.toSeq, col("vn")))
-      .localCheckpoint(true) // k rounds re-scan the scored corpus
+    val base = shortlist match {
+      case Some(n) => scored.orderBy(col("rel_milli").desc, col("id"))
+        .limit(n)
+      case None => scored
+    }
+    // the working frame carries div_milli FORWARD across rounds. The
+    // seed is a sentinel BELOW any reachable sim (cosine milli ≥
+    // -1000): round 1's score is then a constant shift of pure
+    // relevance (same argmax and ties as the spec's div=0 convention
+    // — the winner's reported div is pinned to 0 below), and the first
+    // fold's greatest(sentinel, sim) yields sim itself, never a
+    // zero-floored max — negative diversities survive exactly as the
+    // all-selected greatest produced them.
+    var cur = base.withColumn("div_milli", lit(-2000L))
+      .localCheckpoint(true)
     val selected = scala.collection.mutable.ArrayBuffer
       .empty[(Any, Seq[Double], Long, Long)] // id, vec, rel, div
     var exhausted = false
-    for (_ <- 1 to k if !exhausted) {
-      val divCol =
-        if (selected.isEmpty) lit(0L)
-        else if (selected.size == 1) simMilliTo(selected.head._2, col("vn"))
-        else greatest(selected.toSeq.map(s =>
-          simMilliTo(s._2, col("vn"))): _*)
-      val already = selected.toSeq.map(_._1)
-      val next = c
-        .filter(if (already.isEmpty) lit(true)
-          else !col("id").isin(already: _*))
-        .withColumn("div_milli", divCol)
+    for (round <- 1 to k if !exhausted) {
+      val next = cur
         .withColumn("score_milli",
           lit(lambdaMilli) * col("rel_milli") -
             lit(1000L - lambdaMilli) * col("div_milli"))
@@ -895,13 +928,30 @@ object Similarity {
         .select("id", "v", "rel_milli", "div_milli")
         .collect()
       // fewer than k eligible vectors: stop instead of launching the
-      // remaining rounds as guaranteed-empty corpus scans
+      // remaining rounds as guaranteed-empty scans
       if (next.isEmpty) exhausted = true
       next.foreach { r =>
-        selected += ((r.get(0), r.getSeq[Double](1),
-          r.getLong(2), r.getLong(3)))
+        val (id, vec) = (r.get(0), r.getSeq[Double](1))
+        // round 1's div is 0 by convention (nothing selected yet), not
+        // the sentinel the constant-shift trick rode on
+        selected += ((id, vec, r.getLong(2),
+          if (round == 1) 0L else r.getLong(3)))
+        if (round < k) {
+          // fold the newest selection in: drop the winner, lift div by
+          // its similarity — ONE vector literal per round, and the
+          // incremental max equals the all-selected greatest because
+          // each pairwise sim is rounded before entering either max
+          val updated = cur
+            .filter(col("id") =!= lit(id))
+            .withColumn("div_milli", greatest(col("div_milli"),
+              simMilliTo(vec, col("vn"))))
+            .localCheckpoint(true)
+          release(cur)
+          cur = updated
+        }
       }
     }
+    release(cur)
     import scala.jdk.CollectionConverters._
     val rows = selected.toSeq.zipWithIndex.map {
       case ((id, _, rel, div), i) =>

@@ -875,28 +875,54 @@ object TextStats {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Candidate-frame row cap for [[heavyHittersPerGroup]]'s broadcast
+    * joins: the candidate set holds up to groups·k rows, and with k
+    * near its useful ceiling (10^5-10^6) over many groups that is no
+    * longer a model-sized broadcast. At or under the cap (≈ 2M short
+    * rows — comfortably inside Spark's broadcast limits) the recount
+    * semi-join and the totals join broadcast; above it both fall back
+    * to plain shuffle joins — same answer, the standard
+    * decide-the-path-never-the-answer contract
+    * ([[graft.operators.Similarity]]'s broadcast-grid discipline). */
+  private[operators] val GroupHHBroadcastMaxRows = 1L << 21
+
   /** [[heavyHitters]] stratified: every (group, token) with count
     * strictly > n_group/(k+1) — the Misra–Gries aggregate is a true
     * aggregate function, so per-group summaries are just `groupBy` +
     * the same fused sketch/count pass, and the recount semi-joins on
     * (group, token). The per-source/per-language hot-token read
     * (which boilerplate dominates WHICH crawl) at the same bounded
-    * memory per group. Output: (`group`, `tok`, `cnt`). */
+    * memory per group. Output: (`group`, `tok`, `cnt`).
+    *
+    * A NULL group is a group like any other (unsourced docs are
+    * exactly the slice whose boilerplate needs reading): the join keys
+    * ride struct-wrapped so complex-type equality keeps null groups
+    * null-safe — the repo's medianMad/withStratumRank discipline. The
+    * candidate frame broadcasts only while it is provably model-sized
+    * (≤ [[GroupHHBroadcastMaxRows]] rows, measured on the checkpointed
+    * summaries, never assumed); past the cap the joins run as ordinary
+    * shuffles. */
   def heavyHittersPerGroup(
-      df: DataFrame, groupCol: String, textCol: String,
-      k: Int): DataFrame = {
+      df: DataFrame, groupCol: String, textCol: String, k: Int,
+      broadcastMaxRows: Long = GroupHHBroadcastMaxRows): DataFrame = {
     require(k >= 1, "k must be positive")
-    val toks = df.select(col(groupCol).as("group"),
+    val toks = df.select(struct(col(groupCol).as("g")).as("__g"),
       explode(T.tokens(col(textCol))).as("tok"))
-    val fused = toks.groupBy(col("group")).agg(
+    val fused = toks.groupBy(col("__g")).agg(
       graft.plans.SketchExpressions.misraGries(col("tok"), k).as("__c"),
       count(lit(1)).as("__n")).localCheckpoint(true)
-    val cands = fused.select(col("group"), explode(col("__c")).as("tok"))
-    toks.join(broadcast(cands), Seq("group", "tok"), "left_semi")
-      .groupBy(col("group"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(fused.select(col("group"), col("__n"))), Seq("group"))
+    val cands = fused.select(col("__g"), explode(col("__c")).as("tok"))
+    // the size test is one count over the checkpointed model-sized
+    // summaries (≤ groups rows scanned), not a corpus action
+    val small = cands.count() <= broadcastMaxRows
+    def maybeBroadcast(d: DataFrame): DataFrame =
+      if (small) broadcast(d) else d
+    toks.join(maybeBroadcast(cands), Seq("__g", "tok"), "left_semi")
+      .groupBy(col("__g"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .join(maybeBroadcast(fused.select(col("__g"), col("__n"))),
+        Seq("__g"))
       .filter(col("cnt") * lit(k + 1).cast("long") > col("__n"))
-      .select(col("group"), col("tok"), col("cnt"))
+      .select(col("__g.g").as("group"), col("tok"), col("cnt"))
       .orderBy(col("group"), col("cnt").desc, col("tok"))
   }
 

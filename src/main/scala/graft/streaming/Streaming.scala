@@ -543,6 +543,18 @@ object Streaming {
     * convention, never a fake zero). The counts store sum-merges to
     * an hours-sized base at compaction (the [[IngestStore]] `reduce`
     * hook). */
+  def volumeMonitor(
+      stream: DataFrame, storePath: String, outPath: String,
+      msCol: String, k: Int = 3, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      volumeMonitorBatch(batch, batchId, storePath, outPath, msCol, k,
+        compactEvery)
+    }
+
+  /** The per-batch step of [[volumeMonitor]] — separated so tests and
+    * manual backfills can replay a batch directly (the
+    * [[ingestDedupBatch]] convention). */
   def volumeMonitorBatch(
       batch: DataFrame, batchId: Long, storePath: String,
       outPath: String, msCol: String, k: Int = 3,

@@ -267,4 +267,29 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(got === want, s"trial $trial")
     }
   }
+
+  test("incremental: self-pairs and null-endpoint pairs in the batch " +
+      "contribute no nodes — parity with apply()'s pair conventions") {
+    import spark.implicits._
+    val oldComp = ConnectedComponents(
+      Seq((1L, 2L)).toDF("a", "b"), "a", "b")
+    // batch: one real edge, one self-pair (7,7), one half-null pair —
+    // apply() over the accumulated pairs sees only (1,2) and (2,3), so
+    // nodes 7 and 9 must NOT surface as singletons
+    val batch = Seq(
+      (Some(2L), Some(3L)), (Some(7L), Some(7L)), (Some(9L), None))
+      .toDF("a", "b")
+    val got = ConnectedComponents.incremental(oldComp, batch, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val want = ConnectedComponents(
+        Seq((1L, 2L), (2L, 3L), (7L, 7L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // the delta likewise emits nothing for the degenerate pairs
+    val delta = ConnectedComponents.incrementalDelta(
+        oldComp, batch, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(delta === Map(3L -> 1L))
+  }
 }

@@ -512,4 +512,34 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(picks === Seq(1L, 3L))
   }
+
+  test("mmrSelect shortlist: covering shortlist and pure-relevance " +
+      "shortlist reproduce the full run exactly; a finite shortlist " +
+      "selects only inside the relevance top-N") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val vecs = (1L to 40L).map(id =>
+      id -> Array.fill(5)(rnd.nextDouble() * 2 - 1).toSeq)
+    val query = Array.fill(5)(rnd.nextDouble() * 2 - 1)
+    val df = vecs.toDF("id", "vec")
+    def run(lam: Long, shortlist: Option[Int]): Seq[(Long, Long, Long, Long, Long)] =
+      Similarity.mmrSelect(df, "id", "vec", query, k = 5,
+          lambdaMilli = lam, shortlist = shortlist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    // N ≥ eligible corpus: provably contains every possible selection
+    assert(run(600L, Some(40)) === run(600L, None))
+    // pure relevance: the greedy argmax never leaves the top-k
+    assert(run(1000L, Some(5)) === run(1000L, None))
+    // finite N: every selection comes from the relevance top-N
+    // (rel desc, id asc — the documented deterministic cut)
+    val topN = Similarity.mmrSelect(df, "id", "vec", query, k = 8,
+        lambdaMilli = 1000L).collect().map(_.getLong(1)).toSet
+    val short = run(300L, Some(8)).map(_._2)
+    assert(short.toSet.subsetOf(topN), s"$short not within top-8 $topN")
+    // shortlist below k is a loud contract violation
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(df, "id", "vec", query, k = 5, shortlist = Some(3))
+    }
+  }
 }

@@ -564,6 +564,34 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     assert(got === expected)
+    // broadcast size contract: past the candidate-row cap the joins
+    // fall back to plain shuffles — path changes, answer must not
+    val shuffled = TextStats.heavyHittersPerGroup(
+        docs.toDF("id", "grp", "text"), "grp", "text", k,
+        broadcastMaxRows = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(shuffled === expected)
+  }
+
+  test("heavyHittersPerGroup: a NULL group's heavy hitters surface " +
+      "like any other group's (null-safe recount joins)") {
+    import spark.implicits._
+    // null group: 'boil' appears 6/8 tokens (> 8/3 with k=2);
+    // labeled group g1: 'hot' 4/6 (> 2)
+    val docs = Seq(
+      (1L, None, "boil boil boil rare1"),
+      (2L, None, "boil boil boil rare2"),
+      (3L, Some("g1"), "hot hot ta tb"),
+      (4L, Some("g1"), "hot hot"))
+      .toDF("id", "grp", "text")
+    val got = TextStats.heavyHittersPerGroup(docs, "grp", "text", k = 2)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      (None, "boil") -> 6L,
+      (Some("g1"), "hot") -> 4L))
   }
 
   test("vocabGrowth equals a brute-force replay of the md5 walk on a " +

@@ -603,6 +603,147 @@ class StreamingSpec extends SparkSpec {
     assert(IngestStore.boundary(spark, corpusDir) === 2L)
   }
 
+  test("clusterIngest: crash AT a labels-compaction batch — Spark's " +
+      "own recovery re-delivers it and the labeling equals the " +
+      "uninterrupted run bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (corpusDir, pairsDir, labelsDir, ckptDir) =
+      (tmp("graft-clucrash-corpus"), tmp("graft-clucrash-pairs"),
+        tmp("graft-clucrash-labels"), tmp("graft-clucrash-ckpt"))
+    // b0: two separate families; b1: a bridge doc merges them (the
+    // delta rewrites 10/11); b2 (the compactEvery=2 boundary): a fresh
+    // family — the compaction absorbs slices 0-1 of corpus, index AND
+    // labels; b3: a second bridge touching the merged family after the
+    // crash point
+    val b0 = Seq((1L, "a b c d e f"), (2L, "a b c d e g"),
+      (10L, "p q r s t u"), (11L, "p q r s t v"))
+    val b1 = Seq((5L, "a b c d e f p q r s t u"))
+    val b2 = Seq((20L, "m n o w x y"), (21L, "m n o w x z"))
+    val b3 = Seq((6L, "a b c d e g p q r s t v"))
+    val ms = MemoryStream[(Long, String)]
+    val writer = Streaming.clusterIngest(
+      ms.toDF().toDF("doc_id", "text"), corpusDir, pairsDir, labelsDir,
+      "doc_id", "text", n = 3, threshold = 0.4, compactEvery = 2)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+    def runOnce(): Unit = {
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+    }
+    ms.addData(b0: _*); runOnce()
+    ms.addData(b1: _*); runOnce()
+    ms.addData(b2: _*); runOnce()
+    // batch 2 ran the labels compaction (slices 0-1 absorbed into the
+    // marker-committed base). Crash "after the work, before the
+    // commit": delete the commit marker and leave the labels slice
+    // HALF-WRITTEN (empty) — Spark must re-deliver batch 2, whose
+    // foreachBatch re-runs the compaction as a no-op GC retry and the
+    // slice overwrite repairs the labels output
+    assert(IngestStore.boundary(spark, labelsDir) === 2L)
+    val commit2 = new java.io.File(s"$ckptDir/commits/2")
+    assert(commit2.exists && commit2.delete())
+    new java.io.File(s"$ckptDir/commits/.2.crc").delete()
+    Streaming.writeBatch(Seq.empty[(Long, Long)].toDF("id", "component"),
+      labelsDir, "parquet", 2L)
+    runOnce()
+    assert(new java.io.File(s"$ckptDir/commits/2").exists,
+      "restart must have re-run and committed batch 2")
+    ms.addData(b3: _*); runOnce()
+
+    // uninterrupted reference: the same four batches replayed directly
+    val (refC, refP, refL) = (tmp("graft-clucrash-refc"),
+      tmp("graft-clucrash-refp"), tmp("graft-clucrash-refl"))
+    Seq((b0, 0L), (b1, 1L), (b2, 2L), (b3, 3L)).foreach { case (rows, id) =>
+      Streaming.clusterIngestBatch(rows.toDF("doc_id", "text"), id,
+        refC, refP, refL, "doc_id", "text", n = 3, threshold = 0.4,
+        compactEvery = 2)
+    }
+    def labels(dir: String): Map[Long, Long] =
+      Streaming.clusterLabels(spark, dir,
+          org.apache.spark.sql.types.LongType)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(labelsDir) === labels(refL))
+    // the recovered labeling also equals the full recompute over the
+    // accumulated pair store (one merged family + the fresh one)
+    val full = graft.operators.ConnectedComponents(
+        spark.read.option("basePath", pairsDir).parquet(pairsDir)
+          .select("a_id", "b_id"), "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(labelsDir) === full)
+    assert(labels(labelsDir) === Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
+      6L -> 1L, 10L -> 1L, 11L -> 1L, 20L -> 20L, 21L -> 20L))
+    assert(IngestStore.boundary(spark, labelsDir) === 2L)
+  }
+
+  test("volumeMonitor: query killed AT a reduce-compaction batch — " +
+      "restart re-delivers through the checkpoint and the scores " +
+      "equal the uninterrupted run") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val H = 3600000L
+    val (storeDir, outDir, ckptDir) =
+      (tmp("graft-vmcrash-store"), tmp("graft-vmcrash-out"),
+        tmp("graft-vmcrash-ckpt"))
+    val b0 = (0 until 5).flatMap(h => (1 to 10).map(_ => h * H + 1L))
+    val b1 = (1 to 10).map(_ => 10L * H + 1L)
+    val b2 = (1 to 100).map(_ => 11L * H + 1L) // burst, compaction batch
+    val b3 = (1 to 10).map(_ => 12L * H + 1L)
+    val ms = MemoryStream[Long]
+    val writer = Streaming.volumeMonitor(
+      ms.toDF().toDF("ms"), storeDir, outDir, "ms", compactEvery = 2)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+    def runOnce(): Unit = {
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+    }
+    ms.addData(b0: _*); runOnce()
+    ms.addData(b1: _*); runOnce()
+    ms.addData(b2: _*); runOnce()
+    // batch 2 ran the counts-store REDUCE compaction (hour rows of
+    // slices 0-1 sum-merged into the base). Crash before the commit:
+    // the marker-committed base makes the re-delivered compaction a
+    // no-op retry, and the half-written score slice is overwritten
+    val commit2 = new java.io.File(s"$ckptDir/commits/2")
+    assert(commit2.exists && commit2.delete())
+    new java.io.File(s"$ckptDir/commits/.2.crc").delete()
+    Streaming.writeBatch(
+      spark.read.option("basePath", outDir).parquet(outDir)
+        .filter(col("batch_id") === 0).drop("batch_id").limit(0),
+      outDir, "parquet", 2L)
+    runOnce()
+    assert(new java.io.File(s"$ckptDir/commits/2").exists,
+      "restart must have re-run and committed batch 2")
+    ms.addData(b3: _*); runOnce()
+
+    // uninterrupted reference via direct batch replays
+    val (refStore, refOut) =
+      (tmp("graft-vmcrash-refstore"), tmp("graft-vmcrash-refout"))
+    Seq((b0, 0L), (b1, 1L), (b2, 2L), (b3, 3L)).foreach { case (rows, id) =>
+      Streaming.volumeMonitorBatch(rows.toDF("ms"), id, refStore, refOut,
+        "ms", compactEvery = 2)
+    }
+    def scores(dir: String): Set[(Long, Long, Long, Option[(Long, Long, Boolean)])] =
+      spark.read.option("basePath", dir).parquet(dir)
+        .select(col("batch_id").cast("long"), col("hour"),
+          col("n_events"), col("med2"), col("mad4"), col("anomaly"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None
+          else Some((r.getLong(3), r.getLong(4), r.getBoolean(5))))).toSet
+    assert(scores(outDir) === scores(refOut))
+    // the burst batch flagged against the 10-events/hour prior
+    assert(scores(outDir).contains((2L, 11L, 100L, Some((20L, 0L, true)))))
+    // store content identical after recovery (per-hour sums)
+    def hours(dir: String): Map[Long, Long] =
+      IngestStore.readStore(spark, dir)
+        .groupBy(col("hour")).agg(sum(col("n")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hours(storeDir) === hours(refStore))
+  }
+
   test("prepIngest: query killed after an unflushed batch — restart " +
       "re-delivers it and converges to the uninterrupted run") {
     import spark.implicits._
