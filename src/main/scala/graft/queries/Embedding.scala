@@ -122,21 +122,54 @@ object EmbeddingQueries {
           .withColumnRenamed("id", "vec_id")
           .orderBy("rank")
       },
-      oracle = Some(mmrOracleSql(k = 8, lam = 700L)))
+      oracle = Some(mmrOracleSql(k = 8, lam = 700L))),
+
+    // ------------------------------------------------------------------
+    // The 100 TB MMR spelling: candidates pre-cut to the top-50 by
+    // relevance (rel desc, id asc — a deterministic total order on
+    // integer milli), the 8 greedy rounds scan 50 rows instead of the
+    // corpus. λ=400 is diversity-heavy, so the shortlist genuinely
+    // constrains the selection — the oracle applies the SAME top-N cut
+    // before its unrolled greedy replay, gating the knob's documented
+    // semantics (not just the covering-shortlist identity the spec
+    // pins).
+    // ------------------------------------------------------------------
+    "q215_mmr_shortlist" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Similarity
+        import graft.functions.{VectorFunctions => V}
+        val emb = Tables(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(V.toDouble(col("embedding"))).head.getSeq[Double](0)
+        Similarity.mmrSelect(emb.filter(col("vec_id") =!= 0L),
+            "vec_id", "embedding", q.toArray, k = 8, lambdaMilli = 400L,
+            shortlist = Some(50))
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("rank")
+      },
+      oracle = Some(mmrOracleSql(k = 8, lam = 400L, shortlist = Some(50))))
   )
 
-  /** The unrolled greedy MMR replay — generated so the step count and
-    * λ can never drift from the operator call above. */
-  private def mmrOracleSql(k: Int, lam: Long): String = {
+  /** The unrolled greedy MMR replay — generated so the step count, λ
+    * and shortlist cut can never drift from the operator call above. */
+  private def mmrOracleSql(
+      k: Int, lam: Long, shortlist: Option[Int] = None): String = {
     val lamC = 1000L - lam
     def sim(s: String): String =
       s"CAST(round(1000 * list_dot_product(v, (SELECT v FROM $s)) / " +
         s"(vn * (SELECT vn FROM $s))) AS BIGINT)"
+    // the candidate base the greedy rounds scan: the full scored frame,
+    // or its top-N relevance cut (the same total order the operator
+    // documents: rel desc, id asc)
+    val base = if (shortlist.isDefined) "rs" else "r"
+    val cut = shortlist.map(n => s""",
+        rs AS MATERIALIZED (
+          SELECT * FROM r ORDER BY rel DESC, id LIMIT $n)""").getOrElse("")
     val steps = new StringBuilder
     steps ++= s"""
         s1 AS MATERIALIZED (
           SELECT id, v, vn, rel, CAST(0 AS BIGINT) AS div
-          FROM r ORDER BY $lam * rel DESC, id LIMIT 1)"""
+          FROM $base ORDER BY $lam * rel DESC, id LIMIT 1)"""
     for (i <- 2 to k) {
       val prev = (1 until i).map(j => s"s$j")
       val divExpr =
@@ -148,7 +181,7 @@ object EmbeddingQueries {
         s$i AS MATERIALIZED (
           SELECT id, v, vn, rel, div FROM (
             SELECT id, v, vn, rel, $divExpr AS div
-            FROM r WHERE id NOT IN ($notin))
+            FROM $base WHERE id NOT IN ($notin))
           ORDER BY $lam * rel - $lamC * div DESC, id LIMIT 1)"""
     }
     val union = (1 to k).map(i =>
@@ -171,7 +204,7 @@ object EmbeddingQueries {
           FROM embeddings WHERE vec_id = 0),
         r AS MATERIALIZED (
           SELECT id, v, vn, ${sim("q")} AS rel
-          FROM c),$steps
+          FROM c)$cut,$steps
         $union
         ORDER BY rank"""
   }

@@ -1010,6 +1010,72 @@ class StreamingSpec extends SparkSpec {
       .agg(sum(col("c"))).head().getLong(0) === 9L)
   }
 
+  test("trendingTokens: query killed AT a reduce-compaction batch — " +
+      "restart re-delivers through the checkpoint and the trend rows " +
+      "equal the uninterrupted run (closes the counts-store family's " +
+      "crash symmetry)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (storeDir, trendDir, ckptDir) =
+      (tmp("graft-trcrash-store"), tmp("graft-trcrash-out"),
+        tmp("graft-trcrash-ckpt"))
+    val b0 = Seq((1L, "a a b"), (2L, "b c"))
+    val b1 = Seq((3L, "a b b d"))
+    val b2 = Seq((4L, "d d e a")) // the compactEvery=2 boundary batch
+    val b3 = Seq((5L, "e e f b"))
+    val ms = MemoryStream[(Long, String)]
+    val writer = Streaming.trendingTokens(
+      ms.toDF().toDF("doc_id", "text"), storeDir, trendDir, "text",
+      k = 2, compactEvery = 2)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+    def runOnce(): Unit = {
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+    }
+    ms.addData(b0: _*); runOnce()
+    ms.addData(b1: _*); runOnce()
+    ms.addData(b2: _*); runOnce()
+    // batch 2 ran the counts-store REDUCE compaction (token rows of
+    // slices 0-1 sum-merged into the base). Crash before the commit,
+    // trend slice half-written (empty): the marker-committed base
+    // makes the re-delivered compaction a no-op retry and the slice
+    // overwrite repairs the trend output
+    val commit2 = new java.io.File(s"$ckptDir/commits/2")
+    assert(commit2.exists && commit2.delete())
+    new java.io.File(s"$ckptDir/commits/.2.crc").delete()
+    Streaming.writeBatch(
+      spark.read.option("basePath", trendDir).parquet(trendDir)
+        .filter(col("batch_id") === 1).drop("batch_id").limit(0),
+      trendDir, "parquet", 2L)
+    runOnce()
+    assert(new java.io.File(s"$ckptDir/commits/2").exists,
+      "restart must have re-run and committed batch 2")
+    ms.addData(b3: _*); runOnce()
+
+    // uninterrupted reference via direct batch replays
+    val (refStore, refTrend) =
+      (tmp("graft-trcrash-refstore"), tmp("graft-trcrash-refout"))
+    Seq((b0, 0L), (b1, 1L), (b2, 2L), (b3, 3L)).foreach { case (rows, id) =>
+      Streaming.trendingTokensBatch(rows.toDF("doc_id", "text"), id,
+        refStore, refTrend, "text", k = 2, compactEvery = 2)
+    }
+    def trends(dir: String): Set[(Long, String, Long, Long, Long)] =
+      spark.read.option("basePath", dir).parquet(dir)
+        .select(col("batch_id").cast("long"), col("tok"), col("cb"),
+          col("cp"), col("lift_milli"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(trends(trendDir) === trends(refTrend))
+    assert(trends(trendDir).nonEmpty)
+    def counts(dir: String): Map[String, Long] =
+      IngestStore.readStore(spark, dir)
+        .groupBy(col("tok")).agg(sum(col("c")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(storeDir) === counts(refStore))
+  }
+
   test("driftMonitor: reduce-compaction changes neither drift nor " +
       "store content, and bounds the store to a vocab-sized base") {
     import spark.implicits._
