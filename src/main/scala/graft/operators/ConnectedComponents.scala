@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,7 +124,7 @@ object ConnectedComponents {
       }
     }
     def release(df: DataFrame, successor: DataFrame): Unit =
-      df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+      PlanLeaves.checkpointRdd(df)
         .foreach { rdd =>
           // Deleting the predecessor's files is only safe once the
           // SUCCESSOR holds its own materialized checkpoint — a
@@ -135,8 +134,7 @@ object ConnectedComponents {
           // materialize the successor now; and if it still is not
           // checkpointed (unexpected plan shape), keep the files —
           // leaked checkpoint data beats a broken lineage.
-          val succ = successor.queryExecution.analyzed
-            .collectFirst { case l: LogicalRDD => l.rdd }
+          val succ = PlanLeaves.checkpointRdd(successor)
           succ.filterNot(_.isCheckpointed).foreach(_.count())
           if (succ.exists(_.isCheckpointed)) releaseNow(rdd)
           else rdd.unpersist(blocking = false)
@@ -146,8 +144,7 @@ object ConnectedComponents {
     // no successor-materialization guard applies because nothing will
     // ever re-read it.
     def releaseCollected(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
-        .foreach(releaseNow)
+      PlanLeaves.checkpointRdd(df).foreach(releaseNow)
 
     // Driver union-find finisher over a MATERIALIZED edge set whose
     // count is already known ≤ driverFinishMaxEdges. Mid-loop handoff

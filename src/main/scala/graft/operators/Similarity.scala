@@ -419,6 +419,15 @@ object Similarity {
     * the model). */
   private[operators] val MaxTrainVectors: Int = 1 << 18
 
+  /** How many lazy diversity folds [[mmrSelect]] stacks before cutting
+    * the plan with an eager checkpoint: between cuts a round's pass
+    * re-evaluates ≤ this many single-vector dot products per row
+    * (CPU-cheap, bounded codegen), and the candidate frame is rewritten
+    * to executor storage only k/this times across the run — the middle
+    * ground between the O(k²)-literal rebuild and a per-round frame
+    * rewrite. */
+  private[operators] val MmrCheckpointEveryRounds = 8
+
   /** The shared sample-size bound for both model trainers — one
     * definition so the ceiling cannot drift between the IVF and PQ
     * paths. */
@@ -846,10 +855,16 @@ object Similarity {
     * Scale shape: the scored candidate frame is materialized ONCE and
     * the max-similarity-to-selected term is carried FORWARD on it —
     * after each selection the frame drops the winner and folds
-    * `div' = greatest(div, sim(·, newest))` in, re-materialized with
-    * the predecessor released — so every round is one candidate-linear
-    * pass embedding exactly ONE vector literal (not the O(k²)
-    * all-selected `greatest` rebuild), finished by a
+    * `div' = greatest(div, sim(·, newest))` in LAZILY, re-checkpointed
+    * (predecessor released) only every [[MmrCheckpointEveryRounds]]
+    * rounds. Between checkpoints a round's pass re-evaluates at most
+    * that many stacked single-vector dot products per row (CPU-cheap,
+    * bounded plan size); at the boundary one materialization cuts the
+    * stack. So neither failure mode of the naive spellings occurs:
+    * not the O(k²) all-selected `greatest` literal rebuild (plan /
+    * codegen blowup near k = 1000), and not a full candidate-frame
+    * rewrite to executor storage on EVERY round (I/O blowup at corpus
+    * scale with small k — the q212 shape). Each round finishes in a
     * TakeOrderedAndProject of ONE row. The driver holds exactly k
     * (id, vector) pairs: the bounded-collect contract (k is a
     * result-page size by use-case, enforced ≤ 1000). Zero-norm
@@ -889,12 +904,10 @@ object Similarity {
         (norm * lit(vn))).cast("long")
     }
     // a superseded round frame's cached blocks are dead weight once the
-    // successor is materialized (eager localCheckpoint) — k frames of
-    // executor storage otherwise pile up for the session lifetime
+    // successor is materialized (eager localCheckpoint) — stale frames
+    // of executor storage otherwise pile up for the session lifetime
     def release(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(blocking = false))
+      PlanLeaves.localCheckpointRdd(df).foreach(_.unpersist(blocking = false))
     val scored = maybeSpread(corpus, spread)
       .select(col(idCol).as("id"), V.toDouble(col(vecCol)).as("v"))
       .withColumn("vn", sqrt(DotProduct(col("v"), col("v"))))
@@ -913,8 +926,10 @@ object Similarity {
     // fold's greatest(sentinel, sim) yields sim itself, never a
     // zero-floored max — negative diversities survive exactly as the
     // all-selected greatest produced them.
-    var cur = base.withColumn("div_milli", lit(-2000L))
+    var ckpt = base.withColumn("div_milli", lit(-2000L))
       .localCheckpoint(true)
+    var cur: DataFrame = ckpt
+    var lazyFolds = 0
     val selected = scala.collection.mutable.ArrayBuffer
       .empty[(Any, Seq[Double], Long, Long)] // id, vec, rel, div
     var exhausted = false
@@ -937,21 +952,29 @@ object Similarity {
         selected += ((id, vec, r.getLong(2),
           if (round == 1) 0L else r.getLong(3)))
         if (round < k) {
-          // fold the newest selection in: drop the winner, lift div by
-          // its similarity — ONE vector literal per round, and the
-          // incremental max equals the all-selected greatest because
-          // each pairwise sim is rounded before entering either max
-          val updated = cur
+          // fold the newest selection in LAZILY: drop the winner, lift
+          // div by its similarity — the incremental max equals the
+          // all-selected greatest because each pairwise sim is rounded
+          // before entering either max. The stack of pending folds is
+          // cut by one eager checkpoint every MmrCheckpointEveryRounds
+          // rounds: plans stay bounded AND the candidate frame is not
+          // rewritten to executor storage every round
+          cur = cur
             .filter(col("id") =!= lit(id))
             .withColumn("div_milli", greatest(col("div_milli"),
               simMilliTo(vec, col("vn"))))
-            .localCheckpoint(true)
-          release(cur)
-          cur = updated
+          lazyFolds += 1
+          if (lazyFolds >= MmrCheckpointEveryRounds) {
+            val cut = cur.localCheckpoint(true)
+            release(ckpt)
+            ckpt = cut
+            cur = cut
+            lazyFolds = 0
+          }
         }
       }
     }
-    release(cur)
+    release(ckpt)
     import scala.jdk.CollectionConverters._
     val rows = selected.toSeq.zipWithIndex.map {
       case ((id, _, rel, div), i) =>

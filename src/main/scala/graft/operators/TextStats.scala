@@ -875,16 +875,18 @@ object TextStats {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
-  /** Candidate-frame row cap for [[heavyHittersPerGroup]]'s broadcast
+  /** Candidate-frame caps for [[heavyHittersPerGroup]]'s broadcast
     * joins: the candidate set holds up to groups·k rows, and with k
     * near its useful ceiling (10^5-10^6) over many groups that is no
-    * longer a model-sized broadcast. At or under the cap (≈ 2M short
-    * rows — comfortably inside Spark's broadcast limits) the recount
-    * semi-join and the totals join broadcast; above it both fall back
-    * to plain shuffle joins — same answer, the standard
-    * decide-the-path-never-the-answer contract
+    * longer a model-sized broadcast. At or under BOTH caps (≈ 2M rows
+    * AND 64 MB of token payload — rows alone would pass a frame of
+    * multi-KB "tokens" from unsegmented/minified text straight into a
+    * driver OOM) the recount semi-join and the totals join broadcast;
+    * above either, both fall back to plain shuffle joins — same
+    * answer, the standard decide-the-path-never-the-answer contract
     * ([[graft.operators.Similarity]]'s broadcast-grid discipline). */
   private[operators] val GroupHHBroadcastMaxRows = 1L << 21
+  private[operators] val GroupHHBroadcastMaxBytes = 64L << 20
 
   /** [[heavyHitters]] stratified: every (group, token) with count
     * strictly > n_group/(k+1) — the Misra–Gries aggregate is a true
@@ -912,9 +914,14 @@ object TextStats {
       graft.plans.SketchExpressions.misraGries(col("tok"), k).as("__c"),
       count(lit(1)).as("__n")).localCheckpoint(true)
     val cands = fused.select(col("__g"), explode(col("__c")).as("tok"))
-    // the size test is one count over the checkpointed model-sized
-    // summaries (≤ groups rows scanned), not a corpus action
-    val small = cands.count() <= broadcastMaxRows
+    // the size test is ONE aggregate over the checkpointed model-sized
+    // summaries (≤ groups rows scanned), not a corpus action — and it
+    // measures BOTH rows and token bytes, so pathological multi-KB
+    // "tokens" can't ride a low row count into the broadcast
+    val sz = cands.agg(count(lit(1)).as("n"),
+      coalesce(sum(octet_length(col("tok"))), lit(0L)).as("b")).head()
+    val small = sz.getLong(0) <= broadcastMaxRows &&
+      sz.getLong(1) <= GroupHHBroadcastMaxBytes
     def maybeBroadcast(d: DataFrame): DataFrame =
       if (small) broadcast(d) else d
     toks.join(maybeBroadcast(cands), Seq("__g", "tok"), "left_semi")

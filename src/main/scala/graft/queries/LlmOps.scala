@@ -3626,9 +3626,9 @@ object LlmOps {
         g AS (SELECT lang, tok, count(*) AS cnt
               FROM toks GROUP BY 1, 2)
         SELECT g.lang, g.tok, g.cnt
-        FROM g JOIN tot USING (lang)
+        FROM g JOIN tot ON g.lang IS NOT DISTINCT FROM tot.lang
         WHERE g.cnt * 31 > tot.n
-        ORDER BY lang, cnt DESC, tok""")),
+        ORDER BY g.lang NULLS FIRST, cnt DESC, tok""")),
 
     // ------------------------------------------------------------------
     // Syndication DIRECTION matrix: q197's containment pairs grouped
