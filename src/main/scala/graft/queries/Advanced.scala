@@ -398,6 +398,34 @@ object Advanced {
         GROUP BY 1, 2
         ORDER BY 1, 2""")),
 
+    // Raw-text surface (SURVEY §2.2 "Scans/sources"): the ingestion
+    // shape of .txt dumps — documents' text written through the text
+    // sink (one row per line), re-scanned with the text source, and
+    // summarized. The gate proves the line-oriented writer+reader pair
+    // preserves content exactly (counts, bytes, token structure). The
+    // corpus is newline-free by dataset contract (a multi-line doc
+    // would split; use wholetext for the per-file layout — spec-gated
+    // in SourcesSpec); nulls excluded identically on both sides.
+    "q216_text_roundtrip" -> Q(
+      fn = (s, dir) => {
+        // path unique per Spark application (the q39 concurrency rule)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_text_" +
+          s"${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}"
+        Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("text"))
+          .write.mode("overwrite").text(base)
+        graft.sources.Sources.text(s, base)
+          .agg(count(lit(1)).as("n_lines"),
+            sum(length(col("value"))).cast("long").as("n_chars"),
+            sum(size(split(col("value"), " "))).cast("long").as("n_tokens"))
+      },
+      oracle = Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL""")),
+
     // Range join via interval bucketing (RangeJoin.pointInInterval):
     // clicks landing in the 10 minutes before each purchase, counted
     // per purchase. A non-equi BETWEEN that Spark would otherwise plan

@@ -47,6 +47,22 @@ object Sources {
       .option("pathGlobFilter", pathGlobFilter)
       .load(path)
 
+  /** Raw text scan: one row per LINE (column `value: string`),
+    * compressed files (gzip/bzip2/…) decoded transparently by
+    * extension — the ingestion shape of .txt dumps before any
+    * structure exists (.jsonl goes through [[json]] with a schema).
+    * `wholetext = true` flips to one row per FILE — the
+    * document-per-file crawl layout, read without line reassembly.
+    * `lineSep` overrides the \n/\r/\r\n default for unusual record
+    * delimiters (e.g. \0-separated dumps). */
+  def text(spark: SparkSession, path: String,
+      wholetext: Boolean = false,
+      lineSep: Option[String] = None): DataFrame = {
+    var r = spark.read.option("wholetext", wholetext.toString)
+    lineSep.foreach(s => r = r.option("lineSep", s))
+    r.text(path)
+  }
+
   /** Partitioned columnar sink: `partitionBy` columns become directory
     * keys (pruned for free by any later scan's partition filters). */
   def writePartitioned(df: DataFrame, path: String, format: String,

@@ -103,4 +103,32 @@ class SourcesSpec extends SparkSpec {
         r.getAs[Array[Byte]]("content").length.toLong)
     }
   }
+
+  test("text source: line mode round-trips; wholetext gives one row " +
+      "per file; gzip decodes transparently; lineSep overrides") {
+    import spark.implicits._
+    val lines = Seq("alpha beta", "", "gamma")
+    lines.toDF("value").coalesce(1)
+      .write.mode("overwrite").text(s"$base/txt_plain")
+    // line mode: one row per line, empty lines preserved
+    assert(Sources.text(spark, s"$base/txt_plain")
+      .as[String].collect().sorted.toSeq === lines.sorted)
+    // wholetext: one row per FILE, lines still inside (the
+    // document-per-file crawl layout) — single file by coalesce above
+    val whole = Sources.text(spark, s"$base/txt_plain", wholetext = true)
+      .as[String].collect()
+    assert(whole.length === 1 &&
+      whole.head.split("\n", -1).toSeq.take(3) === lines)
+    // compressed input decodes by extension, content identical
+    lines.toDF("value").coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").text(s"$base/txt_gz")
+    assert(Sources.text(spark, s"$base/txt_gz")
+      .as[String].collect().sorted.toSeq === lines.sorted)
+    // custom record delimiter: a | separated dump is three records
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/txt_sep"),
+      "a|b|c".getBytes("UTF-8"))
+    assert(Sources.text(spark, s"$base/txt_sep", lineSep = Some("|"))
+      .as[String].collect().sorted.toSeq === Seq("a", "b", "c"))
+  }
 }
