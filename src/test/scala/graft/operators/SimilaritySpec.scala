@@ -472,7 +472,10 @@ class SimilaritySpec extends SparkSpec {
       BigDecimal(1000.0 * dot / (na * nb))
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
-    for ((lam, k) <- Seq((700L, 6), (500L, 4))) {
+    // k = 12 crosses the MmrCheckpointEveryRounds = 8 boundary, so the
+    // lazy-fold checkpoint cut (and the predecessor release behind it)
+    // is exercised against the same exact replay
+    for ((lam, k) <- Seq((700L, 6), (500L, 4), (600L, 12))) {
       val vecs = (1L to 30L).map(id =>
         id -> Array.fill(6)(rnd.nextDouble() * 2 - 1))
       val query = Array.fill(6)(rnd.nextDouble() * 2 - 1)
