@@ -916,10 +916,14 @@ object TextStats {
     val cands = fused.select(col("__g"), explode(col("__c")).as("tok"))
     // the size test is ONE aggregate over the checkpointed model-sized
     // summaries (≤ groups rows scanned), not a corpus action — and it
-    // measures BOTH rows and token bytes, so pathological multi-KB
-    // "tokens" can't ride a low row count into the broadcast
+    // measures rows AND the full row payload (token bytes PLUS the
+    // group key each broadcast row carries, via its JSON spelling — a
+    // safe overestimate), so neither pathological multi-KB "tokens"
+    // nor multi-KB group values (per-URL grouping) can ride a low row
+    // count into a driver-sized broadcast
     val sz = cands.agg(count(lit(1)).as("n"),
-      coalesce(sum(octet_length(col("tok"))), lit(0L)).as("b")).head()
+      coalesce(sum(octet_length(col("tok")) +
+        octet_length(to_json(col("__g")))), lit(0L)).as("b")).head()
     val small = sz.getLong(0) <= broadcastMaxRows &&
       sz.getLong(1) <= GroupHHBroadcastMaxBytes
     def maybeBroadcast(d: DataFrame): DataFrame =

@@ -374,11 +374,7 @@ object Advanced {
     // so both writers and both readers must preserve values and types.
     "q39_sink_roundtrip" -> Q(
       fn = (s, dir) => {
-        // path is unique per Spark application: two concurrent runs
-        // over the same data dir (bench + verify, parallel CI) must not
-        // race on one overwrite-then-read directory
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sink_" +
-          s"${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}"
+        val base = Q.scratchPath(s, dir, "graft_sink")
         val agg = Tables(s, dir, "orders")
           .groupBy(col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
@@ -408,9 +404,7 @@ object Advanced {
     // in SourcesSpec); nulls excluded identically on both sides.
     "q216_text_roundtrip" -> Q(
       fn = (s, dir) => {
-        // path unique per Spark application (the q39 concurrency rule)
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_text_" +
-          s"${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}"
+        val base = Q.scratchPath(s, dir, "graft_text")
         Tables(s, dir, "documents")
           .filter(col("text").isNotNull)
           .select(col("text"))

@@ -17,6 +17,17 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None)
 
+object Q {
+  /** A scratch path unique per (data dir, Spark application) for
+    * queries that write-then-read (the sink roundtrips): two
+    * concurrent runs over the same data dir (bench + verify, parallel
+    * CI) must never race on one overwrite-then-read directory. The
+    * one place this concurrency rule is encoded. */
+  def scratchPath(spark: SparkSession, dir: String, prefix: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      s"${Integer.toHexString(dir.hashCode)}_${spark.sparkContext.applicationId}"
+}
+
 object Registry {
   /** All query groups, merged for SparkEntry. */
   def allQueries: Map[String, Q] =
