@@ -257,4 +257,35 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("literal"))
   }
+
+  test("the README heavy-hitter SQL spelling (sketch -> recount) " +
+      "matches TextStats.heavyHitters") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(41)
+    val docs = (1L to 60L).map { id =>
+      val words = (1 to 25).map { _ =>
+        val r = rnd.nextInt(100)
+        if (r < 40) s"hot${rnd.nextInt(2)}"
+        else if (r < 70) s"warm${rnd.nextInt(8)}"
+        else s"tail${rnd.nextInt(300)}"
+      }
+      (id, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val k = 10
+    df.select(explode(graft.functions.TextFunctions.tokens(col("text")))
+      .as("tok")).createOrReplaceTempView("hh_toks")
+    // the exact spelling README.md documents: one MG sketch pass, one
+    // exact recount over candidates only, threshold count·(k+1) > N
+    val sql = spark.sql(s"""
+      WITH s AS (SELECT graft_misra_gries(tok, $k) cand, count(*) n
+                 FROM hh_toks),
+      c AS (SELECT explode(cand) tok FROM s)
+      SELECT t.tok, count(*) cnt FROM hh_toks t JOIN c USING (tok)
+      GROUP BY t.tok HAVING count(*) * ${k + 1} > (SELECT n FROM s)""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val api = graft.operators.TextStats.heavyHitters(df, "text", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sql === api && api.nonEmpty)
+  }
 }
