@@ -797,6 +797,66 @@ class StreamingSpec extends SparkSpec {
     assert(accepted(accDir) === Set((1L, 0L), (5L, 1L), (7L, 2L)))
   }
 
+  test("sessionize: open-session state survives a restart from the " +
+      "checkpoint, and a crash before the commit re-emits the batch " +
+      "idempotently through Spark's state store") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (outDir, ckptDir) = (tmp("graft-sess-out"), tmp("graft-sess-ckpt"))
+    val ms = MemoryStream[Event]
+    // the stateful path: per-key session state lives in Spark's STATE
+    // STORE (versioned under the checkpoint), not in a store of our
+    // own design — this is the one crash surface the file-protocol
+    // kill/restart tests don't touch. Output goes through the
+    // idempotent slice sink so re-delivered batches overwrite.
+    val writer = sessionize(ms.toDS(), gapMillis = 10 * 60 * 1000L,
+        idleFlush = false)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[Session], id: Long) =>
+          Streaming.writeBatch(b.toDF(), outDir, "parquet", id)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+    def runOnce(): Unit = {
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+    }
+    def sessions(): Set[(Long, Long, Long, Double)] =
+      spark.read.option("basePath", outDir).parquet(outDir)
+        .select(col("batch_id").cast("long"), col("user_id"),
+          col("n_events"), col("total_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    // batch 0 opens a session (no emission yet — append mode)
+    ms.addData(Event(1L, ts(1), 1.0), Event(1L, ts(3), 2.0)); runOnce()
+    assert(sessions().isEmpty)
+    // RESTART (new query instance, same checkpoint): the closing event
+    // must find the open session's state — one session, full span
+    ms.addData(Event(1L, ts(30), 5.0)); runOnce()
+    assert(sessions() === Set((1L, 1L, 2L, 3.0)))
+    // crash DURING batch 1, after the slice write but before the
+    // commit: Spark re-delivers batch 1 against the state version
+    // batch 0 left, so the re-run emits the SAME session and the
+    // slice overwrite repairs the half-written output
+    val commit1 = new java.io.File(s"$ckptDir/commits/1")
+    assert(commit1.exists && commit1.delete())
+    new java.io.File(s"$ckptDir/commits/.1.crc").delete()
+    Streaming.writeBatch(
+      spark.read.option("basePath", outDir).parquet(outDir)
+        .filter(col("batch_id") === 1).drop("batch_id").limit(0),
+      outDir, "parquet", 1L)
+    assert(sessions().isEmpty) // half-written state visible pre-restart
+    runOnce()
+    assert(new java.io.File(s"$ckptDir/commits/1").exists)
+    assert(sessions() === Set((1L, 1L, 2L, 3.0)))
+    // and the stream continues: closing the ts(30) session emits it
+    // from the RECOVERED post-replay state (no loss, no duplicate)
+    ms.addData(Event(1L, ts(55), 7.0)); runOnce()
+    assert(sessions() ===
+      Set((1L, 1L, 2L, 3.0), (2L, 1L, 1L, 5.0)))
+  }
+
   test("sessionizeBatch matches hand-computed sessions") {
     import spark.implicits._
     val df = Seq(
