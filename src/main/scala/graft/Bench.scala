@@ -54,8 +54,11 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // parsed defensively: a malformed value from a CI template must
+    // not kill the run after the warm-up already paid for itself
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .map(_.toInt).getOrElse(2).max(1)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(2).max(1)
     val passes = Seq.fill(nPasses)(pass())
     val results = ordered.indices.map { i =>
       val times = passes.map(_(i)._2)

@@ -879,9 +879,11 @@ object TextStats {
     * joins: the candidate set holds up to groups·k rows, and with k
     * near its useful ceiling (10^5-10^6) over many groups that is no
     * longer a model-sized broadcast. At or under BOTH caps (≈ 2M rows
-    * AND 64 MB of token payload — rows alone would pass a frame of
-    * multi-KB "tokens" from unsegmented/minified text straight into a
-    * driver OOM) the recount semi-join and the totals join broadcast;
+    * AND 64 MB of row payload — token bytes PLUS the group key's JSON
+    * bytes; rows alone would pass a frame of multi-KB "tokens" from
+    * unsegmented text, or multi-KB group values from per-URL grouping,
+    * straight into a driver OOM) the recount semi-join and the totals
+    * join broadcast;
     * above either, both fall back to plain shuffle joins — same
     * answer, the standard decide-the-path-never-the-answer contract
     * ([[graft.operators.Similarity]]'s broadcast-grid discipline). */
