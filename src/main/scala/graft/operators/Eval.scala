@@ -406,4 +406,59 @@ object Eval {
       .select(col("__sk").getField("stratum").as("stratum"),
         col("n_docs"), col("med2"), col("mad4"), col("n_outliers"))
   }
+
+  /** Per-query reciprocal rank of the known-relevant item — the
+    * per-row decomposition of MRR, the standard known-item retrieval
+    * metric (Voorhees 1999, the TREC-8 QA track's measure; public
+    * literature). `ranked` is a (qid, doc, rank) top-k retrieval
+    * output ([[TextStats.bm25TopK]]'s shape); `truth` maps each query
+    * to its one relevant doc. Returns one row per TRUTH query:
+    * `(qid, hit_rank, rr_milli)` — `hit_rank` the relevant doc's rank
+    * (0 when it missed the top-k), `rr_milli = 1000 div hit_rank`
+    * (0 on a miss), exact integer arithmetic throughout so MRR sums
+    * replay bit-identically (mean = sum(rr_milli) / n downstream).
+    *
+    * One equi-join on (qid, doc) against a k-bounded frame, left from
+    * the truth side so missed queries surface as explicit zeros
+    * rather than silently shrinking the denominator. */
+  def reciprocalRank(
+      ranked: DataFrame, qidCol: String, docCol: String, rankCol: String,
+      truth: DataFrame, tQidCol: String, tDocCol: String): DataFrame = {
+    val r = ranked.select(col(qidCol).as("qid"), col(docCol).as("__doc"),
+      col(rankCol).cast("long").as("__rk"))
+    truth.select(col(tQidCol).as("qid"), col(tDocCol).as("__doc"))
+      .join(r, Seq("qid", "__doc"), "left")
+      .select(col("qid"),
+        coalesce(col("__rk"), lit(0L)).as("hit_rank"),
+        coalesce(expr("1000 div `__rk`"), lit(0L)).as("rr_milli"))
+  }
+
+  /** Hard-negative mining from a retrieval run: the top-ranked
+    * results that are NOT the query's positive, re-ranked 1..`n` in
+    * retrieval order — the strongest contrastive negatives for
+    * dense-retriever training (Karpukhin et al. 2020, "Dense Passage
+    * Retrieval for Open-Domain Question Answering", which mines them
+    * from exactly this BM25-top-k-minus-positive shape; public
+    * literature). Returns `(qid, neg_rank, doc)`.
+    *
+    * One anti-join of the k-bounded ranked frame against the truth
+    * pairs, then a per-query re-rank window over at most k survivors
+    * — nothing here is corpus-sized (the retrieval already cut to
+    * top-k). Queries whose entire top-k was the positive emit no
+    * rows; queries missing from `truth` keep all k candidates. */
+  def hardNegatives(
+      ranked: DataFrame, qidCol: String, docCol: String, rankCol: String,
+      truth: DataFrame, tQidCol: String, tDocCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val r = ranked.select(col(qidCol).as("qid"), col(docCol).as("__doc"),
+      col(rankCol).cast("long").as("__rk"))
+    r.join(truth.select(col(tQidCol).as("qid"), col(tDocCol).as("__doc")),
+        Seq("qid", "__doc"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("__rk"))))
+      .filter(col("neg_rank") <= n)
+      .select(col("qid"), col("neg_rank").cast("long").as("neg_rank"),
+        col("__doc").as("doc"))
+  }
 }

@@ -332,4 +332,62 @@ object Graphs {
     ckRdd(e).foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Newman modularity, decomposed per community (Newman & Girvan
+    * 2004, "Finding and evaluating community structure in networks"):
+    * for a partition {c} of an undirected simple graph,
+    * Q = Σ_c [ m_c/m − (D_c/2m)² ] with m the edge count, m_c the
+    * intra-community edge count and D_c the community's degree sum —
+    * the standard "observed minus expected-under-the-configuration-
+    * model" read of how well the labeling explains the edge structure.
+    * Returns one row per community:
+    * `(label, n_nodes, deg_sum, intra_edges, q_contrib)` — `q_contrib`
+    * the community's additive share of Q (Σ q_contrib = Q), computed
+    * as ONE double division over exact integers,
+    * (4·m·m_c − D_c²) / (4·m²), rounded to 6 dp — so both engines see
+    * bit-identical inputs to a single IEEE operation.
+    *
+    * Inputs: `edges` must be simple and canonical (one row per
+    * undirected edge; self-loops and duplicates are the caller's to
+    * scrub — [[coOccurrence]] output qualifies as-is). `labels` maps
+    * node id → community. m and the degree ledger are of the FULL
+    * input graph; an unlabeled endpoint forms no community row (inner
+    * join) and an edge counts as intra only when BOTH endpoints carry
+    * the same label — under a partial labeling the unlabeled mass is
+    * background that dilutes every community's share, which is the
+    * honest read (a labeling that covers 1% of the graph should not
+    * score like one that explains it).
+    *
+    * Scale shape: two slim label equi-joins on the edge endpoints
+    * (labels are corpus-sized — a shuffled join by design, never a
+    * broadcast), one node-keyed degree aggregation and two
+    * label-keyed aggregations; m enters as an in-plan scalar
+    * subquery. Everything is keyed by node or label — corpus-linear,
+    * no windows, nothing collected. */
+  def modularity(
+      edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("label"))
+    val m = graft.plans.Scalars.of(e.agg(count(lit(1)).as("m")))
+    val deg = e.select(col("__a").as("__id"))
+      .unionAll(e.select(col("__b").as("__id")))
+      .groupBy("__id").agg(count(lit(1)).as("__d"))
+    val byLabel = deg.join(lab, "__id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__d")).as("deg_sum"))
+    val intra = e
+      .join(lab.select(col("__id").as("__a"), col("label").as("__la")), "__a")
+      .join(lab.select(col("__id").as("__b"), col("label").as("__lb")), "__b")
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    byLabel.join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"))
+      .withColumn("q_contrib", round(
+        (lit(4L) * m * col("intra_edges") - col("deg_sum") * col("deg_sum"))
+          .cast("double") /
+          (lit(4L) * m * m).cast("double"), 6))
+  }
 }

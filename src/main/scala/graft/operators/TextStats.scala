@@ -982,4 +982,69 @@ object TextStats {
           .rowsBetween(Window.unboundedPreceding, 0)))
       .select("step", "cum_docs", "new_types", "cum_types")
   }
+
+  /** BM25 top-`k` retrieval (Robertson & Zaragoza 2009, "The
+    * Probabilistic Relevance Framework: BM25 and Beyond" — public
+    * literature; the idf uses the non-negative ln(1 + (N-df+0.5)/(df+0.5))
+    * spelling popularized by Lucene). Query terms are SET-semantic
+    * (duplicates in a query contribute once). Parameters arrive in
+    * exact milli units so both engines derive bit-identical doubles
+    * (k1 = k1Milli/1000.0 — the division, not a decimal literal, is
+    * what both sides evaluate).
+    *
+    * Scale shape — the inverted-index join, not a scan per query:
+    * per-doc term frequencies, doc lengths and document frequencies
+    * are token-/doc-keyed aggregations over ONE corpus tokenization;
+    * scoring joins the (model-sized per token) query-term table to the
+    * tf postings BY TOKEN, so each query pays Σ_t df(t) candidate rows
+    * — the classic postings-traversal cost — never |corpus| per query.
+    * N and avgdl enter as in-plan scalar subqueries. The per-query
+    * ranking window runs over that candidate set; `maxDocFreq` is the
+    * stop-list contract for boilerplate terms (a term in more than
+    * `cap` docs leaves the index — recall contract identical to the
+    * dedup family's df-cap): at web scale an uncapped "the" would
+    * drag the whole corpus into one query's window.
+    *
+    * Output: (qid, rank, doc, score) — rank 1..k per query, ranked by
+    * ROUNDED score (4 dp) then doc id, so float last-ulp differences
+    * can't reorder ranks across engines.
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
+      "k1Milli must be >= 0 and bMilli in [0, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val k1 = lit(k1Milli).cast("double") / lit(1000.0)
+    val k1p1 = lit(k1Milli + 1000).cast("double") / lit(1000.0)
+    val oneMinusB = lit(1000 - bMilli).cast("double") / lit(1000.0)
+    val b = lit(bMilli).cast("double") / lit(1000.0)
+    val tk = docs.select(col(idCol).as("doc"),
+      explode(split(col(textCol), " ")).as("token"))
+    val tf = tk.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val lens = tk.groupBy("doc").agg(count(lit(1)).as("len"))
+    val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dfreq = maxDocFreq.fold(dfreq0)(c => dfreq0.filter(col("df") <= c))
+    val n = graft.plans.Scalars.of(docs.agg(count(lit(1)).as("n")))
+    val avgdl = graft.plans.Scalars.of(lens.agg(avg(col("len")).as("a")))
+    val qt = queries.select(col(qidCol).as("qid"),
+      explode(split(col(qtextCol), " ")).as("token")).distinct()
+    val idf = log(lit(1.0) +
+      (n.cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + k1 *
+      (oneMinusB + b * col("len").cast("double") / avgdl.cast("double"))
+    qt.join(tf, "token").join(dfreq, "token").join(lens, "doc")
+      .select(col("qid"), col("doc"),
+        (idf * (col("tf") * k1p1) / norm).as("w"))
+      .groupBy("qid", "doc")
+      .agg(round(sum(col("w")), 4).as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("doc"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("doc"), col("score"))
+  }
 }

@@ -660,6 +660,62 @@ object GraphQueries {
                               (d.degree * (d.degree - 1))
                          ELSE 0 END AS BIGINT) AS cc_milli
         FROM deg d LEFT JOIN tc ON d.id = tc.id
-        ORDER BY s_key"""))
+        ORDER BY s_key""")),
+
+    // ------------------------------------------------------------------
+    // Newman modularity of the nation partition over the co-purchase
+    // graph: does geography explain who gets co-purchased? The same
+    // scale-adaptive edge threshold as q199 (on a different market
+    // segment), then one row per nation with its additive share of Q
+    // — observed intra-nation edges minus the configuration-model
+    // expectation, (4·m·m_c − D_c²)/(4·m²) as ONE double division
+    // over exact integers. Σ q_contrib = Q; near 0 everywhere means
+    // nation labels carry no co-purchase signal (the null read a
+    // community detector must beat).
+    // ------------------------------------------------------------------
+    "q218_modularity_by_nation" -> Q(
+      fn = (s, dir) => {
+        val pairs = Graphs.coOccurrence(relDf(s, dir, "FURNITURE"),
+          "cust", "supp").localCheckpoint(true)
+        val th = graft.plans.Scalars.of(pairs.agg(
+          expr("(5 * sum(`n_shared`)) div (4 * count(1))").as("th")))
+        val labels = Tables(s, dir, "supplier")
+          .join(Tables(s, dir, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        Graphs.modularity(pairs.filter(col("n_shared") >= th), "a", "b",
+            labels, "s_suppkey", "n_name")
+          .select(col("label").as("community"), col("n_nodes"),
+            col("deg_sum"), col("intra_edges"), col("q_contrib"))
+          .orderBy("community")
+      },
+      oracle = Some(s"""
+        WITH ${relSql("FURNITURE")},
+        p AS (SELECT a.s AS a, b.s AS b, count(*) AS n
+              FROM rel a JOIN rel b ON a.c = b.c AND a.s < b.s
+              GROUP BY 1, 2),
+        cut AS (SELECT (5 * sum(n)) // (4 * count(*)) AS th FROM p),
+        e AS (SELECT a, b FROM p CROSS JOIN cut WHERE n >= th),
+        m AS (SELECT count(*) AS m FROM e),
+        deg AS (SELECT id, count(*) AS d FROM (
+                  SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+        lab AS (SELECT s_suppkey AS id, n_name AS lab
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        nd AS (SELECT lab, count(*) AS n_nodes, sum(d) AS deg_sum
+               FROM deg JOIN lab USING (id) GROUP BY 1),
+        ie AS (SELECT la.lab AS lab, count(*) AS intra
+               FROM e JOIN lab la ON e.a = la.id
+               JOIN lab lb ON e.b = lb.id
+               WHERE la.lab = lb.lab GROUP BY 1)
+        SELECT nd.lab AS community,
+               CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(deg_sum AS BIGINT) AS deg_sum,
+               CAST(COALESCE(intra, 0) AS BIGINT) AS intra_edges,
+               round(CAST(4 * m.m * COALESCE(intra, 0)
+                          - deg_sum * deg_sum AS DOUBLE)
+                     / CAST(4 * m.m * m.m AS DOUBLE), 6) AS q_contrib
+        FROM nd LEFT JOIN ie USING (lab) CROSS JOIN m
+        ORDER BY community"""))
   )
 }

@@ -3965,7 +3965,181 @@ object LlmOps {
                2*abs(2*n - (SELECT med2 FROM med))
                  > 3*(SELECT mad4 FROM mad)
         FROM h1
-        ORDER BY batch_id, hour"""))
+        ORDER BY batch_id, hour""")),
+
+    // BM25 top-k retrieval over the corpus, known-item style: every
+    // 101st document's first six tokens become a query; the inverted-
+    // index join scores candidates and a per-query window ranks the
+    // top 5 by ROUNDED score (then doc id) so float last-ulp
+    // differences can't reorder ranks across engines. BM25 constants
+    // enter as 1200/1000.0-style divisions on BOTH sides — the same
+    // IEEE operation, not a decimal literal that might round
+    // differently. NOTE: this synthetic corpus's ~30-word vocabulary
+    // makes every posting list corpus-dense; on natural text postings
+    // are sparse and the kernel's maxDocFreq stop-list contract is the
+    // scale lever (see TextStats.bm25TopK).
+    "q217_bm25_topk" -> Q(
+      fn = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val qs = docs.filter(col("doc_id") % 101 === 7)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 6), " ")
+              .as("qtext"))
+        TextStats.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext",
+            k = 5)
+          .select(col("qid"), col("rank"), col("doc").as("doc_id"),
+            col("score"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT doc_id AS qid,
+                 array_to_string(string_split(text, ' ')[1:6], ' ')
+                   AS qtext
+          FROM documents WHERE doc_id % 101 = 7),
+        qt AS (SELECT DISTINCT qid,
+                      unnest(string_split(qtext, ' ')) AS token FROM q),
+        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        ad AS (SELECT avg(len) AS avgdl FROM len),
+        w AS (
+          SELECT qt.qid, tf.doc_id,
+                 ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (2200/1000.0)) /
+                 (tf.tf + (1200/1000.0) *
+                   ((250/1000.0) + (750/1000.0) * len.len / ad.avgdl))
+                   AS w
+          FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+          JOIN len ON tf.doc_id = len.doc_id
+          CROSS JOIN n CROSS JOIN ad),
+        sc AS (SELECT qid, doc_id, round(sum(w), 4) AS score
+               FROM w GROUP BY 1, 2),
+        rk AS (SELECT qid, doc_id, score,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY score DESC, doc_id) AS rn
+               FROM sc)
+        SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
+        FROM rk WHERE rn <= 5
+        ORDER BY qid, rank""")),
+
+    // Known-item MRR decomposition over the q217 retrieval: each
+    // query's truth is the document it was cut from; reciprocal ranks
+    // are exact integer millis (1000 div rank, 0 on a top-10 miss) so
+    // the mean replays bit-identically downstream.
+    "q219_known_item_mrr" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Eval
+        val docs = Tables(s, dir, "documents")
+        val qs = docs.filter(col("doc_id") % 101 === 7)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 6), " ")
+              .as("qtext"))
+        val ranked = TextStats.bm25TopK(docs, "doc_id", "text",
+          qs, "qid", "qtext", k = 10)
+        Eval.reciprocalRank(ranked, "qid", "doc", "rank",
+            qs.select(col("qid"), col("qid").as("doc_id")),
+            "qid", "doc_id")
+          .orderBy("qid")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT doc_id AS qid,
+                 array_to_string(string_split(text, ' ')[1:6], ' ')
+                   AS qtext
+          FROM documents WHERE doc_id % 101 = 7),
+        qt AS (SELECT DISTINCT qid,
+                      unnest(string_split(qtext, ' ')) AS token FROM q),
+        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        ad AS (SELECT avg(len) AS avgdl FROM len),
+        w AS (
+          SELECT qt.qid, tf.doc_id,
+                 ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (2200/1000.0)) /
+                 (tf.tf + (1200/1000.0) *
+                   ((250/1000.0) + (750/1000.0) * len.len / ad.avgdl))
+                   AS w
+          FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+          JOIN len ON tf.doc_id = len.doc_id
+          CROSS JOIN n CROSS JOIN ad),
+        sc AS (SELECT qid, doc_id, round(sum(w), 4) AS score
+               FROM w GROUP BY 1, 2),
+        rk AS (SELECT qid, doc_id,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY score DESC, doc_id) AS rn
+               FROM sc)
+        SELECT q.qid AS qid,
+               CAST(COALESCE(rk.rn, 0) AS BIGINT) AS hit_rank,
+               CAST(COALESCE(1000 // rk.rn, 0) AS BIGINT) AS rr_milli
+        FROM q LEFT JOIN rk
+          ON q.qid = rk.qid AND q.qid = rk.doc_id AND rk.rn <= 10
+        ORDER BY q.qid""")),
+
+    // Hard-negative mining over the q217 retrieval (the DPR recipe:
+    // BM25 top results minus the positive): per query, the 3 highest-
+    // ranked non-self docs in retrieval order — the anti-join and
+    // re-rank run on the k-bounded top-k frame, never the corpus.
+    "q220_hard_negatives" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Eval
+        val docs = Tables(s, dir, "documents")
+        val qs = docs.filter(col("doc_id") % 101 === 7)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 6), " ")
+              .as("qtext"))
+        val ranked = TextStats.bm25TopK(docs, "doc_id", "text",
+          qs, "qid", "qtext", k = 6)
+        Eval.hardNegatives(ranked, "qid", "doc", "rank",
+            qs.select(col("qid"), col("qid").as("doc_id")),
+            "qid", "doc_id", n = 3)
+          .select(col("qid"), col("neg_rank"), col("doc").as("doc_id"))
+          .orderBy("qid", "neg_rank")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT doc_id AS qid,
+                 array_to_string(string_split(text, ' ')[1:6], ' ')
+                   AS qtext
+          FROM documents WHERE doc_id % 101 = 7),
+        qt AS (SELECT DISTINCT qid,
+                      unnest(string_split(qtext, ' ')) AS token FROM q),
+        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        ad AS (SELECT avg(len) AS avgdl FROM len),
+        w AS (
+          SELECT qt.qid, tf.doc_id,
+                 ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (2200/1000.0)) /
+                 (tf.tf + (1200/1000.0) *
+                   ((250/1000.0) + (750/1000.0) * len.len / ad.avgdl))
+                   AS w
+          FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+          JOIN len ON tf.doc_id = len.doc_id
+          CROSS JOIN n CROSS JOIN ad),
+        sc AS (SELECT qid, doc_id, round(sum(w), 4) AS score
+               FROM w GROUP BY 1, 2),
+        rk AS (SELECT qid, doc_id,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY score DESC, doc_id) AS rn
+               FROM sc),
+        neg AS (SELECT qid, doc_id, row_number() OVER (
+                  PARTITION BY qid ORDER BY rn) AS neg_rank
+                FROM rk WHERE rn <= 6 AND doc_id <> qid)
+        SELECT qid, CAST(neg_rank AS BIGINT) AS neg_rank, doc_id
+        FROM neg WHERE neg_rank <= 3
+        ORDER BY qid, neg_rank"""))
   )
 }
 

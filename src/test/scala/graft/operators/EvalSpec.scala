@@ -328,4 +328,42 @@ class EvalSpec extends SparkSpec {
       3L -> ((150L, 1L, 1L, 1000L, 150L)),
       14L -> ((700L, 2L, 0L, 0L, 710L))))
   }
+
+  test("reciprocalRank: hits at their rank, top-k misses as explicit " +
+      "zeros, exact integer millis") {
+    import spark.implicits._
+    val ranked = Seq(
+      (10L, 7L, 1L), (10L, 8L, 2L), (10L, 9L, 3L),
+      (20L, 7L, 1L), (20L, 21L, 2L),
+      (30L, 5L, 1L)).toDF("qid", "doc", "rank")
+    val truth = Seq((10L, 9L), (20L, 21L), (30L, 99L), (40L, 40L))
+      .toDF("qid", "doc")
+    val got = Eval.reciprocalRank(
+        ranked, "qid", "doc", "rank", truth, "qid", "doc")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      10L -> ((3L, 333L)),   // 1000 div 3
+      20L -> ((2L, 500L)),
+      30L -> ((0L, 0L)),     // truth doc absent from the top-k
+      40L -> ((0L, 0L))))    // query never retrieved anything
+  }
+
+  test("hardNegatives: positives drop, survivors re-rank densely, " +
+      "untruthed queries keep all candidates") {
+    import spark.implicits._
+    val ranked = Seq(
+      (10L, 7L, 1L), (10L, 9L, 2L), (10L, 8L, 3L), (10L, 6L, 4L),
+      (20L, 20L, 1L), // only hit is the positive itself
+      (30L, 1L, 1L), (30L, 2L, 2L)).toDF("qid", "doc", "rank")
+    val truth = Seq((10L, 9L), (20L, 20L)).toDF("qid", "doc")
+    val got = Eval.hardNegatives(
+        ranked, "qid", "doc", "rank", truth, "qid", "doc", n = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (10L, 1L, 7L), (10L, 2L, 8L), // 9 dropped, 8 promoted to rank 2
+      (30L, 1L, 1L), (30L, 2L, 2L)  // no truth row -> all kept
+    )) // query 20: its whole top-k was the positive -> no rows
+  }
 }

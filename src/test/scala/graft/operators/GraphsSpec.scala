@@ -259,4 +259,45 @@ class GraphsSpec extends SparkSpec {
       .collect().map(_.getLong(3)).toSet
     assert(ccs === Set(1000L))
   }
+
+  test("modularity: two bridged triangles, hand-computed Q shares; " +
+      "singleton labeling; partial labels dilute") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge (3,4):
+    // m = 7; each triangle community has m_c = 3, D_c = 7
+    // q_contrib = (4*7*3 - 49) / (4*49) = 35/196 = 0.178571
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val lab = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+      (4L, "y"), (5L, "y"), (6L, "y")).toDF("id", "c")
+    val got = Graphs.modularity(e, "a", "b", lab, "id", "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got === Map(
+      "x" -> ((3L, 7L, 3L, 0.178571)),
+      "y" -> ((3L, 7L, 3L, 0.178571))))
+
+    // every node its own community: intra = 0, contrib = -d^2/(4m^2)
+    val single = Graphs.modularity(e, "a", "b",
+        (1L to 6L).map(i => (i, i.toString)).toDF("id", "c"), "id", "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(single("1") === ((0L, BigDecimal(-4.0 / 196)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(single("3") === ((0L, BigDecimal(-9.0 / 196)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // sum over singleton contribs is <= 0 (no labeling beats chance
+    // by assigning nobody together)
+    assert(single.values.map(_._2).sum < 0)
+
+    // partial labeling: m and degrees stay full-graph, the unlabeled
+    // triangle forms no community and dilutes x's share
+    val partial = Graphs.modularity(e, "a", "b",
+        lab.filter(col("c") === "x"), "id", "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(partial === Map("x" -> ((3L, 7L, 3L, 0.178571))))
+  }
 }

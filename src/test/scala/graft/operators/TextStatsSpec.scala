@@ -629,4 +629,106 @@ class TextStatsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === wantRows)
   }
+
+  /** In-test BM25 brute force mirroring bm25TopK's arithmetic
+    * (k1 = 1.2, b = 0.75, Lucene-style non-negative idf, query-term
+    * SET semantics). Returns (qid, doc) -> unrounded score. */
+  private def bm25Brute(
+      docs: Seq[(Long, String)], queries: Seq[(Long, String)],
+      cap: Option[Long] = None): Map[(Long, Long), Double] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val lens = toks.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val dfm = toks.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val n = docs.size.toLong
+    val avgdl = lens.values.sum.toDouble / n
+    val out = scala.collection.mutable.Map[(Long, Long), Double]()
+    for ((qid, qt) <- queries; tok <- qt.split(" ", -1).distinct;
+         (did, ts) <- toks) {
+      val tf = ts.count(_ == tok).toLong
+      val df = dfm.getOrElse(tok, 0L)
+      if (tf > 0 && df > 0 && cap.forall(df <= _)) {
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val w = idf * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * lens(did) / avgdl))
+        out((qid, did)) = out.getOrElse((qid, did), 0.0) + w
+      }
+    }
+    out.toMap
+  }
+
+  test("bm25TopK equals an independent brute force; ranks by rounded " +
+      "score then doc id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark query engine fast"),
+      (2L, "query query plan slow engine"),
+      (3L, "vector index search"),
+      (4L, "fast fast query"),
+      (5L, "plan cache"))
+    val qs = Seq((10L, "query engine"), (20L, "fast plan"),
+      (30L, "missingtoken"))
+    val got = TextStats.bm25TopK(docs.toDF("doc_id", "text"),
+        "doc_id", "text", qs.toDF("qid", "qtext"), "qid", "qtext", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute = bm25Brute(docs, qs)
+    // expected top-3 per query from the brute force, same tie rule
+    val want = brute.toSeq.groupBy(_._1._1).flatMap { case (qid, xs) =>
+      xs.map { case ((_, d), s) =>
+        (d, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }.sortBy { case (d, s) => (-s, d) }.take(3).zipWithIndex
+        .map { case ((d, s), i) => (qid, i + 1L, d, s) }
+    }.toSet
+    assert(got.toSet === want)
+    assert(!got.exists(_._1 == 30L)) // no posting, no row
+    // every (4 dp rounded) score equals the rounded brute force
+    got.foreach { case (qid, _, d, s) =>
+      assert(s === BigDecimal(brute((qid, d)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+  }
+
+  test("bm25TopK: duplicate query terms score once (set semantics); " +
+      "maxDocFreq drops saturated terms from the index") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the spark engine"), (2L, "the plan"), (3L, "the the cache"))
+    val dfDocs = docs.toDF("doc_id", "text")
+    val once = TextStats.bm25TopK(dfDocs, "doc_id", "text",
+        Seq((1L, "spark engine")).toDF("qid", "qtext"), "qid", "qtext", 3)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    val dup = TextStats.bm25TopK(dfDocs, "doc_id", "text",
+        Seq((1L, "spark spark engine")).toDF("qid", "qtext"),
+        "qid", "qtext", 3)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(once === dup)
+    // 'the' appears in all 3 docs; cap 2 removes it from every score
+    val capped = TextStats.bm25TopK(dfDocs, "doc_id", "text",
+        Seq((1L, "the spark")).toDF("qid", "qtext"), "qid", "qtext", 3,
+        maxDocFreq = Some(2L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val bruteCapped = bm25Brute(docs, Seq((1L, "the spark")), Some(2L))
+    assert(capped.keySet === bruteCapped.keySet)
+    capped.foreach { case (k, s) =>
+      assert(s === BigDecimal(bruteCapped(k))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(capped.keySet === Set((1L, 1L))) // only the 'spark' posting
+  }
+
+  test("bm25TopK known-item: a query cut from a document retrieves it " +
+      "first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    val qs = Seq((2L, "epsilon zeta")).toDF("qid", "qtext")
+    val top = TextStats.bm25TopK(docs, "doc_id", "text", qs,
+        "qid", "qtext", k = 1).collect()
+    assert(top.length === 1)
+    assert((top(0).getLong(0), top(0).getLong(1), top(0).getLong(2))
+      === ((2L, 1L, 2L)))
+  }
 }

@@ -462,6 +462,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.toString.contains("CartesianProduct"))
   }
 
+  test("q217-q219: BM25 retrieval, modularity and the MRR eval stay " +
+      "equi-join shaped — no cartesian/nested-loop, no unpartitioned " +
+      "window; corpus scalars (N, avgdl, m) ride in-plan subqueries") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    var bm25Plan = ""
+    for (name <- Seq("q217_bm25_topk", "q218_modularity_by_nation",
+        "q219_known_item_mrr")) {
+      val exec = run(name).queryExecution.executedPlan
+      val s = exec.toString
+      if (name.startsWith("q217")) bm25Plan = s
+      assert(!s.contains("CartesianProduct"), s"$name: ${s.take(1500)}")
+      assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${s.take(1500)}")
+      // q217/q219's only window is the per-query candidate ranking;
+      // q218 must have none at all
+      assert(deepCollect(exec) {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.isEmpty, name)
+    }
+    assert(bm25Plan.contains("Subquery") ||
+      bm25Plan.contains("scalar-subquery"), bm25Plan.take(1500))
+  }
+
   test("q179: candidate generation is the prefix equi-join — no " +
       "cartesian/nested-loop pair enumeration; the only windows are " +
       "the per-doc prefix ranks") {
