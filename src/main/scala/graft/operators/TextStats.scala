@@ -983,6 +983,45 @@ object TextStats {
       .select("step", "cum_docs", "new_types", "cum_types")
   }
 
+  /** Zipf rank-frequency fit over the top-`v` vocabulary: OLS of
+    * ln(freq) on ln(rank); a Zipfian corpus sits near slope −1
+    * (Zipf 1949; Piantadosi 2014, "Zipf's word frequency law in
+    * natural language" — public literature). Returns ONE row
+    * `(n_types, slope, icept)` (`n_types` ≤ v — the actual fitted
+    * vocabulary), both coefficients rounded to 6 dp. The deviation
+    * from −1 is a cheap corpus-health read: template/boilerplate
+    * corpora flatten the head, OCR noise fattens the tail.
+    *
+    * Scale shape: the vocabulary cut is a TakeOrderedAndProject
+    * (freq desc, token asc — a distributed heap, never a global sort
+    * of the token space); ranks come from a window over AT MOST `v`
+    * rows (model-sized by contract, the [[vocabEncode]] discipline);
+    * the fit is one aggregate over those `v` points. The corpus-sized
+    * work is exactly one token-keyed count. */
+  def zipfFit(
+      df: DataFrame, textCol: String, v: Int = 1000): DataFrame = {
+    require(v >= 2 && v <= 1000000, "v must be in [2, 1000000]")
+    import org.apache.spark.sql.expressions.Window
+    val top = df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(v)
+    val pts = top
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("token"))))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val s = pts.agg(count(lit(1)).as("n_types"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n_types").cast("double")
+    val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+      (nD * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n_types"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / nD, 6).as("icept"))
+  }
+
   /** BM25 top-`k` retrieval (Robertson & Zaragoza 2009, "The
     * Probabilistic Relevance Framework: BM25 and Beyond" — public
     * literature; the idf uses the non-negative ln(1 + (N-df+0.5)/(df+0.5))

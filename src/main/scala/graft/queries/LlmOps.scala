@@ -4139,7 +4139,33 @@ object LlmOps {
                 FROM rk WHERE rn <= 6 AND doc_id <> qid)
         SELECT qid, CAST(neg_rank AS BIGINT) AS neg_rank, doc_id
         FROM neg WHERE neg_rank <= 3
-        ORDER BY qid, neg_rank"""))
+        ORDER BY qid, neg_rank""")),
+
+    // Zipf rank-frequency fit over the top-500 vocabulary: the
+    // corpus-health read (slope near -1 = natural-looking frequency
+    // decay). The vocab cut is a TakeOrdered heap + a window over at
+    // most 500 rows; both engines fit the identical ln-ln points.
+    "q221_zipf_fit" -> Q(
+      fn = (s, dir) => {
+        TextStats.zipfFit(Tables(s, dir, "documents"), "text", v = 500)
+          .select(col("n_types"), col("slope"), col("icept"))
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        c AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+        top AS (SELECT token, c FROM c ORDER BY c DESC, token LIMIT 500),
+        rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r
+               FROM top),
+        pt AS (SELECT ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM rk),
+        s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*y) AS sxy, sum(x*x) AS sxx FROM pt)
+        SELECT CAST(n AS BIGINT) AS n_types,
+               round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+               round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n,
+                     6) AS icept
+        FROM s"""))
   )
 }
 

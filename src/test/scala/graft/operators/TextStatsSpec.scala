@@ -717,6 +717,42 @@ class TextStatsSpec extends SparkSpec {
     assert(capped.keySet === Set((1L, 1L))) // only the 'spark' posting
   }
 
+  test("zipfFit equals an independent OLS on the ln-ln points; the " +
+      "vocab cut ranks by (freq desc, token)") {
+    import spark.implicits._
+    // token "tNN" appears (21 - NN) times -> a known frequency ladder;
+    // u and v both appear 3 times, an explicit tie the (freq desc,
+    // token asc) rank rule must break deterministically
+    val words = (1 to 20).flatMap(i => Seq.fill(21 - i)(f"t$i%02d")) ++
+      Seq("u", "u", "u", "v", "v", "v")
+    val docs = words.grouped(7).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+    def brute(v: Int): (Long, Double, Double) = {
+      val cnt = words.groupBy(identity).map { case (t, xs) =>
+        t -> xs.size.toLong }
+      val top = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(v)
+      val pts = top.zipWithIndex.map { case ((_, c), i) =>
+        (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+      val n = pts.size.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      def r6(d: Double) = BigDecimal(d)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (pts.size.toLong, r6(slope), r6((sy - slope * sx) / n))
+    }
+    for (v <- Seq(5, 22, 500)) {
+      val got = TextStats.zipfFit(docs.toDF("doc_id", "text"), "text", v)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .head
+      assert(got === brute(v), s"v=$v")
+    }
+    // n_types respects the cut and the corpus vocab (22 types total)
+    assert(TextStats.zipfFit(docs.toDF("doc_id", "text"), "text", 500)
+      .collect().head.getLong(0) === 22L)
+  }
+
   test("bm25TopK known-item: a query cut from a document retrieves it " +
       "first") {
     import spark.implicits._
