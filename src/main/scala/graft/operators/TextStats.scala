@@ -1052,6 +1052,39 @@ object TextStats {
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
+      maxDocFreq: Option[Long] = None): DataFrame =
+    bm25FromPostings(postings(docs, idCol, textCol),
+      queries, qidCol, qtextCol, k, k1Milli, bMilli, maxDocFreq)
+
+  /** BM25 postings build — one `(doc, token, tf, len)` row per
+    * distinct (document, term), `len` the document's token count.
+    * The tokenize-once half of [[bm25TopK]], shared with the streaming
+    * index ([[graft.streaming.Streaming.indexIngestBatch]] appends
+    * exactly this frame as a store slice). One explode + two keyed
+    * aggregations — corpus-linear. */
+  def postings(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc"),
+      explode(split(col(textCol), " ")).as("token"))
+    val lens = tk.groupBy("doc").agg(count(lit(1)).as("len"))
+    tk.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+      .join(lens, "doc")
+      .select(col("doc"), col("token"), col("tf"), col("len"))
+  }
+
+  /** [[bm25TopK]] scoring over a pre-built postings frame (the
+    * [[postings]] shape) — N, df and avgdl all derive from the
+    * postings alone (N = distinct doc count; every document has at
+    * least one posting row, `split` on empty text yields [""]), so a
+    * store-accumulated index scores without the original texts.
+    * Assumes one posting set per doc id — a doc present twice (the
+    * streaming store's bounded pre-compaction re-ingest window)
+    * inflates its df/len contributions until the supersede compaction
+    * folds it (see [[graft.streaming.Streaming.indexIngest]]). */
+  def bm25FromPostings(
+      postings: DataFrame,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
       maxDocFreq: Option[Long] = None): DataFrame = {
     require(k >= 1, "k must be positive")
     require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
@@ -1061,13 +1094,12 @@ object TextStats {
     val k1p1 = lit(k1Milli + 1000).cast("double") / lit(1000.0)
     val oneMinusB = lit(1000 - bMilli).cast("double") / lit(1000.0)
     val b = lit(bMilli).cast("double") / lit(1000.0)
-    val tk = docs.select(col(idCol).as("doc"),
-      explode(split(col(textCol), " ")).as("token"))
-    val tf = tk.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
-    val lens = tk.groupBy("doc").agg(count(lit(1)).as("len"))
+    val tf = postings.select(
+      col("doc"), col("token"), col("tf"), col("len"))
     val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val dfreq = maxDocFreq.fold(dfreq0)(c => dfreq0.filter(col("df") <= c))
-    val n = graft.plans.Scalars.of(docs.agg(count(lit(1)).as("n")))
+    val lens = tf.groupBy("doc").agg(max(col("len")).as("len"))
+    val n = graft.plans.Scalars.of(lens.agg(count(lit(1)).as("n")))
     val avgdl = graft.plans.Scalars.of(lens.agg(avg(col("len")).as("a")))
     val qt = queries.select(col(qidCol).as("qid"),
       explode(split(col(qtextCol), " ")).as("token")).distinct()
@@ -1075,7 +1107,7 @@ object TextStats {
       (n.cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") + k1 *
       (oneMinusB + b * col("len").cast("double") / avgdl.cast("double"))
-    qt.join(tf, "token").join(dfreq, "token").join(lens, "doc")
+    qt.join(tf, "token").join(dfreq, "token")
       .select(col("qid"), col("doc"),
         (idf * (col("tf") * k1p1) / norm).as("w"))
       .groupBy("qid", "doc")

@@ -4165,7 +4165,72 @@ object LlmOps {
                round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
                round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n,
                      6) AS icept
-        FROM s"""))
+        FROM s""")),
+
+    // Incremental retrieval-index parity: the corpus arrives as two
+    // micro-batches into the postings store (replay-idempotent slices,
+    // supersede-aware compaction), then BM25 over the ACCUMULATED
+    // store must equal the whole-corpus batch retrieval — the oracle
+    // is exactly q217's. Gates the streaming index end to end: the
+    // postings decomposition (per-batch tokenize only), the store
+    // protocol, and the query-time df/N/avgdl derivation.
+    "q222_index_ingest_parity" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-q222-idx").toString
+        val docs = Tables(s, dir, "documents")
+        Streaming.indexIngestBatch(
+          docs.filter(col("doc_id") % 2 === 0), 0L, storeDir,
+          "doc_id", "text")
+        Streaming.indexIngestBatch(
+          docs.filter(col("doc_id") % 2 =!= 0), 1L, storeDir,
+          "doc_id", "text")
+        val qs = docs.filter(col("doc_id") % 101 === 7)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 6), " ")
+              .as("qtext"))
+        materializeAndClean(
+          Streaming.bm25FromIndex(s, storeDir, qs, "qid", "qtext", k = 5)
+            .select(col("qid"), col("rank"), col("doc").as("doc_id"),
+              col("score"))
+            .orderBy("qid", "rank"),
+          storeDir)
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT doc_id AS qid,
+                 array_to_string(string_split(text, ' ')[1:6], ' ')
+                   AS qtext
+          FROM documents WHERE doc_id % 101 = 7),
+        qt AS (SELECT DISTINCT qid,
+                      unnest(string_split(qtext, ' ')) AS token FROM q),
+        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        ad AS (SELECT avg(len) AS avgdl FROM len),
+        w AS (
+          SELECT qt.qid, tf.doc_id,
+                 ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (2200/1000.0)) /
+                 (tf.tf + (1200/1000.0) *
+                   ((250/1000.0) + (750/1000.0) * len.len / ad.avgdl))
+                   AS w
+          FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+          JOIN len ON tf.doc_id = len.doc_id
+          CROSS JOIN n CROSS JOIN ad),
+        sc AS (SELECT qid, doc_id, round(sum(w), 4) AS score
+               FROM w GROUP BY 1, 2),
+        rk AS (SELECT qid, doc_id, score,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY score DESC, doc_id) AS rn
+               FROM sc)
+        SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
+        FROM rk WHERE rn <= 5
+        ORDER BY qid, rank"""))
   )
 }
 

@@ -797,6 +797,112 @@ class StreamingSpec extends SparkSpec {
     assert(accepted(accDir) === Set((1L, 0L), (5L, 1L), (7L, 2L)))
   }
 
+  test("indexIngest: postings accumulate per batch, a replayed batch " +
+      "is idempotent, and bm25FromIndex equals the whole-corpus batch " +
+      "retrieval") {
+    import spark.implicits._
+    import graft.operators.TextStats
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val idxDir = tmp("graft-idx")
+    val b0 = Seq((1L, "spark query engine fast"),
+      (2L, "query query plan slow engine"))
+    val b1 = Seq((3L, "vector index search"), (4L, "fast fast query"))
+    Streaming.indexIngestBatch(b0.toDF("doc_id", "text"), 0L, idxDir,
+      "doc_id", "text")
+    Streaming.indexIngestBatch(b1.toDF("doc_id", "text"), 1L, idxDir,
+      "doc_id", "text")
+    def store(): Set[(Long, String, Long, Long)] =
+      spark.read.option("basePath", idxDir).parquet(idxDir)
+        .select(col("doc"), col("token"), col("tf"), col("len"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val once = store()
+    // replay batch 1 (a re-delivered micro-batch): bit-identical store
+    Streaming.indexIngestBatch(b1.toDF("doc_id", "text"), 1L, idxDir,
+      "doc_id", "text")
+    assert(store() === once)
+    // the accumulated store scores exactly like the batch operator
+    val corpus = (b0 ++ b1).toDF("doc_id", "text")
+    val qs = Seq((10L, "query engine"), (20L, "fast plan"))
+      .toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(
+      rows(Streaming.bm25FromIndex(spark, idxDir, qs, "qid", "qtext", 3))
+        === rows(TextStats.bm25TopK(corpus, "doc_id", "text", qs,
+          "qid", "qtext", 3)))
+  }
+
+  test("indexIngest: crash AT a compaction batch — restart re-delivers " +
+      "through the checkpoint and the store converges to the " +
+      "uninterrupted run (supersede folded by the compaction)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (idxDir, ckptDir) = (tmp("graft-icrash-idx"), tmp("graft-icrash-ckpt"))
+    val b0 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+    val b1 = Seq((3L, "zeta eta theta"),
+      (1L, "alpha beta gamma REVISED")) // later-batch re-ingest of doc 1
+    val b2 = Seq((4L, "iota kappa"))    // batchId 2 = the compaction batch
+    val ms = MemoryStream[(Long, String)]
+    val writer = Streaming.indexIngest(
+      ms.toDF().toDF("doc_id", "text"), idxDir, "doc_id", "text",
+      compactEvery = 2)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+    def runOnce(): Unit = {
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+    }
+    ms.addData(b0: _*); runOnce()
+    ms.addData(b1: _*); runOnce()
+    ms.addData(b2: _*); runOnce()
+    // crash AT the compaction batch: its commit never landed, and the
+    // batch-2 slice is corrupted down to a half-written empty shard
+    val commit2 = new java.io.File(s"$ckptDir/commits/2")
+    assert(commit2.exists && commit2.delete())
+    new java.io.File(s"$ckptDir/commits/.2.crc").delete()
+    Streaming.writeBatch(
+      spark.read.option("basePath", idxDir).parquet(idxDir)
+        .filter(col("batch_id") === 2).drop("batch_id").limit(0),
+      idxDir, "parquet", 2L)
+    runOnce() // Spark re-delivers batch 2; compaction + slice replay
+    assert(new java.io.File(s"$ckptDir/commits/2").exists)
+    // uninterrupted reference
+    val refDir = tmp("graft-icrash-ref")
+    Seq((b0, 0L), (b1, 1L), (b2, 2L)).foreach { case (rows, id) =>
+      Streaming.indexIngestBatch(rows.toDF("doc_id", "text"), id,
+        refDir, "doc_id", "text", compactEvery = 2)
+    }
+    // boundary-aware store read (the query side's view): absorbed
+    // slices and uncommitted base attempts must stay invisible
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("len",
+        org.apache.spark.sql.types.LongType)))
+    def store(dir: String): Set[(Long, String, Long, Long)] =
+      IngestStore.read(spark, dir, pSchema)
+        .select(col("doc"), col("token"), col("tf"), col("len"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(store(idxDir) === store(refDir))
+    // the compaction superseded doc 1's first version: only REVISED
+    // postings remain for it
+    assert(!store(idxDir).exists { case (d, t, _, l) =>
+      d == 1L && l == 3L })
+    assert(store(idxDir).exists { case (d, t, _, _) =>
+      d == 1L && t == "REVISED" })
+  }
+
   test("sessionize: open-session state survives a restart from the " +
       "checkpoint, and a crash before the commit re-emits the batch " +
       "idempotently through Spark's state store") {
