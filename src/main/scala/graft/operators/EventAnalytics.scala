@@ -13,6 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Epoch-milliseconds normalization shared by the event kernels:
+    * a TimestampType column floors to whole epoch ms (cross-engine
+    * safe for nanos-typed sources — the negative-epoch guard keeps
+    * the floor a true floor); an integral column is epoch ms as-is. */
+  private def msOf(events: DataFrame, tsCol: String): Column =
+    events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        expr(s"unix_micros($tsCol) div 1000 - " +
+          s"(CASE WHEN unix_micros($tsCol) % 1000 < 0 THEN 1 ELSE 0 END)")
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => col(tsCol)
+      case t => throw new IllegalArgumentException(
+        s"tsCol must be timestamp or integral ms, got $t")
+    }
+
   /** FIRST-TOUCH ordered funnel: for each step k, the number of users
     * who performed `steps(0) < steps(1) < ... < steps(k)` in strict
     * time order, each completion no later than `withinMs` after the
@@ -102,15 +117,7 @@ object EventAnalytics {
     require(steps.distinct.size == steps.size, "steps must be distinct")
     val spark = events.sparkSession
     import spark.implicits._
-    val msCol = events.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType =>
-        expr(s"unix_micros($tsCol) div 1000 - " +
-          s"(CASE WHEN unix_micros($tsCol) % 1000 < 0 THEN 1 ELSE 0 END)")
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType => col(tsCol)
-      case t => throw new IllegalArgumentException(
-        s"funnelLevels: tsCol must be timestamp or integral ms, got $t")
-    }
+    val msCol = msOf(events, tsCol)
     val stepK = steps.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (s, i)) =>
         when(col(typeCol) === s, i).otherwise(acc)
