@@ -420,6 +420,38 @@ object Advanced {
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents WHERE text IS NOT NULL""")),
 
+    // XML roundtrip through Spark 4's BUILT-IN xml source (the
+    // spark-xml donation — no external connector): documents written
+    // as <doc> elements (text escaped on the way out), re-read with
+    // an explicit schema, and aggregated per language — values must
+    // survive the escape/unescape exactly vs DuckDB on the parquet.
+    "q223_xml_roundtrip" -> Q(
+      fn = (s, dir) => {
+        val base = Q.scratchPath(s, dir, "graft_xml")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+          .write.mode("overwrite").option("rowTag", "doc")
+          .format("xml").save(base)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        graft.sources.Sources.xml(s, base, schema, "doc")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("n_chars"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               max(doc_id) AS max_id
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // Range join via interval bucketing (RangeJoin.pointInInterval):
     // clicks landing in the 10 minutes before each purchase, counted
     // per purchase. A non-equi BETWEEN that Spark would otherwise plan

@@ -63,6 +63,17 @@ object Sources {
     r.text(path)
   }
 
+  /** XML scan (Spark 4's BUILT-IN xml source — the spark-xml donation,
+    * SPARK-44751; no external connector): one row per `rowTag`
+    * element. Schema REQUIRED, same no-inference contract as csv/json
+    * (XML inference is an extra full pass and a drift hazard). The
+    * write side is symmetric:
+    * `df.write.option("rowTag", ...).format("xml")`. */
+  def xml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag)
+      .format("xml").load(path)
+
   /** Partitioned columnar sink: `partitionBy` columns become directory
     * keys (pruned for free by any later scan's partition filters). */
   def writePartitioned(df: DataFrame, path: String, format: String,

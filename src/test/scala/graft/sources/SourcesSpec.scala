@@ -131,4 +131,29 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.text(spark, s"$base/txt_sep", lineSep = Some("|"))
       .as[String].collect().sorted.toSeq === Seq("a", "b", "c"))
   }
+
+  test("xml sink + schema-required xml source round-trip values " +
+      "(built-in Spark 4 xml, rowTag respected, text escaped/unescaped)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "en", "plain words"),
+      (2L, "de", "escaping <tags> & \"quotes\""),
+      (3L, "fr", "")) // empty element survives
+    rows.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").option("rowTag", "doc")
+      .format("xml").save(s"$base/docs_xml")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val back = Sources.xml(spark, s"$base/docs_xml", schema, "doc")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse(""))).toSet
+    assert(back === rows.toSet)
+  }
+
 }
