@@ -1061,7 +1061,13 @@ object TextStats {
     * The tokenize-once half of [[bm25TopK]], shared with the streaming
     * index ([[graft.streaming.Streaming.indexIngestBatch]] appends
     * exactly this frame as a store slice). One explode + two keyed
-    * aggregations — corpus-linear. */
+    * aggregations — corpus-linear.
+    *
+    * NULL-text documents produce NO posting rows (`explode` of a null
+    * split drops the row) — they are unindexed, invisible to
+    * retrieval, and excluded from N/avgdl ([[bm25FromPostings]]
+    * derives both from the postings). EMPTY text is indexed: `split`
+    * on "" yields [""], one empty-string term. */
   def postings(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = docs.select(col(idCol).as("doc"),
@@ -1074,13 +1080,21 @@ object TextStats {
 
   /** [[bm25TopK]] scoring over a pre-built postings frame (the
     * [[postings]] shape) — N, df and avgdl all derive from the
-    * postings alone (N = distinct doc count; every document has at
-    * least one posting row, `split` on empty text yields [""]), so a
-    * store-accumulated index scores without the original texts.
+    * postings alone, so a store-accumulated index scores without the
+    * original texts. N is the INDEXED document count (docs with at
+    * least one posting row): a NULL-text doc is unindexed and outside
+    * the model — the oracle must count `len` rows, not raw corpus
+    * rows, when the corpus can carry nulls.
     * Assumes one posting set per doc id — a doc present twice (the
     * streaming store's bounded pre-compaction re-ingest window)
     * inflates its df/len contributions until the supersede compaction
-    * folds it (see [[graft.streaming.Streaming.indexIngest]]). */
+    * folds it (see [[graft.streaming.Streaming.indexIngest]]).
+    *
+    * The incoming frame is eagerly checkpointed: scoring consumes it
+    * through FOUR distinct subtrees (the tf join, the df aggregate,
+    * and the N/avgdl scalar subqueries over the doc-length ledger) —
+    * without the materialization each one re-runs the full upstream
+    * lineage (for [[bm25TopK]], a corpus re-tokenization apiece). */
   def bm25FromPostings(
       postings: DataFrame,
       queries: DataFrame, qidCol: String, qtextCol: String,
@@ -1096,6 +1110,7 @@ object TextStats {
     val b = lit(bMilli).cast("double") / lit(1000.0)
     val tf = postings.select(
       col("doc"), col("token"), col("tf"), col("len"))
+      .localCheckpoint(true)
     val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val dfreq = maxDocFreq.fold(dfreq0)(c => dfreq0.filter(col("df") <= c))
     val lens = tf.groupBy("doc").agg(max(col("len")).as("len"))

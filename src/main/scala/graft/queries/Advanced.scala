@@ -423,8 +423,13 @@ object Advanced {
     // XML roundtrip through Spark 4's BUILT-IN xml source (the
     // spark-xml donation — no external connector): documents written
     // as <doc> elements (text escaped on the way out), re-read with
-    // an explicit schema, and aggregated per language — values must
-    // survive the escape/unescape exactly vs DuckDB on the parquet.
+    // an explicit schema (surrounding-space trim disabled — the
+    // source's default corrupts whitespace-significant corpora), and
+    // aggregated per language — values must survive escape/unescape
+    // exactly vs DuckDB on the parquet. A NULL source text writes as
+    // an absent element and reads back NULL; the coalesce (identical
+    // in the oracle) normalizes that one case so the gate holds on
+    // ANY corpus content.
     "q223_xml_roundtrip" -> Q(
       fn = (s, dir) => {
         val base = Q.scratchPath(s, dir, "graft_xml")
@@ -442,13 +447,14 @@ object Advanced {
         graft.sources.Sources.xml(s, base, schema, "doc")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(length(col("text"))).cast("long").as("n_chars"),
+            sum(length(coalesce(col("text"), lit(""))))
+              .cast("long").as("n_chars"),
             max(col("doc_id")).as("max_id"))
           .orderBy("lang")
       },
       oracle = Some("""
         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               CAST(sum(length(coalesce(text, '')))AS BIGINT) AS n_chars,
                max(doc_id) AS max_id
         FROM documents GROUP BY lang ORDER BY lang""")),
 

@@ -4004,7 +4004,7 @@ object LlmOps {
         tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
         len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        n AS (SELECT count(*) AS n FROM documents),
+        n AS (SELECT count(*) AS n FROM len),
         ad AS (SELECT avg(len) AS avgdl FROM len),
         w AS (
           SELECT qt.qid, tf.doc_id,
@@ -4058,7 +4058,7 @@ object LlmOps {
         tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
         len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        n AS (SELECT count(*) AS n FROM documents),
+        n AS (SELECT count(*) AS n FROM len),
         ad AS (SELECT avg(len) AS avgdl FROM len),
         w AS (
           SELECT qt.qid, tf.doc_id,
@@ -4116,7 +4116,7 @@ object LlmOps {
         tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
         len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        n AS (SELECT count(*) AS n FROM documents),
+        n AS (SELECT count(*) AS n FROM len),
         ad AS (SELECT avg(len) AS avgdl FROM len),
         w AS (
           SELECT qt.qid, tf.doc_id,
@@ -4210,7 +4210,7 @@ object LlmOps {
         tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
         len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        n AS (SELECT count(*) AS n FROM documents),
+        n AS (SELECT count(*) AS n FROM len),
         ad AS (SELECT avg(len) AS avgdl FROM len),
         w AS (
           SELECT qt.qid, tf.doc_id,

@@ -66,12 +66,18 @@ object Sources {
   /** XML scan (Spark 4's BUILT-IN xml source — the spark-xml donation,
     * SPARK-44751; no external connector): one row per `rowTag`
     * element. Schema REQUIRED, same no-inference contract as csv/json
-    * (XML inference is an extra full pass and a drift hazard). The
-    * write side is symmetric:
+    * (XML inference is an extra full pass and a drift hazard).
+    * `ignoreSurroundingSpaces` is forced OFF — the source's default
+    * TRIMS element text, which silently corrupts whitespace-significant
+    * payloads (document corpora) on a roundtrip AND collapses the
+    * empty string to NULL; with trim off both whitespace and ""
+    * survive exactly (spec-pinned). NULL still roundtrips as an
+    * ABSENT element → NULL. The write side is symmetric:
     * `df.write.option("rowTag", ...).format("xml")`. */
   def xml(spark: SparkSession, path: String, schema: StructType,
       rowTag: String): DataFrame =
     spark.read.schema(schema).option("rowTag", rowTag)
+      .option("ignoreSurroundingSpaces", "false")
       .format("xml").load(path)
 
   /** Partitioned columnar sink: `partitionBy` columns become directory

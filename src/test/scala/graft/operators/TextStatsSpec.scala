@@ -753,6 +753,26 @@ class TextStatsSpec extends SparkSpec {
       .collect().head.getLong(0) === 22L)
   }
 
+  test("bm25TopK: NULL-text docs are unindexed — outside N/avgdl and " +
+      "never retrieved; empty text indexes as one empty-string term") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]),
+      (3L, "")).toDF("doc_id", "text")
+    val qs = Seq((10L, "alpha"), (20L, "")).toDF("qid", "qtext")
+    val got = TextStats.bm25TopK(docs, "doc_id", "text", qs,
+        "qid", "qtext", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // the model space is docs 1 and 3 only (N = 2, avgdl = 1.5)
+    val brute = bm25Brute(Seq((1L, "alpha beta"), (3L, "")), Seq(
+      (10L, "alpha"), (20L, "")))
+    assert(got.keySet === brute.keySet)
+    got.foreach { case (k, s) =>
+      assert(s === BigDecimal(brute(k))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got.keySet === Set((10L, 1L), (20L, 3L)))
+  }
+
   test("bm25TopK known-item: a query cut from a document retrieves it " +
       "first") {
     import spark.implicits._

@@ -133,12 +133,16 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("xml sink + schema-required xml source round-trip values " +
-      "(built-in Spark 4 xml, rowTag respected, text escaped/unescaped)") {
+      "(built-in Spark 4 xml: escaping exact, surrounding whitespace " +
+      "AND the empty string preserved under the facade's trim-off " +
+      "option; a NULL writes as an absent element and reads back NULL)") {
     import spark.implicits._
     val rows = Seq(
       (1L, "en", "plain words"),
       (2L, "de", "escaping <tags> & \"quotes\""),
-      (3L, "fr", "")) // empty element survives
+      (3L, "fr", ""),            // trim-default would read this NULL
+      (4L, "ja", "  padded  "),  // trim-default would corrupt this
+      (5L, "zh", null.asInstanceOf[String]))
     rows.toDF("doc_id", "lang", "text")
       .write.mode("overwrite").option("rowTag", "doc")
       .format("xml").save(s"$base/docs_xml")
@@ -152,8 +156,13 @@ class SourcesSpec extends SparkSpec {
     val back = Sources.xml(spark, s"$base/docs_xml", schema, "doc")
       .collect()
       .map(r => (r.getLong(0), r.getString(1),
-        Option(r.getString(2)).getOrElse(""))).toSet
-    assert(back === rows.toSet)
+        Option(r.getString(2)))).toSet
+    assert(back === Set(
+      (1L, "en", Some("plain words")),
+      (2L, "de", Some("escaping <tags> & \"quotes\"")),
+      (3L, "fr", Some("")),
+      (4L, "ja", Some("  padded  ")),
+      (5L, "zh", None)))
   }
 
 }
