@@ -300,4 +300,42 @@ class GraphsSpec extends SparkSpec {
       .toMap
     assert(partial === Map("x" -> ((3L, 7L, 3L, 0.178571))))
   }
+
+  test("modularity equals a brute-force Newman Q on seeded random " +
+      "graphs and labelings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (for (a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.35) yield (a, b)).toVector
+      if (edges.nonEmpty) {
+        val labels = (1L to n).map(i => i -> s"c${rnd.nextInt(3)}")
+        val m = edges.size.toLong
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val labOf = labels.toMap
+        val want = labels.groupBy(_._2).map { case (c, members) =>
+          val ids = members.map(_._1).toSet
+          val mc = edges.count(e => ids(e._1) && ids(e._2)).toLong
+          val dc = ids.toSeq.map(i => deg.getOrElse(i, 0L)).sum
+          val nodes = ids.count(deg.contains)
+          c -> ((nodes.toLong, dc, mc,
+            BigDecimal((4L * m * mc - dc * dc).toDouble / (4L * m * m))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }.filter(_._2._1 > 0) // labels with no edge-touching node absent
+        val got = Graphs.modularity(edges.toDF("a", "b"),
+            "a", "b", labels.toDF("id", "c"), "id", "c")
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+          .toMap
+        assert(got === want, s"trial $trial")
+        // additivity: the shares sum to Newman Q of the full labeling
+        val q = (4L * m * edges.count(e => labOf(e._1) == labOf(e._2))
+          - want.values.map(v => v._2 * v._2).sum).toDouble / (4L * m * m)
+        assert(math.abs(got.values.map(_._4).sum - q) < 1e-4,
+          s"trial $trial additivity")
+      }
+    }
+  }
 }

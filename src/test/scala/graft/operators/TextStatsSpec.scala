@@ -753,6 +753,37 @@ class TextStatsSpec extends SparkSpec {
       .collect().head.getLong(0) === 22L)
   }
 
+  test("bm25TopK equals the brute force on a seeded random corpus " +
+      "(full rank/score agreement at every k)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (1L to 40L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val qs = (100L to 105L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(3))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    for (k <- Seq(1, 4)) {
+      val got = TextStats.bm25TopK(docs.toDF("doc_id", "text"),
+          "doc_id", "text", qs.toDF("qid", "qtext"), "qid", "qtext", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val brute = bm25Brute(docs, qs)
+      val want = brute.toSeq.groupBy(_._1._1).flatMap { case (qid, xs) =>
+        xs.map { case ((_, d), s) =>
+          (d, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+        }.sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
+          .map { case ((d, s), i) => (qid, i + 1L, d, s) }
+      }.toSet
+      assert(got === want, s"k=$k")
+    }
+  }
+
   test("bm25TopK: NULL-text docs are unindexed — outside N/avgdl and " +
       "never retrieved; empty text indexes as one empty-string term") {
     import spark.implicits._
