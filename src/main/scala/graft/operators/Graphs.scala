@@ -367,7 +367,11 @@ object Graphs {
   def modularity(
       edges: DataFrame, aCol: String, bCol: String,
       labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    // three consumer subtrees (degree ledger, intra join, the m
+    // scalar) — materialize once, the adamicAdar discipline, so an
+    // expensive caller-side edge lineage never re-runs per consumer
     val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .localCheckpoint(true)
     val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("label"))
     val m = graft.plans.Scalars.of(e.agg(count(lit(1)).as("m")))
     val deg = e.select(col("__a").as("__id"))
