@@ -1101,15 +1101,19 @@ object TextStats {
       k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
       maxDocFreq: Option[Long] = None): DataFrame = {
     require(k >= 1, "k must be positive")
-    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
-      "k1Milli must be >= 0 and bMilli in [0, 1000]")
+    require(k1Milli >= 0 && k1Milli <= 1000000 &&
+      bMilli >= 0 && bMilli <= 1000,
+      "k1Milli must be in [0, 1000000] and bMilli in [0, 1000]")
     import org.apache.spark.sql.expressions.Window
     val k1 = lit(k1Milli).cast("double") / lit(1000.0)
     val k1p1 = lit(k1Milli + 1000).cast("double") / lit(1000.0)
     val oneMinusB = lit(1000 - bMilli).cast("double") / lit(1000.0)
     val b = lit(bMilli).cast("double") / lit(1000.0)
+    // token IS NULL rows are the streaming store's null-text
+    // TOMBSTONES (see Streaming.indexIngestBatch) — never postings
     val tf = postings.select(
       col("doc"), col("token"), col("tf"), col("len"))
+      .filter(col("token").isNotNull)
       .localCheckpoint(true)
     val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val dfreq = maxDocFreq.fold(dfreq0)(c => dfreq0.filter(col("df") <= c))
@@ -1122,7 +1126,11 @@ object TextStats {
       (n.cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") + k1 *
       (oneMinusB + b * col("len").cast("double") / avgdl.cast("double"))
-    qt.join(tf, "token").join(dfreq, "token")
+    // df BEFORE postings: the vocabulary-sized (and stop-list-capped)
+    // df table cuts a capped stopword's candidates before its
+    // corpus-dense posting rows ever enter a join — the other order
+    // shuffles them per query just to drop them at the df join
+    qt.join(dfreq, "token").join(tf, "token")
       .select(col("qid"), col("doc"),
         (idf * (col("tf") * k1p1) / norm).as("w"))
       .groupBy("qid", "doc")

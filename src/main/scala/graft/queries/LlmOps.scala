@@ -21,6 +21,56 @@ object LlmOps {
     * (localCheckpoint) so the dirs can be deleted before returning —
     * repeated gate/bench sweeps must not accumulate orphaned slices
     * under the system temp dir. */
+  /** Shared known-item query set for the BM25 family
+    * (q217/q219/q220/q222): every 101st document's first six tokens
+    * — the Spark side of [[bm25OracleCtes]]'s `q` CTE. */
+  private def knownItemQueries(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") % 101 === 7)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 6), " ").as("qtext"))
+
+  /** The BM25 oracle pipeline shared by q217/q219/q220/q222 (the
+    * relSql precedent from the graph family): known-item queries, one
+    * corpus tokenization, tf/len/df ledgers, N/avgdl, per-(query, doc)
+    * scores rounded to 4 dp and the per-query rank — mirroring
+    * [[graft.operators.TextStats.bm25FromPostings]] term for term
+    * (milli-division constants so both engines evaluate the SAME IEEE
+    * division, the Lucene non-negative idf, ranked by rounded score
+    * then doc id). Tails differ per query; the arithmetic lives here
+    * ONCE. */
+  private val bm25OracleCtes: String = """
+        q AS (
+          SELECT doc_id AS qid,
+                 array_to_string(string_split(text, ' ')[1:6], ' ')
+                   AS qtext
+          FROM documents WHERE doc_id % 101 = 7),
+        qt AS (SELECT DISTINCT qid,
+                      unnest(string_split(qtext, ' ')) AS token FROM q),
+        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM len),
+        ad AS (SELECT avg(len) AS avgdl FROM len),
+        w AS (
+          SELECT qt.qid, tf.doc_id,
+                 ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (2200/1000.0)) /
+                 (tf.tf + (1200/1000.0) *
+                   ((250/1000.0) + (750/1000.0) * len.len / ad.avgdl))
+                   AS w
+          FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+          JOIN len ON tf.doc_id = len.doc_id
+          CROSS JOIN n CROSS JOIN ad),
+        sc AS (SELECT qid, doc_id, round(sum(w), 4) AS score
+               FROM w GROUP BY 1, 2),
+        rk AS (SELECT qid, doc_id, score,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY score DESC, doc_id) AS rn
+               FROM sc)"""
+
   private def materializeAndClean(
       df: org.apache.spark.sql.DataFrame, dirs: String*)
       : org.apache.spark.sql.DataFrame = {
@@ -3981,47 +4031,14 @@ object LlmOps {
     "q217_bm25_topk" -> Q(
       fn = (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val qs = docs.filter(col("doc_id") % 101 === 7)
-          .select(col("doc_id").as("qid"),
-            array_join(slice(split(col("text"), " "), 1, 6), " ")
-              .as("qtext"))
-        TextStats.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext",
-            k = 5)
+        TextStats.bm25TopK(docs, "doc_id", "text",
+            knownItemQueries(docs), "qid", "qtext", k = 5)
           .select(col("qid"), col("rank"), col("doc").as("doc_id"),
             col("score"))
           .orderBy("qid", "rank")
       },
-      oracle = Some("""
-        WITH q AS (
-          SELECT doc_id AS qid,
-                 array_to_string(string_split(text, ' ')[1:6], ' ')
-                   AS qtext
-          FROM documents WHERE doc_id % 101 = 7),
-        qt AS (SELECT DISTINCT qid,
-                      unnest(string_split(qtext, ' ')) AS token FROM q),
-        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-               FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
-        len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
-        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        n AS (SELECT count(*) AS n FROM len),
-        ad AS (SELECT avg(len) AS avgdl FROM len),
-        w AS (
-          SELECT qt.qid, tf.doc_id,
-                 ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-                 (tf.tf * (2200/1000.0)) /
-                 (tf.tf + (1200/1000.0) *
-                   ((250/1000.0) + (750/1000.0) * len.len / ad.avgdl))
-                   AS w
-          FROM qt JOIN tf USING (token) JOIN dfq USING (token)
-          JOIN len ON tf.doc_id = len.doc_id
-          CROSS JOIN n CROSS JOIN ad),
-        sc AS (SELECT qid, doc_id, round(sum(w), 4) AS score
-               FROM w GROUP BY 1, 2),
-        rk AS (SELECT qid, doc_id, score,
-                      row_number() OVER (PARTITION BY qid
-                        ORDER BY score DESC, doc_id) AS rn
-               FROM sc)
+      oracle = Some(s"""
+        WITH $bm25OracleCtes
         SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
         FROM rk WHERE rn <= 5
         ORDER BY qid, rank""")),
@@ -4034,10 +4051,7 @@ object LlmOps {
       fn = (s, dir) => {
         import graft.operators.Eval
         val docs = Tables(s, dir, "documents")
-        val qs = docs.filter(col("doc_id") % 101 === 7)
-          .select(col("doc_id").as("qid"),
-            array_join(slice(split(col("text"), " "), 1, 6), " ")
-              .as("qtext"))
+        val qs = knownItemQueries(docs)
         val ranked = TextStats.bm25TopK(docs, "doc_id", "text",
           qs, "qid", "qtext", k = 10)
         Eval.reciprocalRank(ranked, "qid", "doc", "rank",
@@ -4045,37 +4059,8 @@ object LlmOps {
             "qid", "doc_id")
           .orderBy("qid")
       },
-      oracle = Some("""
-        WITH q AS (
-          SELECT doc_id AS qid,
-                 array_to_string(string_split(text, ' ')[1:6], ' ')
-                   AS qtext
-          FROM documents WHERE doc_id % 101 = 7),
-        qt AS (SELECT DISTINCT qid,
-                      unnest(string_split(qtext, ' ')) AS token FROM q),
-        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-               FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
-        len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
-        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        n AS (SELECT count(*) AS n FROM len),
-        ad AS (SELECT avg(len) AS avgdl FROM len),
-        w AS (
-          SELECT qt.qid, tf.doc_id,
-                 ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-                 (tf.tf * (2200/1000.0)) /
-                 (tf.tf + (1200/1000.0) *
-                   ((250/1000.0) + (750/1000.0) * len.len / ad.avgdl))
-                   AS w
-          FROM qt JOIN tf USING (token) JOIN dfq USING (token)
-          JOIN len ON tf.doc_id = len.doc_id
-          CROSS JOIN n CROSS JOIN ad),
-        sc AS (SELECT qid, doc_id, round(sum(w), 4) AS score
-               FROM w GROUP BY 1, 2),
-        rk AS (SELECT qid, doc_id,
-                      row_number() OVER (PARTITION BY qid
-                        ORDER BY score DESC, doc_id) AS rn
-               FROM sc)
+      oracle = Some(s"""
+        WITH $bm25OracleCtes
         SELECT q.qid AS qid,
                CAST(COALESCE(rk.rn, 0) AS BIGINT) AS hit_rank,
                CAST(COALESCE(1000 // rk.rn, 0) AS BIGINT) AS rr_milli
@@ -4091,10 +4076,7 @@ object LlmOps {
       fn = (s, dir) => {
         import graft.operators.Eval
         val docs = Tables(s, dir, "documents")
-        val qs = docs.filter(col("doc_id") % 101 === 7)
-          .select(col("doc_id").as("qid"),
-            array_join(slice(split(col("text"), " "), 1, 6), " ")
-              .as("qtext"))
+        val qs = knownItemQueries(docs)
         val ranked = TextStats.bm25TopK(docs, "doc_id", "text",
           qs, "qid", "qtext", k = 6)
         Eval.hardNegatives(ranked, "qid", "doc", "rank",
@@ -4103,37 +4085,8 @@ object LlmOps {
           .select(col("qid"), col("neg_rank"), col("doc").as("doc_id"))
           .orderBy("qid", "neg_rank")
       },
-      oracle = Some("""
-        WITH q AS (
-          SELECT doc_id AS qid,
-                 array_to_string(string_split(text, ' ')[1:6], ' ')
-                   AS qtext
-          FROM documents WHERE doc_id % 101 = 7),
-        qt AS (SELECT DISTINCT qid,
-                      unnest(string_split(qtext, ' ')) AS token FROM q),
-        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-               FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
-        len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
-        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        n AS (SELECT count(*) AS n FROM len),
-        ad AS (SELECT avg(len) AS avgdl FROM len),
-        w AS (
-          SELECT qt.qid, tf.doc_id,
-                 ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-                 (tf.tf * (2200/1000.0)) /
-                 (tf.tf + (1200/1000.0) *
-                   ((250/1000.0) + (750/1000.0) * len.len / ad.avgdl))
-                   AS w
-          FROM qt JOIN tf USING (token) JOIN dfq USING (token)
-          JOIN len ON tf.doc_id = len.doc_id
-          CROSS JOIN n CROSS JOIN ad),
-        sc AS (SELECT qid, doc_id, round(sum(w), 4) AS score
-               FROM w GROUP BY 1, 2),
-        rk AS (SELECT qid, doc_id,
-                      row_number() OVER (PARTITION BY qid
-                        ORDER BY score DESC, doc_id) AS rn
-               FROM sc),
+      oracle = Some(s"""
+        WITH $bm25OracleCtes,
         neg AS (SELECT qid, doc_id, row_number() OVER (
                   PARTITION BY qid ORDER BY rn) AS neg_rank
                 FROM rk WHERE rn <= 6 AND doc_id <> qid)
@@ -4186,48 +4139,16 @@ object LlmOps {
         Streaming.indexIngestBatch(
           docs.filter(col("doc_id") % 2 =!= 0), 1L, storeDir,
           "doc_id", "text")
-        val qs = docs.filter(col("doc_id") % 101 === 7)
-          .select(col("doc_id").as("qid"),
-            array_join(slice(split(col("text"), " "), 1, 6), " ")
-              .as("qtext"))
         materializeAndClean(
-          Streaming.bm25FromIndex(s, storeDir, qs, "qid", "qtext", k = 5)
+          Streaming.bm25FromIndex(s, storeDir, knownItemQueries(docs),
+              "qid", "qtext", k = 5)
             .select(col("qid"), col("rank"), col("doc").as("doc_id"),
               col("score"))
             .orderBy("qid", "rank"),
           storeDir)
       },
-      oracle = Some("""
-        WITH q AS (
-          SELECT doc_id AS qid,
-                 array_to_string(string_split(text, ' ')[1:6], ' ')
-                   AS qtext
-          FROM documents WHERE doc_id % 101 = 7),
-        qt AS (SELECT DISTINCT qid,
-                      unnest(string_split(qtext, ' ')) AS token FROM q),
-        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-               FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
-        len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
-        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        n AS (SELECT count(*) AS n FROM len),
-        ad AS (SELECT avg(len) AS avgdl FROM len),
-        w AS (
-          SELECT qt.qid, tf.doc_id,
-                 ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-                 (tf.tf * (2200/1000.0)) /
-                 (tf.tf + (1200/1000.0) *
-                   ((250/1000.0) + (750/1000.0) * len.len / ad.avgdl))
-                   AS w
-          FROM qt JOIN tf USING (token) JOIN dfq USING (token)
-          JOIN len ON tf.doc_id = len.doc_id
-          CROSS JOIN n CROSS JOIN ad),
-        sc AS (SELECT qid, doc_id, round(sum(w), 4) AS score
-               FROM w GROUP BY 1, 2),
-        rk AS (SELECT qid, doc_id, score,
-                      row_number() OVER (PARTITION BY qid
-                        ORDER BY score DESC, doc_id) AS rn
-               FROM sc)
+      oracle = Some(s"""
+        WITH $bm25OracleCtes
         SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
         FROM rk WHERE rn <= 5
         ORDER BY qid, rank"""))

@@ -785,7 +785,17 @@ object Streaming {
     }
 
   /** The per-batch step — separated so tests and manual backfills can
-    * replay a batch directly and observe idempotence. */
+    * replay a batch directly and observe idempotence.
+    *
+    * A NULL-text doc produces no postings — but it must still
+    * SUPERSEDE any earlier version of the same id (re-ingesting a doc
+    * as null is the redaction shape), so the slice carries a
+    * `token IS NULL` TOMBSTONE row per null-text doc: `latestPerKey`
+    * sees the newer batch at compaction and drops the stale postings,
+    * and the query side filters tombstones before scoring — the doc
+    * ends unindexed, exactly like the batch operator on the latest
+    * corpus. Between re-ingest and compaction the old postings still
+    * score (the same bounded degradation as any re-ingest here). */
   def indexIngestBatch(
       batch: DataFrame, batchId: Long, indexPath: String,
       idCol: String, textCol: String, compactEvery: Int = 16): Unit = {
@@ -793,10 +803,16 @@ object Streaming {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       IngestStore.compact(spark, indexPath, postingsSchema,
         upTo = batchId, latestPerKey = Some("doc"))
+    val slim = batch.select(col(idCol).cast("long").as("__id"),
+      col(textCol))
     val posts = graft.operators.TextStats.postings(
-      batch.select(col(idCol).cast("long").as("__id"), col(textCol)),
-      "__id", textCol)
-    writeBatch(posts, indexPath, "parquet", batchId)
+      slim.filter(col(textCol).isNotNull), "__id", textCol)
+    val tombstones = slim.filter(col(textCol).isNull)
+      .select(col("__id").as("doc"),
+        lit(null).cast("string").as("token"),
+        lit(0L).as("tf"), lit(0L).as("len"))
+    writeBatch(posts.unionByName(tombstones), indexPath, "parquet",
+      batchId)
   }
 
   /** BM25 top-k over the accumulated postings store — the query side

@@ -476,9 +476,11 @@ class PlanAuditSpec extends SparkSpec {
       assert(!s.contains("BroadcastNestedLoopJoin"),
         s"$name: ${s.take(1500)}")
       // q217/q219's only window is the per-query candidate ranking;
-      // q218 must have none at all
+      // q218's contract is ZERO window operators (not merely zero
+      // unpartitioned ones)
       assert(deepCollect(exec) {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowExec if w.partitionSpec.isEmpty ||
+          name.startsWith("q218") => w
       }.isEmpty, name)
     }
     assert(bm25Plan.contains("Subquery") ||

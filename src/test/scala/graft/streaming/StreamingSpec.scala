@@ -836,6 +836,42 @@ class StreamingSpec extends SparkSpec {
           "qid", "qtext", 3)))
   }
 
+  test("indexIngest: a NULL-text re-ingest TOMBSTONES the doc — the " +
+      "stale postings fall at compaction and retrieval unindexes it, " +
+      "matching the batch operator on the latest corpus") {
+    import spark.implicits._
+    import graft.operators.TextStats
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val idxDir = tmp("graft-idx-tomb")
+    val b0 = Seq((1L, "secret text"), (2L, "other words"))
+    val b1 = Seq((1L, null.asInstanceOf[String])) // redaction re-ingest
+    val b2 = Seq((3L, "closing batch"))           // triggers compaction
+    Seq((b0, 0L), (b1, 1L), (b2, 2L)).foreach { case (rows, id) =>
+      Streaming.indexIngestBatch(rows.toDF("doc_id", "text"), id,
+        idxDir, "doc_id", "text", compactEvery = 2)
+    }
+    // post-compaction store: doc 1 carries ONLY its tombstone
+    val doc1 = spark.read.option("basePath", idxDir).parquet(idxDir)
+      .filter(col("doc") === 1L)
+      .select(col("token")).collect().map(r => Option(r.getString(0)))
+    assert(doc1.toSeq === Seq(None))
+    // retrieval: the redacted doc is gone; everything else matches the
+    // batch operator over the LATEST corpus (doc 1 now null)
+    val latest = Seq((1L, null.asInstanceOf[String]),
+      (2L, "other words"), (3L, "closing batch")).toDF("doc_id", "text")
+    val qs = Seq((9L, "secret"), (10L, "other closing"))
+      .toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val fromStore =
+      Streaming.bm25FromIndex(spark, idxDir, qs, "qid", "qtext", 3)
+    assert(!rows(fromStore).exists(_._3 == 1L))
+    assert(rows(fromStore) === rows(TextStats.bm25TopK(
+      latest, "doc_id", "text", qs, "qid", "qtext", 3)))
+  }
+
   test("indexIngest: crash AT a compaction batch — restart re-delivers " +
       "through the checkpoint and the store converges to the " +
       "uninterrupted run (supersede folded by the compaction)") {
