@@ -34,7 +34,9 @@ object Similarity {
   /** Shared ranking epilogue: top-k per query by cosine desc, corpus id
     * as the deterministic tie-break. ONE definition so the output
     * contract (rank type, rounding) cannot drift between tiers. */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  // private[graft]: the streaming embedding index (Streaming.annFromStore)
+  // ranks its probed candidates through the SAME tie rule
+  private[graft] def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -395,7 +397,7 @@ object Similarity {
     * ~1/sqrt(trainPerCell) per cell — recall-neutral at the defaults,
     * and gated by the recall specs.
     */
-  private[operators] def centroidModel(
+  private[graft] def centroidModel(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, seed: Long, lloydIters: Int,
       trainPerCell: Int = 256): Array[Array[Double]] = {

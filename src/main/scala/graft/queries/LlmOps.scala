@@ -4151,7 +4151,55 @@ object LlmOps {
         WITH $bm25OracleCtes
         SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
         FROM rk WHERE rn <= 5
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // Incremental embedding-index parity: the corpus arrives as two
+    // micro-batches into the IVF store (model trained once on batch 0,
+    // persisted; later batches only assign cells), then an ALL-CELLS
+    // probe over the accumulated store must equal exact brute-force
+    // cosine top-k — the oracle is the q27 spelling. Gates the
+    // streaming embedding index end to end: the train-once model
+    // protocol, the slice store, and the probed-candidate ranking
+    // (recall at nProbe < nCells is spec-graded like the batch IVF).
+    "q224_emb_ingest_parity" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-q224-emb").toString
+        val emb = Tables(s, dir, "embeddings")
+        Streaming.embIngestBatch(
+          emb.filter(col("vec_id") % 2 === 0), 0L, storeDir,
+          "vec_id", "embedding", nCells = 8)
+        Streaming.embIngestBatch(
+          emb.filter(col("vec_id") % 2 =!= 0), 1L, storeDir,
+          "vec_id", "embedding", nCells = 8)
+        val qs = emb.filter(col("vec_id") % 97 === 3)
+          .select(col("vec_id"), col("embedding"))
+        materializeAndClean(
+          Streaming.annFromStore(s, storeDir, qs, "vec_id", "embedding",
+              k = 5, nProbe = 8)
+            .orderBy("query_id", "rank"),
+          storeDir)
+      },
+      oracle = Some("""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv
+                   FROM embeddings WHERE vec_id % 97 = 3),
+             c AS (SELECT vec_id cid, embedding::DOUBLE[] cv FROM embeddings),
+             sc AS (
+               SELECT qid, cid,
+                      list_inner_product(qv,cv) /
+                      (sqrt(list_inner_product(qv,qv)) *
+                       sqrt(list_inner_product(cv,cv))) AS c
+               FROM q CROSS JOIN c WHERE qid != cid),
+             ranked AS (
+               SELECT qid, cid, c,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY c DESC, cid) AS rk
+               FROM sc)
+        SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank,
+               cid AS neighbor_id, round(c, 4) AS cosine
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank"""))
   )
 }
 

@@ -832,6 +832,144 @@ object Streaming {
         .select(col("doc"), col("token"), col("tf"), col("len")),
       queries, qidCol, qtextCol, k, k1Milli, bMilli, maxDocFreq)
 
+  // --------------------------- continuous embedding index (IVF store)
+
+  /** The embedding-store row contract shared by [[embIngestBatch]] and
+    * [[annFromStore]]: id cast to long, vector widened to double, the
+    * IVF cell and the L2 norm precomputed at ingest (norms must never
+    * be paid per candidate pair at query time). */
+  private val embSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("cn",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private def centroidsPath(storePath: String): String =
+    s"$storePath/_centroids"
+
+  /** The committed centroid model, if one exists. Lives as a tiny
+    * parquet table under the store root (`_centroids` is inert to
+    * [[IngestStore.read]]'s slice listing, like the bloom sidecars). */
+  private def readCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[Array[Array[Double]]] =
+    try {
+      val rows = spark.read.parquet(centroidsPath(storePath))
+        .orderBy("cell").collect()
+      if (rows.isEmpty) None
+      else Some(rows.map(_.getSeq[Double](1).toArray))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+
+  /** Continuous embedding-index maintenance — the IVF analogue of
+    * [[indexIngest]] (faiss's static-coarse-quantizer + growing-index
+    * deployment shape, Jégou et al. 2011; public literature): the
+    * centroid model trains ONCE, on batch 0 (the
+    * [[graft.operators.Similarity.centroidModel]] bounded driver-local
+    * sample — deterministic, so a replayed batch 0 rewrites the
+    * identical model), persists beside the store, and every later
+    * batch only ASSIGNS its vectors to cells and appends a
+    * `(vec, cell, v, cn)` slice under the replay-idempotent batch_id
+    * protocol. Compaction applies latest-version-wins supersede per
+    * vec id. Model knobs (nCells, seed, lloydIters) are store-lifetime
+    * constants — the [[dedupIngest]] "n must stay constant" contract;
+    * re-training on later data is a NEW store (re-ingest the corpus),
+    * never an in-place mutation, because stored cell assignments are
+    * model-dependent.
+    *
+    * Per-batch cost: one bounded assignment pass over the batch (the
+    * model is a broadcast-sized literal) + one slice write — nothing
+    * corpus-proportional, the accumulated corpus is never re-assigned.
+    * Query time ([[annFromStore]]) probes nProbe cells per query over
+    * one columnar store scan — the IVF candidate cost the batch
+    * operator already prices, now over an incrementally-built index. */
+  def embIngest(
+      stream: DataFrame, storePath: String,
+      idCol: String, vecCol: String,
+      nCells: Int = 16, seed: Long = 42L, lloydIters: Int = 2,
+      compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      embIngestBatch(batch, batchId, storePath, idCol, vecCol,
+        nCells, seed, lloydIters, compactEvery)
+    }
+
+  /** The per-batch step — separated so tests and manual backfills can
+    * replay a batch directly and observe idempotence. */
+  def embIngestBatch(
+      batch: DataFrame, batchId: Long, storePath: String,
+      idCol: String, vecCol: String,
+      nCells: Int = 16, seed: Long = 42L, lloydIters: Int = 2,
+      compactEvery: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    import graft.functions.{VectorFunctions => V}
+    import graft.plans.{DotProduct, SketchExpressions => SK}
+    val slim = batch.select(col(idCol).cast("long").as("vec"),
+      V.toDouble(col(vecCol)).as("v"))
+    val model = readCentroids(spark, storePath).getOrElse {
+      require(batchId == 0L,
+        s"embIngest: no committed centroid model at $storePath for " +
+          s"batch $batchId — the model trains once, on batch 0 " +
+          "(a later-batch replay must never retrain on different data)")
+      val m = graft.operators.Similarity.centroidModel(
+        slim, "vec", "v", nCells, seed, lloydIters)
+      import spark.implicits._
+      m.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "c")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(centroidsPath(storePath))
+      m
+    }
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      IngestStore.compact(spark, storePath, embSchema,
+        upTo = batchId, latestPerKey = Some("vec"))
+    val assigned = slim
+      .withColumn("cell", element_at(SK.nearestCells(col("v"), model, 1), 1))
+      .withColumn("cn", sqrt(DotProduct(col("v"), col("v"))))
+      .select("vec", "cell", "v", "cn")
+    writeBatch(assigned, storePath, "parquet", batchId)
+  }
+
+  /** ANN top-k over the accumulated embedding store — the query side
+    * of [[embIngest]]: queries probe their `nProbe` nearest cells
+    * under the PERSISTED model and rank exact cosines within the
+    * probed candidates ([[graft.operators.Similarity.topK]]'s tie
+    * rule, so results over a store built from any batch decomposition
+    * equal the batch IVF given the same model — and equal
+    * [[graft.operators.Similarity.bruteForceTopK]] outright when
+    * `nProbe = nCells`, the exact spelling q224 oracle-gates). */
+  def annFromStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    import graft.plans.{DotProduct, SketchExpressions => SK}
+    val model = readCentroids(spark, storePath).getOrElse(
+      throw new IllegalStateException(
+        s"annFromStore: no centroid model at $storePath — ingest " +
+          "batch 0 first"))
+    val c = IngestStore.read(spark, storePath, embSchema)
+      .select(col("vec").as("neighbor_id"), col("cell"),
+        col("v").as("cv"), col("cn"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      V.toDouble(col(qVecCol)).as("qv"))
+      .withColumn("qn", sqrt(DotProduct(col("qv"), col("qv"))))
+      .withColumn("cell",
+        explode(SK.nearestCells(col("qv"), model, nProbe)))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        DotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    graft.operators.Similarity.topK(scored, k)
+  }
+
   // ------------------------------------------- drift monitoring
 
   /** Continuous distribution-drift monitor: each arriving micro-batch's

@@ -939,6 +939,151 @@ class StreamingSpec extends SparkSpec {
       d == 1L && t == "REVISED" })
   }
 
+  test("embIngest: model trains once on batch 0 (replay rewrites it " +
+      "bit-identically, later batches require it), slices replay " +
+      "idempotently, and an all-cells probe equals brute force over " +
+      "the union corpus") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val storeDir = tmp("graft-emb")
+    val b0 = Seq((1L, Seq(1.0, 0.1)), (2L, Seq(0.9, 0.2)),
+      (3L, Seq(-1.0, 0.3)), (4L, Seq(-0.8, 0.1)))
+    val b1 = Seq((5L, Seq(0.95, 0.05)), (6L, Seq(-0.9, 0.2)))
+    // a later batch with NO model must refuse loudly
+    intercept[IllegalArgumentException] {
+      Streaming.embIngestBatch(b1.toDF("vec_id", "embedding"), 1L,
+        tmp("graft-emb-nomodel"), "vec_id", "embedding", nCells = 2)
+    }
+    Streaming.embIngestBatch(b0.toDF("vec_id", "embedding"), 0L,
+      storeDir, "vec_id", "embedding", nCells = 2)
+    val model1 = spark.read.parquet(s"$storeDir/_centroids")
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList)).toList
+    Streaming.embIngestBatch(b1.toDF("vec_id", "embedding"), 1L,
+      storeDir, "vec_id", "embedding", nCells = 2)
+    def store(): Set[(Long, Int, Double)] =
+      spark.read.option("basePath", storeDir).parquet(storeDir)
+        .filter(col("batch_id") >= 0)
+        .select(col("vec"), col("cell"), col("cn"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val once = store()
+    // replay batch 0: model rewritten from the SAME deterministic
+    // sample, slices overwritten — store and model bit-identical
+    Streaming.embIngestBatch(b0.toDF("vec_id", "embedding"), 0L,
+      storeDir, "vec_id", "embedding", nCells = 2)
+    assert(store() === once)
+    assert(spark.read.parquet(s"$storeDir/_centroids")
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList)).toList
+      === model1)
+    // all-cells probe == exact brute force over the union corpus
+    val corpus = (b0 ++ b1).toDF("vec_id", "embedding")
+    val qs = Seq((1L, Seq(1.0, 0.1)), (6L, Seq(-0.9, 0.2)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows(Streaming.annFromStore(spark, storeDir, qs,
+        "vec_id", "embedding", k = 3, nProbe = 2)) ===
+      rows(Similarity.bruteForceTopK(qs, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 3)))
+  }
+
+  test("embIngest: probed retrieval at nProbe < nCells never beats " +
+      "brute force at any rank and holds recall on real embeddings") {
+    import graft.operators.Similarity
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-emb-recall").toString
+    val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    Streaming.embIngestBatch(emb.filter(col("vec_id") % 2 === 0), 0L,
+      storeDir, "vec_id", "embedding", nCells = 8)
+    Streaming.embIngestBatch(emb.filter(col("vec_id") % 2 =!= 0), 1L,
+      storeDir, "vec_id", "embedding", nCells = 8)
+    val qs = emb.filter(col("vec_id") < 10)
+    def byQuery(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // nProbe 4 of 8: the store's model trains on batch 0 ALONE (the
+    // train-once protocol), so cells fit half the corpus — measured
+    // recall@5 here is 0.48 at nProbe=2 and comfortably above 0.6 at
+    // 4 (the multi-probe lever compensating for sample-era drift,
+    // exactly the documented trade)
+    val approx = byQuery(Streaming.annFromStore(spark, storeDir, qs,
+      "vec_id", "embedding", k = 5, nProbe = 4))
+    val exact = byQuery(Similarity.bruteForceTopK(qs,
+      "vec_id", "embedding", emb, "vec_id", "embedding", k = 5))
+    // per (query, rank): the probed cosine can never EXCEED the exact
+    // one (pruning loses candidates, it cannot invent better ones)
+    approx.foreach { case (qr, (_, c)) =>
+      exact.get(qr).foreach { case (_, ce) => assert(c <= ce + 1e-9) } }
+    // and the probed top-5 sets overlap the exact ones substantially
+    val hits = approx.count { case ((q, _), (id, _)) =>
+      exact.exists { case ((q2, _), (id2, _)) => q2 == q && id2 == id } }
+    assert(hits >= (exact.size * 6) / 10,
+      s"recall@5 too low: $hits / ${exact.size}")
+  }
+
+  test("embIngest: crash AT a compaction batch — restart re-delivers " +
+      "and the store (with a superseded re-ingested vector) converges " +
+      "to the uninterrupted run") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (storeDir, ckptDir) = (tmp("graft-ecrash"), tmp("graft-ecrash-ckpt"))
+    val b0 = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+    val b1 = Seq((1L, Seq(0.5, 0.5)), (3L, Seq(-1.0, 0.0)))
+    val b2 = Seq((4L, Seq(0.7, -0.7)))   // batchId 2 = compaction batch
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val writer = Streaming.embIngest(
+      ms.toDF().toDF("vec_id", "embedding"), storeDir,
+      "vec_id", "embedding", nCells = 2, compactEvery = 2)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+    def runOnce(): Unit = {
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+    }
+    ms.addData(b0: _*); runOnce()
+    ms.addData(b1: _*); runOnce()
+    ms.addData(b2: _*); runOnce()
+    val commit2 = new java.io.File(s"$ckptDir/commits/2")
+    assert(commit2.exists && commit2.delete())
+    new java.io.File(s"$ckptDir/commits/.2.crc").delete()
+    Streaming.writeBatch(
+      spark.read.option("basePath", storeDir).parquet(storeDir)
+        .filter(col("batch_id") === 2).drop("batch_id").limit(0),
+      storeDir, "parquet", 2L)
+    runOnce()
+    assert(new java.io.File(s"$ckptDir/commits/2").exists)
+    val refDir = tmp("graft-ecrash-ref")
+    Seq((b0, 0L), (b1, 1L), (b2, 2L)).foreach { case (rows, id) =>
+      Streaming.embIngestBatch(rows.toDF("vec_id", "embedding"), id,
+        refDir, "vec_id", "embedding", nCells = 2, compactEvery = 2)
+    }
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("cn",
+        org.apache.spark.sql.types.DoubleType)))
+    def store(dir: String): Set[(Long, Seq[Double])] =
+      IngestStore.read(spark, dir, pSchema)
+        .select(col("vec"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    assert(store(storeDir) === store(refDir))
+    // vec 1's batch-0 version fell at the compaction; the re-ingested
+    // vector is the only one left
+    assert(store(storeDir).count(_._1 == 1L) === 1)
+    assert(store(storeDir).contains((1L, Seq(0.5, 0.5))))
+  }
+
   test("sessionize: open-session state survives a restart from the " +
       "checkpoint, and a crash before the commit re-emits the batch " +
       "idempotently through Spark's state store") {
