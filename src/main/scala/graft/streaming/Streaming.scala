@@ -851,29 +851,55 @@ object Streaming {
 
   private def centroidsPath(storePath: String): String =
     s"$storePath/_centroids"
+  private def centroidsMarker(storePath: String): String =
+    s"$storePath/_centroids_committed"
 
-  /** The committed centroid model, if one exists. Lives as a tiny
+  /** The COMMITTED centroid model, if one exists. Lives as a tiny
     * parquet table under the store root (`_centroids` is inert to
-    * [[IngestStore.read]]'s slice listing, like the bloom sidecars). */
+    * [[IngestStore.read]]'s slice listing, like the bloom sidecars),
+    * committed by a marker file written strictly AFTER the parquet —
+    * a multi-file parquet overwrite is not atomic, and a torn model
+    * from a mid-write crash must read as ABSENT (the replay retrains
+    * deterministically and re-commits) rather than be trusted
+    * forever. The same marker-commit argument as [[IngestStore]]'s
+    * boundary protocol. */
   private def readCentroids(
       spark: org.apache.spark.sql.SparkSession,
-      storePath: String): Option[Array[Array[Double]]] =
-    try {
+      storePath: String): Option[Array[Array[Double]]] = {
+    val marker = new org.apache.hadoop.fs.Path(centroidsMarker(storePath))
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) None
+    else {
       val rows = spark.read.parquet(centroidsPath(storePath))
         .orderBy("cell").collect()
       if (rows.isEmpty) None
       else Some(rows.map(_.getSeq[Double](1).toArray))
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => None
     }
+  }
+
+  private def writeCentroids(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      model: Array[Array[Double]]): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(centroidsMarker(storePath))
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) { fs.delete(marker, false); () }
+    import spark.implicits._
+    model.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "c")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(centroidsPath(storePath))
+    fs.create(marker, true).close()
+  }
 
   /** Continuous embedding-index maintenance — the IVF analogue of
     * [[indexIngest]] (faiss's static-coarse-quantizer + growing-index
     * deployment shape, Jégou et al. 2011; public literature): the
-    * centroid model trains ONCE, on batch 0 (the
-    * [[graft.operators.Similarity.centroidModel]] bounded driver-local
-    * sample — deterministic, so a replayed batch 0 rewrites the
-    * identical model), persists beside the store, and every later
+    * centroid model trains ONCE, on the first batch carrying vectors
+    * (the [[graft.operators.Similarity.centroidModel]] bounded
+    * driver-local sample — deterministic, so a replay of that batch
+    * either finds the marker-committed model or retrains the
+    * identical one), persists beside the store, and every later
     * batch only ASSIGNS its vectors to cells and appends a
     * `(vec, cell, v, cn)` slice under the replay-idempotent batch_id
     * protocol. Compaction applies latest-version-wins supersede per
@@ -901,7 +927,21 @@ object Streaming {
     }
 
   /** The per-batch step — separated so tests and manual backfills can
-    * replay a batch directly and observe idempotence. */
+    * replay a batch directly and observe idempotence.
+    *
+    * Model lifecycle: the model trains on the FIRST batch that carries
+    * a non-null vector (deterministic sample, so a replay of that
+    * batch either finds the committed model or retrains the identical
+    * one) — an empty or all-null leading batch writes its empty slice
+    * and defers training rather than committing an empty model that
+    * would wedge every later batch.
+    *
+    * NULL-vector rows are the redaction shape here, mirroring
+    * [[indexIngestBatch]]'s tombstones: they carry no cell (a null
+    * never equi-joins, so they are retrieval-invisible) but DO carry
+    * the latest batch id, so compaction's latest-per-vec supersede
+    * drops the redacted vector's old postings. They are excluded from
+    * model training. */
   def embIngestBatch(
       batch: DataFrame, batchId: Long, storePath: String,
       idCol: String, vecCol: String,
@@ -912,28 +952,29 @@ object Streaming {
     import graft.plans.{DotProduct, SketchExpressions => SK}
     val slim = batch.select(col(idCol).cast("long").as("vec"),
       V.toDouble(col(vecCol)).as("v"))
-    val model = readCentroids(spark, storePath).getOrElse {
-      require(batchId == 0L,
-        s"embIngest: no committed centroid model at $storePath for " +
-          s"batch $batchId — the model trains once, on batch 0 " +
-          "(a later-batch replay must never retrain on different data)")
-      val m = graft.operators.Similarity.centroidModel(
-        slim, "vec", "v", nCells, seed, lloydIters)
-      import spark.implicits._
-      m.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell", "c")
-        .coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(centroidsPath(storePath))
-      m
-    }
+    val model: Option[Array[Array[Double]]] =
+      readCentroids(spark, storePath).orElse {
+        val m = graft.operators.Similarity.centroidModel(
+          slim.filter(col("v").isNotNull), "vec", "v",
+          nCells, seed, lloydIters)
+        if (m.isEmpty) None // nothing to train on yet — defer
+        else { writeCentroids(spark, storePath, m); Some(m) }
+      }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       IngestStore.compact(spark, storePath, embSchema,
         upTo = batchId, latestPerKey = Some("vec"))
-    val assigned = slim
-      .withColumn("cell", element_at(SK.nearestCells(col("v"), model, 1), 1))
-      .withColumn("cn", sqrt(DotProduct(col("v"), col("v"))))
-      .select("vec", "cell", "v", "cn")
+    val assigned = model match {
+      case Some(m) => slim
+        .withColumn("cell",
+          element_at(SK.nearestCells(col("v"), m, 1), 1))
+        .withColumn("cn", sqrt(DotProduct(col("v"), col("v"))))
+        .select("vec", "cell", "v", "cn")
+      case None => // empty/all-null batch before any model: the slice
+        // still lands (protocol coverage stays contiguous); null-vec
+        // rows are tombstones exactly as in the trained path
+        slim.select(col("vec"), lit(null).cast("int").as("cell"),
+          col("v"), lit(null).cast("double").as("cn"))
+    }
     writeBatch(assigned, storePath, "parquet", batchId)
   }
 
@@ -953,8 +994,8 @@ object Streaming {
     import graft.plans.{DotProduct, SketchExpressions => SK}
     val model = readCentroids(spark, storePath).getOrElse(
       throw new IllegalStateException(
-        s"annFromStore: no centroid model at $storePath — ingest " +
-          "batch 0 first"))
+        s"annFromStore: no committed centroid model at $storePath — " +
+          "ingest a batch with vectors first"))
     val c = IngestStore.read(spark, storePath, embSchema)
       .select(col("vec").as("neighbor_id"), col("cell"),
         col("v").as("cv"), col("cn"))

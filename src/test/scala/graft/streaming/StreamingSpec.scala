@@ -939,10 +939,10 @@ class StreamingSpec extends SparkSpec {
       d == 1L && t == "REVISED" })
   }
 
-  test("embIngest: model trains once on batch 0 (replay rewrites it " +
-      "bit-identically, later batches require it), slices replay " +
-      "idempotently, and an all-cells probe equals brute force over " +
-      "the union corpus") {
+  test("embIngest: the model trains once, on the first batch with " +
+      "vectors (an empty leading batch defers, a replay converges " +
+      "bit-identically), slices replay idempotently, and an " +
+      "all-cells probe equals brute force over the union corpus") {
     import spark.implicits._
     import graft.operators.Similarity
     def tmp(p: String) =
@@ -951,11 +951,22 @@ class StreamingSpec extends SparkSpec {
     val b0 = Seq((1L, Seq(1.0, 0.1)), (2L, Seq(0.9, 0.2)),
       (3L, Seq(-1.0, 0.3)), (4L, Seq(-0.8, 0.1)))
     val b1 = Seq((5L, Seq(0.95, 0.05)), (6L, Seq(-0.9, 0.2)))
-    // a later batch with NO model must refuse loudly
-    intercept[IllegalArgumentException] {
-      Streaming.embIngestBatch(b1.toDF("vec_id", "embedding"), 1L,
-        tmp("graft-emb-nomodel"), "vec_id", "embedding", nCells = 2)
+    // an EMPTY leading batch defers training (no committed model, no
+    // wedge) — the first batch WITH vectors trains
+    val deferDir = tmp("graft-emb-defer")
+    Streaming.embIngestBatch(
+      Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding"), 0L,
+      deferDir, "vec_id", "embedding", nCells = 2)
+    intercept[IllegalStateException] {
+      Streaming.annFromStore(spark, deferDir,
+        b0.toDF("vec_id", "embedding"), "vec_id", "embedding", 1, 2)
     }
+    Streaming.embIngestBatch(b0.toDF("vec_id", "embedding"), 1L,
+      deferDir, "vec_id", "embedding", nCells = 2)
+    assert(Streaming.annFromStore(spark, deferDir,
+      b0.take(1).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      1, 2).count() === 1L)
+
     Streaming.embIngestBatch(b0.toDF("vec_id", "embedding"), 0L,
       storeDir, "vec_id", "embedding", nCells = 2)
     val model1 = spark.read.parquet(s"$storeDir/_centroids")
@@ -990,6 +1001,38 @@ class StreamingSpec extends SparkSpec {
         "vec_id", "embedding", k = 3, nProbe = 2)) ===
       rows(Similarity.bruteForceTopK(qs, "vec_id", "embedding",
         corpus, "vec_id", "embedding", k = 3)))
+  }
+
+  test("embIngest: a NULL-vector re-ingest tombstones the vec — " +
+      "retrieval-invisible immediately, old postings superseded at " +
+      "compaction; null vectors never enter training") {
+    import spark.implicits._
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val storeDir = tmp("graft-emb-tomb")
+    // batch 0 carries a null vector alongside real ones: training
+    // must skip it (no NPE) and the row lands as a tombstone
+    val b0 = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (7L, null.asInstanceOf[Seq[Double]]))
+    val b1 = Seq((1L, null.asInstanceOf[Seq[Double]])) // redact vec 1
+    val b2 = Seq((3L, Seq(-1.0, 0.2)))  // batchId 2 = compaction batch
+    Seq((b0, 0L), (b1, 1L), (b2, 2L)).foreach { case (rows, id) =>
+      Streaming.embIngestBatch(rows.toDF("vec_id", "embedding"), id,
+        storeDir, "vec_id", "embedding", nCells = 2, compactEvery = 2)
+    }
+    // post-compaction: vec 1 carries ONLY its tombstone (null cell)
+    val vec1 = spark.read.option("basePath", storeDir).parquet(storeDir)
+      .filter(col("vec") === 1L)
+      .select(col("cell")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(vec1.toSeq === Seq(None))
+    // retrieval never surfaces a tombstoned vec
+    val got = Streaming.annFromStore(spark, storeDir,
+        Seq((9L, Seq(1.0, 0.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(!got.contains(1L) && !got.contains(7L))
+    assert(got === Set(2L, 3L))
   }
 
   test("embIngest: probed retrieval at nProbe < nCells never beats " +
