@@ -869,11 +869,17 @@ object Streaming {
     val marker = new org.apache.hadoop.fs.Path(centroidsMarker(storePath))
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(marker)) None
-    else {
+    else try {
       val rows = spark.read.parquet(centroidsPath(storePath))
         .orderBy("cell").collect()
       if (rows.isEmpty) None
       else Some(rows.map(_.getSeq[Double](1).toArray))
+    } catch {
+      // marker present but the table unreadable (externally damaged):
+      // treat as absent — the ingest path then either retrains (no
+      // assigned slices yet) or refuses loudly (model genuinely lost;
+      // see embIngestBatch's assigned-slice check)
+      case _: org.apache.spark.sql.AnalysisException => None
     }
   }
 
@@ -882,7 +888,14 @@ object Streaming {
       model: Array[Array[Double]]): Unit = {
     val marker = new org.apache.hadoop.fs.Path(centroidsMarker(storePath))
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(marker)) { fs.delete(marker, false); () }
+    // the marker must be GONE before the (non-atomic) parquet
+    // overwrite starts, or a mid-overwrite crash leaves a committed
+    // marker over a torn table — a failed delete must fail the batch
+    if (fs.exists(marker))
+      require(fs.delete(marker, false),
+        s"embIngest: could not clear the model marker $marker " +
+          "before rewriting the model — refusing to overwrite under " +
+          "a live commit marker")
     import spark.implicits._
     model.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "c")
@@ -954,6 +967,21 @@ object Streaming {
       V.toDouble(col(vecCol)).as("v"))
     val model: Option[Array[Array[Double]]] =
       readCentroids(spark, storePath).orElse {
+        // no committed model. Retraining is only legitimate when the
+        // store carries NO model-assigned rows (first vector batch,
+        // or a replay of it after a pre-marker crash) — assigned
+        // slices under a missing model mean the model was LOST, and
+        // retraining on this batch alone would silently invalidate
+        // every stored cell. Refuse loudly instead. Bounded cost:
+        // this branch runs only while no model exists.
+        val assignedBefore = IngestStore
+          .read(spark, storePath, embSchema, excludeBatch = batchId)
+          .filter(col("cell").isNotNull)
+        require(assignedBefore.isEmpty,
+          s"embIngest: store at $storePath carries cell-assigned " +
+            "slices but no committed centroid model — the model was " +
+            "lost; restore _centroids + its marker (retraining here " +
+            "would invalidate every stored assignment)")
         val m = graft.operators.Similarity.centroidModel(
           slim.filter(col("v").isNotNull), "vec", "v",
           nCells, seed, lloydIters)

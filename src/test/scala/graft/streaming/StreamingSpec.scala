@@ -969,27 +969,47 @@ class StreamingSpec extends SparkSpec {
 
     Streaming.embIngestBatch(b0.toDF("vec_id", "embedding"), 0L,
       storeDir, "vec_id", "embedding", nCells = 2)
-    val model1 = spark.read.parquet(s"$storeDir/_centroids")
+    def model() = spark.read.parquet(s"$storeDir/_centroids")
       .orderBy("cell").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toList)).toList
-    Streaming.embIngestBatch(b1.toDF("vec_id", "embedding"), 1L,
-      storeDir, "vec_id", "embedding", nCells = 2)
     def store(): Set[(Long, Int, Double)] =
       spark.read.option("basePath", storeDir).parquet(storeDir)
         .filter(col("batch_id") >= 0)
         .select(col("vec"), col("cell"), col("cn"))
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
-    val once = store()
-    // replay batch 0: model rewritten from the SAME deterministic
-    // sample, slices overwritten — store and model bit-identical
+    val model1 = model()
+    val store0 = store()
+    // the crash-between-parquet-and-marker path: batch 0 never
+    // committed (no later batch exists), the marker is gone and the
+    // slice is torn — the replay must RETRAIN from the same
+    // deterministic sample and converge bit-identically
+    assert(new java.io.File(s"$storeDir/_centroids_committed").delete())
+    Streaming.writeBatch(
+      spark.read.option("basePath", storeDir).parquet(storeDir)
+        .filter(col("batch_id") === 0).drop("batch_id").limit(0),
+      storeDir, "parquet", 0L)
     Streaming.embIngestBatch(b0.toDF("vec_id", "embedding"), 0L,
       storeDir, "vec_id", "embedding", nCells = 2)
-    assert(store() === once)
-    assert(spark.read.parquet(s"$storeDir/_centroids")
-      .orderBy("cell").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toList)).toList
-      === model1)
+    assert(store() === store0 && model() === model1)
+
+    Streaming.embIngestBatch(b1.toDF("vec_id", "embedding"), 1L,
+      storeDir, "vec_id", "embedding", nCells = 2)
+    val once = store()
+    // replay batch 1 with the marker committed: the fast path reuses
+    // the model; store unchanged
+    Streaming.embIngestBatch(b1.toDF("vec_id", "embedding"), 1L,
+      storeDir, "vec_id", "embedding", nCells = 2)
+    assert(store() === once && model() === model1)
+    // a LOST model over an ASSIGNED store must refuse loudly, never
+    // silently retrain on one batch and invalidate stored cells
+    assert(new java.io.File(s"$storeDir/_centroids_committed").delete())
+    intercept[IllegalArgumentException] {
+      Streaming.embIngestBatch(b1.toDF("vec_id", "embedding"), 2L,
+        storeDir, "vec_id", "embedding", nCells = 2)
+    }
+    // restore the marker (the operator-intervention path) and move on
+    new java.io.File(s"$storeDir/_centroids_committed").createNewFile()
     // all-cells probe == exact brute force over the union corpus
     val corpus = (b0 ++ b1).toDF("vec_id", "embedding")
     val qs = Seq((1L, Seq(1.0, 0.1)), (6L, Seq(-0.9, 0.2)))
