@@ -29,11 +29,32 @@ object Bench {
     // a warm-up failure doesn't fail the bench (the measured pass will
     // report -1 with its own stderr line), but it must leave a trace —
     // a query that only breaks during warm-up is otherwise invisible
+    // Per-query scratch release: the streaming parity gates (q94,
+    // q211, q213, q217-q224) leave localCheckpoint RDD blocks and
+    // state-store maps behind that only GC-driven ContextCleaner
+    // frees — under accumulation a later query pays their memory
+    // pressure. Measured (r9 attribution run): q94 = 8.28 s in
+    // isolation but 10.88 s when run right after the q2xx gates
+    // (+31%), which is the r8 "q94 +20% with no code change"
+    // regression. The release runs BETWEEN queries, outside any
+    // timed span.
+    def releaseScratch(): Unit = {
+      // localCheckpoint blocks register as persistent RDDs and are NOT
+      // released by clearCache — they otherwise pile up in the block
+      // manager until GC-driven ContextCleaner gets to them, and the
+      // accumulated pressure lands on whichever query runs later
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(100) // let ContextCleaner drain the ref queue
+    }
     ordered.foreach { case (name, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}")
       }
+      releaseScratch()
     }
     // Measured passes (default 2), report the min per query: the host
     // is shared and a transient co-tenant burst otherwise lands on
@@ -52,7 +73,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      releaseScratch()
+      name -> (if (ok) elapsed else -1.0)
     }
     // parsed defensively: a malformed value from a CI template must
     // not kill the run after the warm-up already paid for itself

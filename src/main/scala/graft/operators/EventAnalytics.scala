@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
-  /** Epoch-milliseconds normalization shared by the event kernels:
-    * a TimestampType column floors to whole epoch ms (cross-engine
-    * safe for nanos-typed sources — the negative-epoch guard keeps
-    * the floor a true floor); an integral column is epoch ms as-is. */
+  /** Epoch-milliseconds normalization for kernels that compare raw ms
+    * (currently [[funnelLevels]] — the other kernels work on interval
+    * arithmetic over the native timestamp type and never materialize
+    * ms): a TimestampType column floors to whole epoch ms
+    * (cross-engine safe for nanos-typed sources — the negative-epoch
+    * guard keeps the floor a true floor); an integral column is epoch
+    * ms as-is. */
   private def msOf(events: DataFrame, tsCol: String): Column =
     events.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.TimestampType =>

@@ -1017,9 +1017,13 @@ object TextStats {
     val nD = col("n_types").cast("double")
     val slope = (nD * col("sxy") - col("sx") * col("sy")) /
       (nD * col("sxx") - col("sx") * col("sx"))
+    // degenerate fit: with fewer than two fitted TYPES (v >= 2 bounds
+    // only the parameter) the denominator is 0 and the slope 0/0 —
+    // emit NULL, which both engines agree on, instead of NaN
+    val ok = col("n_types") >= 2
     s.select(col("n_types"),
-      round(slope, 6).as("slope"),
-      round((col("sy") - slope * col("sx")) / nD, 6).as("icept"))
+      when(ok, round(slope, 6)).as("slope"),
+      when(ok, round((col("sy") - slope * col("sx")) / nD, 6)).as("icept"))
   }
 
   /** BM25 top-`k` retrieval (Robertson & Zaragoza 2009, "The
@@ -1085,10 +1089,18 @@ object TextStats {
     * least one posting row): a NULL-text doc is unindexed and outside
     * the model — the oracle must count `len` rows, not raw corpus
     * rows, when the corpus can carry nulls.
-    * Assumes one posting set per doc id — a doc present twice (the
-    * streaming store's bounded pre-compaction re-ingest window)
-    * inflates its df/len contributions until the supersede compaction
-    * folds it (see [[graft.streaming.Streaming.indexIngest]]).
+    * Assumes one posting set per doc id — the streaming store path
+    * guarantees it by superseding stale versions AT READ
+    * ([[graft.streaming.Streaming.bm25FromIndex]]); a caller handing
+    * this a frame with duplicate doc versions inflates df/len.
+    *
+    * `observeCandidates`: when set, the pre-ranking candidate frame
+    * (the qt ⨝ df ⨝ tf join output — exactly Σ_t∈queries df(t) rows)
+    * carries a named observed metric `candidate_rows`, aggregated by
+    * the plan during the action at zero extra passes
+    * ([[graft.operators.Metrics]]'s observe discipline) — the
+    * store-backed uncapped path uses it to make the stop-list
+    * decision's cost visible.
     *
     * The incoming frame is eagerly checkpointed: scoring consumes it
     * through FOUR distinct subtrees (the tf join, the df aggregate,
@@ -1099,7 +1111,8 @@ object TextStats {
       postings: DataFrame,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      maxDocFreq: Option[Long] = None,
+      observeCandidates: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be positive")
     require(k1Milli >= 0 && k1Milli <= 1000000 &&
       bMilli >= 0 && bMilli <= 1000,
@@ -1130,7 +1143,10 @@ object TextStats {
     // df table cuts a capped stopword's candidates before its
     // corpus-dense posting rows ever enter a join — the other order
     // shuffles them per query just to drop them at the df join
-    qt.join(dfreq, "token").join(tf, "token")
+    val cand0 = qt.join(dfreq, "token").join(tf, "token")
+    val cand = observeCandidates.fold(cand0)(name =>
+      cand0.observe(name, count(lit(1)).as("candidate_rows")))
+    cand
       .select(col("qid"), col("doc"),
         (idf * (col("tf") * k1p1) / norm).as("w"))
       .groupBy("qid", "doc")

@@ -24,11 +24,26 @@ object LlmOps {
   /** Shared known-item query set for the BM25 family
     * (q217/q219/q220/q222): every 101st document's first six tokens
     * — the Spark side of [[bm25OracleCtes]]'s `q` CTE. */
+  /** BENCH_scale's fixed-query-set rung (round-9 scale-probe knob):
+    * with SPARK_GRAFT_BM25_PIN_QUERIES set, the known-item query set
+    * pins to replica-0 ids (doc_id < 10,000,000 — scaleprobe.py's
+    * replica offset), so the retrieval rungs can measure the KERNEL's
+    * growth in corpus size at CONSTANT query count, separated from the
+    * gate construction's queries×postings growth (the query set
+    * otherwise grows with the corpus by design, doc_id % 101). An
+    * identity at every real SF — all doc ids are replica-0 there —
+    * so oracle gates are unaffected; only scaleprobe's replicated
+    * dirs differ. */
   private def knownItemQueries(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    docs.filter(col("doc_id") % 101 === 7)
-      .select(col("doc_id").as("qid"),
-        array_join(slice(split(col("text"), " "), 1, 6), " ").as("qtext"))
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.filter(col("doc_id") % 101 === 7)
+    val pinned =
+      if (sys.env.contains("SPARK_GRAFT_BM25_PIN_QUERIES"))
+        base.filter(col("doc_id") < 10000000L)
+      else base
+    pinned.select(col("doc_id").as("qid"),
+      array_join(slice(split(col("text"), " "), 1, 6), " ").as("qtext"))
+  }
 
   /** The BM25 oracle pipeline shared by q217/q219/q220/q222 (the
     * relSql precedent from the graph family): known-item queries, one
@@ -39,7 +54,13 @@ object LlmOps {
     * division, the Lucene non-negative idf, ranked by rounded score
     * then doc id). Tails differ per query; the arithmetic lives here
     * ONCE. */
-  private val bm25OracleCtes: String = """
+  private val bm25OracleCtes: String = bm25OracleCtesOver("documents")
+
+  /** [[bm25OracleCtes]] with a parameterized CORPUS relation (q225
+    * scores against the post-redaction corpus while the query set
+    * stays the full-table known-item construction — exactly the
+    * streaming store's view after a tombstone re-ingest). */
+  private def bm25OracleCtesOver(corpus: String): String = s"""
         q AS (
           SELECT doc_id AS qid,
                  array_to_string(string_split(text, ' ')[1:6], ' ')
@@ -48,7 +69,7 @@ object LlmOps {
         qt AS (SELECT DISTINCT qid,
                       unnest(string_split(qtext, ' ')) AS token FROM q),
         tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-               FROM documents),
+               FROM $corpus),
         tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
         len AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
@@ -4141,7 +4162,7 @@ object LlmOps {
           "doc_id", "text")
         materializeAndClean(
           Streaming.bm25FromIndex(s, storeDir, knownItemQueries(docs),
-              "qid", "qtext", k = 5)
+              "qid", "qtext", k = 5, maxDocFreq = None)
             .select(col("qid"), col("rank"), col("doc").as("doc_id"),
               col("score"))
             .orderBy("qid", "rank"),
@@ -4180,6 +4201,92 @@ object LlmOps {
               k = 5, nProbe = 8)
             .orderBy("query_id", "rank"),
           storeDir)
+      },
+      oracle = Some("""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv
+                   FROM embeddings WHERE vec_id % 97 = 3),
+             c AS (SELECT vec_id cid, embedding::DOUBLE[] cv FROM embeddings),
+             sc AS (
+               SELECT qid, cid,
+                      list_inner_product(qv,cv) /
+                      (sqrt(list_inner_product(qv,qv)) *
+                       sqrt(list_inner_product(cv,cv))) AS c
+               FROM q CROSS JOIN c WHERE qid != cid),
+             ranked AS (
+               SELECT qid, cid, c,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY c DESC, cid) AS rk
+               FROM sc)
+        SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank,
+               cid AS neighbor_id, round(c, 4) AS cosine
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank""")),
+
+    // Immediate-redaction parity: a subset of docs is re-ingested as
+    // NULL text (the tombstone shape) in a later batch and NO
+    // compaction ever runs — the read-time latest-per-doc supersede
+    // alone must make retrieval equal the batch operator over the
+    // post-redaction corpus, with the stale postings still physically
+    // in the store. The query set stays the full-table known-item
+    // construction (a redacted doc's query remains a valid query; its
+    // known item is simply no longer retrievable).
+    "q225_index_redaction_parity" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-q225-idx").toString
+        val docs = Tables(s, dir, "documents")
+        Streaming.indexIngestBatch(docs, 0L, storeDir,
+          "doc_id", "text", compactEvery = 0)
+        Streaming.indexIngestBatch(
+          docs.filter(col("doc_id") % 17 === 3)
+            .select(col("doc_id"), lit(null).cast("string").as("text")),
+          1L, storeDir, "doc_id", "text", compactEvery = 0)
+        materializeAndClean(
+          Streaming.bm25FromIndex(s, storeDir, knownItemQueries(docs),
+              "qid", "qtext", k = 5, maxDocFreq = None)
+            .select(col("qid"), col("rank"), col("doc").as("doc_id"),
+              col("score"))
+            .orderBy("qid", "rank"),
+          storeDir)
+      },
+      oracle = Some(s"""
+        WITH live AS (SELECT * FROM documents WHERE doc_id % 17 != 3),
+        ${bm25OracleCtesOver("live")}
+        SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
+        FROM rk WHERE rn <= 5
+        ORDER BY qid, rank""")),
+
+    // Store re-train migration parity: the accumulated embedding store
+    // (trained at nCells=8 on its first batch) migrates through
+    // migrateEmbStore into a FRESH store with DIFFERENT knobs
+    // (nCells=4, new seed) — the documented "re-training is a NEW
+    // store" lifecycle made operational — and an all-cells probe over
+    // the migrated store must still equal exact brute-force cosine
+    // top-k (the q224 oracle): migration may re-bucket candidates,
+    // never change answers.
+    "q226_emb_migration_parity" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        def tmp(p: String) = java.nio.file.Files
+          .createTempDirectory(p).toString
+        val (oldDir, newDir) = (tmp("graft-q226-old"), tmp("graft-q226-new"))
+        val emb = Tables(s, dir, "embeddings")
+        Streaming.embIngestBatch(
+          emb.filter(col("vec_id") % 2 === 0), 0L, oldDir,
+          "vec_id", "embedding", nCells = 8)
+        Streaming.embIngestBatch(
+          emb.filter(col("vec_id") % 2 =!= 0), 1L, oldDir,
+          "vec_id", "embedding", nCells = 8)
+        Streaming.migrateEmbStore(s, oldDir, newDir,
+          nCells = 4, seed = 7L, lloydIters = 2)
+        val qs = emb.filter(col("vec_id") % 97 === 3)
+          .select(col("vec_id"), col("embedding"))
+        materializeAndClean(
+          Streaming.annFromStore(s, newDir, qs, "vec_id", "embedding",
+              k = 5, nProbe = 4)
+            .orderBy("query_id", "rank"),
+          oldDir, newDir)
       },
       oracle = Some("""
         WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv

@@ -748,6 +748,64 @@ object Streaming {
     org.apache.spark.sql.types.StructField("len",
       org.apache.spark.sql.types.LongType)))
 
+  /** The store-id contract shared by [[indexIngestBatch]] and
+    * [[embIngestBatch]]: ids must cast LOSSLESSLY to long. A
+    * non-castable id (a string doc id like "doc-1") or a null id
+    * would become a NULL store key — the postings/vector groupBys
+    * would silently merge every such row into one phantom document,
+    * and null keys collide in the latest-per-key supersede. Refuse
+    * the batch loudly instead (the repo-wide refuse-loudly ethos).
+    * Cost: one batch-sized scan that short-circuits at the first
+    * offender — per-batch, never corpus-proportional. */
+  private def requireLongIds(
+      batch: DataFrame, idCol: String, op: String): Unit =
+    batch.filter(col(idCol).isNull || col(idCol).cast("long").isNull)
+      .select(col(idCol).cast("string")).limit(1).collect()
+      .headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"$op: id column '$idCol' carries a value that does not " +
+            s"cast to long (e.g. ${Option(r.getString(0)).getOrElse("NULL")})" +
+            " — it would become a NULL store key, silently merging " +
+            "those rows into one phantom document and colliding in " +
+            "the latest-per-key supersede; map ids to longs before " +
+            "ingest")
+      }
+
+  /** Read-time latest-per-key supersede — the query-surface twin of
+    * [[IngestStore.compact]]'s `latestPerKey`: keeps only each key's
+    * rows from its NEWEST batch (base rows carry `batch_id = -B`,
+    * live slices their true non-negative id, so max-of-batch_id picks
+    * the latest version exactly as compaction does). This is what
+    * makes re-ingest and REDACTION immediate at the query surface: a
+    * null-payload tombstone wins the max, so the stale postings /
+    * vector never score and a duplicate can never hold two top-k
+    * slots — WITHOUT waiting up to `compactEvery` batches for the
+    * physical fold (compaction stays the storage-reclaim step, no
+    * longer a correctness step). Cost: one key-partitioned window
+    * over the store scan the query already pays — and skipped
+    * entirely when the store holds no live slices (fully compacted ⇒
+    * at most one version per key exists). */
+  private def latestAtRead(
+      store: DataFrame, hasLiveSlices: Boolean, key: String): DataFrame =
+    if (!hasLiveSlices) store
+    else {
+      import org.apache.spark.sql.expressions.Window
+      store
+        .withColumn("__mx",
+          max(col("batch_id")).over(Window.partitionBy(col(key))))
+        .filter(col("batch_id") === col("__mx"))
+        .drop("__mx")
+    }
+
+  /** True when `path` holds at least one un-absorbed slice — the
+    * only state in which a key can exist in two versions and
+    * [[latestAtRead]]'s window is needed. One directory listing. */
+  private def hasLiveSlices(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val b = IngestStore.boundary(spark, path)
+    IngestStore.sliceIds(spark, path).exists(_ >= b)
+  }
+
   /** Continuous retrieval-index maintenance: every arriving
     * micro-batch's documents are tokenized ONCE into BM25 postings
     * ([[graft.operators.TextStats.postings]] — one (doc, token, tf,
@@ -759,9 +817,9 @@ object Streaming {
     * the slices fold into one marker-committed base with
     * latest-version-wins supersede PER DOC (`latestPerKey`): a doc
     * re-ingested in a later batch replaces its old postings at the
-    * next compaction — between re-ingest and compaction both versions
-    * score (the same bounded ≤ `compactEvery`-batch degradation
-    * [[dedupIngest]] documents for its index). Feed this from
+    * next compaction — and the QUERY side applies the same supersede
+    * at read ([[latestAtRead]]), so only the latest version ever
+    * scores, even before the physical fold. Feed this from
     * [[prepIngest]]'s accepted store and ids are first-occurrence
     * unique by construction, making queries exact at every moment.
     *
@@ -794,12 +852,14 @@ object Streaming {
     * sees the newer batch at compaction and drops the stale postings,
     * and the query side filters tombstones before scoring — the doc
     * ends unindexed, exactly like the batch operator on the latest
-    * corpus. Between re-ingest and compaction the old postings still
-    * score (the same bounded degradation as any re-ingest here). */
+    * corpus. Redaction is IMMEDIATE at the query surface: the
+    * tombstone wins [[latestAtRead]]'s supersede from the moment its
+    * slice commits — compaction only reclaims the storage. */
   def indexIngestBatch(
       batch: DataFrame, batchId: Long, indexPath: String,
       idCol: String, textCol: String, compactEvery: Int = 16): Unit = {
     val spark = batch.sparkSession
+    requireLongIds(batch, idCol, "indexIngest")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       IngestStore.compact(spark, indexPath, postingsSchema,
         upTo = batchId, latestPerKey = Some("doc"))
@@ -817,20 +877,44 @@ object Streaming {
 
   /** BM25 top-k over the accumulated postings store — the query side
     * of [[indexIngest]]: reads the committed slices/base (explicit
-    * schema, half-written and absorbed slices pruned) and scores with
+    * schema, half-written and absorbed slices pruned), applies the
+    * [[latestAtRead]] per-doc supersede (a re-ingested or REDACTED
+    * doc's stale postings never score, immediately — not only after
+    * the next compaction), and scores with
     * [[graft.operators.TextStats.bm25FromPostings]]. The result over
     * a store built from any batch decomposition of a corpus equals
-    * [[graft.operators.TextStats.bm25TopK]] over that corpus
-    * (parity-gated by q222). */
+    * [[graft.operators.TextStats.bm25TopK]] over the LATEST version
+    * of that corpus at every moment (parity-gated by q222; the
+    * pre-compaction redaction path by q225).
+    *
+    * `maxDocFreq` is REQUIRED here (unlike the batch operator's
+    * `None` default): this entry point exists purely for the
+    * accumulated-corpus scale path, where an uncapped boilerplate
+    * term ("the") drags corpus-dense posting rows into every query's
+    * ranking window — so the stop-list recall contract must be an
+    * explicit choice. Passing `None` is still legal (exactness) but
+    * the query then carries a `graft_bm25_uncapped` observed metric
+    * (`candidate_rows` — the Σ_t df(t) join volume actually paid,
+    * readable from a QueryExecutionListener) so the uncapped cost is
+    * visible in operations, not silent.
+    *
+    * Query-side size contract: the query frame is joined BY TOKEN
+    * (never broadcast-forced — AQE picks the strategy from measured
+    * sizes), so unlike [[annFromStore]] there is no driver-memory
+    * cliff to cap here; a corpus-sized query table degrades to an
+    * ordinary shuffled equi-join. */
   def bm25FromIndex(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
-      maxDocFreq: Option[Long] = None): DataFrame =
+      maxDocFreq: Option[Long]): DataFrame =
     graft.operators.TextStats.bm25FromPostings(
-      IngestStore.read(spark, indexPath, postingsSchema)
+      latestAtRead(IngestStore.read(spark, indexPath, postingsSchema),
+        hasLiveSlices(spark, indexPath), "doc")
         .select(col("doc"), col("token"), col("tf"), col("len")),
-      queries, qidCol, qtextCol, k, k1Milli, bMilli, maxDocFreq)
+      queries, qidCol, qtextCol, k, k1Milli, bMilli, maxDocFreq,
+      observeCandidates =
+        if (maxDocFreq.isEmpty) Some("graft_bm25_uncapped") else None)
 
   // --------------------------- continuous embedding index (IVF store)
 
@@ -873,13 +957,16 @@ object Streaming {
       val rows = spark.read.parquet(centroidsPath(storePath))
         .orderBy("cell").collect()
       if (rows.isEmpty) None
-      else Some(rows.map(_.getSeq[Double](1).toArray))
+      else Some(rows.map(_.getAs[Seq[Double]]("c").toArray))
     } catch {
-      // marker present but the table unreadable (externally damaged):
-      // treat as absent — the ingest path then either retrains (no
-      // assigned slices yet) or refuses loudly (model genuinely lost;
-      // see embIngestBatch's assigned-slice check)
-      case _: org.apache.spark.sql.AnalysisException => None
+      // marker present but the table unreadable (externally damaged:
+      // AnalysisException for a missing/invalid table, SparkException
+      // for a torn footer that only surfaces at collect()): treat as
+      // absent — the ingest path then either retrains (no assigned
+      // slices yet) or refuses loudly (model genuinely lost; see
+      // embIngestBatch's assigned-slice check). A fatal error (OOM,
+      // interrupt) still propagates.
+      case scala.util.control.NonFatal(_) => None
     }
   }
 
@@ -961,6 +1048,7 @@ object Streaming {
       nCells: Int = 16, seed: Long = 42L, lloydIters: Int = 2,
       compactEvery: Int = 16): Unit = {
     val spark = batch.sparkSession
+    requireLongIds(batch, idCol, "embIngest")
     import graft.functions.{VectorFunctions => V}
     import graft.plans.{DotProduct, SketchExpressions => SK}
     val slim = batch.select(col(idCol).cast("long").as("vec"),
@@ -1006,6 +1094,18 @@ object Streaming {
     writeBatch(assigned, storePath, "parquet", batchId)
   }
 
+  /** Query-frame broadcast caps for [[annFromStore]] — the measured
+    * form of the family's "queries are the small side" convention
+    * ([[graft.operators.TextStats.heavyHittersPerGroup]]'s
+    * decide-the-path-never-the-answer discipline): the broadcast frame
+    * is |queries|·nProbe rows, each carrying the full query vector, so
+    * the size test measures BOTH exploded rows and vector payload
+    * bytes (Σ dims · 8 B · nProbe). At or under both caps the
+    * candidate join broadcasts; above either it runs as an ordinary
+    * cell-keyed shuffle join — same answer, no driver-memory cliff. */
+  private[streaming] val QueryBroadcastMaxRows = 1L << 20
+  private[streaming] val QueryBroadcastMaxBytes = 64L << 20
+
   /** ANN top-k over the accumulated embedding store — the query side
     * of [[embIngest]]: queries probe their `nProbe` nearest cells
     * under the PERSISTED model and rank exact cosines within the
@@ -1013,30 +1113,93 @@ object Streaming {
     * rule, so results over a store built from any batch decomposition
     * equal the batch IVF given the same model — and equal
     * [[graft.operators.Similarity.bruteForceTopK]] outright when
-    * `nProbe = nCells`, the exact spelling q224 oracle-gates). */
+    * `nProbe = nCells`, the exact spelling q224 oracle-gates).
+    *
+    * The store scan applies the [[latestAtRead]] per-vec supersede:
+    * a re-ingested vector scores only in its newest version (never at
+    * two ranks), and a null-vector REDACTION is retrieval-invisible
+    * immediately — not only after the next compaction.
+    *
+    * Query-side size contract: the query frame broadcasts only while
+    * MEASURED under [[QueryBroadcastMaxRows]] exploded rows AND
+    * [[QueryBroadcastMaxBytes]] of vector payload (one aggregate over
+    * the query frame, never assumed); past either cap the join falls
+    * back to a cell-keyed shuffle — identical results either way. */
   def annFromStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nProbe: Int = 4): DataFrame = {
+      k: Int, nProbe: Int = 4,
+      broadcastMaxRows: Long = QueryBroadcastMaxRows): DataFrame = {
     import graft.functions.{VectorFunctions => V}
     import graft.plans.{DotProduct, SketchExpressions => SK}
     val model = readCentroids(spark, storePath).getOrElse(
       throw new IllegalStateException(
         s"annFromStore: no committed centroid model at $storePath — " +
           "ingest a batch with vectors first"))
-    val c = IngestStore.read(spark, storePath, embSchema)
+    val c = latestAtRead(IngestStore.read(spark, storePath, embSchema),
+      hasLiveSlices(spark, storePath), "vec")
       .select(col("vec").as("neighbor_id"), col("cell"),
         col("v").as("cv"), col("cn"))
-    val q = queries.select(col(qIdCol).as("query_id"),
+    val q0 = queries.select(col(qIdCol).as("query_id"),
       V.toDouble(col(qVecCol)).as("qv"))
+    // measured, never assumed: one aggregate over the (pre-explode)
+    // query frame; the explode multiplies rows and payload by nProbe
+    val sz = q0.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("qv"))), lit(0)).cast("long").as("d")).head()
+    val small = sz.getLong(0) * nProbe <= broadcastMaxRows &&
+      sz.getLong(1) * 8L * nProbe <= QueryBroadcastMaxBytes
+    val q = q0
       .withColumn("qn", sqrt(DotProduct(col("qv"), col("qv"))))
       .withColumn("cell",
         explode(SK.nearestCells(col("qv"), model, nProbe)))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val scored = c.join(if (small) broadcast(q) else q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         DotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
     graft.operators.Similarity.topK(scored, k)
+  }
+
+  /** Re-train migration for [[embIngest]] stores — the operational
+    * form of the documented "re-training is a NEW store" contract
+    * (stored cell assignments are model-dependent, so new knobs can
+    * never mutate a live store in place): replays the accumulated
+    * LATEST-version vectors (tombstoned redactions drop) through a
+    * fresh model with the new knobs into `newStorePath`, as one
+    * batch-0 slice under the standard protocol. The old store is
+    * READ-ONLY throughout — queries against it are unaffected
+    * mid-migration (spec-gated) and it stays the serving store until
+    * the caller flips reads over.
+    *
+    * Crash story: the new store's model marker commits before its
+    * data slice lands, so a torn migration leaves either (a) no
+    * marker — [[annFromStore]] refuses, or (b) a model with no/partial
+    * batch-0 slice, which THIS function refuses to resume into
+    * (target must be empty); delete the target directory and re-run —
+    * the migration is deterministic, the old store never moved.
+    * Cost: one scan of the old store + the bounded model train + one
+    * assignment pass — corpus-linear, paid once.
+    *
+    * @return the number of vectors migrated */
+  def migrateEmbStore(
+      spark: org.apache.spark.sql.SparkSession,
+      oldStorePath: String, newStorePath: String,
+      nCells: Int = 16, seed: Long = 42L, lloydIters: Int = 2): Long = {
+    require(
+      IngestStore.sliceIds(spark, newStorePath).isEmpty &&
+        IngestStore.boundary(spark, newStorePath) == 0L &&
+        readCentroids(spark, newStorePath).isEmpty,
+      s"migrateEmbStore: target $newStorePath is not empty — a " +
+        "half-migrated target cannot be resumed (the model may not " +
+        "match the slices); delete it and re-run")
+    val live = latestAtRead(
+      IngestStore.read(spark, oldStorePath, embSchema),
+      hasLiveSlices(spark, oldStorePath), "vec")
+      .filter(col("v").isNotNull)
+      .select(col("vec"), col("v"))
+      .localCheckpoint(true) // consumed twice: train+assign, count
+    embIngestBatch(live, 0L, newStorePath, "vec", "v",
+      nCells, seed, lloydIters, compactEvery = 0)
+    live.count()
   }
 
   // ------------------------------------------- drift monitoring

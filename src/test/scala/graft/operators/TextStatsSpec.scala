@@ -753,6 +753,58 @@ class TextStatsSpec extends SparkSpec {
       .collect().head.getLong(0) === 22L)
   }
 
+  test("zipfFit on a degenerate corpus (one distinct type) emits NULL " +
+      "slope/icept, never NaN — v >= 2 bounds the parameter, not the " +
+      "fitted type count") {
+    import spark.implicits._
+    val one = TextStats.zipfFit(
+      Seq((1L, "a a a"), (2L, "a")).toDF("doc_id", "text"), "text", 500)
+      .collect().head
+    assert(one.getLong(0) === 1L)
+    assert(one.isNullAt(1) && one.isNullAt(2))
+    // two types is already a (trivially exact) two-point fit
+    val two = TextStats.zipfFit(
+      Seq((1L, "a a b")).toDF("doc_id", "text"), "text", 500)
+      .collect().head
+    assert(two.getLong(0) === 2L && !two.isNullAt(1) && !two.isNullAt(2))
+  }
+
+  test("bm25FromPostings observeCandidates reports the exact " +
+      "candidate join volume (sum of df over query terms) as a " +
+      "plan-level observed metric") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a d"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "a d")).toDF("qid", "qtext")
+    val got = TextStats.bm25FromPostings(
+      TextStats.postings(docs, "doc_id", "text"),
+      qs, "qid", "qtext", k = 3,
+      observeCandidates = Some("graft_bm25_uncapped"))
+    var seen: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        qe.observedMetrics.get("graft_bm25_uncapped").foreach { row =>
+          seen = Some(row.getAs[Long]("candidate_rows"))
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(got.count() === 3L) // all three docs match "a"; k=3
+      // the listener bus is async — wait for the metric to arrive
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      // df(a)=3 + df(d)=1 candidate postings entered the ranking join
+      assert(seen === Some(4L))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("bm25TopK equals the brute force on a seeded random corpus " +
       "(full rank/score agreement at every k)") {
     import spark.implicits._

@@ -831,7 +831,8 @@ class StreamingSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSet
     assert(
-      rows(Streaming.bm25FromIndex(spark, idxDir, qs, "qid", "qtext", 3))
+      rows(Streaming.bm25FromIndex(spark, idxDir, qs, "qid", "qtext", 3,
+          maxDocFreq = None))
         === rows(TextStats.bm25TopK(corpus, "doc_id", "text", qs,
           "qid", "qtext", 3)))
   }
@@ -866,7 +867,8 @@ class StreamingSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSet
     val fromStore =
-      Streaming.bm25FromIndex(spark, idxDir, qs, "qid", "qtext", 3)
+      Streaming.bm25FromIndex(spark, idxDir, qs, "qid", "qtext", 3,
+        maxDocFreq = None)
     assert(!rows(fromStore).exists(_._3 == 1L))
     assert(rows(fromStore) === rows(TextStats.bm25TopK(
       latest, "doc_id", "text", qs, "qid", "qtext", 3)))
@@ -1521,6 +1523,240 @@ class StreamingSpec extends SparkSpec {
       .parquet(s"$compacted/batch_id=-8")
     assert(base.count() ===
       base.select(col("tok")).distinct().count())
+  }
+
+  test("driftMonitor: query killed AT a reduce-compaction batch — " +
+      "restart re-delivers through the checkpoint and the drift rows " +
+      "equal the uninterrupted run (every counts-store OPERATOR now " +
+      "carries the crash e2e, not only the family)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (storeDir, driftDir, ckptDir) =
+      (tmp("graft-drcrash-store"), tmp("graft-drcrash-out"),
+        tmp("graft-drcrash-ckpt"))
+    val b0 = Seq((1L, "a a b"), (2L, "b c"))
+    val b1 = Seq((3L, "a b b d"))
+    val b2 = Seq((4L, "d d e a")) // the compactEvery=2 boundary batch
+    val b3 = Seq((5L, "e e f b"))
+    val ms = MemoryStream[(Long, String)]
+    val writer = Streaming.driftMonitor(
+      ms.toDF().toDF("doc_id", "text"), storeDir, driftDir, "text",
+      compactEvery = 2)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+    def runOnce(): Unit = {
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+    }
+    ms.addData(b0: _*); runOnce()
+    ms.addData(b1: _*); runOnce()
+    ms.addData(b2: _*); runOnce()
+    // batch 2 ran the counts-store REDUCE compaction. Crash before the
+    // commit, drift slice half-written (empty): the marker-committed
+    // base makes the re-delivered compaction a no-op retry and the
+    // slice overwrite repairs the drift output
+    val commit2 = new java.io.File(s"$ckptDir/commits/2")
+    assert(commit2.exists && commit2.delete())
+    new java.io.File(s"$ckptDir/commits/.2.crc").delete()
+    Streaming.writeBatch(
+      spark.read.option("basePath", driftDir).parquet(driftDir)
+        .filter(col("batch_id") === 1).drop("batch_id").limit(0),
+      driftDir, "parquet", 2L)
+    runOnce()
+    assert(new java.io.File(s"$ckptDir/commits/2").exists,
+      "restart must have re-run and committed batch 2")
+    ms.addData(b3: _*); runOnce()
+
+    // uninterrupted reference via direct batch replays
+    val (refStore, refDrift) =
+      (tmp("graft-drcrash-refstore"), tmp("graft-drcrash-refout"))
+    Seq((b0, 0L), (b1, 1L), (b2, 2L), (b3, 3L)).foreach { case (rows, id) =>
+      Streaming.driftMonitorBatch(rows.toDF("doc_id", "text"), id,
+        refStore, refDrift, "text", compactEvery = 2)
+    }
+    def drifts(dir: String)
+        : Set[(Long, Long, Long, Option[(Double, Double)])] =
+      spark.read.option("basePath", dir).parquet(dir)
+        .select(col("batch_id").cast("long"), col("n_tokens"),
+          col("n_distinct"), col("kl_vs_store"), col("tv_vs_store"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None
+          else Some((r.getDouble(3), r.getDouble(4))))).toSet
+    assert(drifts(driftDir) === drifts(refDrift))
+    assert(drifts(driftDir).size === 4)
+    def counts(dir: String): Map[String, Long] =
+      IngestStore.readStore(spark, dir)
+        .groupBy(col("tok")).agg(sum(col("c")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(storeDir) === counts(refStore))
+  }
+
+  test("indexIngest/embIngest refuse a batch whose ids do not cast " +
+      "losslessly to long — never a silent NULL-key merge") {
+    import spark.implicits._
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // a string doc id that parses would be fine; one that doesn't must
+    // refuse the whole batch BEFORE any store mutation
+    val badText = intercept[IllegalArgumentException] {
+      Streaming.indexIngestBatch(
+        Seq(("7", "fine"), ("doc-1", "poison")).toDF("doc_id", "text"),
+        0L, tmp("graft-badid-idx"), "doc_id", "text")
+    }
+    assert(badText.getMessage.contains("doc-1"))
+    val nullId = intercept[IllegalArgumentException] {
+      Streaming.indexIngestBatch(
+        Seq((java.lang.Long.valueOf(1L), "a"),
+          (null.asInstanceOf[java.lang.Long], "b"))
+          .toDF("doc_id", "text"),
+        0L, tmp("graft-nullid-idx"), "doc_id", "text")
+    }
+    assert(nullId.getMessage.contains("NULL"))
+    val badVec = intercept[IllegalArgumentException] {
+      Streaming.embIngestBatch(
+        Seq(("vec-9", Seq(1.0, 0.0))).toDF("vec_id", "embedding"),
+        0L, tmp("graft-badid-emb"), "vec_id", "embedding", nCells = 2)
+    }
+    assert(badVec.getMessage.contains("vec-9"))
+    // numeric-string ids are a lossless cast and stay legal
+    val okDir = tmp("graft-okid-idx")
+    Streaming.indexIngestBatch(
+      Seq(("7", "fine")).toDF("doc_id", "text"), 0L, okDir,
+      "doc_id", "text")
+    assert(spark.read.option("basePath", okDir).parquet(okDir)
+      .select("doc").head().getLong(0) === 7L)
+  }
+
+  test("indexIngest: redaction and re-ingest are IMMEDIATE at the " +
+      "query surface — before any compaction, the store equals the " +
+      "batch operator on the latest corpus and a revised doc holds " +
+      "one rank, not two") {
+    import spark.implicits._
+    import graft.operators.TextStats
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val idxDir = tmp("graft-idx-immediate")
+    val b0 = Seq((1L, "secret launch codes"), (2L, "secret recipes"),
+      (3L, "other words"))
+    val b1 = Seq((1L, null.asInstanceOf[String]), // redact doc 1
+      (2L, "revised secret recipes"))             // revise doc 2
+    // compactEvery high on purpose: NO compaction ever runs here — the
+    // read-time supersede alone must hide the stale versions
+    Seq((b0, 0L), (b1, 1L)).foreach { case (rows, id) =>
+      Streaming.indexIngestBatch(rows.toDF("doc_id", "text"), id,
+        idxDir, "doc_id", "text", compactEvery = 100)
+    }
+    // the stale postings are still PHYSICALLY in the store...
+    assert(spark.read.option("basePath", idxDir).parquet(idxDir)
+      .filter(col("doc") === 1L && col("token").isNotNull)
+      .count() > 0)
+    val qs = Seq((9L, "secret")).toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val got = rows(Streaming.bm25FromIndex(spark, idxDir, qs,
+      "qid", "qtext", k = 10, maxDocFreq = None))
+    // ...but they never score: doc 1 is gone NOW, doc 2 appears ONCE
+    assert(!got.exists(_._3 == 1L))
+    assert(got.count(_._3 == 2L) === 1)
+    val latest = Seq((1L, null.asInstanceOf[String]),
+      (2L, "revised secret recipes"), (3L, "other words"))
+      .toDF("doc_id", "text")
+    assert(got === rows(TextStats.bm25TopK(latest, "doc_id", "text",
+      qs, "qid", "qtext", k = 10)))
+  }
+
+  test("annFromStore: a pre-compaction NULL-vector redaction is " +
+      "retrieval-invisible immediately, a re-ingested vector holds " +
+      "one rank, and the sub-cap broadcast path equals the forced " +
+      "shuffle fallback") {
+    import spark.implicits._
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val storeDir = tmp("graft-emb-immediate")
+    val b0 = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0)))
+    val b1 = Seq((1L, null.asInstanceOf[Seq[Double]]), // redact vec 1
+      (2L, Seq(-0.9, 0.1)))                            // move vec 2
+    // compactEvery high on purpose: no compaction — read-time
+    // supersede must carry the semantics alone
+    Seq((b0, 0L), (b1, 1L)).foreach { case (rows, id) =>
+      Streaming.embIngestBatch(rows.toDF("vec_id", "embedding"), id,
+        storeDir, "vec_id", "embedding", nCells = 2, compactEvery = 100)
+    }
+    // stale versions physically present...
+    assert(spark.read.option("basePath", storeDir).parquet(storeDir)
+      .filter(col("vec").isin(1L, 2L) && col("cell").isNotNull)
+      .count() === 3) // vec1@b0, vec2@b0, vec2@b1
+    val qs = Seq((9L, Seq(1.0, 0.05))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val got = rows(Streaming.annFromStore(spark, storeDir, qs,
+      "vec_id", "embedding", k = 5, nProbe = 2))
+    // ...but only the latest versions score
+    assert(!got.exists(_._3 == 1L))
+    assert(got.count(_._3 == 2L) === 1)
+    // vec 2's surviving cosine is its MOVED vector's (negative dot)
+    assert(got.find(_._3 == 2L).exists(_._4 < 0))
+    // decide-the-path-never-the-answer: cap 0 forces the shuffle join
+    val forced = rows(Streaming.annFromStore(spark, storeDir, qs,
+      "vec_id", "embedding", k = 5, nProbe = 2, broadcastMaxRows = 0L))
+    assert(forced === got)
+  }
+
+  test("migrateEmbStore: replays the latest-version vectors through a " +
+      "fresh model into a NEW store — the old store serves unchanged " +
+      "mid-migration, tombstoned ids drop, and a non-empty target is " +
+      "refused") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val oldDir = tmp("graft-emb-mig-old")
+    val b0 = Seq((1L, Seq(1.0, 0.1)), (2L, Seq(0.9, 0.2)),
+      (3L, Seq(-1.0, 0.3)), (4L, Seq(-0.8, 0.1)))
+    val b1 = Seq((5L, Seq(0.95, 0.05)),
+      (3L, null.asInstanceOf[Seq[Double]])) // redact vec 3, pre-compaction
+    Seq((b0, 0L), (b1, 1L)).foreach { case (rows, id) =>
+      Streaming.embIngestBatch(rows.toDF("vec_id", "embedding"), id,
+        oldDir, "vec_id", "embedding", nCells = 2, compactEvery = 100)
+    }
+    val qs = Seq((9L, Seq(1.0, 0.0)), (10L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val before = rows(Streaming.annFromStore(spark, oldDir, qs,
+      "vec_id", "embedding", k = 3, nProbe = 2))
+    // migrate to doubled resolution
+    val newDir = tmp("graft-emb-mig-new")
+    // createTempDirectory makes the dir itself — empty is still "empty"
+    val n = Streaming.migrateEmbStore(spark, oldDir, newDir,
+      nCells = 4, seed = 7L, lloydIters = 2)
+    assert(n === 4L) // vecs 1,2,4,5 — the tombstoned 3 dropped
+    // old store untouched, serving bit-identically
+    assert(rows(Streaming.annFromStore(spark, oldDir, qs,
+      "vec_id", "embedding", k = 3, nProbe = 2)) === before)
+    // new store: all-cells probe equals brute force over the LIVE
+    // latest corpus under the NEW model
+    val live = Seq((1L, Seq(1.0, 0.1)), (2L, Seq(0.9, 0.2)),
+      (4L, Seq(-0.8, 0.1)), (5L, Seq(0.95, 0.05)))
+      .toDF("vec_id", "embedding")
+    assert(rows(Streaming.annFromStore(spark, newDir, qs,
+        "vec_id", "embedding", k = 3, nProbe = 4)) ===
+      rows(Similarity.bruteForceTopK(qs, "vec_id", "embedding",
+        live, "vec_id", "embedding", k = 3)))
+    assert(spark.read.parquet(s"$newDir/_centroids").count() === 4L)
+    // the migrated store never holds vec 3 in any version
+    assert(spark.read.option("basePath", newDir).parquet(newDir)
+      .filter(col("vec") === 3L).count() === 0L)
+    // a non-empty target refuses (half-migrated targets cannot resume)
+    val err = intercept[IllegalArgumentException] {
+      Streaming.migrateEmbStore(spark, oldDir, newDir, nCells = 8)
+    }
+    assert(err.getMessage.contains("not empty"))
   }
 
   test("intervalJoinStreams renames case-variant column collisions too") {
