@@ -22,28 +22,55 @@ object LlmOps {
     * repeated gate/bench sweeps must not accumulate orphaned slices
     * under the system temp dir. */
   /** Shared known-item query set for the BM25 family
-    * (q217/q219/q220/q222): every 101st document's first six tokens
-    * — the Spark side of [[bm25OracleCtes]]'s `q` CTE. */
-  /** BENCH_scale's fixed-query-set rung (round-9 scale-probe knob):
-    * with SPARK_GRAFT_BM25_PIN_QUERIES set, the known-item query set
-    * pins to replica-0 ids (doc_id < 10,000,000 — scaleprobe.py's
-    * replica offset), so the retrieval rungs can measure the KERNEL's
-    * growth in corpus size at CONSTANT query count, separated from the
-    * gate construction's queries×postings growth (the query set
-    * otherwise grows with the corpus by design, doc_id % 101). An
-    * identity at every real SF — all doc ids are replica-0 there —
-    * so oracle gates are unaffected; only scaleprobe's replicated
-    * dirs differ. */
+    * (q217/q219/q220/q222/q225): every 101st document's first six
+    * tokens — the Spark side of [[bm25OracleCtes]]'s `q` CTE.
+    *
+    * Scale-probe knob (round 9): with SPARK_GRAFT_BM25_PIN_QUERIES
+    * set, the query set pins to replica-0 ids (doc_id <
+    * [[ScaleProbeReplicaOffset]], mirroring tools/scaleprobe.py's
+    * OFFSET — keep the two in sync), so the retrieval scale rungs can
+    * measure the KERNEL's growth in corpus size at CONSTANT query
+    * count, separated from the gate construction's queries×postings
+    * growth (the query set otherwise grows with the corpus by design,
+    * doc_id % 101). An identity at every real SF — all doc ids are
+    * replica-0 there — so oracle gates are unaffected; only
+    * scaleprobe's replicated dirs differ. */
+  private val ScaleProbeReplicaOffset = 10000000L
   private def knownItemQueries(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val base = docs.filter(col("doc_id") % 101 === 7)
     val pinned =
       if (sys.env.contains("SPARK_GRAFT_BM25_PIN_QUERIES"))
-        base.filter(col("doc_id") < 10000000L)
+        base.filter(col("doc_id") < ScaleProbeReplicaOffset)
       else base
     pinned.select(col("doc_id").as("qid"),
       array_join(slice(split(col("text"), " "), 1, 6), " ").as("qtext"))
   }
+
+  /** Exact brute-force cosine top-5 oracle shared by q224 and q226
+    * (the q27 spelling): any ANN store probing ALL cells must equal
+    * this, whatever model built the store — one definition so a
+    * cross-engine float-parity tweak can never make the two gates
+    * diverge. */
+  private val annBruteOracleSql: String = """
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv
+                   FROM embeddings WHERE vec_id % 97 = 3),
+             c AS (SELECT vec_id cid, embedding::DOUBLE[] cv FROM embeddings),
+             sc AS (
+               SELECT qid, cid,
+                      list_inner_product(qv,cv) /
+                      (sqrt(list_inner_product(qv,qv)) *
+                       sqrt(list_inner_product(cv,cv))) AS c
+               FROM q CROSS JOIN c WHERE qid != cid),
+             ranked AS (
+               SELECT qid, cid, c,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY c DESC, cid) AS rk
+               FROM sc)
+        SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank,
+               cid AS neighbor_id, round(c, 4) AS cosine
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rank"""
 
   /** The BM25 oracle pipeline shared by q217/q219/q220/q222 (the
     * relSql precedent from the graph family): known-item queries, one
@@ -4202,25 +4229,7 @@ object LlmOps {
             .orderBy("query_id", "rank"),
           storeDir)
       },
-      oracle = Some("""
-        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv
-                   FROM embeddings WHERE vec_id % 97 = 3),
-             c AS (SELECT vec_id cid, embedding::DOUBLE[] cv FROM embeddings),
-             sc AS (
-               SELECT qid, cid,
-                      list_inner_product(qv,cv) /
-                      (sqrt(list_inner_product(qv,qv)) *
-                       sqrt(list_inner_product(cv,cv))) AS c
-               FROM q CROSS JOIN c WHERE qid != cid),
-             ranked AS (
-               SELECT qid, cid, c,
-                      row_number() OVER (PARTITION BY qid
-                                         ORDER BY c DESC, cid) AS rk
-               FROM sc)
-        SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank,
-               cid AS neighbor_id, round(c, 4) AS cosine
-        FROM ranked WHERE rk <= 5
-        ORDER BY query_id, rank""")),
+      oracle = Some(annBruteOracleSql)),
 
     // Immediate-redaction parity: a subset of docs is re-ingested as
     // NULL text (the tombstone shape) in a later batch and NO
@@ -4288,25 +4297,7 @@ object LlmOps {
             .orderBy("query_id", "rank"),
           oldDir, newDir)
       },
-      oracle = Some("""
-        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv
-                   FROM embeddings WHERE vec_id % 97 = 3),
-             c AS (SELECT vec_id cid, embedding::DOUBLE[] cv FROM embeddings),
-             sc AS (
-               SELECT qid, cid,
-                      list_inner_product(qv,cv) /
-                      (sqrt(list_inner_product(qv,qv)) *
-                       sqrt(list_inner_product(cv,cv))) AS c
-               FROM q CROSS JOIN c WHERE qid != cid),
-             ranked AS (
-               SELECT qid, cid, c,
-                      row_number() OVER (PARTITION BY qid
-                                         ORDER BY c DESC, cid) AS rk
-               FROM sc)
-        SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank,
-               cid AS neighbor_id, round(c, 4) AS cosine
-        FROM ranked WHERE rk <= 5
-        ORDER BY query_id, rank"""))
+      oracle = Some(annBruteOracleSql))
   )
 }
 

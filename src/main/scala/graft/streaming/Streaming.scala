@@ -753,29 +753,53 @@ object Streaming {
     * non-castable id (a string doc id like "doc-1") or a null id
     * would become a NULL store key — the postings/vector groupBys
     * would silently merge every such row into one phantom document,
-    * and null keys collide in the latest-per-key supersede. Refuse
-    * the batch loudly instead (the repo-wide refuse-loudly ethos).
-    * Cost: one batch-sized scan that short-circuits at the first
-    * offender — per-batch, never corpus-proportional. */
+    * and null keys collide in the latest-per-key supersede — and a
+    * TRUNCATING cast (double 1.2 and 1.7 both landing on key 1,
+    * double→long overflow clamping to Long.Max) merges distinct
+    * documents just as silently, so losslessness is checked by a
+    * round-trip compare (long → original type → equal), not merely
+    * by null-ness. Refuse the batch loudly instead (the repo-wide
+    * refuse-loudly ethos).
+    * Cost: schema-decided O(1) for a non-nullable integral id column
+    * (the common prepIngest-fed shape — no scan at all); otherwise
+    * one batch-sized scan — per-batch, never corpus-proportional. */
   private def requireLongIds(
-      batch: DataFrame, idCol: String, op: String): Unit =
-    batch.filter(col(idCol).isNull || col(idCol).cast("long").isNull)
+      batch: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val f = batch.schema(idCol)
+    val integral = f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integral && !f.nullable) return
+    val asLong = col(idCol).cast("long")
+    val bad =
+      if (integral) col(idCol).isNull
+      else col(idCol).isNull || asLong.isNull ||
+        asLong.cast(f.dataType) =!= col(idCol)
+    batch.filter(bad)
       .select(col(idCol).cast("string")).limit(1).collect()
       .headOption.foreach { r =>
         throw new IllegalArgumentException(
           s"$op: id column '$idCol' carries a value that does not " +
-            s"cast to long (e.g. ${Option(r.getString(0)).getOrElse("NULL")})" +
-            " — it would become a NULL store key, silently merging " +
-            "those rows into one phantom document and colliding in " +
-            "the latest-per-key supersede; map ids to longs before " +
-            "ingest")
+            "cast losslessly to long (e.g. " +
+            s"${Option(r.getString(0)).getOrElse("NULL")}) — a NULL " +
+            "or truncated store key silently merges distinct rows " +
+            "into one phantom document and collides in the " +
+            "latest-per-key supersede; map ids to longs before ingest")
       }
+  }
 
   /** Read-time latest-per-key supersede — the query-surface twin of
     * [[IngestStore.compact]]'s `latestPerKey`: keeps only each key's
-    * rows from its NEWEST batch (base rows carry `batch_id = -B`,
-    * live slices their true non-negative id, so max-of-batch_id picks
-    * the latest version exactly as compaction does). This is what
+    * rows from its NEWEST batch. [[IngestStore.read]] restores every
+    * base row's ORIGINAL batch id (not the synthetic `-B` partition
+    * value), and absorbed originals are strictly below the boundary
+    * while live slice ids sit at/above it — so max-of-batch_id
+    * totally orders versions across base and slices and picks the
+    * latest exactly as compaction does (do NOT simplify to
+    * "non-negative beats negative": base rows compare by their real
+    * ids, which also orders base-vs-base supersedes). This is what
     * makes re-ingest and REDACTION immediate at the query surface: a
     * null-payload tombstone wins the max, so the stale postings /
     * vector never score and a duplicate can never hold two top-k
@@ -893,10 +917,13 @@ object Streaming {
     * term ("the") drags corpus-dense posting rows into every query's
     * ranking window — so the stop-list recall contract must be an
     * explicit choice. Passing `None` is still legal (exactness) but
-    * the query then carries a `graft_bm25_uncapped` observed metric
-    * (`candidate_rows` — the Σ_t df(t) join volume actually paid,
-    * readable from a QueryExecutionListener) so the uncapped cost is
-    * visible in operations, not silent.
+    * the query then carries an observed metric under
+    * `uncappedMetricName` (`candidate_rows` — the Σ_t df(t) join
+    * volume actually paid, readable from a QueryExecutionListener)
+    * so the uncapped cost is visible in operations, not silent.
+    * Observed-metric names must be unique within one query plan —
+    * a caller combining TWO uncapped retrievals in a single action
+    * (union over two stores) passes distinct names.
     *
     * Query-side size contract: the query frame is joined BY TOKEN
     * (never broadcast-forced — AQE picks the strategy from measured
@@ -907,14 +934,15 @@ object Streaming {
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
-      maxDocFreq: Option[Long]): DataFrame =
+      maxDocFreq: Option[Long],
+      uncappedMetricName: String = "graft_bm25_uncapped"): DataFrame =
     graft.operators.TextStats.bm25FromPostings(
       latestAtRead(IngestStore.read(spark, indexPath, postingsSchema),
         hasLiveSlices(spark, indexPath), "doc")
         .select(col("doc"), col("token"), col("tf"), col("len")),
       queries, qidCol, qtextCol, k, k1Milli, bMilli, maxDocFreq,
       observeCandidates =
-        if (maxDocFreq.isEmpty) Some("graft_bm25_uncapped") else None)
+        if (maxDocFreq.isEmpty) Some(uncappedMetricName) else None)
 
   // --------------------------- continuous embedding index (IVF store)
 
@@ -1197,9 +1225,14 @@ object Streaming {
       .filter(col("v").isNotNull)
       .select(col("vec"), col("v"))
       .localCheckpoint(true) // consumed twice: train+assign, count
-    embIngestBatch(live, 0L, newStorePath, "vec", "v",
-      nCells, seed, lloydIters, compactEvery = 0)
-    live.count()
+    try {
+      embIngestBatch(live, 0L, newStorePath, "vec", "v",
+        nCells, seed, lloydIters, compactEvery = 0)
+      live.count()
+    } finally live.unpersist(false) // a corpus-sized vector snapshot
+    // must not stay pinned in the block manager of the long-lived
+    // session this API serves — release it the moment the new store
+    // has its slice
   }
 
   // ------------------------------------------- drift monitoring

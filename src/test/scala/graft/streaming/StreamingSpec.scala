@@ -1619,13 +1619,27 @@ class StreamingSpec extends SparkSpec {
         0L, tmp("graft-badid-emb"), "vec_id", "embedding", nCells = 2)
     }
     assert(badVec.getMessage.contains("vec-9"))
-    // numeric-string ids are a lossless cast and stay legal
+    // TRUNCATION is as silent a merge as NULL: double ids 1.2 and 1.7
+    // would both land on store key 1 — the round-trip check refuses
+    val truncated = intercept[IllegalArgumentException] {
+      Streaming.indexIngestBatch(
+        Seq((1.2, "a"), (1.7, "b")).toDF("doc_id", "text"),
+        0L, tmp("graft-truncid-idx"), "doc_id", "text")
+    }
+    assert(truncated.getMessage.contains("losslessly"))
+    // numeric-string and whole-double ids are lossless and stay legal
     val okDir = tmp("graft-okid-idx")
     Streaming.indexIngestBatch(
       Seq(("7", "fine")).toDF("doc_id", "text"), 0L, okDir,
       "doc_id", "text")
     assert(spark.read.option("basePath", okDir).parquet(okDir)
       .select("doc").head().getLong(0) === 7L)
+    val okDir2 = tmp("graft-okid2-idx")
+    Streaming.indexIngestBatch(
+      Seq((2.0, "fine")).toDF("doc_id", "text"), 0L, okDir2,
+      "doc_id", "text")
+    assert(spark.read.option("basePath", okDir2).parquet(okDir2)
+      .select("doc").head().getLong(0) === 2L)
   }
 
   test("indexIngest: redaction and re-ingest are IMMEDIATE at the " +
