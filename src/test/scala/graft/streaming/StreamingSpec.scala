@@ -1720,6 +1720,74 @@ class StreamingSpec extends SparkSpec {
     assert(forced === got)
   }
 
+  test("indexIngest read-time supersede across a compaction boundary: " +
+      "a re-ingest AFTER the fold supersedes the doc's BASE version, " +
+      "and a fully-compacted store skips the window entirely") {
+    import spark.implicits._
+    import graft.operators.TextStats
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val idxDir = tmp("graft-idx-xboundary")
+    val b0 = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+    val b1 = Seq((3L, "epsilon zeta"))
+    val b2 = Seq((4L, "eta theta"))        // compactEvery=2 boundary
+    val b3 = Seq((1L, "alpha REVISED"))    // re-ingest AFTER the fold:
+    // doc 1's old version now lives in the BASE (original batch id 0),
+    // the new one in live slice 3 — max-of-restored-ids must pick 3
+    Seq((b0, 0L), (b1, 1L), (b2, 2L), (b3, 3L)).foreach { case (rows, id) =>
+      Streaming.indexIngestBatch(rows.toDF("doc_id", "text"), id,
+        idxDir, "doc_id", "text", compactEvery = 2)
+    }
+    assert(IngestStore.boundary(spark, idxDir) === 2L)
+    val qs = Seq((9L, "alpha beta REVISED")).toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val got = rows(Streaming.bm25FromIndex(spark, idxDir, qs,
+      "qid", "qtext", k = 10, maxDocFreq = None))
+    assert(got.count(_._3 == 1L) === 1)
+    val latest = Seq((1L, "alpha REVISED"), (2L, "gamma delta"),
+      (3L, "epsilon zeta"), (4L, "eta theta")).toDF("doc_id", "text")
+    assert(got === rows(TextStats.bm25TopK(latest, "doc_id", "text",
+      qs, "qid", "qtext", k = 10)))
+
+    // fully-compacted store: one version per key can exist, so the
+    // store read must carry NO supersede window (the hasLiveSlices
+    // skip — a key-partitioned shuffle the common steady-state read
+    // should not pay). Probed through annFromStore, whose plan keeps
+    // the store scan visible (bm25's eager postings checkpoint hides
+    // its upstream); the supersede logic is shared (latestAtRead).
+    def windows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.size
+    val embDir = tmp("graft-emb-flat")
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+    Streaming.embIngestBatch(vecs.toDF("vec_id", "embedding"), 0L,
+      embDir, "vec_id", "embedding", nCells = 2, compactEvery = 0)
+    val vq = Seq((9L, Seq(1.0, 0.1))).toDF("vec_id", "embedding")
+    // live slice present: ranking window + supersede window
+    assert(windows(Streaming.annFromStore(spark, embDir, vq,
+      "vec_id", "embedding", k = 2, nProbe = 2)) === 2)
+    IngestStore.compact(spark, embDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("cn",
+          org.apache.spark.sql.types.DoubleType))),
+      upTo = 1L, latestPerKey = Some("vec"))
+    val flatAnn = Streaming.annFromStore(spark, embDir, vq,
+      "vec_id", "embedding", k = 2, nProbe = 2)
+    assert(windows(flatAnn) === 1,
+      "fully-compacted store read must not pay the supersede window")
+    assert(flatAnn.count() === 2L)
+  }
+
   test("migrateEmbStore: replays the latest-version vectors through a " +
       "fresh model into a NEW store — the old store serves unchanged " +
       "mid-migration, tombstoned ids drop, and a non-empty target is " +
