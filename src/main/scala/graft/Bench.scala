@@ -49,8 +49,20 @@ object Bench {
       System.gc()
       Thread.sleep(100) // let ContextCleaner drain the ref queue
     }
+    // The measured action is a NOOP-SINK WRITE, not count(): count()
+    // lets Catalyst prune every unreferenced column AND eliminate a
+    // cardinality-preserving final join outright (a left join against
+    // a unique-keyed aggregate — the eval queries' shape), so a
+    // query's most expensive subtree could go entirely unexecuted
+    // (observed: q228's embedded retrieval, 70s at 10x, timed as 0 —
+    // count() returned without running it). The noop sink materializes
+    // every OUTPUT row and column — what "running the query" means —
+    // while legitimate scan-side pruning of unused INPUT columns still
+    // applies.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     ordered.foreach { case (name, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try run(fn(spark, "/root/testdata/sf0.001"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}")
       }
@@ -68,7 +80,7 @@ object Bench {
     def pass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { run(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false

@@ -461,4 +461,64 @@ object Eval {
       .select(col("qid"), col("neg_rank").cast("long").as("neg_rank"),
         col("__doc").as("doc"))
   }
+
+  /** nDCG@k over a retrieval run with GRADED relevance (Järvelin &
+    * Kekäläinen 2002, "Cumulated gain-based evaluation of IR
+    * techniques"; the exponential-gain spelling popularized by Burges
+    * et al. 2005 — public literature): the eval the binary-relevance
+    * [[reciprocalRank]] cannot express (a rank-2 "perfect" answer and
+    * a rank-2 "partial" answer score differently).
+    *
+    * Per TRUTH query: `dcg = Σ_{hits, rank<=k} (2^rel − 1) /
+    * log2(rank+1)` over the retrieved hits, `idcg` the same sum over
+    * the IDEAL ordering of that query's positive judgments (rel desc,
+    * doc asc — a total order, so the cut is deterministic; zero-gain
+    * judgments never occupy ideal positions), `ndcg = dcg/idcg`, NULL
+    * when the query has no positive judgment (no denominator — made
+    * explicit rather than a silent 0). dcg/idcg are rounded to 6 dp
+    * BEFORE the division and the quotient rounded again, so both
+    * engines divide identical operands (the repo's rounded-rank
+    * discipline). Returns `(qid, dcg, idcg, ndcg)`, one row per
+    * truth query; queries with judgments but no retrieved hit emit
+    * explicit `dcg = 0` rows (the denominator never silently shrinks
+    * — the [[reciprocalRank]] contract).
+    *
+    * Shape: one (qid, doc) equi-join of the judgments against the
+    * k-bounded ranked frame + one per-query window over the
+    * judgments — everything is eval-set-sized, nothing corpus-sized
+    * (the retrieval already cut to top-k). */
+  def ndcgAtK(
+      ranked: DataFrame, qidCol: String, docCol: String, rankCol: String,
+      truth: DataFrame, tQidCol: String, tDocCol: String,
+      tRelCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val ln2 = log(lit(2.0))
+    val r = ranked.select(col(qidCol).as("qid"), col(docCol).as("__doc"),
+      col(rankCol).cast("long").as("__rk"))
+      .filter(col("__rk") <= k)
+    val t = truth.select(col(tQidCol).as("qid"), col(tDocCol).as("__doc"),
+      col(tRelCol).cast("long").as("__rel"))
+    def gainAt(pos: Column): Column =
+      (pow(lit(2.0), col("__rel").cast("double")) - lit(1.0)) /
+        (log(pos.cast("double") + lit(1.0)) / ln2)
+    val dcg = t.join(r, Seq("qid", "__doc"))
+      .select(col("qid"), gainAt(col("__rk")).as("__g"))
+      .groupBy("qid").agg(round(sum(col("__g")), 6).as("dcg"))
+    val idcg = t.filter(col("__rel") > 0)
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("__rel").desc, col("__doc"))))
+      .filter(col("__pos") <= k)
+      .select(col("qid"), gainAt(col("__pos")).as("__g"))
+      .groupBy("qid").agg(round(sum(col("__g")), 6).as("idcg"))
+    t.select("qid").distinct()
+      .join(dcg, Seq("qid"), "left")
+      .join(idcg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        coalesce(col("idcg"), lit(0.0)).as("idcg"),
+        when(coalesce(col("idcg"), lit(0.0)) > 0,
+          round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6))
+          .as("ndcg"))
+  }
 }

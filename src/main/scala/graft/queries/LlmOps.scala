@@ -4266,6 +4266,100 @@ object LlmOps {
         FROM rk WHERE rn <= 5
         ORDER BY qid, rank""")),
 
+    // Snapshot (as-of) retrieval parity: the index accumulates three
+    // batches — evens, odds, then a REDACTION of some evens — and the
+    // query pins asOf = batch 0: the result must equal the batch
+    // operator over the even-docs corpus alone, with both the later
+    // ingest and the later redaction invisible (reproducible
+    // retrieval over a pinned training-set moment while ingest
+    // continues; IngestStore.readAsOf's retention contract).
+    "q227_index_asof_parity" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-q227-idx").toString
+        val docs = Tables(s, dir, "documents")
+        Streaming.indexIngestBatch(
+          docs.filter(col("doc_id") % 2 === 0), 0L, storeDir,
+          "doc_id", "text", compactEvery = 0)
+        Streaming.indexIngestBatch(
+          docs.filter(col("doc_id") % 2 =!= 0), 1L, storeDir,
+          "doc_id", "text", compactEvery = 0)
+        Streaming.indexIngestBatch(
+          docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 17 === 3)
+            .select(col("doc_id"), lit(null).cast("string").as("text")),
+          2L, storeDir, "doc_id", "text", compactEvery = 0)
+        materializeAndClean(
+          Streaming.bm25FromIndex(s, storeDir, knownItemQueries(docs),
+              "qid", "qtext", k = 5, maxDocFreq = None, asOf = Some(0L))
+            .select(col("qid"), col("rank"), col("doc").as("doc_id"),
+              col("score"))
+            .orderBy("qid", "rank"),
+          storeDir)
+      },
+      oracle = Some(s"""
+        WITH live AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        ${bm25OracleCtesOver("live")}
+        SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
+        FROM rk WHERE rn <= 5
+        ORDER BY qid, rank""")),
+
+    // Graded-relevance retrieval eval: nDCG@10 over q217's retrieval
+    // with a two-level synthetic judgment set (the known item at
+    // rel=3, its successor id at rel=1 — the successor is usually NOT
+    // retrieved, so dcg < idcg and the metric separates from MRR's
+    // binary read). Exercises the exponential-gain formula, the ideal
+    // ordering cut, and the explicit-zero contract for truth queries
+    // the retrieval missed.
+    "q228_ndcg" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.{Eval, TextStats}
+        val docs = Tables(s, dir, "documents")
+        val qs = knownItemQueries(docs)
+        val ranked = TextStats.bm25TopK(docs, "doc_id", "text",
+          qs, "qid", "qtext", k = 10)
+        val truth = qs.select(col("qid"), col("qid").as("doc"),
+            lit(3L).as("rel"))
+          .unionByName(qs.select(col("qid"),
+            (col("qid") + 1).as("doc"), lit(1L).as("rel")))
+        Eval.ndcgAtK(ranked, "qid", "doc", "rank",
+            truth, "qid", "doc", "rel", k = 10)
+          .orderBy("qid")
+      },
+      oracle = Some(s"""
+        WITH $bm25OracleCtes,
+        rk10 AS (SELECT qid, doc_id, rn FROM rk WHERE rn <= 10),
+        truth AS (
+          SELECT doc_id AS qid, doc_id AS doc, 3 AS rel
+          FROM documents WHERE doc_id % 101 = 7
+          UNION ALL
+          SELECT doc_id, doc_id + 1, 1
+          FROM documents WHERE doc_id % 101 = 7),
+        dcg AS (
+          SELECT t.qid,
+                 round(sum((pow(2, t.rel) - 1) /
+                       (ln(r.rn + 1.0) / ln(2.0))), 6) AS dcg
+          FROM truth t JOIN rk10 r ON t.qid = r.qid AND t.doc = r.doc_id
+          GROUP BY 1),
+        pos AS (
+          SELECT qid, rel,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY rel DESC, doc) AS p
+          FROM truth WHERE rel > 0),
+        idcg AS (
+          SELECT qid, round(sum((pow(2, rel) - 1) /
+                        (ln(p + 1.0) / ln(2.0))), 6) AS idcg
+          FROM pos WHERE p <= 10 GROUP BY 1),
+        tq AS (SELECT DISTINCT qid FROM truth)
+        SELECT tq.qid,
+               coalesce(dcg.dcg, 0.0) AS dcg,
+               coalesce(idcg.idcg, 0.0) AS idcg,
+               CASE WHEN coalesce(idcg.idcg, 0) > 0
+                    THEN round(coalesce(dcg.dcg, 0.0) / idcg.idcg, 6)
+               END AS ndcg
+        FROM tq LEFT JOIN dcg USING (qid) LEFT JOIN idcg USING (qid)
+        ORDER BY qid""")),
+
     // Store re-train migration parity: the accumulated embedding store
     // (trained at nCells=8 on its first batch) migrates through
     // migrateEmbStore into a FRESH store with DIFFERENT knobs

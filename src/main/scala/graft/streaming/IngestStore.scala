@@ -244,6 +244,42 @@ object IngestStore extends org.apache.spark.internal.Logging {
         restored
     }
 
+  /** Snapshot (as-of) read: the store's content as it stood after
+    * batch `asOf` committed — rows whose true batch id is `<= asOf`.
+    * The reproducibility primitive: a training run pins `asOf` once
+    * and re-reads the identical corpus while ingest keeps appending
+    * (later slices are invisible by the filter, and the slice
+    * protocol makes batch content immutable once committed).
+    *
+    * Retention contract — exact only back to the compaction horizon:
+    * a supersede/reduce compaction folds slices `< B` into the base
+    * keeping only each key's NEWEST version (or merged counters), so
+    * the store can no longer reconstruct a moment BEFORE that fold.
+    * Every retained version's id is `<= B-1` after the fold, so
+    * `asOf >= boundary - 1` is reconstructible exactly (each key's
+    * surviving pre-boundary version is its newest, which the filter
+    * keeps; live slices filter precisely); anything older REFUSES
+    * loudly rather than returning a silently wrong snapshot. Size
+    * `compactEvery` to the snapshot horizon the deployment needs —
+    * the protocol's existing knob, now carrying a second meaning.
+    * Physical-only compaction (`latestPerKey`/`reduce` both unset)
+    * preserves all rows and ids, so pure-append stores (labels,
+    * postings WITHOUT re-ingest) stay exactly reconstructible at any
+    * `asOf` — but this function cannot know which hooks past
+    * compactions ran, so it enforces the conservative bound. */
+  def readAsOf(
+      spark: SparkSession, path: String, dataSchema: StructType,
+      asOf: Long): DataFrame = {
+    require(asOf >= 0, s"asOf must be a committed batch id, got $asOf")
+    val b = boundary(spark, path)
+    require(asOf >= b - 1,
+      s"ingest store $path has compacted batches < $b into its base; " +
+        s"a snapshot as of batch $asOf is no longer reconstructible " +
+        "(superseded versions were reclaimed) — retain snapshots by " +
+        "sizing compactEvery to the horizon you need")
+    read(spark, path, dataSchema).filter(col("batch_id") <= asOf)
+  }
+
   /** Absorb the base and every slice `< upTo` into a new base
     * `batch_id=-upTo`, commit the boundary, then garbage-collect the
     * absorbed directories. Physical-only by default: row content

@@ -929,15 +929,26 @@ object Streaming {
     * (never broadcast-forced — AQE picks the strategy from measured
     * sizes), so unlike [[annFromStore]] there is no driver-memory
     * cliff to cap here; a corpus-sized query table degrades to an
-    * ordinary shuffled equi-join. */
+    * ordinary shuffled equi-join.
+    *
+    * `asOf`: retrieve against the SNAPSHOT of the index as it stood
+    * after that batch committed ([[IngestStore.readAsOf]]'s
+    * reproducibility + retention contract — exact back to the
+    * compaction horizon, refused beyond it). The supersede still
+    * applies WITHIN the snapshot, so a doc re-ingested twice before
+    * `asOf` scores once, at its version as of that moment
+    * (parity-gated by q227). */
   def bm25FromIndex(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
       maxDocFreq: Option[Long],
-      uncappedMetricName: String = "graft_bm25_uncapped"): DataFrame =
+      uncappedMetricName: String = "graft_bm25_uncapped",
+      asOf: Option[Long] = None): DataFrame =
     graft.operators.TextStats.bm25FromPostings(
-      latestAtRead(IngestStore.read(spark, indexPath, postingsSchema),
+      latestAtRead(
+        asOf.fold(IngestStore.read(spark, indexPath, postingsSchema))(
+          n => IngestStore.readAsOf(spark, indexPath, postingsSchema, n)),
         hasLiveSlices(spark, indexPath), "doc")
         .select(col("doc"), col("token"), col("tf"), col("len")),
       queries, qidCol, qtextCol, k, k1Milli, bMilli, maxDocFreq,
@@ -1152,19 +1163,27 @@ object Streaming {
     * MEASURED under [[QueryBroadcastMaxRows]] exploded rows AND
     * [[QueryBroadcastMaxBytes]] of vector payload (one aggregate over
     * the query frame, never assumed); past either cap the join falls
-    * back to a cell-keyed shuffle — identical results either way. */
+    * back to a cell-keyed shuffle — identical results either way.
+    *
+    * `asOf`: probe the SNAPSHOT of the store as of that batch
+    * ([[IngestStore.readAsOf]] — reproducible ANN over a pinned
+    * corpus moment while ingest continues; the train-once model is
+    * store-lifetime, so snapshot assignments are the live ones). */
   def annFromStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nProbe: Int = 4,
-      broadcastMaxRows: Long = QueryBroadcastMaxRows): DataFrame = {
+      broadcastMaxRows: Long = QueryBroadcastMaxRows,
+      asOf: Option[Long] = None): DataFrame = {
     import graft.functions.{VectorFunctions => V}
     import graft.plans.{DotProduct, SketchExpressions => SK}
     val model = readCentroids(spark, storePath).getOrElse(
       throw new IllegalStateException(
         s"annFromStore: no committed centroid model at $storePath — " +
           "ingest a batch with vectors first"))
-    val c = latestAtRead(IngestStore.read(spark, storePath, embSchema),
+    val c = latestAtRead(
+      asOf.fold(IngestStore.read(spark, storePath, embSchema))(
+        n => IngestStore.readAsOf(spark, storePath, embSchema, n)),
       hasLiveSlices(spark, storePath), "vec")
       .select(col("vec").as("neighbor_id"), col("cell"),
         col("v").as("cv"), col("cn"))

@@ -366,4 +366,52 @@ class EvalSpec extends SparkSpec {
       (30L, 1L, 1L), (30L, 2L, 2L)  // no truth row -> all kept
     )) // query 20: its whole top-k was the positive -> no rows
   }
+
+  test("ndcgAtK equals a hand-computed reference: perfect ranking = 1, " +
+      "inverted < 1, misses explicit zeros, zero-gain-only truth = " +
+      "NULL, and the k cut applies to both dcg and idcg") {
+    import spark.implicits._
+    def dcgTerm(rel: Long, pos: Long): Double =
+      (math.pow(2.0, rel.toDouble) - 1.0) /
+        (math.log(pos.toDouble + 1.0) / math.log(2.0))
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ranked = Seq(
+      // q10: ideal order (rel 3 at rank 1, rel 1 at rank 2) -> ndcg 1
+      (10L, 7L, 1L), (10L, 8L, 2L), (10L, 9L, 3L),
+      // q20: INVERTED (rel 1 first) -> ndcg < 1
+      (20L, 8L, 1L), (20L, 7L, 2L),
+      // q30: truth doc at rank 3, but k=2 cuts it -> dcg 0
+      (30L, 1L, 1L), (30L, 2L, 2L), (30L, 9L, 3L),
+      // q50: retrieved its zero-gain judgment only
+      (50L, 5L, 1L)).toDF("qid", "doc", "rank")
+    val truth = Seq(
+      (10L, 7L, 3L), (10L, 8L, 1L),
+      (20L, 7L, 3L), (20L, 8L, 1L),
+      (30L, 9L, 2L),
+      (40L, 4L, 3L),          // never retrieved -> explicit dcg 0
+      (50L, 5L, 0L)           // zero-gain-only -> ndcg NULL
+    ).toDF("qid", "doc", "rel")
+    val got = Eval.ndcgAtK(ranked, "qid", "doc", "rank",
+        truth, "qid", "doc", "rel", k = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val ideal2 = r6(dcgTerm(3, 1) + dcgTerm(1, 2))
+    assert(got(10L) === ((ideal2, ideal2, Some(1.0))))
+    val inv = r6(dcgTerm(1, 1) + dcgTerm(3, 2))
+    assert(got(20L) === ((inv, ideal2, Some(r6(inv / ideal2)))))
+    assert(got(20L)._3.get < 1.0)
+    assert(got(30L) === ((0.0, r6(dcgTerm(2, 1)), Some(0.0))))
+    assert(got(40L) === ((0.0, r6(dcgTerm(3, 1)), Some(0.0))))
+    assert(got(50L) === ((0.0, 0.0, None)))
+    // the k cut also bounds the IDEAL: with 2 positives and k=1,
+    // a perfect rank-1 hit is ndcg 1 (idcg counts one position)
+    val got1 = Eval.ndcgAtK(ranked, "qid", "doc", "rank",
+        truth, "qid", "doc", "rel", k = 1)
+      .filter(col("qid") === 10L).collect().head
+    assert(got1.getDouble(1) === r6(dcgTerm(3, 1)))
+    assert(got1.getDouble(2) === r6(dcgTerm(3, 1)))
+    assert(got1.getDouble(3) === 1.0)
+  }
 }

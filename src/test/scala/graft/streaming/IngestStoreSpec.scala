@@ -377,6 +377,37 @@ class IngestStoreSpec extends SparkSpec {
     assert(storeDirs(dir).toSet === Set("batch_id=-4", "batch_id=4"))
   }
 
+  test("IngestStore.readAsOf: pins the corpus moment while ingest " +
+      "appends; exact back to the compaction horizon, REFUSED beyond " +
+      "it (never a silently wrong snapshot)") {
+    val dir = tmp("graft-asof")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    (0L to 4L).foreach { b =>
+      Streaming.writeBatch(Seq(100 * b).toDF("v"), dir, "parquet", b)
+    }
+    def asOf(n: Long): Set[Long] =
+      IngestStore.readAsOf(spark, dir, schema, n)
+        .collect().map(_.getLong(0)).toSet
+    // the pinned moment is stable as later batches land
+    assert(asOf(1L) === Set(0L, 100L))
+    Streaming.writeBatch(Seq(500L).toDF("v"), dir, "parquet", 5L)
+    assert(asOf(1L) === Set(0L, 100L))
+    assert(asOf(5L) === Set(0L, 100L, 200L, 300L, 400L, 500L))
+    // compaction (physical fold, ids preserved) keeps every retained
+    // moment reconstructible at/above boundary-1...
+    IngestStore.compact(spark, dir, schema, upTo = 4L)
+    assert(asOf(3L) === Set(0L, 100L, 200L, 300L))
+    assert(asOf(4L) === Set(0L, 100L, 200L, 300L, 400L))
+    // ...but a moment BEFORE the horizon refuses loudly: a supersede/
+    // reduce compaction may have reclaimed versions, and this reader
+    // cannot know which hooks past compactions ran
+    val err = intercept[IllegalArgumentException] { asOf(2L) }
+    assert(err.getMessage.contains("no longer reconstructible"))
+    intercept[IllegalArgumentException] { asOf(-1L) }
+  }
+
   test("compact skips (not wedges) over a coverage hole; resumes when healed") {
     val dir = tmp("graft-hole")
     val schema = Seq((0L, "x")).toDF("id", "text").schema

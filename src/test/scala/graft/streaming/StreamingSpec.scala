@@ -1788,6 +1788,64 @@ class StreamingSpec extends SparkSpec {
     assert(flatAnn.count() === 2L)
   }
 
+  test("as-of retrieval: bm25FromIndex/annFromStore pin a corpus " +
+      "moment — later ingests AND later redactions are invisible, the " +
+      "supersede applies WITHIN the snapshot, and the result is " +
+      "stable while ingest continues") {
+    import spark.implicits._
+    import graft.operators.{Similarity, TextStats}
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val idxDir = tmp("graft-idx-asof")
+    val b0 = Seq((1L, "secret alpha"), (2L, "beta gamma"))
+    val b1 = Seq((2L, "beta REVISED"))                 // revise doc 2
+    val b2 = Seq((1L, null.asInstanceOf[String]),      // redact doc 1
+      (3L, "delta epsilon"))                           // new doc
+    Seq((b0, 0L), (b1, 1L), (b2, 2L)).foreach { case (rows, id) =>
+      Streaming.indexIngestBatch(rows.toDF("doc_id", "text"), id,
+        idxDir, "doc_id", "text", compactEvery = 0)
+    }
+    val qs = Seq((9L, "secret beta delta REVISED")).toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    def fromIdx(asOf: Option[Long]) =
+      rows(Streaming.bm25FromIndex(spark, idxDir, qs, "qid", "qtext",
+        k = 10, maxDocFreq = None, asOf = asOf))
+    def batchOver(docs: Seq[(Long, String)]) =
+      rows(TextStats.bm25TopK(docs.toDF("doc_id", "text"),
+        "doc_id", "text", qs, "qid", "qtext", k = 10))
+    // as of batch 0: doc 1 alive, doc 2 original, doc 3 absent
+    assert(fromIdx(Some(0L)) === batchOver(b0))
+    // as of batch 1: the supersede applies WITHIN the snapshot (doc 2
+    // revised, once); the later redaction of doc 1 is invisible
+    assert(fromIdx(Some(1L)) ===
+      batchOver(Seq((1L, "secret alpha"), (2L, "beta REVISED"))))
+    // the live read sees the redaction and the new doc
+    assert(fromIdx(None) === batchOver(Seq(
+      (1L, null.asInstanceOf[String]), (2L, "beta REVISED"),
+      (3L, "delta epsilon"))))
+
+    // the embedding analogue: a pinned probe over the batch-0 corpus
+    val embDir = tmp("graft-emb-asof")
+    val e0 = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+    val e1 = Seq((1L, null.asInstanceOf[Seq[Double]]), // redact vec 1
+      (3L, Seq(0.9, 0.1)))
+    Seq((e0, 0L), (e1, 1L)).foreach { case (rows, id) =>
+      Streaming.embIngestBatch(rows.toDF("vec_id", "embedding"), id,
+        embDir, "vec_id", "embedding", nCells = 2, compactEvery = 0)
+    }
+    val vq = Seq((9L, Seq(1.0, 0.05))).toDF("vec_id", "embedding")
+    assert(rows(Streaming.annFromStore(spark, embDir, vq,
+        "vec_id", "embedding", k = 3, nProbe = 2, asOf = Some(0L))) ===
+      rows(Similarity.bruteForceTopK(vq, "vec_id", "embedding",
+        e0.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 3)))
+    val liveIds = Streaming.annFromStore(spark, embDir, vq,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(liveIds === Set(2L, 3L))
+  }
+
   test("migrateEmbStore: replays the latest-version vectors through a " +
       "fresh model into a NEW store — the old store serves unchanged " +
       "mid-migration, tombstoned ids drop, and a non-empty target is " +
