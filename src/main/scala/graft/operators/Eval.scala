@@ -501,7 +501,12 @@ object Eval {
     def gainAt(pos: Column): Column =
       (pow(lit(2.0), col("__rel").cast("double")) - lit(1.0)) /
         (log(pos.cast("double") + lit(1.0)) / ln2)
-    val dcg = t.join(r, Seq("qid", "__doc"))
+    // rel <= 0 judgments carry ZERO gain on BOTH sides (the standard
+    // nDCG treatment — TREC-style rel = -1 "judged junk" rows must not
+    // inject NEGATIVE gain into dcg while being excluded from idcg,
+    // which would push ndcg outside [0,1]); filtering them before the
+    // join also shrinks its input (rel = 0's 2^0 - 1 gain is 0 anyway)
+    val dcg = t.filter(col("__rel") > 0).join(r, Seq("qid", "__doc"))
       .select(col("qid"), gainAt(col("__rk")).as("__g"))
       .groupBy("qid").agg(round(sum(col("__g")), 6).as("dcg"))
     val idcg = t.filter(col("__rel") > 0)

@@ -271,12 +271,26 @@ object IngestStore extends org.apache.spark.internal.Logging {
       spark: SparkSession, path: String, dataSchema: StructType,
       asOf: Long): DataFrame = {
     require(asOf >= 0, s"asOf must be a committed batch id, got $asOf")
+    // one marker read + one listing decide BOTH bounds of the valid
+    // window (retention below, committed frontier above)
     val b = boundary(spark, path)
+    val live = sliceIds(spark, path).filter(_ >= b).toSet
     require(asOf >= b - 1,
       s"ingest store $path has compacted batches < $b into its base; " +
         s"a snapshot as of batch $asOf is no longer reconstructible " +
         "(superseded versions were reclaimed) — retain snapshots by " +
         "sizing compactEvery to the horizon you need")
+    // the snapshot is only a snapshot if every batch <= asOf has
+    // already committed: an asOf beyond the ingest frontier (or over
+    // an externally torn hole) would return a result that silently
+    // GROWS as the missing batches land — the opposite of pinning
+    var frontier = b
+    while (live.contains(frontier)) frontier += 1
+    require(frontier > asOf,
+      s"ingest store $path has contiguous coverage only through " +
+        s"batch ${frontier - 1}; a snapshot as of batch $asOf is not " +
+        "yet (or no longer) fully committed and would change as " +
+        "batches land — pin an asOf at or below the frontier")
     read(spark, path, dataSchema).filter(col("batch_id") <= asOf)
   }
 

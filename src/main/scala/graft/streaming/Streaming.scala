@@ -821,6 +821,18 @@ object Streaming {
         .drop("__mx")
     }
 
+  /** The store read both query paths share: live content, or the
+    * [[IngestStore.readAsOf]] snapshot when `asOf` is set — ONE
+    * definition so the snapshot spelling (and any validation it
+    * grows) can never diverge between [[bm25FromIndex]] and
+    * [[annFromStore]]. */
+  private def storeAt(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      asOf: Option[Long]): DataFrame =
+    asOf.fold(IngestStore.read(spark, path, schema))(
+      n => IngestStore.readAsOf(spark, path, schema, n))
+
   /** True when `path` holds at least one un-absorbed slice — the
     * only state in which a key can exist in two versions and
     * [[latestAtRead]]'s window is needed. One directory listing. */
@@ -946,9 +958,7 @@ object Streaming {
       uncappedMetricName: String = "graft_bm25_uncapped",
       asOf: Option[Long] = None): DataFrame =
     graft.operators.TextStats.bm25FromPostings(
-      latestAtRead(
-        asOf.fold(IngestStore.read(spark, indexPath, postingsSchema))(
-          n => IngestStore.readAsOf(spark, indexPath, postingsSchema, n)),
+      latestAtRead(storeAt(spark, indexPath, postingsSchema, asOf),
         hasLiveSlices(spark, indexPath), "doc")
         .select(col("doc"), col("token"), col("tf"), col("len")),
       queries, qidCol, qtextCol, k, k1Milli, bMilli, maxDocFreq,
@@ -1181,9 +1191,7 @@ object Streaming {
       throw new IllegalStateException(
         s"annFromStore: no committed centroid model at $storePath — " +
           "ingest a batch with vectors first"))
-    val c = latestAtRead(
-      asOf.fold(IngestStore.read(spark, storePath, embSchema))(
-        n => IngestStore.readAsOf(spark, storePath, embSchema, n)),
+    val c = latestAtRead(storeAt(spark, storePath, embSchema, asOf),
       hasLiveSlices(spark, storePath), "vec")
       .select(col("vec").as("neighbor_id"), col("cell"),
         col("v").as("cv"), col("cn"))

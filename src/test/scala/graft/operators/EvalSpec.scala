@@ -390,7 +390,11 @@ class EvalSpec extends SparkSpec {
       (20L, 7L, 3L), (20L, 8L, 1L),
       (30L, 9L, 2L),
       (40L, 4L, 3L),          // never retrieved -> explicit dcg 0
-      (50L, 5L, 0L)           // zero-gain-only -> ndcg NULL
+      (50L, 5L, 0L),          // zero-gain-only -> ndcg NULL
+      // TREC-style judged-junk rel = -1 RETRIEVED at rank 1 (q30's
+      // doc 1): zero gain, never negative dcg — q30's dcg stays 0.0
+      // below, which fails without the rel > 0 clamp on the dcg side
+      (30L, 1L, -1L)
     ).toDF("qid", "doc", "rel")
     val got = Eval.ndcgAtK(ranked, "qid", "doc", "rank",
         truth, "qid", "doc", "rel", k = 2)

@@ -395,6 +395,19 @@ class IngestStoreSpec extends SparkSpec {
     Streaming.writeBatch(Seq(500L).toDF("v"), dir, "parquet", 5L)
     assert(asOf(1L) === Set(0L, 100L))
     assert(asOf(5L) === Set(0L, 100L, 200L, 300L, 400L, 500L))
+    // an asOf BEYOND the committed frontier refuses: the "snapshot"
+    // would silently grow as the missing batches land
+    val early = intercept[IllegalArgumentException] { asOf(7L) }
+    assert(early.getMessage.contains("contiguous coverage"))
+    // same for an asOf past an externally torn hole (batch 8 exists
+    // but 6-7 do not — coverage stops at the hole)
+    Streaming.writeBatch(Seq(800L).toDF("v"), dir, "parquet", 8L)
+    intercept[IllegalArgumentException] { asOf(8L) }
+    assert(asOf(5L) === Set(0L, 100L, 200L, 300L, 400L, 500L))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/batch_id=8"))
     // compaction (physical fold, ids preserved) keeps every retained
     // moment reconstructible at/above boundary-1...
     IngestStore.compact(spark, dir, schema, upTo = 4L)
