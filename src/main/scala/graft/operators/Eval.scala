@@ -479,9 +479,17 @@ object Eval {
     * BEFORE the division and the quotient rounded again, so both
     * engines divide identical operands (the repo's rounded-rank
     * discipline). Returns `(qid, dcg, idcg, ndcg)`, one row per
-    * truth query; queries with judgments but no retrieved hit emit
+    * truth query with at least one non-NULL-doc judgment; queries
+    * with judgments but no retrieved hit emit
     * explicit `dcg = 0` rows (the denominator never silently shrinks
     * — the [[reciprocalRank]] contract).
+    *
+    * Judgment hygiene (applied, not assumed): duplicate (qid, doc)
+    * judgments collapse to their MAX relevance before anything else —
+    * a doc judged twice must not contribute two dcg terms against one
+    * retrieved rank nor occupy two ideal positions — and a NULL-doc
+    * judgment is dropped (it can never match a retrieved hit, so
+    * keeping it would inflate idcg and deflate ndcg forever).
     *
     * Shape: one (qid, doc) equi-join of the judgments against the
     * k-bounded ranked frame + one per-query window over the
@@ -498,6 +506,8 @@ object Eval {
       .filter(col("__rk") <= k)
     val t = truth.select(col(tQidCol).as("qid"), col(tDocCol).as("__doc"),
       col(tRelCol).cast("long").as("__rel"))
+      .filter(col("__doc").isNotNull)
+      .groupBy("qid", "__doc").agg(max(col("__rel")).as("__rel"))
     def gainAt(pos: Column): Column =
       (pow(lit(2.0), col("__rel").cast("double")) - lit(1.0)) /
         (log(pos.cast("double") + lit(1.0)) / ln2)

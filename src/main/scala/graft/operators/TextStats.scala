@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
@@ -1113,6 +1113,45 @@ object TextStats {
       k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
       maxDocFreq: Option[Long] = None,
       observeCandidates: Option[String] = None): DataFrame = {
+    // token IS NULL rows are the streaming store's null-text
+    // TOMBSTONES (see Streaming.indexIngestBatch) — never postings
+    val tf = postings.select(
+      col("doc"), col("token"), col("tf"), col("len"))
+      .filter(col("token").isNotNull)
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val lens = tf.groupBy("doc").agg(max(col("len")).as("len"))
+    val n = graft.plans.Scalars.of(lens.agg(count(lit(1)).as("n")))
+    val avgdl = graft.plans.Scalars.of(lens.agg(avg(col("len")).as("a")))
+    bm25Score(tf, dfreq, n, avgdl, queries, qidCol, qtextCol,
+      k, k1Milli, bMilli, maxDocFreq, observeCandidates)
+  }
+
+  /** The BM25 scoring tail shared by [[bm25FromPostings]] (which
+    * derives df/N/avgdl from the postings, above) and the streaming
+    * store's sidecar-backed query path
+    * ([[graft.streaming.Streaming.bm25FromIndex]], which supplies
+    * them precomputed and supersede-consistent so query cost is
+    * candidate-bounded): join the query terms to the df table, then
+    * to the tf postings BY TOKEN, score, rank.
+    *
+    * Contracts: `tf` must be tombstone-free-or-filterable (a
+    * `token IS NOT NULL` guard is applied here) with ONE version per
+    * doc; `dfreq` is `(token, df)` UNCAPPED (the `maxDocFreq` cut is
+    * applied here so the cap semantics can never diverge between
+    * callers); `n`/`avgdl` are scalar Columns (in-plan scalar
+    * subqueries or literals). `tf` is consumed EXACTLY ONCE (the
+    * candidate join) — single-consumer, so the CALLER decides the
+    * materialization policy: [[bm25FromPostings]] checkpoints because
+    * its derivation consumes the input through four subtrees; the
+    * sidecar path must NOT checkpoint a corpus-sized store scan per
+    * query. */
+  private[graft] def bm25Score(
+      tf: DataFrame, dfreq: DataFrame, n: Column, avgdl: Column,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1Milli: Int, bMilli: Int,
+      maxDocFreq: Option[Long],
+      observeCandidates: Option[String]): DataFrame = {
     require(k >= 1, "k must be positive")
     require(k1Milli >= 0 && k1Milli <= 1000000 &&
       bMilli >= 0 && bMilli <= 1000,
@@ -1122,17 +1161,8 @@ object TextStats {
     val k1p1 = lit(k1Milli + 1000).cast("double") / lit(1000.0)
     val oneMinusB = lit(1000 - bMilli).cast("double") / lit(1000.0)
     val b = lit(bMilli).cast("double") / lit(1000.0)
-    // token IS NULL rows are the streaming store's null-text
-    // TOMBSTONES (see Streaming.indexIngestBatch) — never postings
-    val tf = postings.select(
-      col("doc"), col("token"), col("tf"), col("len"))
-      .filter(col("token").isNotNull)
-      .localCheckpoint(true)
-    val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val dfreq = maxDocFreq.fold(dfreq0)(c => dfreq0.filter(col("df") <= c))
-    val lens = tf.groupBy("doc").agg(max(col("len")).as("len"))
-    val n = graft.plans.Scalars.of(lens.agg(count(lit(1)).as("n")))
-    val avgdl = graft.plans.Scalars.of(lens.agg(avg(col("len")).as("a")))
+    val dfCapped =
+      maxDocFreq.fold(dfreq)(c => dfreq.filter(col("df") <= c))
     val qt = queries.select(col(qidCol).as("qid"),
       explode(split(col(qtextCol), " ")).as("token")).distinct()
     val idf = log(lit(1.0) +
@@ -1143,7 +1173,8 @@ object TextStats {
     // df table cuts a capped stopword's candidates before its
     // corpus-dense posting rows ever enter a join — the other order
     // shuffles them per query just to drop them at the df join
-    val cand0 = qt.join(dfreq, "token").join(tf, "token")
+    val cand0 = qt.join(dfCapped, "token")
+      .join(tf.filter(col("token").isNotNull), "token")
     val cand = observeCandidates.fold(cand0)(name =>
       cand0.observe(name, count(lit(1)).as("candidate_rows")))
     cand

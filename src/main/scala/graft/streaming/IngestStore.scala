@@ -244,6 +244,30 @@ object IngestStore extends org.apache.spark.internal.Logging {
         restored
     }
 
+  /** Read ONLY the given live slices (ids >= 0) — partition-pruned at
+    * the file LISTING, so the scan's I/O is bounded by the slices
+    * named, never the base: the delta-sized probe behind
+    * [[graft.streaming.Streaming]]'s live-key supersede split (only
+    * keys present in un-absorbed slices can hold two versions, so the
+    * read-time latest-per-key window needs only THIS key set, not a
+    * full-store shuffle). Slices carry their data columns verbatim
+    * (no [[SrcBatchCol]]); `batch_id` comes back as the partition
+    * value, which for a live slice IS the true batch id. A listed id
+    * whose directory has vanished (racing compaction's GC) fails the
+    * read — the standard retry caveat for file stores without
+    * snapshot isolation. */
+  def readSlices(
+      spark: SparkSession, path: String, dataSchema: StructType,
+      ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty, "readSlices needs at least one slice id")
+    require(ids.forall(_ >= 0L),
+      s"readSlices reads live slices only (ids >= 0), got $ids")
+    val full = StructType(dataSchema.fields :+
+      StructField("batch_id", LongType, nullable = true))
+    spark.read.option("basePath", path).schema(full)
+      .parquet(ids.map(i => s"$path/batch_id=$i"): _*)
+  }
+
   /** Snapshot (as-of) read: the store's content as it stood after
     * batch `asOf` committed — rows whose true batch id is `<= asOf`.
     * The reproducibility primitive: a training run pins `asOf` once

@@ -16,6 +16,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** Nested rather than `extends Logging`: the trait's `log` member
+    * would shadow `org.apache.spark.sql.functions.log` across this
+    * whole file. */
+  private object Log extends org.apache.spark.internal.Logging {
+    def warn(msg: => String): Unit = logWarning(msg)
+  }
+
   /** Tumbling/sliding window counts + sums with late-data handling:
     * the direct streaming analogue of `groupBy(window(...))`. */
   def windowedAgg(
@@ -748,6 +755,111 @@ object Streaming {
     org.apache.spark.sql.types.StructField("len",
       org.apache.spark.sql.types.LongType)))
 
+  // ------------------------- BM25 stats sidecar (df / N / Σlen)
+
+  private def bm25StatsDfPath(p: String): String = s"$p/_stats/df"
+  private def bm25StatsScalarsPath(p: String): String =
+    s"$p/_stats/scalars"
+  private def bm25StatsMarker(p: String): String =
+    s"$p/_stats_committed"
+
+  /** Fold the postings store's corpus statistics into a sidecar at
+    * compaction time: `(token, df)` over the compacted BASE plus one
+    * `(n, lensum)` scalar row (indexed-doc count and total length —
+    * avgdl = lensum/n), both excluding tombstones. With the sidecar,
+    * [[bm25FromIndex]] no longer re-derives df/N/avgdl from (and
+    * localCheckpoints) the FULL postings store on every query — the
+    * per-query cost becomes candidate-bounded, with at most a
+    * live-delta-sized correction between compactions. One extra pass
+    * over the base per compaction, amortized exactly like the
+    * compaction rewrite itself.
+    *
+    * Commit protocol = [[writeCentroids]]'s marker discipline, plus
+    * CONTENT: the marker names the boundary the stats cover, so a
+    * sidecar that raced a crash (or predates a later compaction)
+    * reads as ABSENT and the query path falls back to deriving from
+    * postings — never a silently stale df table. The marker is
+    * cleared BEFORE the (non-atomic) parquet overwrites begin. */
+  private[streaming] def writeBm25Stats(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val b = IngestStore.boundary(spark, indexPath)
+    if (b <= 0) return
+    val marker = new org.apache.hadoop.fs.Path(bm25StatsMarker(indexPath))
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker))
+      require(fs.delete(marker, false),
+        s"indexIngest: could not clear the stats marker $marker " +
+          "before rewriting the sidecar — refusing to overwrite " +
+          "under a live commit marker")
+    val base = IngestStore.read(spark, indexPath, postingsSchema)
+      .filter(col("batch_id") < b && col("token").isNotNull)
+    base.groupBy("token").agg(count(lit(1)).as("df"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(bm25StatsDfPath(indexPath))
+    base.groupBy("doc").agg(max(col("len")).as("len"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("len")), lit(0L)).as("lensum"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(bm25StatsScalarsPath(indexPath))
+    // marker content = the covered boundary, committed atomically
+    // (write-to-temp + overwriting rename, the boundary-file recipe)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexPath/._stats_committed.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri,
+      fs.getConf)
+      .rename(tmp, marker,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The committed stats sidecar, IF it covers the store's current
+    * boundary: `(dfTable, scalarsRow)`. Any mismatch (no marker, a
+    * marker naming an older boundary, an unreadable table) reads as
+    * absent — the query path then derives stats from the postings,
+    * correct at the old cost. */
+  private def readBm25Stats(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[(DataFrame, DataFrame)] =
+    try {
+      if (bm25StatsBoundary(spark, indexPath) !=
+          IngestStore.boundary(spark, indexPath)) None
+      else Some((spark.read.parquet(bm25StatsDfPath(indexPath)),
+        spark.read.parquet(bm25StatsScalarsPath(indexPath))))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Log.warn(
+          s"readBm25Stats($indexPath): sidecar present but unreadable " +
+            "— deriving query stats from the postings store instead " +
+            s"(correct, at the pre-sidecar cost). Cause: $e")
+        None
+    }
+
+  /** The boundary the committed stats sidecar covers; -1 when absent
+    * or unreadable. One marker read — the cheap staleness probe
+    * [[indexIngestBatch]] runs per batch so a crash between the
+    * compaction commit and the stats write self-heals on the next
+    * batch (replay or live). */
+  private def bm25StatsBoundary(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Long = {
+    val marker = new org.apache.hadoop.fs.Path(bm25StatsMarker(indexPath))
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong
+        finally in.close()
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => -1L
+    }
+  }
+
   /** The store-id contract shared by [[indexIngestBatch]] and
     * [[embIngestBatch]]: ids must cast LOSSLESSLY to long. A
     * non-castable id (a string doc id like "doc-1") or a null id
@@ -790,6 +902,14 @@ object Streaming {
       }
   }
 
+  /** Measured cap on the live-key probe: at or under this many
+    * distinct live keys, [[latestAtRead]] runs its live-key SPLIT
+    * (broadcast semi/anti join, no full-store shuffle); above it, the
+    * full-store window fallback — the decide-the-path-never-the-answer
+    * discipline ([[annFromStore]]'s query-broadcast caps). 4M long
+    * keys broadcast at ~32 MiB. */
+  private[streaming] val LiveKeyBroadcastMaxRows = 4L << 20
+
   /** Read-time latest-per-key supersede — the query-surface twin of
     * [[IngestStore.compact]]'s `latestPerKey`: keeps only each key's
     * rows from its NEWEST batch. [[IngestStore.read]] restores every
@@ -797,29 +917,84 @@ object Streaming {
     * value), and absorbed originals are strictly below the boundary
     * while live slice ids sit at/above it — so max-of-batch_id
     * totally orders versions across base and slices and picks the
-    * latest exactly as compaction does (do NOT simplify to
-    * "non-negative beats negative": base rows compare by their real
-    * ids, which also orders base-vs-base supersedes). This is what
-    * makes re-ingest and REDACTION immediate at the query surface: a
-    * null-payload tombstone wins the max, so the stale postings /
-    * vector never score and a duplicate can never hold two top-k
-    * slots — WITHOUT waiting up to `compactEvery` batches for the
-    * physical fold (compaction stays the storage-reclaim step, no
-    * longer a correctness step). Cost: one key-partitioned window
-    * over the store scan the query already pays — and skipped
-    * entirely when the store holds no live slices (fully compacted ⇒
-    * at most one version per key exists). */
-  private def latestAtRead(
-      store: DataFrame, hasLiveSlices: Boolean, key: String): DataFrame =
-    if (!hasLiveSlices) store
-    else {
-      import org.apache.spark.sql.expressions.Window
-      store
-        .withColumn("__mx",
-          max(col("batch_id")).over(Window.partitionBy(col(key))))
-        .filter(col("batch_id") === col("__mx"))
-        .drop("__mx")
+    * latest exactly as compaction does. This is what makes re-ingest
+    * and REDACTION immediate at the query surface: a null-payload
+    * tombstone wins the max, so the stale postings / vector never
+    * score and a duplicate can never hold two top-k slots — WITHOUT
+    * waiting up to `compactEvery` batches for the physical fold
+    * (compaction stays the storage-reclaim step, no longer a
+    * correctness step).
+    *
+    * Cost shape — LIVE-DELTA-BOUNDED, not a full-store shuffle: only
+    * a key present in an un-absorbed slice can hold two versions (the
+    * latestPerKey-compacted base holds at most one version per key —
+    * the precondition that makes the split and the full window
+    * bit-equal), so when `liveKeys` is small (MEASURED against
+    * `maxLiveKeys`, never assumed) the store splits by a broadcast
+    * semi/anti join on the key set: the hot subset (live keys' rows
+    * across base + slices — delta-proportional) pays the supersede
+    * window, the cold remainder passes through UNSHUFFLED. Two
+    * map-side columnar passes over the store replace the full-store
+    * shuffle the one-window spelling pays between compactions. Past
+    * the cap (a store with compaction far behind ingest), the
+    * one-window fallback — same answer, the old cost. Skipped
+    * entirely when `liveKeys` is None (no live slices ⇒ fully
+    * compacted ⇒ at most one version per key exists).
+    *
+    * `liveKeys` is re-executed by each consumer (the count and the
+    * two joins — Spark's ReuseExchange dedups the two identical
+    * broadcasts within the query): keep its lineage the delta-sized
+    * [[IngestStore.readSlices]] scan ([[liveKeysOf]]), never
+    * something corpus-priced. */
+  private[streaming] def latestAtRead(
+      store: DataFrame, liveKeys: Option[DataFrame], key: String,
+      maxLiveKeys: Long = LiveKeyBroadcastMaxRows): DataFrame =
+    liveKeys match {
+      case None => store
+      case Some(lk0) =>
+        val lk = lk0.select(col(key).as("__livek")).distinct()
+        // measured, never assumed: one delta-sized count decides the
+        // path (the repo's broadcast-contract discipline)
+        if (lk.count() <= maxLiveKeys) {
+          val hot = supersedeWindow(store
+            .join(broadcast(lk), col(key) <=> col("__livek"), "left_semi"),
+            key)
+          val cold = store
+            .join(broadcast(lk), col(key) <=> col("__livek"), "left_anti")
+          hot.unionByName(cold)
+        } else supersedeWindow(store, key)
     }
+
+  /** The one-window latest-per-key spelling (max of true batch ids —
+    * the order compaction's `latestPerKey` uses). [[latestAtRead]]'s
+    * fallback and the building block of its hot branch. */
+  private def supersedeWindow(rows: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    rows
+      .withColumn("__mx",
+        max(col("batch_id")).over(Window.partitionBy(col(key))))
+      .filter(col("batch_id") === col("__mx"))
+      .drop("__mx")
+  }
+
+  /** The distinct keys present in live slices (restricted to
+    * `<= asOf` when a snapshot read is in flight — keys live only in
+    * LATER slices are invisible to the snapshot and must not force
+    * its rows through the window): [[latestAtRead]]'s probe input.
+    * None ⇔ no relevant live slices exist. Lineage is the
+    * partition-pruned [[IngestStore.readSlices]] scan — delta-sized
+    * I/O, no base read. */
+  private def liveKeysOf(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, key: String,
+      asOf: Option[Long]): Option[DataFrame] = {
+    val b = IngestStore.boundary(spark, path)
+    val ids = IngestStore.sliceIds(spark, path)
+      .filter(id => id >= b && asOf.forall(id <= _))
+    if (ids.isEmpty) None
+    else Some(IngestStore.readSlices(spark, path, schema, ids)
+      .select(col(key)).distinct())
+  }
 
   /** The store read both query paths share: live content, or the
     * [[IngestStore.readAsOf]] snapshot when `asOf` is set — ONE
@@ -832,15 +1007,6 @@ object Streaming {
       asOf: Option[Long]): DataFrame =
     asOf.fold(IngestStore.read(spark, path, schema))(
       n => IngestStore.readAsOf(spark, path, schema, n))
-
-  /** True when `path` holds at least one un-absorbed slice — the
-    * only state in which a key can exist in two versions and
-    * [[latestAtRead]]'s window is needed. One directory listing. */
-  private def hasLiveSlices(
-      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val b = IngestStore.boundary(spark, path)
-    IngestStore.sliceIds(spark, path).exists(_ >= b)
-  }
 
   /** Continuous retrieval-index maintenance: every arriving
     * micro-batch's documents are tokenized ONCE into BM25 postings
@@ -861,14 +1027,15 @@ object Streaming {
     *
     * Cost shape at scale: per batch, the batch's own tokenize + two
     * keyed aggs + one slice write — the accumulated corpus is NEVER
-    * re-tokenized. Query time ([[bm25FromIndex]]) pays one columnar
-    * scan of the postings store (df/N/avgdl derive from postings at
-    * query time — the same honest corpus-proportional one-scan term
-    * as the dedup index probe) plus the token-keyed candidate join
-    * the batch operator already prices. A per-batch (token → df)
-    * delta store would shave that scan's aggregate but adds a second
-    * store and a merge rule for the SAME asymptotic cost — the
-    * one-scan spelling is the simpler contract. */
+    * re-tokenized — plus, at compaction cadence only, one base pass
+    * that folds df/N/avgdl into the stats sidecar
+    * ([[writeBm25Stats]]). Query time ([[bm25FromIndex]]) then pays
+    * the token-keyed candidate join the batch operator already
+    * prices, a vocabulary-sized sidecar read, and at most a
+    * live-delta-sized supersede correction — never a per-query
+    * re-aggregation of the full postings store (that derivation
+    * remains only as the fallback for never-compacted stores and
+    * torn sidecars). */
   def indexIngest(
       stream: DataFrame, indexPath: String,
       idCol: String, textCol: String, compactEvery: Int = 16)
@@ -899,6 +1066,17 @@ object Streaming {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       IngestStore.compact(spark, indexPath, postingsSchema,
         upTo = batchId, latestPerKey = Some("doc"))
+    // stats sidecar: rewrite whenever the committed marker does not
+    // name the current boundary — covers the just-compacted case AND
+    // self-heals a crash between the boundary commit and the stats
+    // write (one cheap marker read per batch decides; the rewrite
+    // itself is one base pass, amortized with compaction). Runs
+    // BEFORE this batch's slice lands, and writeBm25Stats's
+    // `batch_id < boundary` filter keeps any half-written replay
+    // slice out of the fold.
+    val b0 = IngestStore.boundary(spark, indexPath)
+    if (b0 > 0 && bm25StatsBoundary(spark, indexPath) != b0)
+      writeBm25Stats(spark, indexPath)
     val slim = batch.select(col(idCol).cast("long").as("__id"),
       col(textCol))
     val posts = graft.operators.TextStats.postings(
@@ -949,21 +1127,105 @@ object Streaming {
     * compaction horizon, refused beyond it). The supersede still
     * applies WITHIN the snapshot, so a doc re-ingested twice before
     * `asOf` scores once, at its version as of that moment
-    * (parity-gated by q227). */
+    * (parity-gated by q227).
+    *
+    * Query cost shape (the stats sidecar, [[writeBm25Stats]]): when
+    * the sidecar covers the current boundary, df/N/avgdl come from it
+    * — a vocabulary-sized read, NOT a per-query re-aggregation (and
+    * re-checkpoint) of the full postings store — corrected by a
+    * live-delta-sized supersede adjustment between compactions
+    * (subtract the live keys' base contribution, add their latest
+    * non-tombstone version; exact integer arithmetic, so it equals
+    * the derived stats bit-for-bit — spec-gated). The candidate join
+    * consumes the store scan ONCE, split live-key hot/cold exactly
+    * like [[latestAtRead]]. Fallbacks, all answer-identical: a
+    * never-compacted store or torn sidecar derives stats from the
+    * postings ([[graft.operators.TextStats.bm25FromPostings]]); a
+    * live-key set past [[LiveKeyBroadcastMaxRows]] derives over the
+    * one-window supersede. */
   def bm25FromIndex(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
       maxDocFreq: Option[Long],
       uncappedMetricName: String = "graft_bm25_uncapped",
-      asOf: Option[Long] = None): DataFrame =
-    graft.operators.TextStats.bm25FromPostings(
-      latestAtRead(storeAt(spark, indexPath, postingsSchema, asOf),
-        hasLiveSlices(spark, indexPath), "doc")
-        .select(col("doc"), col("token"), col("tf"), col("len")),
-      queries, qidCol, qtextCol, k, k1Milli, bMilli, maxDocFreq,
-      observeCandidates =
-        if (maxDocFreq.isEmpty) Some(uncappedMetricName) else None)
+      asOf: Option[Long] = None): DataFrame = {
+    import graft.operators.TextStats
+    import graft.plans.Scalars
+    val observe =
+      if (maxDocFreq.isEmpty) Some(uncappedMetricName) else None
+    val store = storeAt(spark, indexPath, postingsSchema, asOf)
+    val lk = liveKeysOf(spark, indexPath, postingsSchema, "doc", asOf)
+    def derive(frame: DataFrame): DataFrame =
+      TextStats.bm25FromPostings(
+        frame.select(col("doc"), col("token"), col("tf"), col("len")),
+        queries, qidCol, qtextCol, k, k1Milli, bMilli, maxDocFreq,
+        observe)
+    def score(tf: DataFrame, dfreq: DataFrame,
+        n: org.apache.spark.sql.Column,
+        avgdl: org.apache.spark.sql.Column): DataFrame =
+      TextStats.bm25Score(
+        tf.select(col("doc"), col("token"), col("tf"), col("len")),
+        dfreq, n, avgdl, queries, qidCol, qtextCol,
+        k, k1Milli, bMilli, maxDocFreq, observe)
+    readBm25Stats(spark, indexPath) match {
+      case None => derive(latestAtRead(store, lk, "doc"))
+      case Some((dfBase, scBase)) => lk match {
+        case None =>
+          // no relevant live slices: the (possibly asOf-horizon) view
+          // IS the base the sidecar covers — stats apply verbatim
+          score(store, dfBase,
+            Scalars.of(scBase.select(col("n"))),
+            Scalars.of(scBase.select((col("lensum").cast("double") /
+              col("n").cast("double")).as("a"))))
+        case Some(keys0) =>
+          val keys = keys0.select(col("doc").as("__livek")).distinct()
+            .localCheckpoint(true) // consumed 3x: count + semi + anti
+          if (keys.count() > LiveKeyBroadcastMaxRows)
+            derive(supersedeWindow(store, "doc"))
+          else {
+            val b = IngestStore.boundary(spark, indexPath)
+            // delta-sized (live keys' rows across base + slices);
+            // consumed ~5x below — checkpoint per the repo rule
+            val hot = store.join(broadcast(keys),
+              col("doc") <=> col("__livek"), "left_semi")
+              .localCheckpoint(true)
+            val hotLatest = supersedeWindow(hot, "doc")
+              .filter(col("token").isNotNull)
+            // exactly the rows the sidecar counted for these keys
+            val hotBase = hot.filter(
+              col("batch_id") < b && col("token").isNotNull)
+            val cold = store.join(broadcast(keys),
+              col("doc") <=> col("__livek"), "left_anti")
+            val tfFinal = cold.select("doc", "token", "tf", "len")
+              .unionByName(hotLatest.select("doc", "token", "tf", "len"))
+            // df correction: sidecar − base-version − + latest-version
+            // contributions of the live keys — vocabulary-sized merge
+            // plus delta-sized aggregations, exact integer arithmetic
+            val dfFinal = dfBase.select(col("token"), col("df"))
+              .unionByName(hotBase.groupBy("token")
+                .agg((-count(lit(1))).as("df")))
+              .unionByName(hotLatest.groupBy("token")
+                .agg(count(lit(1)).as("df")))
+              .groupBy("token").agg(sum(col("df")).as("df"))
+              .filter(col("df") > 0)
+            def contrib(rows: DataFrame, sign: Int): DataFrame = rows
+              .groupBy("doc").agg(max(col("len")).as("len"))
+              .agg((lit(sign.toLong) * count(lit(1))).as("n"),
+                (lit(sign.toLong) * coalesce(sum(col("len")), lit(0L)))
+                  .as("lensum"))
+            val scAll = scBase.select(col("n"), col("lensum"))
+              .unionByName(contrib(hotBase, -1))
+              .unionByName(contrib(hotLatest, 1))
+              .agg(sum(col("n")).as("n"), sum(col("lensum")).as("lensum"))
+            score(tfFinal, dfFinal,
+              Scalars.of(scAll.select(col("n"))),
+              Scalars.of(scAll.select((col("lensum").cast("double") /
+                col("n").cast("double")).as("a"))))
+          }
+      }
+    }
+  }
 
   // --------------------------- continuous embedding index (IVF store)
 
@@ -1014,8 +1276,18 @@ object Streaming {
       // absent — the ingest path then either retrains (no assigned
       // slices yet) or refuses loudly (model genuinely lost; see
       // embIngestBatch's assigned-slice check). A fatal error (OOM,
-      // interrupt) still propagates.
-      case scala.util.control.NonFatal(_) => None
+      // interrupt) still propagates. LOGGED so a transient I/O
+      // failure is distinguishable from a genuinely absent model when
+      // the misleading downstream symptom ("no committed centroid
+      // model", or an unexpected retrain) is investigated.
+      case scala.util.control.NonFatal(e) =>
+        Log.warn(
+          s"readCentroids($storePath): marker present but the model " +
+            "table failed to read — treating the model as ABSENT " +
+            "(externally damaged or transient I/O); the query path " +
+            "will refuse and the ingest path will retrain or refuse " +
+            s"per its assigned-slice check. Cause: $e")
+        None
     }
   }
 
@@ -1170,10 +1442,15 @@ object Streaming {
     * immediately — not only after the next compaction.
     *
     * Query-side size contract: the query frame broadcasts only while
-    * MEASURED under [[QueryBroadcastMaxRows]] exploded rows AND
-    * [[QueryBroadcastMaxBytes]] of vector payload (one aggregate over
-    * the query frame, never assumed); past either cap the join falls
-    * back to a cell-keyed shuffle — identical results either way.
+    * MEASURED under `broadcastMaxRows` exploded rows AND
+    * `broadcastMaxBytes` of vector payload (one aggregate over the
+    * query frame, never assumed — both caps are parameters so a
+    * caller raising one can never be silently re-capped by the
+    * other); past either cap the join falls back to a cell-keyed
+    * shuffle — identical results either way. The sizing aggregate is
+    * one extra execution of the query frame's lineage per call: fine
+    * for the eval-set-sized frames this serves; a caller with an
+    * expensive query-frame lineage should cache/checkpoint it first.
     *
     * `asOf`: probe the SNAPSHOT of the store as of that batch
     * ([[IngestStore.readAsOf]] — reproducible ANN over a pinned
@@ -1184,6 +1461,7 @@ object Streaming {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nProbe: Int = 4,
       broadcastMaxRows: Long = QueryBroadcastMaxRows,
+      broadcastMaxBytes: Long = QueryBroadcastMaxBytes,
       asOf: Option[Long] = None): DataFrame = {
     import graft.functions.{VectorFunctions => V}
     import graft.plans.{DotProduct, SketchExpressions => SK}
@@ -1192,7 +1470,7 @@ object Streaming {
         s"annFromStore: no committed centroid model at $storePath — " +
           "ingest a batch with vectors first"))
     val c = latestAtRead(storeAt(spark, storePath, embSchema, asOf),
-      hasLiveSlices(spark, storePath), "vec")
+      liveKeysOf(spark, storePath, embSchema, "vec", asOf), "vec")
       .select(col("vec").as("neighbor_id"), col("cell"),
         col("v").as("cv"), col("cn"))
     val q0 = queries.select(col(qIdCol).as("query_id"),
@@ -1202,7 +1480,7 @@ object Streaming {
     val sz = q0.agg(count(lit(1)).as("n"),
       coalesce(sum(size(col("qv"))), lit(0)).cast("long").as("d")).head()
     val small = sz.getLong(0) * nProbe <= broadcastMaxRows &&
-      sz.getLong(1) * 8L * nProbe <= QueryBroadcastMaxBytes
+      sz.getLong(1) * 8L * nProbe <= broadcastMaxBytes
     val q = q0
       .withColumn("qn", sqrt(DotProduct(col("qv"), col("qv"))))
       .withColumn("cell",
@@ -1248,7 +1526,7 @@ object Streaming {
         "match the slices); delete it and re-run")
     val live = latestAtRead(
       IngestStore.read(spark, oldStorePath, embSchema),
-      hasLiveSlices(spark, oldStorePath), "vec")
+      liveKeysOf(spark, oldStorePath, embSchema, "vec", None), "vec")
       .filter(col("v").isNotNull)
       .select(col("vec"), col("v"))
       .localCheckpoint(true) // consumed twice: train+assign, count

@@ -418,4 +418,40 @@ class EvalSpec extends SparkSpec {
     assert(got1.getDouble(2) === r6(dcgTerm(3, 1)))
     assert(got1.getDouble(3) === 1.0)
   }
+
+  test("ndcgAtK judgment hygiene: duplicate (qid, doc) judgments " +
+      "collapse to max rel (one dcg term, one ideal position) and " +
+      "NULL-doc judgments are dropped, not idcg-inflating") {
+    import spark.implicits._
+    def dcgTerm(rel: Long, pos: Long): Double =
+      (math.pow(2.0, rel.toDouble) - 1.0) /
+        (math.log(pos.toDouble + 1.0) / math.log(2.0))
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ranked = Seq((10L, 7L, 1L), (20L, 7L, 1L))
+      .toDF("qid", "doc", "rank")
+    val truth = Seq(
+      // q10: doc 7 judged THREE times (rel 1, 3, 2) -> one judgment
+      // at rel 3: dcg = idcg = the single rel-3 term, ndcg = 1
+      // (double-counting would emit 3 dcg terms against one rank and
+      // give the doc three ideal positions)
+      (10L, Some(7L), 1L), (10L, Some(7L), 3L), (10L, Some(7L), 2L),
+      // q20: one real judgment plus a NULL-doc rel-3 judgment — the
+      // null can never match a hit, so it must not claim the top
+      // ideal position (which would cap q20's ndcg below 1 forever)
+      (20L, Some(7L), 2L), (20L, None, 3L),
+      // q30: ONLY a null-doc judgment -> no valid judgments, no row
+      (30L, None, 3L)
+    ).toDF("qid", "doc", "rel")
+    val got = Eval.ndcgAtK(ranked, "qid", "doc", "rank",
+        truth, "qid", "doc", "rel", k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.keySet === Set(10L, 20L))
+    assert(got(10L) ===
+      ((r6(dcgTerm(3, 1)), r6(dcgTerm(3, 1)), Some(1.0))))
+    assert(got(20L) ===
+      ((r6(dcgTerm(2, 1)), r6(dcgTerm(2, 1)), Some(1.0))))
+  }
 }

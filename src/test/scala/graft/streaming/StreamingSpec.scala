@@ -1788,6 +1788,156 @@ class StreamingSpec extends SparkSpec {
     assert(flatAnn.count() === 2L)
   }
 
+  test("latestAtRead: the live-key split and the full-window " +
+      "spelling are bit-equal on a store with a compacted base, a " +
+      "base re-ingest, two live versions of one key, and a " +
+      "tombstone — and the split never shuffles cold base keys") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-split-eq").toString
+    // boundary lands at 2 (compactEvery=2 fires on batch 2): docs 1-3
+    // fold into the base; then doc 1 re-ingests at b2 AND b3 (two
+    // live versions over a base version), doc 2 tombstones at b3,
+    // doc 3 stays cold (base-only), doc 4 is live-only
+    Seq(
+      (Seq((1L, "alpha beta"), (2L, "gamma delta"),
+        (3L, "epsilon zeta")), 0L),
+      (Seq((4L, "eta theta")), 1L),
+      (Seq((1L, "alpha v2")), 2L),
+      (Seq((1L, "alpha v3"),
+        (2L, null.asInstanceOf[String])), 3L)
+    ).foreach { case (rows, id) =>
+      Streaming.indexIngestBatch(rows.toDF("doc_id", "text"), id,
+        dir, "doc_id", "text", compactEvery = 2)
+    }
+    assert(IngestStore.boundary(spark, dir) === 2L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("len",
+        org.apache.spark.sql.types.LongType)))
+    val liveIds = IngestStore.sliceIds(spark, dir).filter(_ >= 2L)
+    assert(liveIds.toSet === Set(2L, 3L))
+    def lk = IngestStore.readSlices(spark, dir, schema, liveIds)
+      .select(col("doc")).distinct()
+    assert(lk.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    def store = IngestStore.read(spark, dir, schema)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val split = Streaming.latestAtRead(store, Some(lk), "doc")
+    val full = Streaming.latestAtRead(store, Some(lk), "doc",
+      maxLiveKeys = 0L) // cap 0 forces the one-window fallback
+    val splitRows = rows(split)
+    assert(splitRows === rows(full))
+    // semantic spot-checks: doc 1 survives only at b3 ("alpha v3"),
+    // doc 2 only as its tombstone, cold docs 3/4 untouched
+    assert(splitRows.filter(_._1 == 1L).map(_._5) === Set(3L))
+    assert(splitRows.filter(_._1 == 1L).flatMap(_._2) ===
+      Set("alpha", "v3"))
+    assert(splitRows.filter(_._1 == 2L).map(_._2) === Set(None))
+    assert(splitRows.exists(_._1 == 3L) && splitRows.exists(_._1 == 4L))
+    // the split's supersede window runs over the HOT subset only —
+    // the cold branch reaches the union with no Window above it
+    val windowedUnder = split.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.collectLeaves().size
+    }
+    val allLeaves = split.queryExecution.optimizedPlan.collectLeaves().size
+    assert(windowedUnder.forall(_ < allLeaves),
+      "the supersede window must not sit over the whole store scan")
+  }
+
+  test("bm25FromIndex stats sidecar: the sidecar-corrected path is " +
+      "bit-equal to the derived-stats path across a live re-ingest + " +
+      "tombstone delta, the fully-compacted path runs with NO " +
+      "per-query store checkpoint, and a torn sidecar self-heals on " +
+      "the next ingest batch") {
+    import spark.implicits._
+    import graft.operators.TextStats
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-sidecar").toString
+    val marker = new java.io.File(s"$dir/_stats_committed")
+    // compactEvery=2: batches 0-1 fold at batch 2; slices 2-3 stay
+    // live with a double re-ingest of doc 1 and a tombstone of doc 2
+    Seq(
+      (Seq((1L, "alpha beta gamma"), (2L, "gamma delta"),
+        (3L, "epsilon zeta alpha")), 0L),
+      (Seq((4L, "eta theta alpha")), 1L),
+      (Seq((1L, "alpha v2")), 2L),
+      (Seq((1L, "alpha v3 beta"),
+        (2L, null.asInstanceOf[String])), 3L)
+    ).foreach { case (rows, id) =>
+      Streaming.indexIngestBatch(rows.toDF("doc_id", "text"), id,
+        dir, "doc_id", "text", compactEvery = 2)
+    }
+    assert(IngestStore.boundary(spark, dir) === 2L)
+    assert(marker.exists, "compaction must commit the stats sidecar")
+    assert(scala.io.Source.fromFile(marker).mkString.trim === "2")
+    val qs = Seq((9L, "alpha beta"), (8L, "gamma delta"))
+      .toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    def query() = Streaming.bm25FromIndex(spark, dir, qs,
+      "qid", "qtext", k = 10, maxDocFreq = None)
+    val viaSidecar = rows(query())
+    // the delta-corrected stats equal the batch operator on the
+    // LATEST corpus (doc 1 at its v3 text, doc 2 gone)...
+    val latest = Seq((1L, "alpha v3 beta"), (3L, "epsilon zeta alpha"),
+      (4L, "eta theta alpha")).toDF("doc_id", "text")
+    assert(viaSidecar === rows(TextStats.bm25TopK(latest, "doc_id",
+      "text", qs, "qid", "qtext", k = 10)))
+    // ...and are BIT-equal to the derive-from-postings spelling
+    // (delete the marker: the sidecar reads as absent)
+    assert(marker.delete())
+    assert(rows(query()) === viaSidecar)
+    // torn sidecar self-heals: the next ingest batch sees a marker
+    // that does not name the boundary and rewrites the fold
+    Streaming.indexIngestBatch(
+      Seq((5L, "iota kappa")).toDF("doc_id", "text"), 4L,
+      dir, "doc_id", "text", compactEvery = 2)
+    assert(marker.exists, "stale sidecar must be rewritten on ingest")
+    assert(scala.io.Source.fromFile(marker).mkString.trim === "4")
+    // fully compacted (NO live slices): ingest one more live slice,
+    // fold EVERYTHING, refresh the sidecar (the same maintenance call
+    // indexIngestBatch makes per batch) — stats then apply verbatim
+    // and the query plan carries no per-query localCheckpoint at all:
+    // the store scan feeds the candidate join once, un-checkpointed
+    Streaming.indexIngestBatch(
+      Seq((5L, "iota kappa")).toDF("doc_id", "text"), 5L,
+      dir, "doc_id", "text", compactEvery = 0)
+    IngestStore.compact(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tf",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("len",
+          org.apache.spark.sql.types.LongType))),
+      upTo = 6L, latestPerKey = Some("doc"))
+    Streaming.writeBm25Stats(spark, dir)
+    assert(scala.io.Source.fromFile(marker).mkString.trim === "6")
+    val flat = query()
+    val latestAll = Seq((1L, "alpha v3 beta"),
+      (3L, "epsilon zeta alpha"), (4L, "eta theta alpha"),
+      (5L, "iota kappa")).toDF("doc_id", "text")
+    assert(rows(flat) === rows(TextStats.bm25TopK(latestAll, "doc_id",
+      "text", qs, "qid", "qtext", k = 10)))
+    val rdds = flat.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r
+    }
+    assert(rdds.isEmpty,
+      "the fully-compacted sidecar path must not checkpoint the " +
+        "store (or anything else) per query")
+  }
+
   test("as-of retrieval: bm25FromIndex/annFromStore pin a corpus " +
       "moment — later ingests AND later redactions are invisible, the " +
       "supersede applies WITHIN the snapshot, and the result is " +
