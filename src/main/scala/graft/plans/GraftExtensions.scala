@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
 /** SQL surface for the native sketch kernels: every graft expression
   * becomes a `graft_*` SQL function, so the whole dedup/similarity
@@ -24,6 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans.GraftExtensions", null, name, usage, ""),
+        builder))
+    }
+    GraftExtensions.tableFunctions.foreach { case (name, usage, builder) =>
+      e.injectTableFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.plans.GraftExtensions", null, name, usage, ""),
         builder))
@@ -160,10 +167,76 @@ object GraftExtensions {
         }
         HashedBowScoreExpr(args.head, w.length, w) }))
 
+  private def strLit(args: Seq[Expression], pos: Int, fn: String): String =
+    args(pos) match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a string literal (a " +
+          s"table/view name or a column name), got $other")
+    }
+
+  /** (name, usage, builder) for every exposed TABLE-VALUED function —
+    * the retrieval/eval kernels, which are whole-relation operators
+    * (DataFrame → DataFrame), so they register through
+    * `injectTableFunction` and appear in the FROM clause, the way the
+    * built-in `range(...)` does. Relation arguments are string
+    * LITERALS naming a table or temp view, resolved against the
+    * active session at analysis time; column names and tuning
+    * parameters are literals exactly like the scalar kernels'. */
+  val tableFunctions: Seq[(String, String, Seq[Expression] => LogicalPlan)] =
+    Seq(
+      ("graft_postings",
+        "graft_postings(docs, idCol, textCol) - BM25 postings: one " +
+          "(doc, token, tf, len) row per distinct (document, term)",
+        args => { arity(args, 3, "graft_postings")
+          val s = SparkSession.active
+          GraftSqlBridge.plan(graft.operators.TextStats.postings(
+            s.table(strLit(args, 0, "graft_postings")),
+            strLit(args, 1, "graft_postings"),
+            strLit(args, 2, "graft_postings"))) }),
+      ("graft_bm25_topk",
+        "graft_bm25_topk(docs, idCol, textCol, queries, qidCol, " +
+          "qtextCol, k[, k1Milli, bMilli[, maxDocFreq]]) - BM25 top-k " +
+          "retrieval: (qid, rank, doc, score), rank 1..k per query",
+        args => {
+          val fn = "graft_bm25_topk"
+          if (!Set(7, 9, 10).contains(args.length))
+            throw new IllegalArgumentException(
+              s"$fn expects 7, 9 or 10 arguments, got ${args.length}")
+          val s = SparkSession.active
+          GraftSqlBridge.plan(graft.operators.TextStats.bm25TopK(
+            s.table(strLit(args, 0, fn)), strLit(args, 1, fn),
+            strLit(args, 2, fn),
+            s.table(strLit(args, 3, fn)), strLit(args, 4, fn),
+            strLit(args, 5, fn),
+            intLit(args, 6, fn),
+            if (args.length >= 9) intLit(args, 7, fn) else 1200,
+            if (args.length >= 9) intLit(args, 8, fn) else 750,
+            if (args.length == 10) Some(longLit(args, 9, fn)) else None))
+        }),
+      ("graft_ndcg_at_k",
+        "graft_ndcg_at_k(ranked, qidCol, docCol, rankCol, truth, " +
+          "tQidCol, tDocCol, tRelCol, k) - graded-relevance nDCG@k " +
+          "per truth query: (qid, dcg, idcg, ndcg)",
+        args => { arity(args, 9, "graft_ndcg_at_k")
+          val fn = "graft_ndcg_at_k"
+          val s = SparkSession.active
+          GraftSqlBridge.plan(graft.operators.Eval.ndcgAtK(
+            s.table(strLit(args, 0, fn)), strLit(args, 1, fn),
+            strLit(args, 2, fn), strLit(args, 3, fn),
+            s.table(strLit(args, 4, fn)), strLit(args, 5, fn),
+            strLit(args, 6, fn), strLit(args, 7, fn),
+            intLit(args, 8, fn))) }))
+
   /** Post-hoc registration into an existing session. */
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, usage, builder) =>
       GraftSqlBridge.registerFunction(spark, name,
+        new ExpressionInfo("graft.plans.GraftExtensions", null, name, usage, ""),
+        builder)
+    }
+    tableFunctions.foreach { case (name, usage, builder) =>
+      GraftSqlBridge.registerTableFunction(spark, name,
         new ExpressionInfo("graft.plans.GraftExtensions", null, name, usage, ""),
         builder)
     }

@@ -47,15 +47,20 @@ object LlmOps {
       array_join(slice(split(col("text"), " "), 1, 6), " ").as("qtext"))
   }
 
-  /** Exact brute-force cosine top-5 oracle shared by q224 and q226
-    * (the q27 spelling): any ANN store probing ALL cells must equal
-    * this, whatever model built the store — one definition so a
-    * cross-engine float-parity tweak can never make the two gates
-    * diverge. */
-  private val annBruteOracleSql: String = """
+  /** Exact brute-force cosine top-5 oracle shared by q224, q226 and
+    * q229 (the q27 spelling): any ANN store probing ALL cells must
+    * equal this, whatever model built the store — one definition so a
+    * cross-engine float-parity tweak can never make the gates
+    * diverge. The CANDIDATE corpus is parameterized (q229 ranks
+    * against the as-of snapshot — the even-id half — while the query
+    * set stays the full-table construction). */
+  private val annBruteOracleSql: String = annBruteOracleSqlOver("TRUE")
+
+  private def annBruteOracleSqlOver(corpusWhere: String): String = s"""
         WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv
                    FROM embeddings WHERE vec_id % 97 = 3),
-             c AS (SELECT vec_id cid, embedding::DOUBLE[] cv FROM embeddings),
+             c AS (SELECT vec_id cid, embedding::DOUBLE[] cv
+                   FROM embeddings WHERE $corpusWhere),
              sc AS (
                SELECT qid, cid,
                       list_inner_product(qv,cv) /
@@ -4391,7 +4396,43 @@ object LlmOps {
             .orderBy("query_id", "rank"),
           oldDir, newDir)
       },
-      oracle = Some(annBruteOracleSql))
+      oracle = Some(annBruteOracleSql)),
+
+    // Snapshot (as-of) ANN parity — the embedding-store twin of q227
+    // (the bm25 as-of gate): the store accumulates three batches —
+    // evens, odds, then a NULL-vector REDACTION of some evens — and
+    // the query pins asOf = batch 0 with an all-cells probe: the
+    // result must equal exact brute-force cosine top-k over the
+    // even-id corpus alone, with both the later ingest and the later
+    // redaction invisible (reproducible ANN over a pinned training
+    // moment while ingest continues; the train-once model is
+    // store-lifetime, so snapshot assignments are the live ones).
+    "q229_emb_asof_parity" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-q229-emb").toString
+        val emb = Tables(s, dir, "embeddings")
+        Streaming.embIngestBatch(
+          emb.filter(col("vec_id") % 2 === 0), 0L, storeDir,
+          "vec_id", "embedding", nCells = 8)
+        Streaming.embIngestBatch(
+          emb.filter(col("vec_id") % 2 =!= 0), 1L, storeDir,
+          "vec_id", "embedding", nCells = 8)
+        Streaming.embIngestBatch(
+          emb.filter(col("vec_id") % 2 === 0 && col("vec_id") % 31 === 5)
+            .select(col("vec_id"),
+              lit(null).cast("array<double>").as("embedding")),
+          2L, storeDir, "vec_id", "embedding", nCells = 8)
+        val qs = emb.filter(col("vec_id") % 97 === 3)
+          .select(col("vec_id"), col("embedding"))
+        materializeAndClean(
+          Streaming.annFromStore(s, storeDir, qs, "vec_id", "embedding",
+              k = 5, nProbe = 8, asOf = Some(0L))
+            .orderBy("query_id", "rank"),
+          storeDir)
+      },
+      oracle = Some(annBruteOracleSqlOver("vec_id % 2 = 0")))
   )
 }
 

@@ -318,6 +318,31 @@ object IngestStore extends org.apache.spark.internal.Logging {
     read(spark, path, dataSchema).filter(col("batch_id") <= asOf)
   }
 
+  /** The window of exactly-reconstructible snapshot ids, as
+    * `Some((oldest, newest))` — the PROGRAMMATIC form of
+    * [[readAsOf]]'s two refusals, so a training platform can assert
+    * "snapshot X is still reconstructible" (and alert before a
+    * compaction erodes a pinned snapshot) without provoking the
+    * refusal: `oldest = max(boundary − 1, 0)` (the retention bound —
+    * superseded versions below it were reclaimed) and `newest =
+    * frontier − 1` (the committed-coverage bound — beyond it a
+    * snapshot would grow as batches land). None when no snapshot is
+    * valid yet (empty store, or a coverage hole at the boundary).
+    * One marker read + one listing, the same two probes [[readAsOf]]
+    * makes; racing a concurrent compaction can of course stale the
+    * answer — pin snapshots with margin, or pause compaction while
+    * pinned (size `compactEvery` to the horizon, as documented
+    * there). */
+  def asOfHorizon(
+      spark: SparkSession, path: String): Option[(Long, Long)] = {
+    val b = boundary(spark, path)
+    val live = sliceIds(spark, path).filter(_ >= b).toSet
+    var frontier = b
+    while (live.contains(frontier)) frontier += 1
+    val oldest = math.max(b - 1, 0L)
+    if (frontier - 1 < oldest) None else Some((oldest, frontier - 1))
+  }
+
   /** Absorb the base and every slice `< upTo` into a new base
     * `batch_id=-upTo`, commit the boundary, then garbage-collect the
     * absorbed directories. Physical-only by default: row content

@@ -33,4 +33,25 @@ object GraftSqlBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** The analyzed logical plan of a DataFrame — the shape a
+    * TABLE-function builder must return (the FROM-clause form of
+    * [[registerFunction]]'s expressions). */
+  def plan(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** [[registerFunction]] for table-valued functions: post-hoc
+    * registration into an existing session's TableFunctionRegistry
+    * (fresh sessions get the same set via
+    * `SparkSessionExtensions.injectTableFunction`). */
+  def registerTableFunction(
+      spark: SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

@@ -288,4 +288,55 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sql === api && api.nonEmpty)
   }
+
+  test("table functions: graft_postings / graft_bm25_topk / " +
+      "graft_ndcg_at_k in the FROM clause match the operators " +
+      "bit-for-bit, and non-literal or wrong-arity arguments refuse") {
+    import graft.operators.{Eval, TextStats}
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "alpha alpha zeta"), (4L, "gamma zeta eta"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tvf_docs")
+    val qs = Seq((10L, "alpha beta"), (20L, "gamma zeta"))
+      .toDF("qid", "qtext")
+    qs.createOrReplaceTempView("tvf_qs")
+    def bitEq(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+    assert(bitEq(
+      spark.sql("SELECT * FROM graft_postings('tvf_docs', 'doc_id', 'text')"),
+      TextStats.postings(docs, "doc_id", "text")))
+    val apiRanked = TextStats.bm25TopK(docs, "doc_id", "text",
+      qs, "qid", "qtext", k = 3)
+    assert(bitEq(
+      spark.sql("""SELECT * FROM graft_bm25_topk('tvf_docs', 'doc_id',
+        'text', 'tvf_qs', 'qid', 'qtext', 3)"""),
+      apiRanked))
+    // the 10-arg form: explicit k1/b plus a df cap — same kernel
+    assert(bitEq(
+      spark.sql("""SELECT * FROM graft_bm25_topk('tvf_docs', 'doc_id',
+        'text', 'tvf_qs', 'qid', 'qtext', 3, 1500, 600, 2)"""),
+      TextStats.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext",
+        k = 3, k1Milli = 1500, bMilli = 600, maxDocFreq = Some(2L))))
+
+    apiRanked.createOrReplaceTempView("tvf_ranked")
+    val truth = Seq((10L, 1L, 3L), (10L, 2L, 1L), (20L, 4L, 2L))
+      .toDF("qid", "doc", "rel")
+    truth.createOrReplaceTempView("tvf_truth")
+    assert(bitEq(
+      spark.sql("""SELECT * FROM graft_ndcg_at_k('tvf_ranked', 'qid',
+        'doc', 'rank', 'tvf_truth', 'qid', 'doc', 'rel', 3)"""),
+      Eval.ndcgAtK(apiRanked, "qid", "doc", "rank",
+        truth, "qid", "doc", "rel", k = 3)))
+
+    // refuse-loudly: wrong arity and a non-literal relation argument
+    intercept[Exception](spark.sql(
+      """SELECT * FROM graft_bm25_topk('tvf_docs', 'doc_id', 'text',
+        'tvf_qs', 'qid', 'qtext', 3, 1200)""").collect())
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_postings(upper('tvf_docs'), 'doc_id', 'text')")
+      .collect())
+  }
 }

@@ -421,6 +421,38 @@ class IngestStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { asOf(-1L) }
   }
 
+  test("IngestStore.asOfHorizon: the programmatic form of readAsOf's " +
+      "two refusals — a platform can assert a pinned snapshot is " +
+      "still reconstructible without provoking the refusal") {
+    val dir = tmp("graft-asof-horizon")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    // empty store: no snapshot is valid yet
+    assert(IngestStore.asOfHorizon(spark, dir).isEmpty)
+    (0L to 4L).foreach { b =>
+      Streaming.writeBatch(Seq(100 * b).toDF("v"), dir, "parquet", b)
+    }
+    // never compacted, contiguous through 4: every moment valid
+    assert(IngestStore.asOfHorizon(spark, dir) === Some((0L, 4L)))
+    // a torn tail (batch 6 without 5) does not extend the frontier
+    Streaming.writeBatch(Seq(600L).toDF("v"), dir, "parquet", 6L)
+    assert(IngestStore.asOfHorizon(spark, dir) === Some((0L, 4L)))
+    // compaction erodes the retention side to boundary-1
+    IngestStore.compact(spark, dir, schema, upTo = 4L)
+    assert(IngestStore.asOfHorizon(spark, dir) === Some((3L, 4L)))
+    // the endpoints ARE readable; one past either end refuses — the
+    // horizon and the refusals can never disagree
+    IngestStore.readAsOf(spark, dir, schema, 3L).collect()
+    IngestStore.readAsOf(spark, dir, schema, 4L).collect()
+    intercept[IllegalArgumentException] {
+      IngestStore.readAsOf(spark, dir, schema, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      IngestStore.readAsOf(spark, dir, schema, 5L)
+    }
+  }
+
   test("compact skips (not wedges) over a coverage hole; resumes when healed") {
     val dir = tmp("graft-hole")
     val schema = Seq((0L, "x")).toDF("id", "text").schema
