@@ -910,6 +910,18 @@ object Streaming {
     * keys broadcast at ~32 MiB. */
   private[streaming] val LiveKeyBroadcastMaxRows = 4L << 20
 
+  /** Which rows of a store read can hold a superseded sibling —
+    * [[latestAtRead]]'s dispatch: `NoVersions` (no relevant live
+    * slices ⇒ at most one version per key ⇒ skip the window),
+    * `AllKeys` (no compacted base ⇒ EVERY row is live ⇒ the split
+    * would be pure overhead over the one-window spelling), or
+    * `LiveKeys` (base + a live delta — the split's win case). */
+  private[streaming] sealed trait SupersedeScope
+  private[streaming] case object NoVersions extends SupersedeScope
+  private[streaming] case object AllKeys extends SupersedeScope
+  private[streaming] final case class LiveKeys(keys: DataFrame)
+      extends SupersedeScope
+
   /** Read-time latest-per-key supersede — the query-surface twin of
     * [[IngestStore.compact]]'s `latestPerKey`: keeps only each key's
     * rows from its NEWEST batch. [[IngestStore.read]] restores every
@@ -929,29 +941,32 @@ object Streaming {
     * a key present in an un-absorbed slice can hold two versions (the
     * latestPerKey-compacted base holds at most one version per key —
     * the precondition that makes the split and the full window
-    * bit-equal), so when `liveKeys` is small (MEASURED against
-    * `maxLiveKeys`, never assumed) the store splits by a broadcast
-    * semi/anti join on the key set: the hot subset (live keys' rows
-    * across base + slices — delta-proportional) pays the supersede
-    * window, the cold remainder passes through UNSHUFFLED. Two
-    * map-side columnar passes over the store replace the full-store
-    * shuffle the one-window spelling pays between compactions. Past
-    * the cap (a store with compaction far behind ingest), the
-    * one-window fallback — same answer, the old cost. Skipped
-    * entirely when `liveKeys` is None (no live slices ⇒ fully
-    * compacted ⇒ at most one version per key exists).
+    * bit-equal), so under a `LiveKeys` scope with a small key set
+    * (MEASURED against `maxLiveKeys`, never assumed) the store splits
+    * by a broadcast semi/anti join on the key set: the hot subset
+    * (live keys' rows across base + slices — delta-proportional) pays
+    * the supersede window, the cold remainder passes through
+    * UNSHUFFLED. Two map-side columnar passes over the store replace
+    * the full-store shuffle the one-window spelling pays between
+    * compactions. Past the cap (a store with compaction far behind
+    * ingest) and under `AllKeys` (no base yet — every row is live, so
+    * the split could only add overhead), the one-window fallback —
+    * same answer, the old cost. Skipped entirely under `NoVersions`
+    * (no live slices ⇒ fully compacted ⇒ at most one version per key
+    * exists).
     *
-    * `liveKeys` is re-executed by each consumer (the count and the
-    * two joins — Spark's ReuseExchange dedups the two identical
-    * broadcasts within the query): keep its lineage the delta-sized
-    * [[IngestStore.readSlices]] scan ([[liveKeysOf]]), never
-    * something corpus-priced. */
+    * A `LiveKeys` frame is re-executed by each consumer (the count
+    * and the two joins — Spark's ReuseExchange dedups the two
+    * identical broadcasts within the query): keep its lineage the
+    * delta-sized [[IngestStore.readSlices]] scan ([[liveScopeOf]]),
+    * never something corpus-priced. */
   private[streaming] def latestAtRead(
-      store: DataFrame, liveKeys: Option[DataFrame], key: String,
+      store: DataFrame, scope: SupersedeScope, key: String,
       maxLiveKeys: Long = LiveKeyBroadcastMaxRows): DataFrame =
-    liveKeys match {
-      case None => store
-      case Some(lk0) =>
+    scope match {
+      case NoVersions => store
+      case AllKeys => supersedeWindow(store, key)
+      case LiveKeys(lk0) =>
         val lk = lk0.select(col(key).as("__livek")).distinct()
         // measured, never assumed: one delta-sized count decides the
         // path (the repo's broadcast-contract discipline)
@@ -977,22 +992,22 @@ object Streaming {
       .drop("__mx")
   }
 
-  /** The distinct keys present in live slices (restricted to
-    * `<= asOf` when a snapshot read is in flight — keys live only in
-    * LATER slices are invisible to the snapshot and must not force
-    * its rows through the window): [[latestAtRead]]'s probe input.
-    * None ⇔ no relevant live slices exist. Lineage is the
-    * partition-pruned [[IngestStore.readSlices]] scan — delta-sized
-    * I/O, no base read. */
-  private def liveKeysOf(
+  /** A store's [[SupersedeScope]] at read time. Live-slice ids are
+    * restricted to `<= asOf` when a snapshot read is in flight — keys
+    * live only in LATER slices are invisible to the snapshot and must
+    * not force its rows through the window. The `LiveKeys` frame's
+    * lineage is the partition-pruned [[IngestStore.readSlices]] scan
+    * — delta-sized I/O, no base read. */
+  private def liveScopeOf(
       spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType, key: String,
-      asOf: Option[Long]): Option[DataFrame] = {
+      asOf: Option[Long]): SupersedeScope = {
     val b = IngestStore.boundary(spark, path)
     val ids = IngestStore.sliceIds(spark, path)
       .filter(id => id >= b && asOf.forall(id <= _))
-    if (ids.isEmpty) None
-    else Some(IngestStore.readSlices(spark, path, schema, ids)
+    if (ids.isEmpty) NoVersions
+    else if (b <= 0) AllKeys // no base: every row is live already
+    else LiveKeys(IngestStore.readSlices(spark, path, schema, ids)
       .select(col(key)).distinct())
   }
 
@@ -1155,7 +1170,7 @@ object Streaming {
     val observe =
       if (maxDocFreq.isEmpty) Some(uncappedMetricName) else None
     val store = storeAt(spark, indexPath, postingsSchema, asOf)
-    val lk = liveKeysOf(spark, indexPath, postingsSchema, "doc", asOf)
+    val lk = liveScopeOf(spark, indexPath, postingsSchema, "doc", asOf)
     def derive(frame: DataFrame): DataFrame =
       TextStats.bm25FromPostings(
         frame.select(col("doc"), col("token"), col("tf"), col("len")),
@@ -1171,14 +1186,18 @@ object Streaming {
     readBm25Stats(spark, indexPath) match {
       case None => derive(latestAtRead(store, lk, "doc"))
       case Some((dfBase, scBase)) => lk match {
-        case None =>
+        case NoVersions =>
           // no relevant live slices: the (possibly asOf-horizon) view
           // IS the base the sidecar covers — stats apply verbatim
           score(store, dfBase,
             Scalars.of(scBase.select(col("n"))),
             Scalars.of(scBase.select((col("lensum").cast("double") /
               col("n").cast("double")).as("a"))))
-        case Some(keys0) =>
+        case AllKeys =>
+          // unreachable with a committed sidecar (it requires a
+          // boundary > 0); kept total and correct regardless
+          derive(supersedeWindow(store, "doc"))
+        case LiveKeys(keys0) =>
           val keys = keys0.select(col("doc").as("__livek")).distinct()
             .localCheckpoint(true) // consumed 3x: count + semi + anti
           if (keys.count() > LiveKeyBroadcastMaxRows)
@@ -1470,7 +1489,7 @@ object Streaming {
         s"annFromStore: no committed centroid model at $storePath — " +
           "ingest a batch with vectors first"))
     val c = latestAtRead(storeAt(spark, storePath, embSchema, asOf),
-      liveKeysOf(spark, storePath, embSchema, "vec", asOf), "vec")
+      liveScopeOf(spark, storePath, embSchema, "vec", asOf), "vec")
       .select(col("vec").as("neighbor_id"), col("cell"),
         col("v").as("cv"), col("cn"))
     val q0 = queries.select(col(qIdCol).as("query_id"),
@@ -1526,7 +1545,7 @@ object Streaming {
         "match the slices); delete it and re-run")
     val live = latestAtRead(
       IngestStore.read(spark, oldStorePath, embSchema),
-      liveKeysOf(spark, oldStorePath, embSchema, "vec", None), "vec")
+      liveScopeOf(spark, oldStorePath, embSchema, "vec", None), "vec")
       .filter(col("v").isNotNull)
       .select(col("vec"), col("v"))
       .localCheckpoint(true) // consumed twice: train+assign, count

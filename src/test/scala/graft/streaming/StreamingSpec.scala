@@ -1829,8 +1829,8 @@ class StreamingSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), Option(r.getString(1)),
         r.getLong(2), r.getLong(3), r.getLong(4))).toSet
-    val split = Streaming.latestAtRead(store, Some(lk), "doc")
-    val full = Streaming.latestAtRead(store, Some(lk), "doc",
+    val split = Streaming.latestAtRead(store, Streaming.LiveKeys(lk), "doc")
+    val full = Streaming.latestAtRead(store, Streaming.LiveKeys(lk), "doc",
       maxLiveKeys = 0L) // cap 0 forces the one-window fallback
     val splitRows = rows(split)
     assert(splitRows === rows(full))
