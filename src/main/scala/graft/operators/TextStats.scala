@@ -1107,12 +1107,25 @@ object TextStats {
     * and the N/avgdl scalar subqueries over the doc-length ledger) —
     * without the materialization each one re-runs the full upstream
     * lineage (for [[bm25TopK]], a corpus re-tokenization apiece). */
+  /** Shared scalar-parameter validation — called by every entry point
+    * BEFORE any corpus-sized work (tokenize, checkpoint, store scan),
+    * so an invalid k refuses for free, and re-checked by [[bm25Score]]
+    * as the last line of defense. */
+  private[graft] def validateBm25Params(
+      k: Int, k1Milli: Int, bMilli: Int): Unit = {
+    require(k >= 1, "k must be positive")
+    require(k1Milli >= 0 && k1Milli <= 1000000 &&
+      bMilli >= 0 && bMilli <= 1000,
+      "k1Milli must be in [0, 1000000] and bMilli in [0, 1000]")
+  }
+
   def bm25FromPostings(
       postings: DataFrame,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
       maxDocFreq: Option[Long] = None,
       observeCandidates: Option[String] = None): DataFrame = {
+    validateBm25Params(k, k1Milli, bMilli)
     // token IS NULL rows are the streaming store's null-text
     // TOMBSTONES (see Streaming.indexIngestBatch) — never postings
     val tf = postings.select(
@@ -1152,10 +1165,7 @@ object TextStats {
       k: Int, k1Milli: Int, bMilli: Int,
       maxDocFreq: Option[Long],
       observeCandidates: Option[String]): DataFrame = {
-    require(k >= 1, "k must be positive")
-    require(k1Milli >= 0 && k1Milli <= 1000000 &&
-      bMilli >= 0 && bMilli <= 1000,
-      "k1Milli must be in [0, 1000000] and bMilli in [0, 1000]")
+    validateBm25Params(k, k1Milli, bMilli)
     import org.apache.spark.sql.expressions.Window
     val k1 = lit(k1Milli).cast("double") / lit(1000.0)
     val k1p1 = lit(k1Milli + 1000).cast("double") / lit(1000.0)

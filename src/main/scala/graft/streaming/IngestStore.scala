@@ -158,7 +158,26 @@ object IngestStore extends org.apache.spark.internal.Logging {
     * preserved original id back). A missing store reads as zero rows. */
   def read(
       spark: SparkSession, path: String, dataSchema: StructType,
-      excludeBatch: Long = Long.MinValue): DataFrame = {
+      excludeBatch: Long = Long.MinValue): DataFrame =
+    pinnedView(spark, path, dataSchema, excludeBatch)._3
+
+  /** [[read]] plus the `(boundary, liveSliceIds)` the frame was built
+    * against — ONE marker read and ONE directory listing decide all
+    * three, so a multi-step reader (the live-key supersede split, the
+    * BM25 stats-sidecar correction) can derive EVERY decision from
+    * the same instant's view. Deriving them from separate reads is
+    * how a racing compaction silently corrupts a correction: a
+    * boundary read AFTER the fold paired with a listing from BEFORE
+    * it classifies absorbed rows as base rows. With the pinned view a
+    * racing compaction either leaves the old view fully readable
+    * (lagging GC — the answer is then exactly the pre-fold content,
+    * correct) or deletes directories the frame references (the read
+    * fails LOUDLY — the protocol's documented racing-reader retry
+    * caveat, never a silently mixed view). */
+  def pinnedView(
+      spark: SparkSession, path: String, dataSchema: StructType,
+      excludeBatch: Long = Long.MinValue)
+      : (Long, Seq[Long], DataFrame) = {
     val (fs, root) = fsOf(spark, path)
     val full = StructType(
       dataSchema.fields :+
@@ -168,7 +187,7 @@ object IngestStore extends org.apache.spark.internal.Logging {
       spark.sparkContext.emptyRDD[Row],
       StructType(dataSchema.fields :+
         StructField("batch_id", LongType, nullable = true)))
-    if (!fs.exists(root)) empty
+    if (!fs.exists(root)) (0L, Seq.empty, empty)
     else {
       val b = boundary(spark, path)
       // load EXPLICIT slice/base directories, never the bare root: a
@@ -176,16 +195,24 @@ object IngestStore extends org.apache.spark.internal.Logging {
       // would fail parquet partition-value casting on a root scan and
       // kill every subsequent batch — the same failure class
       // [[parseBatchDir]] makes inert on the listing paths
-      val dirs = validDirs(fs, root)
-      if (dirs.isEmpty) empty
-      else spark.read.option("basePath", path).schema(full)
-        .parquet(dirs: _*)
-        // partition-pruned: absorbed-but-not-yet-deleted slices and
-        // uncommitted base attempts are never read
-        .filter(col("batch_id") =!= lit(excludeBatch) &&
-          baseOrLive(b))
-        .withColumn("batch_id", coalesce(col(SrcBatchCol), col("batch_id")))
-        .drop(SrcBatchCol)
+      val entries = fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .flatMap(st =>
+          parseBatchDir(st.getPath.getName).map(_ -> st.getPath.toString))
+      val live = entries.map(_._1)
+        .filter(id => id >= b && id != excludeBatch).sorted
+      val frame =
+        if (entries.isEmpty) empty
+        else spark.read.option("basePath", path).schema(full)
+          .parquet(entries.map(_._2): _*)
+          // partition-pruned: absorbed-but-not-yet-deleted slices and
+          // uncommitted base attempts are never read
+          .filter(col("batch_id") =!= lit(excludeBatch) &&
+            baseOrLive(b))
+          .withColumn("batch_id",
+            coalesce(col(SrcBatchCol), col("batch_id")))
+          .drop(SrcBatchCol)
+      (b, live, frame)
     }
   }
 
@@ -294,11 +321,21 @@ object IngestStore extends org.apache.spark.internal.Logging {
   def readAsOf(
       spark: SparkSession, path: String, dataSchema: StructType,
       asOf: Long): DataFrame = {
-    require(asOf >= 0, s"asOf must be a committed batch id, got $asOf")
     // one marker read + one listing decide BOTH bounds of the valid
-    // window (retention below, committed frontier above)
-    val b = boundary(spark, path)
-    val live = sliceIds(spark, path).filter(_ >= b).toSet
+    // window (retention below, committed frontier above) AND the
+    // frame — the pinned-view consistency contract
+    val (b, live, frame) = pinnedView(spark, path, dataSchema)
+    validateAsOf(path, b, live.toSet, asOf)
+    frame.filter(col("batch_id") <= asOf)
+  }
+
+  /** [[readAsOf]]'s two refusals, against a CALLER-CAPTURED view (a
+    * [[pinnedView]] boundary + live slice ids) — shared so multi-step
+    * readers validate against the same instant their frame was built
+    * from, never a fresher marker. */
+  def validateAsOf(
+      path: String, b: Long, live: Set[Long], asOf: Long): Unit = {
+    require(asOf >= 0, s"asOf must be a committed batch id, got $asOf")
     require(asOf >= b - 1,
       s"ingest store $path has compacted batches < $b into its base; " +
         s"a snapshot as of batch $asOf is no longer reconstructible " +
@@ -315,7 +352,6 @@ object IngestStore extends org.apache.spark.internal.Logging {
         s"batch ${frontier - 1}; a snapshot as of batch $asOf is not " +
         "yet (or no longer) fully committed and would change as " +
         "batches land — pin an asOf at or below the frontier")
-    read(spark, path, dataSchema).filter(col("batch_id") <= asOf)
   }
 
   /** The window of exactly-reconstructible snapshot ids, as

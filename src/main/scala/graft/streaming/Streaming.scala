@@ -770,9 +770,12 @@ object Streaming {
     * [[bm25FromIndex]] no longer re-derives df/N/avgdl from (and
     * localCheckpoints) the FULL postings store on every query — the
     * per-query cost becomes candidate-bounded, with at most a
-    * live-delta-sized correction between compactions. One extra pass
-    * over the base per compaction, amortized exactly like the
-    * compaction rewrite itself.
+    * live-delta-sized correction between compactions. Cost: TWO
+    * columnar base passes per compaction (the df aggregate and the
+    * doc-length aggregate are separate write actions — materializing
+    * the filtered base just to save the second scan would write the
+    * same volume a third time), amortized at compaction cadence like
+    * the fold itself.
     *
     * Commit protocol = [[writeCentroids]]'s marker discipline, plus
     * CONTENT: the marker names the boundary the stats cover, so a
@@ -815,17 +818,22 @@ object Streaming {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** The committed stats sidecar, IF it covers the store's current
-    * boundary: `(dfTable, scalarsRow)`. Any mismatch (no marker, a
-    * marker naming an older boundary, an unreadable table) reads as
-    * absent — the query path then derives stats from the postings,
-    * correct at the old cost. */
+  /** The committed stats sidecar, IF it covers the CALLER-CAPTURED
+    * boundary (the [[IngestStore.pinnedView]] value the query frame
+    * was built against — comparing against a freshly-read boundary
+    * would let a racing compaction pair a new sidecar with an old
+    * frame): `(dfTable, scalarsRow)`. Any mismatch (no marker, a
+    * marker naming a different boundary, an unreadable table) reads
+    * as absent — the query path then derives stats from the
+    * postings, correct at the old cost. `expectBoundary <= 0` is
+    * always absent (a sidecar is only ever written over a base). */
   private def readBm25Stats(
       spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Option[(DataFrame, DataFrame)] =
+      indexPath: String, expectBoundary: Long)
+      : Option[(DataFrame, DataFrame)] =
     try {
-      if (bm25StatsBoundary(spark, indexPath) !=
-          IngestStore.boundary(spark, indexPath)) None
+      if (expectBoundary <= 0 ||
+          bm25StatsBoundary(spark, indexPath) != expectBoundary) None
       else Some((spark.read.parquet(bm25StatsDfPath(indexPath)),
         spark.read.parquet(bm25StatsScalarsPath(indexPath))))
     } catch {
@@ -971,14 +979,25 @@ object Streaming {
         // measured, never assumed: one delta-sized count decides the
         // path (the repo's broadcast-contract discipline)
         if (lk.count() <= maxLiveKeys) {
-          val hot = supersedeWindow(store
-            .join(broadcast(lk), col(key) <=> col("__livek"), "left_semi"),
-            key)
-          val cold = store
-            .join(broadcast(lk), col(key) <=> col("__livek"), "left_anti")
-          hot.unionByName(cold)
+          val (hot, cold) = splitByLiveKeys(store, lk, key)
+          supersedeWindow(hot, key).unionByName(cold)
         } else supersedeWindow(store, key)
     }
+
+  /** The hot/cold broadcast semi/anti split — ONE spelling of the
+    * bit-equality invariant shared by [[latestAtRead]]'s LiveKeys
+    * branch and [[bm25FromIndex]]'s sidecar correction (two
+    * hand-maintained copies is how a fix reaches one and not the
+    * other). `keys` must be a one-column `__livek` frame; the CALLER
+    * decides its materialization (latestAtRead re-executes the
+    * delta-sized lineage, the sidecar path checkpoints because it
+    * consumes the hot side five ways) and must have verified the
+    * broadcast cap. */
+  private def splitByLiveKeys(
+      store: DataFrame, keys: DataFrame, key: String)
+      : (DataFrame, DataFrame) = (
+    store.join(broadcast(keys), col(key) <=> col("__livek"), "left_semi"),
+    store.join(broadcast(keys), col(key) <=> col("__livek"), "left_anti"))
 
   /** The one-window latest-per-key spelling (max of true batch ids —
     * the order compaction's `latestPerKey` uses). [[latestAtRead]]'s
@@ -992,36 +1011,36 @@ object Streaming {
       .drop("__mx")
   }
 
-  /** A store's [[SupersedeScope]] at read time. Live-slice ids are
-    * restricted to `<= asOf` when a snapshot read is in flight — keys
-    * live only in LATER slices are invisible to the snapshot and must
-    * not force its rows through the window. The `LiveKeys` frame's
-    * lineage is the partition-pruned [[IngestStore.readSlices]] scan
-    * — delta-sized I/O, no base read. */
-  private def liveScopeOf(
+  /** The pinned store read both query paths share:
+    * `(boundary, scope, frame)` all derived from ONE
+    * [[IngestStore.pinnedView]] (one marker read + one listing) — a
+    * multi-instant spelling (fresh boundary here, fresh listing
+    * there) is how a racing compaction silently corrupts a supersede
+    * split or a sidecar correction; from the pinned view a racer
+    * either leaves the old view fully readable (correct as of that
+    * instant) or fails the read loudly (the protocol's retry caveat).
+    * `asOf` applies [[IngestStore.validateAsOf]]'s refusals against
+    * the SAME view, filters the frame to the snapshot, and restricts
+    * the live set — keys live only in LATER slices are invisible to
+    * the snapshot and must not force its rows through the window.
+    * The `LiveKeys` frame's lineage is the partition-pruned
+    * [[IngestStore.readSlices]] scan over ids from the SAME listing
+    * — delta-sized I/O, no base read, no second listing. */
+  private def pinnedRead(
       spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType, key: String,
-      asOf: Option[Long]): SupersedeScope = {
-    val b = IngestStore.boundary(spark, path)
-    val ids = IngestStore.sliceIds(spark, path)
-      .filter(id => id >= b && asOf.forall(id <= _))
-    if (ids.isEmpty) NoVersions
-    else if (b <= 0) AllKeys // no base: every row is live already
-    else LiveKeys(IngestStore.readSlices(spark, path, schema, ids)
-      .select(col(key)).distinct())
+      asOf: Option[Long]): (Long, SupersedeScope, DataFrame) = {
+    val (b, liveAll, frame0) = IngestStore.pinnedView(spark, path, schema)
+    asOf.foreach(n => IngestStore.validateAsOf(path, b, liveAll.toSet, n))
+    val frame = asOf.fold(frame0)(n => frame0.filter(col("batch_id") <= n))
+    val liveIds = liveAll.filter(id => asOf.forall(id <= _))
+    val scope =
+      if (liveIds.isEmpty) NoVersions
+      else if (b <= 0) AllKeys // no base: every row is live already
+      else LiveKeys(IngestStore.readSlices(spark, path, schema, liveIds)
+        .select(col(key)).distinct())
+    (b, scope, frame)
   }
-
-  /** The store read both query paths share: live content, or the
-    * [[IngestStore.readAsOf]] snapshot when `asOf` is set — ONE
-    * definition so the snapshot spelling (and any validation it
-    * grows) can never diverge between [[bm25FromIndex]] and
-    * [[annFromStore]]. */
-  private def storeAt(
-      spark: org.apache.spark.sql.SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType,
-      asOf: Option[Long]): DataFrame =
-    asOf.fold(IngestStore.read(spark, path, schema))(
-      n => IngestStore.readAsOf(spark, path, schema, n))
 
   /** Continuous retrieval-index maintenance: every arriving
     * micro-batch's documents are tokenized ONCE into BM25 postings
@@ -1042,8 +1061,8 @@ object Streaming {
     *
     * Cost shape at scale: per batch, the batch's own tokenize + two
     * keyed aggs + one slice write — the accumulated corpus is NEVER
-    * re-tokenized — plus, at compaction cadence only, one base pass
-    * that folds df/N/avgdl into the stats sidecar
+    * re-tokenized — plus, at compaction cadence only, two base passes
+    * that fold df/N/avgdl into the stats sidecar
     * ([[writeBm25Stats]]). Query time ([[bm25FromIndex]]) then pays
     * the token-keyed candidate join the batch operator already
     * prices, a vocabulary-sized sidecar read, and at most a
@@ -1085,7 +1104,7 @@ object Streaming {
     // name the current boundary — covers the just-compacted case AND
     // self-heals a crash between the boundary commit and the stats
     // write (one cheap marker read per batch decides; the rewrite
-    // itself is one base pass, amortized with compaction). Runs
+    // itself is two base passes, amortized with compaction). Runs
     // BEFORE this batch's slice lands, and writeBm25Stats's
     // `batch_id < boundary` filter keeps any half-written replay
     // slice out of the fold.
@@ -1167,10 +1186,16 @@ object Streaming {
       asOf: Option[Long] = None): DataFrame = {
     import graft.operators.TextStats
     import graft.plans.Scalars
+    // validate the scalar parameters BEFORE any store I/O, listing,
+    // count or checkpoint — a bad k must refuse for free
+    TextStats.validateBm25Params(k, k1Milli, bMilli)
     val observe =
       if (maxDocFreq.isEmpty) Some(uncappedMetricName) else None
-    val store = storeAt(spark, indexPath, postingsSchema, asOf)
-    val lk = liveScopeOf(spark, indexPath, postingsSchema, "doc", asOf)
+    // boundary, scope and frame all pinned to ONE view — every
+    // decision below (sidecar match, hot/cold split, the
+    // base-contribution filter) uses b0, never a fresher read
+    val (b0, lk, store) =
+      pinnedRead(spark, indexPath, postingsSchema, "doc", asOf)
     def derive(frame: DataFrame): DataFrame =
       TextStats.bm25FromPostings(
         frame.select(col("doc"), col("token"), col("tf"), col("len")),
@@ -1183,7 +1208,7 @@ object Streaming {
         tf.select(col("doc"), col("token"), col("tf"), col("len")),
         dfreq, n, avgdl, queries, qidCol, qtextCol,
         k, k1Milli, bMilli, maxDocFreq, observe)
-    readBm25Stats(spark, indexPath) match {
+    readBm25Stats(spark, indexPath, expectBoundary = b0) match {
       case None => derive(latestAtRead(store, lk, "doc"))
       case Some((dfBase, scBase)) => lk match {
         case NoVersions =>
@@ -1200,22 +1225,26 @@ object Streaming {
         case LiveKeys(keys0) =>
           val keys = keys0.select(col("doc").as("__livek")).distinct()
             .localCheckpoint(true) // consumed 3x: count + semi + anti
-          if (keys.count() > LiveKeyBroadcastMaxRows)
+          if (keys.count() > LiveKeyBroadcastMaxRows) {
+            // past the cap the checkpointed key set is never consumed
+            // again — release its BLOCKS, not just the cache entry
+            // (Dataset.unpersist does not reach a localCheckpoint's
+            // persisted RDD; the ckRdd precedent in the graph family)
+            keys.queryExecution.analyzed.collectFirst {
+              case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+            }.foreach(_.unpersist(false))
             derive(supersedeWindow(store, "doc"))
-          else {
-            val b = IngestStore.boundary(spark, indexPath)
+          } else {
             // delta-sized (live keys' rows across base + slices);
             // consumed ~5x below — checkpoint per the repo rule
-            val hot = store.join(broadcast(keys),
-              col("doc") <=> col("__livek"), "left_semi")
-              .localCheckpoint(true)
+            val (hot0, cold) = splitByLiveKeys(store, keys, "doc")
+            val hot = hot0.localCheckpoint(true)
             val hotLatest = supersedeWindow(hot, "doc")
               .filter(col("token").isNotNull)
-            // exactly the rows the sidecar counted for these keys
+            // exactly the rows the sidecar counted for these keys —
+            // b0 is the SAME boundary the sidecar match used
             val hotBase = hot.filter(
-              col("batch_id") < b && col("token").isNotNull)
-            val cold = store.join(broadcast(keys),
-              col("doc") <=> col("__livek"), "left_anti")
+              col("batch_id") < b0 && col("token").isNotNull)
             val tfFinal = cold.select("doc", "token", "tf", "len")
               .unionByName(hotLatest.select("doc", "token", "tf", "len"))
             // df correction: sidecar − base-version − + latest-version
@@ -1488,8 +1517,9 @@ object Streaming {
       throw new IllegalStateException(
         s"annFromStore: no committed centroid model at $storePath — " +
           "ingest a batch with vectors first"))
-    val c = latestAtRead(storeAt(spark, storePath, embSchema, asOf),
-      liveScopeOf(spark, storePath, embSchema, "vec", asOf), "vec")
+    val (_, scope, frame) =
+      pinnedRead(spark, storePath, embSchema, "vec", asOf)
+    val c = latestAtRead(frame, scope, "vec")
       .select(col("vec").as("neighbor_id"), col("cell"),
         col("v").as("cv"), col("cn"))
     val q0 = queries.select(col(qIdCol).as("query_id"),
@@ -1543,9 +1573,11 @@ object Streaming {
       s"migrateEmbStore: target $newStorePath is not empty — a " +
         "half-migrated target cannot be resumed (the model may not " +
         "match the slices); delete it and re-run")
-    val live = latestAtRead(
-      IngestStore.read(spark, oldStorePath, embSchema),
-      liveScopeOf(spark, oldStorePath, embSchema, "vec", None), "vec")
+    val live = {
+      val (_, scope, frame) =
+        pinnedRead(spark, oldStorePath, embSchema, "vec", None)
+      latestAtRead(frame, scope, "vec")
+    }
       .filter(col("v").isNotNull)
       .select(col("vec"), col("v"))
       .localCheckpoint(true) // consumed twice: train+assign, count
