@@ -4432,7 +4432,62 @@ object LlmOps {
             .orderBy("query_id", "rank"),
           storeDir)
       },
-      oracle = Some(annBruteOracleSqlOver("vec_id % 2 = 0")))
+      oracle = Some(annBruteOracleSqlOver("vec_id % 2 = 0"))),
+
+    // The compacted-store retrieval path end to end: four batches
+    // land under compactEvery=2 (so batches 0-1 FOLD into a base and
+    // the df/N/avgdl stats sidecar commits), then batch 3 REVISES one
+    // doc subset and TOMBSTONES another — both still un-compacted
+    // live slices at query time. bm25FromIndex must serve from the
+    // sidecar plus the live-delta correction (subtract the revised/
+    // redacted docs' base contribution, add their latest version)
+    // over the live-key hot/cold split, and equal the batch operator
+    // on the LATEST corpus. q222 gates the never-compacted derive
+    // path; THIS gates the sidecar + delta + split path the r10 cost
+    // work added — the oracle knows nothing of sidecars, so a wrong
+    // correction (stale df, double-subtracted base, un-superseded
+    // revision) is a wrong answer here, not a slow one.
+    "q230_index_compacted_delta_parity" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-q230-idx").toString
+        val docs = Tables(s, dir, "documents")
+        val revised = col("doc_id") % 23 === 5
+        val redacted = col("doc_id") % 29 === 7 && col("doc_id") % 23 =!= 5
+        Seq(
+          docs.filter(col("doc_id") % 4 <= 1) -> 0L,
+          docs.filter(col("doc_id") % 4 === 2) -> 1L,
+          docs.filter(col("doc_id") % 4 === 3) -> 2L, // fold + sidecar
+          docs.filter(revised)
+            .select(col("doc_id"),
+              concat(lit("revised "), col("text")).as("text"))
+            .unionByName(docs.filter(redacted)
+              .select(col("doc_id"),
+                lit(null).cast("string").as("text"))) -> 3L
+        ).foreach { case (batch, id) =>
+          Streaming.indexIngestBatch(batch, id, storeDir,
+            "doc_id", "text", compactEvery = 2)
+        }
+        materializeAndClean(
+          Streaming.bm25FromIndex(s, storeDir, knownItemQueries(docs),
+              "qid", "qtext", k = 5, maxDocFreq = None)
+            .select(col("qid"), col("rank"), col("doc").as("doc_id"),
+              col("score"))
+            .orderBy("qid", "rank"),
+          storeDir)
+      },
+      oracle = Some(s"""
+        WITH live AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 23 = 5 THEN 'revised ' || text
+                      ELSE text END AS text
+          FROM documents
+          WHERE NOT (doc_id % 29 = 7 AND doc_id % 23 != 5)),
+        ${bm25OracleCtesOver("live")}
+        SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
+        FROM rk WHERE rn <= 5
+        ORDER BY qid, rank"""))
   )
 }
 
