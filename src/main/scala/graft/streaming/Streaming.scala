@@ -1247,10 +1247,25 @@ object Streaming {
               col("batch_id") < b0 && col("token").isNotNull)
             val tfFinal = cold.select("doc", "token", "tf", "len")
               .unionByName(hotLatest.select("doc", "token", "tf", "len"))
-            // df correction: sidecar − base-version − + latest-version
-            // contributions of the live keys — vocabulary-sized merge
-            // plus delta-sized aggregations, exact integer arithmetic
-            val dfFinal = dfBase.select(col("token"), col("df"))
+            // df correction: sidecar − base-version + latest-version
+            // contributions of the live keys — delta-sized
+            // aggregations plus a merge that is QUERY-VOCAB-bounded
+            // when the query's token set broadcasts (measured below,
+            // never assumed: at web scale the sidecar's vocabulary is
+            // itself huge, and only tokens the queries mention can
+            // ever join downstream in bm25Score), vocabulary-bounded
+            // on the shuffle fallback — same answer either way. One
+            // extra pass over the query frame's lineage, the
+            // annFromStore sizing-aggregate precedent.
+            val qtok = queries
+              .select(explode(split(col(qtextCol), " ")).as("__qtok"))
+              .distinct()
+            val dfIn =
+              if (qtok.count() <= LiveKeyBroadcastMaxRows)
+                dfBase.join(broadcast(qtok),
+                  col("token") <=> col("__qtok"), "left_semi")
+              else dfBase
+            val dfFinal = dfIn.select(col("token"), col("df"))
               .unionByName(hotBase.groupBy("token")
                 .agg((-count(lit(1))).as("df")))
               .unionByName(hotLatest.groupBy("token")
