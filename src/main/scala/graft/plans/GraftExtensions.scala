@@ -226,7 +226,53 @@ object GraftExtensions {
             strLit(args, 2, fn), strLit(args, 3, fn),
             s.table(strLit(args, 4, fn)), strLit(args, 5, fn),
             strLit(args, 6, fn), strLit(args, 7, fn),
-            intLit(args, 8, fn))) }))
+            intLit(args, 8, fn))) }),
+      ("graft_bm25_from_index",
+        "graft_bm25_from_index(indexPath, queries, qidCol, qtextCol, " +
+          "k, maxDocFreq[, asOf]) - BM25 top-k over an indexIngest " +
+          "postings store: (qid, rank, doc, score). maxDocFreq is the " +
+          "REQUIRED stop-list choice (the store API's contract); pass " +
+          "-1 for uncapped exactness, which attaches the " +
+          "graft_bm25_uncapped candidate-volume observed metric " +
+          "(fixed name here — a query combining TWO uncapped " +
+          "retrievals in one action needs the Scala API's " +
+          "uncappedMetricName or a cap). asOf pins the snapshot " +
+          "after that batch committed",
+        args => {
+          val fn = "graft_bm25_from_index"
+          if (args.length != 6 && args.length != 7)
+            throw new IllegalArgumentException(
+              s"$fn expects 6 or 7 arguments, got ${args.length}")
+          val s = SparkSession.active
+          val cap = longLit(args, 5, fn)
+          GraftSqlBridge.plan(graft.streaming.Streaming.bm25FromIndex(
+            s, strLit(args, 0, fn),
+            s.table(strLit(args, 1, fn)), strLit(args, 2, fn),
+            strLit(args, 3, fn), intLit(args, 4, fn),
+            maxDocFreq = if (cap < 0) None else Some(cap),
+            asOf = if (args.length == 7) Some(longLit(args, 6, fn))
+              else None))
+        }),
+      ("graft_ann_from_store",
+        "graft_ann_from_store(storePath, queries, qidCol, qvecCol, " +
+          "k, nProbe[, asOf]) - ANN top-k over an embIngest IVF " +
+          "store: (query_id, rank, neighbor_id, cosine). nProbe = " +
+          "nCells probes every cell (exact within the store); asOf " +
+          "pins the snapshot after that batch committed",
+        args => {
+          val fn = "graft_ann_from_store"
+          if (args.length != 6 && args.length != 7)
+            throw new IllegalArgumentException(
+              s"$fn expects 6 or 7 arguments, got ${args.length}")
+          val s = SparkSession.active
+          GraftSqlBridge.plan(graft.streaming.Streaming.annFromStore(
+            s, strLit(args, 0, fn),
+            s.table(strLit(args, 1, fn)), strLit(args, 2, fn),
+            strLit(args, 3, fn), intLit(args, 4, fn),
+            nProbe = intLit(args, 5, fn),
+            asOf = if (args.length == 7) Some(longLit(args, 6, fn))
+              else None))
+        }))
 
   /** Post-hoc registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -339,4 +339,56 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT * FROM graft_postings(upper('tvf_docs'), 'doc_id', 'text')")
       .collect())
   }
+
+  test("store-backed table functions: graft_bm25_from_index / " +
+      "graft_ann_from_store query the streaming stores from SQL, " +
+      "bit-identical to the Scala API, including the asOf form") {
+    import graft.streaming.Streaming
+    GraftExtensions.register(spark)
+    def bitEq(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+
+    val idxDir = tmp("graft-tvf-idx")
+    Streaming.indexIngestBatch(
+      Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+        (3L, "alpha zeta")).toDF("doc_id", "text"),
+      0L, idxDir, "doc_id", "text", compactEvery = 0)
+    Streaming.indexIngestBatch( // redact doc 3 in a live slice
+      Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      1L, idxDir, "doc_id", "text", compactEvery = 0)
+    Seq((10L, "alpha beta"), (20L, "gamma"))
+      .toDF("qid", "qtext").createOrReplaceTempView("tvf_store_qs")
+    // the API side carries a DISTINCT observed-metric name: bitEq
+    // unions both plans into one action, and the SQL form pins the
+    // default graft_bm25_uncapped name (documented in its usage)
+    assert(bitEq(
+      spark.sql(s"""SELECT * FROM graft_bm25_from_index('$idxDir',
+        'tvf_store_qs', 'qid', 'qtext', 3, -1)"""),
+      Streaming.bm25FromIndex(spark, idxDir,
+        spark.table("tvf_store_qs"), "qid", "qtext", k = 3,
+        maxDocFreq = None, uncappedMetricName = "tvf_check_live")))
+    assert(bitEq( // asOf 0: the redaction is invisible in the snapshot
+      spark.sql(s"""SELECT * FROM graft_bm25_from_index('$idxDir',
+        'tvf_store_qs', 'qid', 'qtext', 3, -1, 0)"""),
+      Streaming.bm25FromIndex(spark, idxDir,
+        spark.table("tvf_store_qs"), "qid", "qtext", k = 3,
+        maxDocFreq = None, asOf = Some(0L),
+        uncappedMetricName = "tvf_check_asof")))
+
+    val embDir = tmp("graft-tvf-emb")
+    Streaming.embIngestBatch(
+      Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+        (3L, Seq(0.7, 0.7))).toDF("vec_id", "embedding"),
+      0L, embDir, "vec_id", "embedding", nCells = 2, compactEvery = 0)
+    Seq((9L, Seq(0.9, 0.1)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("tvf_vq")
+    assert(bitEq(
+      spark.sql(s"""SELECT * FROM graft_ann_from_store('$embDir',
+        'tvf_vq', 'vec_id', 'embedding', 2, 2)"""),
+      Streaming.annFromStore(spark, embDir, spark.table("tvf_vq"),
+        "vec_id", "embedding", k = 2, nProbe = 2)))
+  }
 }
