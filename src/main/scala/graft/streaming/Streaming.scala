@@ -1260,8 +1260,15 @@ object Streaming {
             val qtok = queries
               .select(explode(split(col(qtextCol), " ")).as("__qtok"))
               .distinct()
+            // rows AND payload bytes, the annFromStore cap discipline
+            // (tokens are strings — a row cap alone could admit a
+            // multi-GiB broadcast of long tokens)
+            val qsz = qtok.agg(count(lit(1)).as("n"),
+              coalesce(sum(octet_length(col("__qtok"))), lit(0L))
+                .cast("long").as("b")).head()
             val dfIn =
-              if (qtok.count() <= LiveKeyBroadcastMaxRows)
+              if (qsz.getLong(0) <= LiveKeyBroadcastMaxRows &&
+                  qsz.getLong(1) <= QueryBroadcastMaxBytes)
                 dfBase.join(broadcast(qtok),
                   col("token") <=> col("__qtok"), "left_semi")
               else dfBase
