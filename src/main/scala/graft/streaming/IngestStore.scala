@@ -416,10 +416,16 @@ object IngestStore extends org.apache.spark.internal.Logging {
     * merged base conventionally stamps `lit(0)`); determinism of the
     * callback is what keeps replayed compactions byte-equivalent.
     * Composes with `latestPerKey` (applied first). */
+  /** `sortBy`: when non-empty, the absorbed base's files are
+    * clustered by these columns (a partition-local sort during the
+    * rewrite compaction performs anyway — nothing shuffles), so
+    * parquet row-group min/max stats make downstream static filters
+    * on them (the ANN probed-cell pushdown) skip whole row groups. */
   def compact(
       spark: SparkSession, path: String, dataSchema: StructType,
       upTo: Long, latestPerKey: Option[String] = None,
-      reduce: Option[DataFrame => DataFrame] = None): Boolean = {
+      reduce: Option[DataFrame => DataFrame] = None,
+      sortBy: Seq[String] = Nil): Boolean = {
     require(upTo > 0, s"compaction boundary must be positive, got $upTo")
     val (fs, root) = fsOf(spark, path)
     if (!fs.exists(root)) return false
@@ -462,7 +468,10 @@ object IngestStore extends org.apache.spark.internal.Logging {
           case None => content
         }
         val merged = reduce.fold(kept)(f => f(kept))
-        seedBase(spark, path, merged, upTo) // commits the boundary and GCs
+        val clustered =
+          if (sortBy.isEmpty) merged
+          else merged.sortWithinPartitions(sortBy.map(col): _*)
+        seedBase(spark, path, clustered, upTo) // commits boundary, GCs
         true
       }
     } else { gc(fs, root, b0); false } // replay/no-op: retry pending GC

@@ -1469,7 +1469,8 @@ object Streaming {
       }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       IngestStore.compact(spark, storePath, embSchema,
-        upTo = batchId, latestPerKey = Some("vec"))
+        upTo = batchId, latestPerKey = Some("vec"),
+        sortBy = Seq("cell"))
     val assigned = model match {
       case Some(m) => slim
         .withColumn("cell",
@@ -1482,7 +1483,12 @@ object Streaming {
         slim.select(col("vec"), lit(null).cast("int").as("cell"),
           col("v"), lit(null).cast("double").as("cn"))
     }
-    writeBatch(assigned, storePath, "parquet", batchId)
+    // cell-clustered within each written file: parquet row-group
+    // min/max stats on `cell` then make annFromStore's probed-cell
+    // IN-filter skip un-probed cells' vector payloads at scan time —
+    // a batch-local sort, nothing shuffles
+    writeBatch(assigned.sortWithinPartitions("cell"), storePath,
+      "parquet", batchId)
   }
 
   /** Query-frame broadcast caps for [[annFromStore]] — the measured
@@ -1541,9 +1547,6 @@ object Streaming {
           "ingest a batch with vectors first"))
     val (_, scope, frame) =
       pinnedRead(spark, storePath, embSchema, "vec", asOf)
-    val c = latestAtRead(frame, scope, "vec")
-      .select(col("vec").as("neighbor_id"), col("cell"),
-        col("v").as("cv"), col("cn"))
     val q0 = queries.select(col(qIdCol).as("query_id"),
       V.toDouble(col(qVecCol)).as("qv"))
     // measured, never assumed: one aggregate over the (pre-explode)
@@ -1552,6 +1555,28 @@ object Streaming {
       coalesce(sum(size(col("qv"))), lit(0)).cast("long").as("d")).head()
     val small = sz.getLong(0) * nProbe <= broadcastMaxRows &&
       sz.getLong(1) * 8L * nProbe <= broadcastMaxBytes
+    // probed-cell pushdown: the distinct cells this query batch will
+    // probe are BOUNDED BY nCells (a store-lifetime knob), so they
+    // collect safely (one more query-frame execution, the sizing-
+    // aggregate precedent) and become a STATIC IN-filter the
+    // optimizer pushes to the store scan wherever no supersede window
+    // intervenes — the fully-compacted steady state and the split's
+    // cold branch — so row-group stats skip un-probed cells' vector
+    // payloads entirely. It must sit ABOVE [[latestAtRead]], never
+    // below: a superseding version can live in an un-probed cell, and
+    // pre-filtering would resurface the stale probed-cell version.
+    // Skipped when the batch probes most cells anyway (no
+    // selectivity to buy).
+    val probed = q0
+      .select(explode(SK.nearestCells(col("qv"), model, nProbe))
+        .as("__cell"))
+      .distinct().collect().map(_.getInt(0))
+    val c0 = latestAtRead(frame, scope, "vec")
+    val c = (if (probed.length * 2 < model.length)
+        c0.filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      else c0)
+      .select(col("vec").as("neighbor_id"), col("cell"),
+        col("v").as("cv"), col("cn"))
     val q = q0
       .withColumn("qn", sqrt(DotProduct(col("qv"), col("qv"))))
       .withColumn("cell",

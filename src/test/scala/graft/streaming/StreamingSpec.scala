@@ -1938,6 +1938,72 @@ class StreamingSpec extends SparkSpec {
         "store (or anything else) per query")
   }
 
+  test("annFromStore probed-cell pushdown: the static IN-filter " +
+      "reaches the scan on a compacted store, sits ABOVE the " +
+      "supersede on a live one (a version moved to an un-probed cell " +
+      "never resurfaces its stale probed-cell sibling), and both " +
+      "spellings answer identically") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-cellpush").toString
+    // four clean clusters at (±1,0),(0,±1) → nCells=4 model; vec 5
+    // starts in the (1,0) cluster and MOVES to the (-1,0) cluster in
+    // a live batch-1 re-ingest
+    val b0 = Seq(
+      1L -> Seq(1.0, 0.05), 2L -> Seq(1.0, -0.05), 3L -> Seq(0.95, 0.0),
+      5L -> Seq(0.9, 0.1),
+      10L -> Seq(0.0, 1.0), 11L -> Seq(-0.05, 1.0),
+      20L -> Seq(-1.0, 0.0), 21L -> Seq(-0.95, -0.05),
+      30L -> Seq(0.0, -1.0), 31L -> Seq(0.05, -1.0))
+    Streaming.embIngestBatch(b0.toDF("vec_id", "embedding"), 0L, dir,
+      "vec_id", "embedding", nCells = 4, compactEvery = 0)
+    Streaming.embIngestBatch(
+      Seq(5L -> Seq(-0.99, 0.0)).toDF("vec_id", "embedding"), 1L, dir,
+      "vec_id", "embedding", nCells = 4, compactEvery = 0)
+    val qs = Seq(9L -> Seq(1.0, 0.0)).toDF("vec_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val live = Streaming.annFromStore(spark, dir, qs,
+      "vec_id", "embedding", k = 2, nProbe = 1)
+    val liveIds = ids(live)
+    // the moved vector's latest version lives in an un-probed cell:
+    // it must not appear — and neither may its STALE probed-cell
+    // version (the filter sits above the supersede window)
+    assert(!liveIds.exists(_._3 == 5L))
+    assert(liveIds.map(_._3).subsetOf(Set(1L, 2L, 3L)))
+    // fully compacted: same answer, and the IN-filter is now PUSHED
+    // to the parquet scan (no window intervenes)
+    IngestStore.compact(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("cn",
+          org.apache.spark.sql.types.DoubleType))),
+      upTo = 2L, latestPerKey = Some("vec"), sortBy = Seq("cell"))
+    val flat = Streaming.annFromStore(spark, dir, qs,
+      "vec_id", "embedding", k = 2, nProbe = 1)
+    assert(ids(flat) === liveIds)
+    val scanStr = flat.queryExecution.executedPlan.toString
+    // one probed cell folds In(cell, [c]) to EqualTo(cell, c)
+    assert(scanStr.contains("In(cell") || scanStr.contains("EqualTo(cell"),
+      s"probed-cell filter must reach the scan's PushedFilters:\n" +
+        scanStr.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+    // probing every cell buys no selectivity: the filter is skipped
+    // and the all-cells answer still equals brute force (q224's gate
+    // covers the oracle form; here just the no-filter plan)
+    val all = Streaming.annFromStore(spark, dir, qs,
+      "vec_id", "embedding", k = 2, nProbe = 4)
+    val allStr = all.queryExecution.executedPlan.toString
+    assert(!allStr.contains("In(cell") && !allStr.contains("EqualTo(cell"))
+  }
+
   test("as-of retrieval: bm25FromIndex/annFromStore pin a corpus " +
       "moment — later ingests AND later redactions are invisible, the " +
       "supersede applies WITHIN the snapshot, and the result is " +
