@@ -918,6 +918,16 @@ object Streaming {
     * keys broadcast at ~32 MiB. */
   private[streaming] val LiveKeyBroadcastMaxRows = 4L << 20
 
+  /** Driver-collection cap for [[bm25FromIndex]]'s query-term
+    * pushdown: at or under this many DISTINCT query terms the set
+    * collects (bounded limit-collect, never a full count first) and
+    * becomes a static scan filter; past it the pushdown is skipped —
+    * the candidate join alone then bounds the work, the pre-pushdown
+    * cost. 16Ki strings is a trivial driver allocation; parquet
+    * rewrites large IN sets to min/max range bounds, which
+    * token-clustered row groups still exploit. */
+  private[streaming] val TokenPushdownMaxTerms = 1 << 14
+
   /** Which rows of a store read can hold a superseded sibling —
     * [[latestAtRead]]'s dispatch: `NoVersions` (no relevant live
     * slices ⇒ at most one version per key ⇒ skip the window),
@@ -1099,7 +1109,8 @@ object Streaming {
     requireLongIds(batch, idCol, "indexIngest")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       IngestStore.compact(spark, indexPath, postingsSchema,
-        upTo = batchId, latestPerKey = Some("doc"))
+        upTo = batchId, latestPerKey = Some("doc"),
+        sortBy = Seq("token"))
     // stats sidecar: rewrite whenever the committed marker does not
     // name the current boundary — covers the just-compacted case AND
     // self-heals a crash between the boundary commit and the stats
@@ -1119,7 +1130,13 @@ object Streaming {
       .select(col("__id").as("doc"),
         lit(null).cast("string").as("token"),
         lit(0L).as("tf"), lit(0L).as("len"))
-    writeBatch(posts.unionByName(tombstones), indexPath, "parquet",
+    // token-clustered within each written file (batch-local sort,
+    // nothing shuffles): parquet row-group min/max stats on `token`
+    // then let bm25FromIndex's query-term pushdown skip row groups
+    // whose token range can't match — the postings analogue of the
+    // embedding store's cell clustering
+    writeBatch(posts.unionByName(tombstones)
+      .sortWithinPartitions("token"), indexPath, "parquet",
       batchId)
   }
 
@@ -1196,6 +1213,26 @@ object Streaming {
     // base-contribution filter) uses b0, never a fresher read
     val (b0, lk, store) =
       pinnedRead(spark, indexPath, postingsSchema, "doc", asOf)
+    // query-term pushdown (sidecar paths only — the derive fallback
+    // must aggregate the UNFILTERED postings for its stats): the
+    // distinct query terms become a static filter on the SCORING
+    // frame, which the optimizer pushes to the store scan wherever no
+    // supersede window intervenes — with token-clustered slices/bases
+    // the row groups outside the query's term range never read.
+    // Bounded collect (limit cap+1), skipped past the cap. The filter
+    // must never touch the stats-correction frames (a doc with no
+    // query term still counts in N/avgdl) and must sit ABOVE the
+    // window (an old version's query-term row must not outlive a
+    // newer term-less version).
+    lazy val qTerms: Option[Array[String]] = {
+      val few = queries
+        .select(explode(split(col(qtextCol), " ")).as("__t")).distinct()
+        .limit(TokenPushdownMaxTerms + 1).collect()
+      if (few.length > TokenPushdownMaxTerms) None
+      else Some(few.map(_.getString(0)).filter(_ != null))
+    }
+    def withTermFilter(tf: DataFrame): DataFrame =
+      qTerms.fold(tf)(ts => tf.filter(col("token").isin(ts: _*)))
     def derive(frame: DataFrame): DataFrame =
       TextStats.bm25FromPostings(
         frame.select(col("doc"), col("token"), col("tf"), col("len")),
@@ -1214,7 +1251,7 @@ object Streaming {
         case NoVersions =>
           // no relevant live slices: the (possibly asOf-horizon) view
           // IS the base the sidecar covers — stats apply verbatim
-          score(store, dfBase,
+          score(withTermFilter(store), dfBase,
             Scalars.of(scBase.select(col("n"))),
             Scalars.of(scBase.select((col("lensum").cast("double") /
               col("n").cast("double")).as("a"))))
@@ -1245,8 +1282,9 @@ object Streaming {
             // b0 is the SAME boundary the sidecar match used
             val hotBase = hot.filter(
               col("batch_id") < b0 && col("token").isNotNull)
-            val tfFinal = cold.select("doc", "token", "tf", "len")
-              .unionByName(hotLatest.select("doc", "token", "tf", "len"))
+            val tfFinal = withTermFilter(
+              cold.select("doc", "token", "tf", "len")
+                .unionByName(hotLatest.select("doc", "token", "tf", "len")))
             // df correction: sidecar − base-version + latest-version
             // contributions of the live keys — delta-sized
             // aggregations plus a merge that is QUERY-VOCAB-bounded

@@ -1936,6 +1936,15 @@ class StreamingSpec extends SparkSpec {
     assert(rdds.isEmpty,
       "the fully-compacted sidecar path must not checkpoint the " +
         "store (or anything else) per query")
+    // ...and the query-term pushdown reaches the scan: with no window
+    // intervening, the static In(token, ...) filter lands in the
+    // parquet scan's PushedFilters, so token-clustered row groups
+    // outside the query's term range never read
+    val flatStr = flat.queryExecution.executedPlan.toString
+    assert(flatStr.contains("In(token") || flatStr.contains("EqualTo(token"),
+      "query-term filter must reach the scan's PushedFilters:\n" +
+        flatStr.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
   }
 
   test("annFromStore probed-cell pushdown: the static IN-filter " +
