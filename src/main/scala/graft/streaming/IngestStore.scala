@@ -415,12 +415,14 @@ object IngestStore extends org.apache.spark.internal.Logging {
     * columns plus a `batch_id` column whose values are `< upTo` (a
     * merged base conventionally stamps `lit(0)`); determinism of the
     * callback is what keeps replayed compactions byte-equivalent.
-    * Composes with `latestPerKey` (applied first). */
-  /** `sortBy`: when non-empty, the absorbed base's files are
+    * Composes with `latestPerKey` (applied first).
+    *
+    * `sortBy`: when non-empty, the absorbed base's files are
     * clustered by these columns (a partition-local sort during the
     * rewrite compaction performs anyway — nothing shuffles), so
     * parquet row-group min/max stats make downstream static filters
-    * on them (the ANN probed-cell pushdown) skip whole row groups. */
+    * on them (the ANN probed-cell pushdown, the BM25 query-term
+    * pushdown) skip whole row groups. */
   def compact(
       spark: SparkSession, path: String, dataSchema: StructType,
       upTo: Long, latestPerKey: Option[String] = None,

@@ -1170,7 +1170,16 @@ object Streaming {
     * (never broadcast-forced — AQE picks the strategy from measured
     * sizes), so unlike [[annFromStore]] there is no driver-memory
     * cliff to cap here; a corpus-sized query table degrades to an
-    * ordinary shuffled equi-join.
+    * ordinary shuffled equi-join. On the SIDECAR paths the frame's
+    * lineage is additionally executed for the bounded query-term
+    * collect (and, past that cap, a sizing aggregate + broadcast for
+    * the df semi-join) — a caller with an expensive or
+    * NON-DETERMINISTIC query lineage (a rand() sample, a temp view
+    * under concurrent rewrite) must materialize it first
+    * (cache/checkpoint): the scoring side and the pushdown must see
+    * ONE realization, or pushed-away terms silently score zero. The
+    * same stability assumption the multi-consumer operators repo-wide
+    * make, stated here because the consumption is easy to miss.
     *
     * `asOf`: retrieve against the SNAPSHOT of the index as it stood
     * after that batch committed ([[IngestStore.readAsOf]]'s
@@ -1295,21 +1304,32 @@ object Streaming {
             // on the shuffle fallback — same answer either way. One
             // extra pass over the query frame's lineage, the
             // annFromStore sizing-aggregate precedent.
-            val qtok = queries
-              .select(explode(split(col(qtextCol), " ")).as("__qtok"))
-              .distinct()
-            // rows AND payload bytes, the annFromStore cap discipline
-            // (tokens are strings — a row cap alone could admit a
-            // multi-GiB broadcast of long tokens)
-            val qsz = qtok.agg(count(lit(1)).as("n"),
-              coalesce(sum(octet_length(col("__qtok"))), lit(0L))
-                .cast("long").as("b")).head()
-            val dfIn =
-              if (qsz.getLong(0) <= LiveKeyBroadcastMaxRows &&
-                  qsz.getLong(1) <= QueryBroadcastMaxBytes)
-                dfBase.join(broadcast(qtok),
-                  col("token") <=> col("__qtok"), "left_semi")
-              else dfBase
+            val dfIn = qTerms match {
+              case Some(ts) =>
+                // the already-collected term set doubles as a STATIC
+                // prefilter on the vocabulary sidecar — it pushes
+                // into the sidecar's parquet scan, and no extra
+                // aggregate or broadcast runs (the terms sit on the
+                // driver; one realization feeds filter and scoring)
+                dfBase.filter(col("token").isin(ts: _*))
+              case None =>
+                // too many terms to collect: the measured broadcast
+                // semi-join — rows AND payload bytes, the
+                // annFromStore cap discipline (tokens are strings; a
+                // row cap alone could admit a multi-GiB broadcast)
+                val qtok = queries
+                  .select(explode(split(col(qtextCol), " "))
+                    .as("__qtok"))
+                  .distinct()
+                val qsz = qtok.agg(count(lit(1)).as("n"),
+                  coalesce(sum(octet_length(col("__qtok"))), lit(0L))
+                    .cast("long").as("b")).head()
+                if (qsz.getLong(0) <= LiveKeyBroadcastMaxRows &&
+                    qsz.getLong(1) <= QueryBroadcastMaxBytes)
+                  dfBase.join(broadcast(qtok),
+                    col("token") <=> col("__qtok"), "left_semi")
+                else dfBase
+            }
             val dfFinal = dfIn.select(col("token"), col("df"))
               .unionByName(hotBase.groupBy("token")
                 .agg((-count(lit(1))).as("df")))
@@ -1593,29 +1613,44 @@ object Streaming {
       coalesce(sum(size(col("qv"))), lit(0)).cast("long").as("d")).head()
     val small = sz.getLong(0) * nProbe <= broadcastMaxRows &&
       sz.getLong(1) * 8L * nProbe <= broadcastMaxBytes
+    // under the caps the query frame MATERIALIZES ONCE (a broadcast
+    // collects this much to the driver anyway) and every decision AND
+    // the answer derive from that one realization — a sampled or
+    // concurrently-changing query source cannot diverge between the
+    // probed-cell collect and the in-plan probe (the path-vs-answer
+    // discipline: the sizing aggregate sees its own realization, but
+    // it only picks the PATH)
+    val qBase =
+      if (!small) q0
+      else spark.createDataFrame(
+        java.util.Arrays.asList(q0.collect(): _*), q0.schema)
     // probed-cell pushdown: the distinct cells this query batch will
     // probe are BOUNDED BY nCells (a store-lifetime knob), so they
-    // collect safely (one more query-frame execution, the sizing-
-    // aggregate precedent) and become a STATIC IN-filter the
-    // optimizer pushes to the store scan wherever no supersede window
-    // intervenes — the fully-compacted steady state and the split's
-    // cold branch — so row-group stats skip un-probed cells' vector
-    // payloads entirely. It must sit ABOVE [[latestAtRead]], never
-    // below: a superseding version can live in an un-probed cell, and
-    // pre-filtering would resurface the stale probed-cell version.
-    // Skipped when the batch probes most cells anyway (no
-    // selectivity to buy).
-    val probed = q0
-      .select(explode(SK.nearestCells(col("qv"), model, nProbe))
-        .as("__cell"))
-      .distinct().collect().map(_.getInt(0))
+    // collect safely from the materialized frame and become a STATIC
+    // IN-filter the optimizer pushes to the store scan wherever no
+    // supersede window intervenes — the fully-compacted steady state
+    // and the split's cold branch — so row-group stats skip un-probed
+    // cells' vector payloads entirely. It must sit ABOVE
+    // [[latestAtRead]], never below: a superseding version can live
+    // in an un-probed cell, and pre-filtering would resurface the
+    // stale probed-cell version. Skipped when the batch provably
+    // probes at least half the cells (no selectivity to buy — the
+    // nProbe guard also spares exact-mode all-cells callers the
+    // collect) and on the shuffle path (no materialized frame to stay
+    // consistent with).
+    val probed: Option[Array[Int]] =
+      if (!small || nProbe * 2 >= model.length) None
+      else Some(qBase
+        .select(explode(SK.nearestCells(col("qv"), model, nProbe))
+          .as("__cell"))
+        .distinct().collect().map(_.getInt(0)))
     val c0 = latestAtRead(frame, scope, "vec")
-    val c = (if (probed.length * 2 < model.length)
-        c0.filter(col("cell").isin(probed.map(Integer.valueOf): _*))
-      else c0)
+    val c = probed.filter(_.length * 2 < model.length)
+      .fold(c0)(cells =>
+        c0.filter(col("cell").isin(cells.map(Integer.valueOf): _*)))
       .select(col("vec").as("neighbor_id"), col("cell"),
         col("v").as("cv"), col("cn"))
-    val q = q0
+    val q = qBase
       .withColumn("qn", sqrt(DotProduct(col("qv"), col("qv"))))
       .withColumn("cell",
         explode(SK.nearestCells(col("qv"), model, nProbe)))
