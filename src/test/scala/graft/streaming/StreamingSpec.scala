@@ -939,6 +939,19 @@ class StreamingSpec extends SparkSpec {
       d == 1L && l == 3L })
     assert(store(idxDir).exists { case (d, t, _, _) =>
       d == 1L && t == "REVISED" })
+    // the stats SIDECAR also converged through the crash: the replay
+    // healed the marker to the boundary on both stores, and the
+    // sidecar-served query path answers identically over each
+    def marker(dir: String) =
+      scala.io.Source.fromFile(s"$dir/_stats_committed").mkString.trim
+    assert(marker(idxDir) === "2" && marker(refDir) === "2")
+    val qs = Seq((9L, "alpha beta"), (8L, "zeta kappa"))
+      .toDF("qid", "qtext")
+    def topk(dir: String) = Streaming.bm25FromIndex(spark, dir, qs,
+        "qid", "qtext", k = 5, maxDocFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(topk(idxDir) === topk(refDir))
   }
 
   test("embIngest: the model trains once, on the first batch with " +
