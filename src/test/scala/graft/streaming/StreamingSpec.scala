@@ -1960,6 +1960,65 @@ class StreamingSpec extends SparkSpec {
           .mkString("\n"))
   }
 
+  test("bm25FromIndex randomized store-lifecycle parity: seeded " +
+      "random batches, revisions, tombstones and compaction cadences " +
+      "— the store query (sidecar, delta correction, term pushdown, " +
+      "live-key split, all exercised at whatever state the walk " +
+      "lands in) equals the batch operator on the latest corpus") {
+    import spark.implicits._
+    import graft.operators.TextStats
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def text(): String =
+      Seq.fill(2 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    for (trial <- 1 to 3) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-rand-idx-$trial").toString
+      val nBatches = 4 + rnd.nextInt(3)     // 4-6 batches
+      val compactEvery = 1 + rnd.nextInt(3) // 1-3: several folds
+      var latest = Map.empty[Long, Option[String]]
+      var nextId = 1L
+      for (b <- 0 until nBatches) {
+        val news = (0 until (2 + rnd.nextInt(4))).map { _ =>
+          val id = nextId; nextId += 1; id -> Some(text())
+        }
+        val existing = latest.keys.toVector.sorted
+        val mods =
+          if (existing.isEmpty) Seq.empty
+          else (0 until rnd.nextInt(3)).map { _ =>
+            val id = existing(rnd.nextInt(existing.size))
+            id -> (if (rnd.nextBoolean()) Some(text()) else None)
+          }
+        val batch = (news ++ mods).toMap // one row per id per batch
+        latest ++= batch
+        Streaming.indexIngestBatch(
+          batch.toSeq.map { case (id, t) => (id, t.orNull) }
+            .toDF("doc_id", "text"),
+          b.toLong, dir, "doc_id", "text", compactEvery)
+      }
+      val corpus = latest.collect { case (id, Some(t)) => (id, t) }.toSeq
+      val someDoc = corpus(rnd.nextInt(corpus.size))._2
+        .split(" ").take(3).mkString(" ")
+      val qs = Seq(
+        (901L, s"${vocab(rnd.nextInt(vocab.size))} " +
+          s"${vocab(rnd.nextInt(vocab.size))}"),
+        (902L, someDoc),
+        (903L, "unseen_token")).toDF("qid", "qtext")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      val viaStore = rows(Streaming.bm25FromIndex(spark, dir, qs,
+        "qid", "qtext", k = 5, maxDocFreq = None))
+      val viaBatch = rows(TextStats.bm25TopK(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        qs, "qid", "qtext", k = 5))
+      assert(viaStore === viaBatch,
+        s"trial $trial (nBatches=$nBatches compactEvery=$compactEvery)")
+    }
+  }
+
   test("annFromStore probed-cell pushdown: the static IN-filter " +
       "reaches the scan on a compacted store, sits ABOVE the " +
       "supersede on a live one (a version moved to an un-probed cell " +
