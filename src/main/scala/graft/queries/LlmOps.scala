@@ -4487,7 +4487,62 @@ object LlmOps {
         ${bm25OracleCtesOver("live")}
         SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
         FROM rk WHERE rn <= 5
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // Hybrid-retrieval fusion: reciprocal-rank fusion of two runs with
+    // genuinely different orderings — BM25 top-10 and a coordination-
+    // level run (distinct query-term overlap count) top-10 — fused in
+    // exact integer micro units (Σ 1000000 div (60 + rank)), per-query
+    // top-5 by (rrf_micro desc, doc asc). The standard BM25 ⊕ dense
+    // combiner shape, gated here with two lexically-derived runs so
+    // the oracle is portable SQL end to end.
+    "q231_rrf_fusion" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.{Eval, TextStats}
+        val docs = Tables(s, dir, "documents")
+        val qs = knownItemQueries(docs)
+        val runA = TextStats.bm25TopK(docs, "doc_id", "text",
+          qs, "qid", "qtext", k = 10)
+        val qt = qs.select(col("qid"),
+          explode(split(col("qtext"), " ")).as("token")).distinct()
+        val overlap = qt
+          .join(TextStats.postings(docs, "doc_id", "text")
+            .select(col("doc"), col("token")), "token")
+          .groupBy("qid", "doc").agg(count(lit(1)).as("ov"))
+          .withColumn("rank", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("ov").desc, col("doc"))))
+          .filter(col("rank") <= 10)
+        Eval.rrfFuse(
+          Seq(runA.select(col("qid"), col("doc"), col("rank")),
+            overlap.select(col("qid"), col("doc"), col("rank"))),
+          "qid", "doc", "rank", k = 5)
+          .select(col("qid"), col("fused_rank"),
+            col("doc").as("doc_id"), col("rrf_micro"))
+          .orderBy("qid", "fused_rank")
+      },
+      oracle = Some(s"""
+        WITH $bm25OracleCtes,
+        ra AS (SELECT qid, doc_id, rn FROM rk WHERE rn <= 10),
+        ov AS (SELECT qt.qid, tf.doc_id, count(*) AS ov
+               FROM qt JOIN tf USING (token) GROUP BY 1, 2),
+        rb AS (SELECT qid, doc_id,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY ov DESC, doc_id) AS rn
+               FROM ov),
+        rbk AS (SELECT qid, doc_id, rn FROM rb WHERE rn <= 10),
+        u AS (SELECT qid, doc_id, 1000000 // (rn + 60) AS c FROM ra
+              UNION ALL
+              SELECT qid, doc_id, 1000000 // (rn + 60) FROM rbk),
+        f AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+              FROM u GROUP BY 1, 2),
+        fz AS (SELECT qid, doc_id, rrf_micro,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY rrf_micro DESC, doc_id) AS zr
+               FROM f)
+        SELECT qid, CAST(zr AS BIGINT) AS fused_rank, doc_id, rrf_micro
+        FROM fz WHERE zr <= 5
+        ORDER BY qid, fused_rank"""))
   )
 }
 

@@ -419,6 +419,34 @@ class EvalSpec extends SparkSpec {
     assert(got1.getDouble(3) === 1.0)
   }
 
+  test("rrfFuse equals a hand-computed reference: exact integer micro " +
+      "contributions, docs absent from a run contribute nothing, ties " +
+      "break on doc id, the k cut applies after fusion") {
+    import spark.implicits._
+    val runA = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("qid", "doc", "rank")
+    val runB = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("qid", "doc", "rank")
+    def c(r: Long) = 1000000L / (60L + r)
+    val got = Eval.rrfFuse(Seq(runA, runB), "qid", "doc", "rank",
+        k = 3, kRrf = 60)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList.sortBy(_._1)
+    // doc 11: ranks 2+1 -> 16129+16393=32522; doc 10: 16393;
+    // doc 13: 16129; doc 12: 15873 (cut at k=3)
+    assert(got === List(
+      (1L, 11L, c(2) + c(1)),
+      (2L, 10L, c(1)),
+      (3L, 13L, c(2))))
+    // a pure tie (same contributions) breaks on doc id ascending
+    val tied = Eval.rrfFuse(
+      Seq(Seq((1L, 5L, 1L), (1L, 4L, 2L)).toDF("qid", "doc", "rank"),
+        Seq((1L, 4L, 1L), (1L, 5L, 2L)).toDF("qid", "doc", "rank")),
+      "qid", "doc", "rank", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList.sortBy(_._1)
+    assert(tied === List((1L, 4L), (2L, 5L)))
+  }
+
   test("ndcgAtK judgment hygiene: duplicate (qid, doc) judgments " +
       "collapse to max rel (one dcg term, one ideal position) and " +
       "NULL-doc judgments are dropped, not idcg-inflating") {
