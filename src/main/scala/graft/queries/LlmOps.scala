@@ -4491,11 +4491,15 @@ object LlmOps {
 
     // Hybrid-retrieval fusion: reciprocal-rank fusion of two runs with
     // genuinely different orderings — BM25 top-10 and a coordination-
-    // level run (distinct query-term overlap count) top-10 — fused in
-    // exact integer micro units (Σ 1000000 div (60 + rank)), per-query
-    // top-5 by (rrf_micro desc, doc asc). The standard BM25 ⊕ dense
-    // combiner shape, gated here with two lexically-derived runs so
-    // the oracle is portable SQL end to end.
+    // level run (distinct RARE-query-term overlap count, terms in at
+    // most 5% of docs: the fractional form of the bm25 stop-list
+    // contract, so the run's candidate volume stays scale-invariant
+    // instead of letting boilerplate terms drag queries×postings at
+    // 10x) top-10 — fused in exact integer micro units
+    // (Σ 1000000 div (60 + rank)), per-query top-5 by
+    // (rrf_micro desc, doc asc). The standard BM25 ⊕ dense combiner
+    // shape, gated here with two lexically-derived runs so the oracle
+    // is portable SQL end to end.
     "q231_rrf_fusion" -> Q(
       fn = (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -4506,9 +4510,15 @@ object LlmOps {
           qs, "qid", "qtext", k = 10)
         val qt = qs.select(col("qid"),
           explode(split(col("qtext"), " ")).as("token")).distinct()
+        val posts = TextStats.postings(docs, "doc_id", "text")
+          .select(col("doc"), col("token"))
+        val nDocs = graft.plans.Scalars.of(
+          docs.agg(count(lit(1)).as("n")))
+        val rare = posts.groupBy("token").agg(count(lit(1)).as("df"))
+          .filter(col("df") * 20 <= nDocs)
         val overlap = qt
-          .join(TextStats.postings(docs, "doc_id", "text")
-            .select(col("doc"), col("token")), "token")
+          .join(rare.select("token"), "token")
+          .join(posts, "token")
           .groupBy("qid", "doc").agg(count(lit(1)).as("ov"))
           .withColumn("rank", row_number().over(Window.partitionBy("qid")
             .orderBy(col("ov").desc, col("doc"))))
@@ -4524,8 +4534,11 @@ object LlmOps {
       oracle = Some(s"""
         WITH $bm25OracleCtes,
         ra AS (SELECT qid, doc_id, rn FROM rk WHERE rn <= 10),
+        rare AS (SELECT token FROM dfq CROSS JOIN n
+                 WHERE df * 20 <= n.n),
         ov AS (SELECT qt.qid, tf.doc_id, count(*) AS ov
-               FROM qt JOIN tf USING (token) GROUP BY 1, 2),
+               FROM qt JOIN rare USING (token) JOIN tf USING (token)
+               GROUP BY 1, 2),
         rb AS (SELECT qid, doc_id,
                       row_number() OVER (PARTITION BY qid
                         ORDER BY ov DESC, doc_id) AS rn
