@@ -227,6 +227,25 @@ object GraftExtensions {
             s.table(strLit(args, 4, fn)), strLit(args, 5, fn),
             strLit(args, 6, fn), strLit(args, 7, fn),
             intLit(args, 8, fn))) }),
+      ("graft_rrf_fuse",
+        "graft_rrf_fuse(runA, runB, qidCol, docCol, rankCol, k[, " +
+          "kRrf]) - reciprocal-rank fusion of two retrieval runs " +
+          "(same column names on both): (qid, fused_rank, doc, " +
+          "rrf_micro), exact integer micro units; the Scala API " +
+          "fuses N runs",
+        args => {
+          val fn = "graft_rrf_fuse"
+          if (args.length != 6 && args.length != 7)
+            throw new IllegalArgumentException(
+              s"$fn expects 6 or 7 arguments, got ${args.length}")
+          val s = SparkSession.active
+          GraftSqlBridge.plan(graft.operators.Eval.rrfFuse(
+            Seq(s.table(strLit(args, 0, fn)),
+              s.table(strLit(args, 1, fn))),
+            strLit(args, 2, fn), strLit(args, 3, fn),
+            strLit(args, 4, fn), intLit(args, 5, fn),
+            if (args.length == 7) intLit(args, 6, fn) else 60))
+        }),
       ("graft_bm25_from_index",
         "graft_bm25_from_index(indexPath, queries, qidCol, qtextCol, " +
           "k, maxDocFreq[, asOf]) - BM25 top-k over an indexIngest " +

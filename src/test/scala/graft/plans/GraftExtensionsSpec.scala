@@ -331,6 +331,14 @@ class GraftExtensionsSpec extends SparkSpec {
       Eval.ndcgAtK(apiRanked, "qid", "doc", "rank",
         truth, "qid", "doc", "rel", k = 3)))
 
+    val runB = TextStats.bm25TopK(docs, "doc_id", "text",
+      qs, "qid", "qtext", k = 3, k1Milli = 1500, bMilli = 300)
+    runB.createOrReplaceTempView("tvf_run_b")
+    assert(bitEq(
+      spark.sql("""SELECT * FROM graft_rrf_fuse('tvf_ranked',
+        'tvf_run_b', 'qid', 'doc', 'rank', 2)"""),
+      Eval.rrfFuse(Seq(apiRanked, runB), "qid", "doc", "rank", k = 2)))
+
     // refuse-loudly: wrong arity and a non-literal relation argument
     intercept[Exception](spark.sql(
       """SELECT * FROM graft_bm25_topk('tvf_docs', 'doc_id', 'text',
