@@ -495,42 +495,6 @@ object Eval {
     * k-bounded ranked frame + one per-query window over the
     * judgments — everything is eval-set-sized, nothing corpus-sized
     * (the retrieval already cut to top-k). */
-  /** Reciprocal-rank fusion of N retrieval runs (Cormack, Clarke &
-    * Büttcher 2009, "Reciprocal rank fusion outperforms Condorcet and
-    * individual rank learning methods" — public literature; the
-    * standard hybrid-retrieval combiner, e.g. BM25 ⊕ dense ANN):
-    * per (query, doc), `rrf_micro = Σ_runs 1000000 div (kRrf + rank)`
-    * — the 1/(k+rank) sum in exact integer micro units, so fusion
-    * replays bit-identically across engines with no float rounding
-    * step — then the per-query top-`k` by (rrf_micro desc, doc asc),
-    * a total order. A doc absent from a run contributes nothing for
-    * that run (the standard treatment); each run frame must carry one
-    * row per (query, doc).
-    *
-    * Returns `(qid, fused_rank, doc, rrf_micro)`. Shape: a union of
-    * k-bounded run frames + one keyed sum + one per-query window —
-    * everything is eval-set-sized (the retrievals already cut to
-    * top-k), nothing corpus-sized. */
-  def rrfFuse(
-      runs: Seq[DataFrame], qidCol: String, docCol: String,
-      rankCol: String, k: Int, kRrf: Int = 60): DataFrame = {
-    require(runs.nonEmpty, "rrfFuse needs at least one run")
-    require(k >= 1, "k must be positive")
-    require(kRrf >= 0, "kRrf must be non-negative")
-    val contribs = runs.map(_.select(
-      col(qidCol).as("qid"), col(docCol).as("doc"),
-      expr(s"1000000 div (cast(`$rankCol` as bigint) + $kRrf)")
-        .as("__c")))
-    contribs.reduce(_ unionByName _)
-      .groupBy("qid", "doc").agg(sum(col("__c")).as("rrf_micro"))
-      .withColumn("fused_rank", row_number().over(
-        Window.partitionBy("qid")
-          .orderBy(col("rrf_micro").desc, col("doc"))))
-      .filter(col("fused_rank") <= k)
-      .select(col("qid"), col("fused_rank").cast("long").as("fused_rank"),
-        col("doc"), col("rrf_micro"))
-  }
-
   def ndcgAtK(
       ranked: DataFrame, qidCol: String, docCol: String, rankCol: String,
       truth: DataFrame, tQidCol: String, tDocCol: String,
@@ -571,5 +535,57 @@ object Eval {
         when(coalesce(col("idcg"), lit(0.0)) > 0,
           round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6))
           .as("ndcg"))
+  }
+
+  /** Reciprocal-rank fusion of N retrieval runs (Cormack, Clarke &
+    * Büttcher 2009, "Reciprocal rank fusion outperforms Condorcet and
+    * individual rank learning methods" — public literature; the
+    * standard hybrid-retrieval combiner, e.g. BM25 ⊕ dense ANN):
+    * per (query, doc), `rrf_micro = Σ_runs 1000000 div (kRrf + rank)`
+    * — the 1/(k+rank) sum in exact integer micro units, so fusion
+    * replays bit-identically across engines with no float rounding
+    * step — then the per-query top-`k` by (rrf_micro desc, doc asc),
+    * a total order. A doc absent from a run contributes nothing for
+    * that run (the standard treatment); each run frame must carry one
+    * row per (query, doc).
+    *
+    * Ranks must be 1-BASED (`rank >= 1`, the shape every retrieval
+    * operator here emits) — enforced IN-PLAN with a loud error, not
+    * assumed: with `kRrf = 0` a 0-based run would make
+    * `1000000 div 0` evaluate to NULL under Spark's non-ANSI
+    * division and silently VANISH from the fused sum (while an ANSI
+    * engine errors on the same input) — a contract violation must
+    * refuse identically on every engine, never diverge silently.
+    * With `rank >= 1` and `kRrf >= 0` the divisor is always >= 1.
+    *
+    * Returns `(qid, fused_rank, doc, rrf_micro)`. Shape: a union of
+    * k-bounded run frames + one keyed sum + one per-query window —
+    * everything is eval-set-sized (the retrievals already cut to
+    * top-k), nothing corpus-sized. */
+  def rrfFuse(
+      runs: Seq[DataFrame], qidCol: String, docCol: String,
+      rankCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    require(k >= 1, "k must be positive")
+    require(kRrf >= 0, "kRrf must be non-negative")
+    val contribs = runs.map { run =>
+      val rk = col(rankCol).cast("long")
+      run.select(
+        col(qidCol).as("qid"), col(docCol).as("doc"),
+        when(rk.isNull || rk < lit(1L), raise_error(concat(
+          lit(s"rrfFuse: `$rankCol` must be a 1-based rank, got "),
+          coalesce(col(rankCol).cast("string"), lit("NULL")))))
+          .otherwise(
+            expr(s"1000000 div (cast(`$rankCol` as bigint) + $kRrf)"))
+          .as("__c"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy("qid", "doc").agg(sum(col("__c")).as("rrf_micro"))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("rrf_micro").desc, col("doc"))))
+      .filter(col("fused_rank") <= k)
+      .select(col("qid"), col("fused_rank").cast("long").as("fused_rank"),
+        col("doc"), col("rrf_micro"))
   }
 }

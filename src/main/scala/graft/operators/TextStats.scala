@@ -1082,6 +1082,32 @@ object TextStats {
       .select(col("doc"), col("token"), col("tf"), col("len"))
   }
 
+  /** Shared scalar-parameter validation — called by every entry point
+    * BEFORE any corpus-sized work (tokenize, checkpoint, store scan),
+    * so an invalid k refuses for free, and re-checked by [[bm25Score]]
+    * as the last line of defense. */
+  private[graft] def validateBm25Params(
+      k: Int, k1Milli: Int, bMilli: Int): Unit = {
+    require(k >= 1, "k must be positive")
+    require(k1Milli >= 0 && k1Milli <= 1000000 &&
+      bMilli >= 0 && bMilli <= 1000,
+      "k1Milli must be in [0, 1000000] and bMilli in [0, 1000]")
+  }
+
+  /** THE query tokenizer — the ONE spelling of "a query text's terms"
+    * (whitespace split, the exact tokenization [[postings]] applies to
+    * documents), shared by [[bm25Score]]'s scoring join and every
+    * pushdown/prefilter term set derived from a query frame
+    * ([[graft.streaming.Streaming.bm25FromIndex]]'s static query-term
+    * scan filter and its vocabulary-sidecar semi-join). One
+    * definition, because the call sites must agree EXACTLY: a term
+    * set tokenized differently from the scoring join would push away
+    * postings rows the join still expects — silently zeroing those
+    * terms' contributions — rather than fail. Callers alias the
+    * exploded column themselves. */
+  private[graft] def queryTokenCol(qtextCol: String): Column =
+    explode(split(col(qtextCol), " "))
+
   /** [[bm25TopK]] scoring over a pre-built postings frame (the
     * [[postings]] shape) — N, df and avgdl all derive from the
     * postings alone, so a store-accumulated index scores without the
@@ -1107,18 +1133,6 @@ object TextStats {
     * and the N/avgdl scalar subqueries over the doc-length ledger) —
     * without the materialization each one re-runs the full upstream
     * lineage (for [[bm25TopK]], a corpus re-tokenization apiece). */
-  /** Shared scalar-parameter validation — called by every entry point
-    * BEFORE any corpus-sized work (tokenize, checkpoint, store scan),
-    * so an invalid k refuses for free, and re-checked by [[bm25Score]]
-    * as the last line of defense. */
-  private[graft] def validateBm25Params(
-      k: Int, k1Milli: Int, bMilli: Int): Unit = {
-    require(k >= 1, "k must be positive")
-    require(k1Milli >= 0 && k1Milli <= 1000000 &&
-      bMilli >= 0 && bMilli <= 1000,
-      "k1Milli must be in [0, 1000000] and bMilli in [0, 1000]")
-  }
-
   def bm25FromPostings(
       postings: DataFrame,
       queries: DataFrame, qidCol: String, qtextCol: String,
@@ -1174,7 +1188,7 @@ object TextStats {
     val dfCapped =
       maxDocFreq.fold(dfreq)(c => dfreq.filter(col("df") <= c))
     val qt = queries.select(col(qidCol).as("qid"),
-      explode(split(col(qtextCol), " ")).as("token")).distinct()
+      queryTokenCol(qtextCol).as("token")).distinct()
     val idf = log(lit(1.0) +
       (n.cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") + k1 *

@@ -4510,10 +4510,17 @@ object LlmOps {
           qs, "qid", "qtext", k = 10)
         val qt = qs.select(col("qid"),
           explode(split(col("qtext"), " ")).as("token")).distinct()
+        // consumed 3x below (rare-term df, the overlap join, nDocs)
+        // — materialize the tokenization once, the repo checkpoint rule
         val posts = TextStats.postings(docs, "doc_id", "text")
           .select(col("doc"), col("token"))
+          .localCheckpoint(true)
+        // the INDEXED doc count (docs with >= 1 token), matching the
+        // oracle's len-based n — counting raw documents rows would
+        // diverge the rare-term cutoff on a corpus with empty/null
+        // texts even though both engines are self-consistent
         val nDocs = graft.plans.Scalars.of(
-          docs.agg(count(lit(1)).as("n")))
+          posts.select(col("doc")).distinct().agg(count(lit(1)).as("n")))
         val rare = posts.groupBy("token").agg(count(lit(1)).as("df"))
           .filter(col("df") * 20 <= nDocs)
         val overlap = qt

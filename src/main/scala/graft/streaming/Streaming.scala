@@ -824,9 +824,16 @@ object Streaming {
     * would let a racing compaction pair a new sidecar with an old
     * frame): `(dfTable, scalarsRow)`. Any mismatch (no marker, a
     * marker naming a different boundary, an unreadable table) reads
-    * as absent — the query path then derives stats from the
-    * postings, correct at the old cost. `expectBoundary <= 0` is
-    * always absent (a sidecar is only ever written over a base). */
+    * as absent AT OPEN — the query path then derives stats from the
+    * postings, correct at the old cost. The one-row scalars table is
+    * validated EAGERLY (collected here and handed back as a local
+    * frame), so no later plan stage can find it torn; the
+    * vocabulary-sized df table is validated to its footers only — a
+    * racing overwrite that deletes its files between this open and
+    * the query's action fails that action LOUDLY (the store
+    * protocol's documented racing-reader retry caveat), never
+    * silently. `expectBoundary <= 0` is always absent (a sidecar is
+    * only ever written over a base). */
   private def readBm25Stats(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String, expectBoundary: Long)
@@ -834,8 +841,22 @@ object Streaming {
     try {
       if (expectBoundary <= 0 ||
           bm25StatsBoundary(spark, indexPath) != expectBoundary) None
-      else Some((spark.read.parquet(bm25StatsDfPath(indexPath)),
-        spark.read.parquet(bm25StatsScalarsPath(indexPath))))
+      else {
+        // footer/schema read — throws here (not at the action) on a
+        // missing or footer-torn table
+        val dfTable = spark.read.parquet(bm25StatsDfPath(indexPath))
+        val scRead = spark.read.parquet(bm25StatsScalarsPath(indexPath))
+        // the scalars table is ONE row — materialize it now so the
+        // sidecar-served plan carries its n/lensum as local data
+        // immune to any race after this point; anything but exactly
+        // one row is a torn write and reads as absent
+        val scRows = scRead.collect()
+        require(scRows.length == 1,
+          s"stats scalars sidecar holds ${scRows.length} rows, want 1")
+        val scalars = spark.createDataFrame(
+          java.util.Arrays.asList(scRows(0)), scRead.schema)
+        Some((dfTable, scalars))
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         Log.warn(
@@ -1235,7 +1256,11 @@ object Streaming {
     // newer term-less version).
     lazy val qTerms: Option[Array[String]] = {
       val few = queries
-        .select(explode(split(col(qtextCol), " ")).as("__t")).distinct()
+        // the ONE query-tokenizer spelling (TextStats.queryTokenCol):
+        // this term set becomes a scan FILTER on the postings the
+        // scoring join reads — tokenized any other way it would push
+        // away rows the join expects and silently zero those terms
+        .select(TextStats.queryTokenCol(qtextCol).as("__t")).distinct()
         .limit(TokenPushdownMaxTerms + 1).collect()
       if (few.length > TokenPushdownMaxTerms) None
       else Some(few.map(_.getString(0)).filter(_ != null))
@@ -1318,8 +1343,8 @@ object Streaming {
                 // annFromStore cap discipline (tokens are strings; a
                 // row cap alone could admit a multi-GiB broadcast)
                 val qtok = queries
-                  .select(explode(split(col(qtextCol), " "))
-                    .as("__qtok"))
+                  .select(graft.operators.TextStats
+                    .queryTokenCol(qtextCol).as("__qtok"))
                   .distinct()
                 val qsz = qtok.agg(count(lit(1)).as("n"),
                   coalesce(sum(octet_length(col("__qtok"))), lit(0L))

@@ -447,6 +447,28 @@ class EvalSpec extends SparkSpec {
     assert(tied === List((1L, 4L), (2L, 5L)))
   }
 
+  test("rrfFuse refuses non-1-based ranks loudly: a rank-0 row (which " +
+      "with kRrf=0 would NULL out of the sum under non-ANSI div while " +
+      "an ANSI oracle errors) raises in-plan instead of silently " +
+      "dropping its contribution") {
+    import spark.implicits._
+    val zeroBased = Seq((1L, 10L, 0L), (1L, 11L, 1L))
+      .toDF("qid", "doc", "rank")
+    val e = intercept[Exception] {
+      Eval.rrfFuse(Seq(zeroBased), "qid", "doc", "rank",
+        k = 2, kRrf = 0).collect()
+    }
+    assert(e.getMessage.contains("1-based rank"))
+    // NULL ranks refuse identically (they would otherwise vanish the
+    // same silent way at ANY kRrf)
+    val withNull = Seq((1L, 10L, Some(1L)), (1L, 11L, None))
+      .toDF("qid", "doc", "rank")
+    val e2 = intercept[Exception] {
+      Eval.rrfFuse(Seq(withNull), "qid", "doc", "rank", k = 2).collect()
+    }
+    assert(e2.getMessage.contains("1-based rank"))
+  }
+
   test("ndcgAtK judgment hygiene: duplicate (qid, doc) judgments " +
       "collapse to max rel (one dcg term, one ideal position) and " +
       "NULL-doc judgments are dropped, not idcg-inflating") {
