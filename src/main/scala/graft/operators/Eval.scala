@@ -537,6 +537,100 @@ object Eval {
           .as("ndcg"))
   }
 
+  /** The judgment-hygiene frame shared by the set-overlap evals
+    * ([[precisionRecallAtK]], [[averagePrecisionAtK]]): duplicate
+    * (qid, doc) judgments collapse to their MAX relevance, NULL-doc
+    * judgments drop, and only positives (`rel > 0` — the binary view
+    * of graded truth, [[ndcgAtK]]'s zero-gain treatment) survive, as
+    * `(qid, __doc)`. NOT shared with [[ndcgAtK]] itself: its
+    * denominator row set deliberately keeps queries whose judgments
+    * are all non-positive (explicit NULL ndcg), which this frame
+    * drops (no positives ⇒ recall/AP have no denominator at all). */
+  private def positives(
+      truth: DataFrame, tQidCol: String, tDocCol: String,
+      tRelCol: String): DataFrame =
+    truth.select(col(tQidCol).as("qid"), col(tDocCol).as("__doc"),
+      col(tRelCol).cast("long").as("__rel"))
+      .filter(col("__doc").isNotNull)
+      .groupBy("qid", "__doc").agg(max(col("__rel")).as("__rel"))
+      .filter(col("__rel") > 0)
+      .select(col("qid"), col("__doc"))
+
+  /** Precision@k and recall@k over a retrieval run — the set-overlap
+    * evals beside the rank-aware [[ndcgAtK]]/[[averagePrecisionAtK]],
+    * in exact integer milli units (the rrf_micro discipline, so both
+    * engines compute identical values with no float step): per truth
+    * query with at least one positive judgment,
+    * `(qid, n_rel, hits, p_milli, r_milli)` where `hits` =
+    * |top-k ∩ positives|, `p_milli = 1000*hits div k`, `r_milli =
+    * 1000*hits div n_rel`. Judgment hygiene per [[positives]];
+    * queries with positives but no retrieved hit emit explicit zero
+    * rows (the [[reciprocalRank]] denominator contract — macro
+    * averages downstream must never silently shrink).
+    *
+    * Shape: one (qid, doc) equi-join of the positives against the
+    * k-bounded ranked frame + two per-query counts — everything
+    * eval-set-sized, nothing corpus-sized. */
+  def precisionRecallAtK(
+      ranked: DataFrame, qidCol: String, docCol: String, rankCol: String,
+      truth: DataFrame, tQidCol: String, tDocCol: String,
+      tRelCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val pos = positives(truth, tQidCol, tDocCol, tRelCol)
+    val r = ranked.select(col(qidCol).as("qid"), col(docCol).as("__doc"),
+      col(rankCol).cast("long").as("__rk"))
+      .filter(col("__rk") <= k)
+    val nrel = pos.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hits = pos.join(r, Seq("qid", "__doc"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    nrel.join(hits, Seq("qid"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .select(col("qid"), col("n_rel"), col("hits"),
+        expr(s"1000 * hits div $k").as("p_milli"),
+        expr("1000 * hits div n_rel").as("r_milli"))
+  }
+
+  /** Average precision@k — the per-query decomposition of MAP (mean
+    * average precision, the classic TREC summary metric; Manning,
+    * Raghavan & Schütze 2008 §8.4, public literature) — in exact
+    * integer micro units: for the i-th hit (by rank) at rank `r <= k`,
+    * `prec_i = 1000000 * i div r`; `ap_micro = (Σ_i prec_i) div
+    * min(n_rel, k)`. Integer division at each step keeps replays
+    * bit-identical across engines (the float spelling differs in
+    * last-ulp association order). Judgment hygiene per [[positives]]
+    * (`rel > 0` = relevant); ranks must be distinct per query (a
+    * ranking — every operator here emits one; the hit index breaks
+    * any residual tie on doc id, so the output is total either way).
+    * Returns one row per truth query with at least one positive:
+    * `(qid, n_rel, hits, ap_micro)`, explicit zeros for no-hit
+    * queries; MAP = avg(ap_micro)/1e6 downstream.
+    *
+    * Shape: one (qid, doc) equi-join + one per-query window over at
+    * most k hits — eval-set-sized, nothing corpus-sized. */
+  def averagePrecisionAtK(
+      ranked: DataFrame, qidCol: String, docCol: String, rankCol: String,
+      truth: DataFrame, tQidCol: String, tDocCol: String,
+      tRelCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val pos = positives(truth, tQidCol, tDocCol, tRelCol)
+    val r = ranked.select(col(qidCol).as("qid"), col(docCol).as("__doc"),
+      col(rankCol).cast("long").as("__rk"))
+      .filter(col("__rk") <= k)
+    val nrel = pos.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val prec = pos.join(r, Seq("qid", "__doc"))
+      .withColumn("__i", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("__rk"), col("__doc"))))
+      .select(col("qid"),
+        expr("1000000 * `__i` div `__rk`").as("__p"))
+    val ap = prec.groupBy("qid")
+      .agg(sum(col("__p")).as("__sp"), count(lit(1)).as("hits"))
+    nrel.join(ap, Seq("qid"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .select(col("qid"), col("n_rel"), col("hits"),
+        expr(s"coalesce(`__sp`, cast(0 as bigint)) div " +
+          s"least(n_rel, cast($k as bigint))").as("ap_micro"))
+  }
+
   /** Reciprocal-rank fusion of N retrieval runs (Cormack, Clarke &
     * Büttcher 2009, "Reciprocal rank fusion outperforms Condorcet and
     * individual rank learning methods" — public literature; the

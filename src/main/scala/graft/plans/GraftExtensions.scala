@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Monotonic suffix for [[tableFunctions]]' auto-derived
+    * observed-metric names (`graft_bm25_from_index`'s uncapped path)
+    * — process-unique is all a metric name needs, and the SQL TVF
+    * surface has no parameter to let the caller pick one. */
+  private val uncappedSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def intLit(args: Seq[Expression], pos: Int, fn: String): Int =
     args(pos) match {
       case Literal(v: Int, IntegerType) => v
@@ -227,35 +233,71 @@ object GraftExtensions {
             s.table(strLit(args, 4, fn)), strLit(args, 5, fn),
             strLit(args, 6, fn), strLit(args, 7, fn),
             intLit(args, 8, fn))) }),
+      ("graft_precision_recall_at_k",
+        "graft_precision_recall_at_k(ranked, qidCol, docCol, rankCol, " +
+          "truth, tQidCol, tDocCol, tRelCol, k) - precision/recall@k " +
+          "per truth query with >= 1 positive (rel > 0) judgment: " +
+          "(qid, n_rel, hits, p_milli, r_milli), exact integer milli " +
+          "units",
+        args => { arity(args, 9, "graft_precision_recall_at_k")
+          val fn = "graft_precision_recall_at_k"
+          val s = SparkSession.active
+          GraftSqlBridge.plan(graft.operators.Eval.precisionRecallAtK(
+            s.table(strLit(args, 0, fn)), strLit(args, 1, fn),
+            strLit(args, 2, fn), strLit(args, 3, fn),
+            s.table(strLit(args, 4, fn)), strLit(args, 5, fn),
+            strLit(args, 6, fn), strLit(args, 7, fn),
+            intLit(args, 8, fn))) }),
+      ("graft_avg_precision_at_k",
+        "graft_avg_precision_at_k(ranked, qidCol, docCol, rankCol, " +
+          "truth, tQidCol, tDocCol, tRelCol, k) - average " +
+          "precision@k (the MAP decomposition) per truth query with " +
+          ">= 1 positive judgment: (qid, n_rel, hits, ap_micro), " +
+          "exact integer micro units",
+        args => { arity(args, 9, "graft_avg_precision_at_k")
+          val fn = "graft_avg_precision_at_k"
+          val s = SparkSession.active
+          GraftSqlBridge.plan(graft.operators.Eval.averagePrecisionAtK(
+            s.table(strLit(args, 0, fn)), strLit(args, 1, fn),
+            strLit(args, 2, fn), strLit(args, 3, fn),
+            s.table(strLit(args, 4, fn)), strLit(args, 5, fn),
+            strLit(args, 6, fn), strLit(args, 7, fn),
+            intLit(args, 8, fn))) }),
       ("graft_rrf_fuse",
         "graft_rrf_fuse(runA, runB, qidCol, docCol, rankCol, k[, " +
-          "kRrf]) - reciprocal-rank fusion of two retrieval runs " +
-          "(same column names on both): (qid, fused_rank, doc, " +
-          "rrf_micro), exact integer micro units; the Scala API " +
-          "fuses N runs",
+          "kRrf[, runC, ...]]) - reciprocal-rank fusion of N >= 2 " +
+          "retrieval runs (same column names on all): (qid, " +
+          "fused_rank, doc, rrf_micro), exact integer micro units. " +
+          "Runs beyond the first two are trailing table-name " +
+          "literals AFTER kRrf (spell kRrf, default 60, to fuse " +
+          "more than two)",
         args => {
           val fn = "graft_rrf_fuse"
-          if (args.length != 6 && args.length != 7)
+          if (args.length < 6)
             throw new IllegalArgumentException(
-              s"$fn expects 6 or 7 arguments, got ${args.length}")
+              s"$fn expects at least 6 arguments, got ${args.length}")
           val s = SparkSession.active
+          val extraRuns = args.drop(7).zipWithIndex.map { case (_, i) =>
+            s.table(strLit(args, 7 + i, fn))
+          }
           GraftSqlBridge.plan(graft.operators.Eval.rrfFuse(
             Seq(s.table(strLit(args, 0, fn)),
-              s.table(strLit(args, 1, fn))),
+              s.table(strLit(args, 1, fn))) ++ extraRuns,
             strLit(args, 2, fn), strLit(args, 3, fn),
             strLit(args, 4, fn), intLit(args, 5, fn),
-            if (args.length == 7) intLit(args, 6, fn) else 60))
+            if (args.length >= 7) intLit(args, 6, fn) else 60))
         }),
       ("graft_bm25_from_index",
         "graft_bm25_from_index(indexPath, queries, qidCol, qtextCol, " +
           "k, maxDocFreq[, asOf]) - BM25 top-k over an indexIngest " +
           "postings store: (qid, rank, doc, score). maxDocFreq is the " +
           "REQUIRED stop-list choice (the store API's contract); pass " +
-          "-1 for uncapped exactness, which attaches the " +
-          "graft_bm25_uncapped candidate-volume observed metric " +
-          "(fixed name here — a query combining TWO uncapped " +
-          "retrievals in one action needs the Scala API's " +
-          "uncappedMetricName or a cap). asOf pins the snapshot " +
+          "-1 for uncapped exactness, which attaches a " +
+          "candidate-volume observed metric named " +
+          "graft_bm25_uncapped:<indexPath>#<n> (auto-unique per call, " +
+          "so any number of uncapped retrievals compose in one " +
+          "action; use the Scala API's uncappedMetricName to pick a " +
+          "stable name a listener can await). asOf pins the snapshot " +
           "after that batch committed",
         args => {
           val fn = "graft_bm25_from_index"
@@ -264,11 +306,19 @@ object GraftExtensions {
               s"$fn expects 6 or 7 arguments, got ${args.length}")
           val s = SparkSession.active
           val cap = longLit(args, 5, fn)
+          val path = strLit(args, 0, fn)
           GraftSqlBridge.plan(graft.streaming.Streaming.bm25FromIndex(
-            s, strLit(args, 0, fn),
+            s, path,
             s.table(strLit(args, 1, fn)), strLit(args, 2, fn),
             strLit(args, 3, fn), intLit(args, 4, fn),
             maxDocFreq = if (cap < 0) None else Some(cap),
+            // observed-metric names must be unique within one action;
+            // this SQL surface has no parameter for the name, so it
+            // derives one per (store, call) — two uncapped retrievals
+            // in one query must compose, not throw
+            // DUPLICATED_METRICS_NAME
+            uncappedMetricName =
+              s"graft_bm25_uncapped:$path#${uncappedSeq.incrementAndGet()}",
             asOf = if (args.length == 7) Some(longLit(args, 6, fn))
               else None))
         }),
@@ -291,6 +341,22 @@ object GraftExtensions {
             nProbe = intLit(args, 5, fn),
             asOf = if (args.length == 7) Some(longLit(args, 6, fn))
               else None))
+        }),
+      ("graft_asof_horizon",
+        "graft_asof_horizon(storePath) - the store's reconstructible " +
+          "snapshot window as (oldest, newest) asOf batch ids (one " +
+          "row; empty when no snapshot is valid yet) — the SQL form " +
+          "of the alerting probe behind graft_bm25_from_index / " +
+          "graft_ann_from_store's asOf argument. Advisory: the " +
+          "answer can be stale by the time a query pins it",
+        args => { arity(args, 1, "graft_asof_horizon")
+          val fn = "graft_asof_horizon"
+          val s = SparkSession.active
+          import s.implicits._
+          val win = graft.streaming.IngestStore
+            .asOfHorizon(s, strLit(args, 0, fn))
+          GraftSqlBridge.plan(
+            win.toSeq.toDF("oldest", "newest"))
         }))
 
   /** Post-hoc registration into an existing session. */

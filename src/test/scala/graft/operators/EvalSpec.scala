@@ -447,6 +447,53 @@ class EvalSpec extends SparkSpec {
     assert(tied === List((1L, 4L), (2L, 5L)))
   }
 
+  test("precisionRecallAtK / averagePrecisionAtK equal hand-computed " +
+      "references: exact integer milli/micro units, duplicate " +
+      "judgments collapse, NULL docs drop, rel<=0 queries emit no " +
+      "row, no-hit queries emit explicit zeros") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 60L, 1L))
+      .toDF("qid", "doc", "rank")
+    val truth = Seq(
+      // q1: three positives (10 dup-collapses to max(2,0)=2; 99 never
+      // retrieved), one NULL-doc judgment dropped
+      (1L, Some(10L), 2L), (1L, Some(10L), 0L), (1L, Some(12L), 1L),
+      (1L, Some(99L), 3L), (1L, None, 5L),
+      // q2: one positive, zero hits -> explicit zero row
+      (2L, Some(50L), 1L),
+      // q3: only non-positive judgments -> no denominator, no row
+      (3L, Some(70L), 0L))
+      .toDF("qid", "doc", "rel")
+    val pr = Eval.precisionRecallAtK(ranked, "qid", "doc", "rank",
+        truth, "qid", "doc", "rel", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList.sortBy(_._1)
+    // q1: hits {10@1, 12@3} = 2 of n_rel 3; p = 1000*2 div 3 = 666,
+    // r = 1000*2 div 3 = 666
+    assert(pr === List(
+      (1L, 3L, 2L, 666L, 666L),
+      (2L, 1L, 0L, 0L, 0L)))
+    val ap = Eval.averagePrecisionAtK(ranked, "qid", "doc", "rank",
+        truth, "qid", "doc", "rel", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList.sortBy(_._1)
+    // q1: hit 1 at rank 1 -> 1000000*1 div 1 = 1000000; hit 2 at
+    // rank 3 -> 1000000*2 div 3 = 666666; sum 1666666 div
+    // min(3, 3) = 555555
+    assert(ap === List(
+      (1L, 3L, 2L, 555555L),
+      (2L, 1L, 0L, 0L)))
+    // the k cut bounds the ideal denominator: with n_rel 3 and k=1 a
+    // perfect rank-1 hit is AP 1.0 (div by min(n_rel, k) = 1)
+    val ap1 = Eval.averagePrecisionAtK(ranked, "qid", "doc", "rank",
+        truth, "qid", "doc", "rel", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toList
+      .sortBy(_._1)
+    assert(ap1 === List((1L, 1000000L), (2L, 0L)))
+  }
+
   test("rrfFuse refuses non-1-based ranks loudly: a rank-0 row (which " +
       "with kRrf=0 would NULL out of the sum under non-ANSI div while " +
       "an ANSI oracle errors) raises in-plan instead of silently " +

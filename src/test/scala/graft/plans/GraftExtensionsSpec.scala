@@ -330,6 +330,18 @@ class GraftExtensionsSpec extends SparkSpec {
         'doc', 'rank', 'tvf_truth', 'qid', 'doc', 'rel', 3)"""),
       Eval.ndcgAtK(apiRanked, "qid", "doc", "rank",
         truth, "qid", "doc", "rel", k = 3)))
+    assert(bitEq(
+      spark.sql("""SELECT * FROM graft_precision_recall_at_k(
+        'tvf_ranked', 'qid', 'doc', 'rank', 'tvf_truth', 'qid',
+        'doc', 'rel', 3)"""),
+      Eval.precisionRecallAtK(apiRanked, "qid", "doc", "rank",
+        truth, "qid", "doc", "rel", k = 3)))
+    assert(bitEq(
+      spark.sql("""SELECT * FROM graft_avg_precision_at_k(
+        'tvf_ranked', 'qid', 'doc', 'rank', 'tvf_truth', 'qid',
+        'doc', 'rel', 3)"""),
+      Eval.averagePrecisionAtK(apiRanked, "qid", "doc", "rank",
+        truth, "qid", "doc", "rel", k = 3)))
 
     val runB = TextStats.bm25TopK(docs, "doc_id", "text",
       qs, "qid", "qtext", k = 3, k1Milli = 1500, bMilli = 300)
@@ -398,5 +410,76 @@ class GraftExtensionsSpec extends SparkSpec {
         'tvf_vq', 'vec_id', 'embedding', 2, 2)"""),
       Streaming.annFromStore(spark, embDir, spark.table("tvf_vq"),
         "vec_id", "embedding", k = 2, nProbe = 2)))
+  }
+
+  test("TVF composition: two uncapped graft_bm25_from_index calls " +
+      "share one action (auto-unique metric names, no " +
+      "DUPLICATED_METRICS_NAME), and the trailing-run graft_rrf_fuse " +
+      "form fuses three runs identically to the Scala API") {
+    import graft.operators.{Eval, TextStats}
+    import graft.streaming.Streaming
+    GraftExtensions.register(spark)
+    def bitEq(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-tvf-dup").toString
+    Streaming.indexIngestBatch(
+      Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+        (3L, "alpha zeta")).toDF("doc_id", "text"),
+      0L, idxDir, "doc_id", "text", compactEvery = 0)
+    Seq((10L, "alpha beta"), (20L, "gamma"))
+      .toDF("qid", "qtext").createOrReplaceTempView("tvf_dup_qs")
+    // two UNCAPPED store retrievals in ONE action — the r10 fixed
+    // default name threw DUPLICATED_METRICS_NAME on exactly this
+    val both = spark.sql(
+      s"""SELECT * FROM graft_bm25_from_index('$idxDir',
+            'tvf_dup_qs', 'qid', 'qtext', 3, -1)
+          UNION ALL
+          SELECT * FROM graft_bm25_from_index('$idxDir',
+            'tvf_dup_qs', 'qid', 'qtext', 3, -1)""").collect()
+    assert(both.length % 2 === 0 && both.nonEmpty)
+
+    // three-run fusion: runs beyond the first two trail AFTER kRrf
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "alpha alpha zeta"), (4L, "gamma zeta eta"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "alpha beta"), (20L, "gamma zeta"))
+      .toDF("qid", "qtext")
+    val runs = Seq((1200, 750), (1500, 300), (300, 900)).map {
+      case (k1, b) => TextStats.bm25TopK(docs, "doc_id", "text",
+        qs, "qid", "qtext", k = 3, k1Milli = k1, bMilli = b)
+    }
+    runs.zipWithIndex.foreach { case (r, i) =>
+      r.createOrReplaceTempView(s"tvf_fuse_$i")
+    }
+    assert(bitEq(
+      spark.sql("""SELECT * FROM graft_rrf_fuse('tvf_fuse_0',
+        'tvf_fuse_1', 'qid', 'doc', 'rank', 2, 60, 'tvf_fuse_2')"""),
+      Eval.rrfFuse(runs, "qid", "doc", "rank", k = 2)))
+    // a non-literal trailing run name refuses like every relation arg
+    intercept[Exception](spark.sql(
+      """SELECT * FROM graft_rrf_fuse('tvf_fuse_0', 'tvf_fuse_1',
+        'qid', 'doc', 'rank', 2, 60, upper('tvf_fuse_2'))""").collect())
+  }
+
+  test("graft_asof_horizon TVF: matches IngestStore.asOfHorizon on a " +
+      "live store and returns zero rows when no snapshot is valid") {
+    GraftExtensions.register(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tvf-horizon").toString
+    (0L to 3L).foreach { b =>
+      graft.streaming.Streaming.writeBatch(
+        Seq(b).toDF("v"), dir, "parquet", b)
+    }
+    val got = spark.sql(s"SELECT * FROM graft_asof_horizon('$dir')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === graft.streaming.IngestStore
+      .asOfHorizon(spark, dir).toSeq)
+    assert(got === Seq((0L, 3L)))
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft-tvf-horizon-empty").toString
+    assert(spark.sql(
+      s"SELECT * FROM graft_asof_horizon('$empty')").count() === 0L)
   }
 }
