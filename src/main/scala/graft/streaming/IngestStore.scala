@@ -118,6 +118,78 @@ object IngestStore extends org.apache.spark.internal.Logging {
       .filter(_ >= 0L)
   }
 
+  /** Bound on [[pinnedListing]]'s marker-moved retries. One retry per
+    * CONCURRENT COMPACTION COMMIT landing mid-listing — compactions
+    * run on a `compactEvery` cadence from a single writer, so even
+    * two in a row is pathological; a marker still moving after this
+    * many attempts means something is rewriting the store in a tight
+    * loop, and the reader refuses loudly (the protocol's documented
+    * racing-reader caveat) rather than spin forever. */
+  private val PinnedListingMaxAttempts = 5
+
+  /** Deterministic race-injection point for the pinned-listing
+    * protocol's specs: invoked between the (marker, listing) capture
+    * and the marker RE-CHECK inside [[pinnedListing]]. Production
+    * code never touches it (a no-op); IngestStoreSpec swaps in a
+    * compaction to prove — deterministically, not by racing threads —
+    * that a mid-probe fold turns into a retry that returns the
+    * post-fold state, never a boundary/listing chimera. */
+  @volatile private[graft] var betweenProbesHookForTests: () => Unit =
+    () => ()
+
+  /** The store's `(boundary, batch directories)` captured at a SINGLE
+    * instant: one marker read, one listing, then a marker RE-CHECK —
+    * retried (bounded) until the marker is unchanged across the
+    * listing. The shared probe under [[pinnedView]], [[coverage]] and
+    * [[asOfHorizon]], so no caller can pair a boundary with a listing
+    * from a different instant.
+    *
+    * Why marker-unchanged is sufficient: the boundary commit is the
+    * ONLY transition that changes what is VISIBLE under a given
+    * boundary. With the marker at `b` on both sides of the listing,
+    * the listing can still interleave with (a) the next compaction's
+    * not-yet-committed base write — dir `-b'`, invisible under `b`'s
+    * base-or-live filter; (b) lagging GC from the compaction that
+    * committed `b` — deletes only slices `< b` and bases `!= -b`,
+    * all invisible under `b`; (c) the single streaming writer landing
+    * a NEW slice — listed or not, both are genuine instants of the
+    * store (a listing is never atomic against appends, and appends
+    * don't invalidate the pair). So every returned pair describes a
+    * state the store actually passed through. Without the re-check, a
+    * commit BETWEEN marker read and listing pairs a stale boundary
+    * with a post-GC listing — a state that existed at no instant,
+    * which e.g. reports an [[asOfHorizon]] whose oldest end was
+    * already reclaimed. Entries are `(batchId, dirPath)`, bases
+    * included (negative ids); foreign directories are inert
+    * ([[parseBatchDir]]). A missing store is `(0, empty)`. */
+  private[graft] def pinnedListing(
+      spark: SparkSession, path: String): (Long, Seq[(Long, String)]) = {
+    val (fs, root) = fsOf(spark, path)
+    var attempt = 0
+    var result: Option[(Long, Seq[(Long, String)])] = None
+    while (result.isEmpty) {
+      val b = boundary(spark, path)
+      val entries =
+        if (!fs.exists(root)) Seq.empty[(Long, String)]
+        else fs.listStatus(root).toSeq
+          .filter(_.isDirectory)
+          .flatMap(st =>
+            parseBatchDir(st.getPath.getName)
+              .map(_ -> st.getPath.toString))
+      betweenProbesHookForTests()
+      if (boundary(spark, path) == b) result = Some((b, entries))
+      else {
+        attempt += 1
+        require(attempt < PinnedListingMaxAttempts,
+          s"pinnedListing($path): the compaction boundary moved on " +
+            s"every one of $PinnedListingMaxAttempts listing attempts " +
+            "— the store is being rewritten in a tight loop; retry " +
+            "when compaction settles (racing-reader caveat)")
+      }
+    }
+    result.get
+  }
+
   /** The batch ids whose rows a store currently holds, in CANONICAL
     * COMPACT form: covered = `[0, prefix)` ∪ `rest`, where `prefix` is
     * the largest P with every batch below P covered and `rest` holds
@@ -141,9 +213,9 @@ object IngestStore extends org.apache.spark.internal.Logging {
     * history before trusting a sidecar. */
   def coverage(
       spark: SparkSession, path: String, excludeBatch: Long): Coverage = {
-    val b = boundary(spark, path)
-    val live =
-      sliceIds(spark, path).filter(_ >= b).toSet - excludeBatch
+    val (b, entries) = pinnedListing(spark, path)
+    val live = entries.map(_._1)
+      .filter(id => id >= b && id >= 0L).toSet - excludeBatch
     var p = b
     while (live.contains(p)) p += 1
     Coverage(p, live.filter(_ >= p))
@@ -162,18 +234,22 @@ object IngestStore extends org.apache.spark.internal.Logging {
     pinnedView(spark, path, dataSchema, excludeBatch)._3
 
   /** [[read]] plus the `(boundary, liveSliceIds)` the frame was built
-    * against — ONE marker read and ONE directory listing decide all
-    * three, so a multi-step reader (the live-key supersede split, the
-    * BM25 stats-sidecar correction) can derive EVERY decision from
-    * the same instant's view. Deriving them from separate reads is
-    * how a racing compaction silently corrupts a correction: a
-    * boundary read AFTER the fold paired with a listing from BEFORE
-    * it classifies absorbed rows as base rows. With the pinned view a
-    * racing compaction either leaves the old view fully readable
-    * (lagging GC — the answer is then exactly the pre-fold content,
-    * correct) or deletes directories the frame references (the read
-    * fails LOUDLY — the protocol's documented racing-reader retry
-    * caveat, never a silently mixed view). */
+    * against — ONE [[pinnedListing]] probe (marker read + listing +
+    * marker re-check) decides all three, so a multi-step reader (the
+    * live-key supersede split, the BM25 stats-sidecar correction) can
+    * derive EVERY decision from the same instant's view. Deriving
+    * them from separate reads is how a racing compaction silently
+    * corrupts a correction: a boundary read AFTER the fold paired
+    * with a listing from BEFORE it classifies absorbed rows as base
+    * rows (and a boundary read BEFORE the fold paired with a post-GC
+    * listing silently loses the base — the case the re-check
+    * retries). With the pinned view a compaction racing the frame's
+    * ACTION either leaves the old view fully readable (lagging GC —
+    * the answer is then exactly the pre-fold content, correct) or
+    * deletes directories the frame references (the read fails LOUDLY
+    * — the protocol's documented racing-reader retry caveat, never a
+    * silently mixed view). Both halves are spec-pinned
+    * deterministically (IngestStoreSpec). */
   def pinnedView(
       spark: SparkSession, path: String, dataSchema: StructType,
       excludeBatch: Long = Long.MinValue)
@@ -189,16 +265,13 @@ object IngestStore extends org.apache.spark.internal.Logging {
         StructField("batch_id", LongType, nullable = true)))
     if (!fs.exists(root)) (0L, Seq.empty, empty)
     else {
-      val b = boundary(spark, path)
-      // load EXPLICIT slice/base directories, never the bare root: a
-      // foreign `batch_id=<garbage>` dir dropped by an external writer
-      // would fail parquet partition-value casting on a root scan and
-      // kill every subsequent batch — the same failure class
-      // [[parseBatchDir]] makes inert on the listing paths
-      val entries = fs.listStatus(root).toSeq
-        .filter(_.isDirectory)
-        .flatMap(st =>
-          parseBatchDir(st.getPath.getName).map(_ -> st.getPath.toString))
+      // boundary + entries from the marker-rechecked single-instant
+      // probe; entries are EXPLICIT slice/base directories, never the
+      // bare root: a foreign `batch_id=<garbage>` dir dropped by an
+      // external writer would fail parquet partition-value casting on
+      // a root scan and kill every subsequent batch — the same failure
+      // class [[parseBatchDir]] makes inert on the listing paths
+      val (b, entries) = pinnedListing(spark, path)
       val live = entries.map(_._1)
         .filter(id => id >= b && id != excludeBatch).sorted
       val frame =
@@ -364,15 +437,20 @@ object IngestStore extends org.apache.spark.internal.Logging {
     * frontier − 1` (the committed-coverage bound — beyond it a
     * snapshot would grow as batches land). None when no snapshot is
     * valid yet (empty store, or a coverage hole at the boundary).
-    * One marker read + one listing, the same two probes [[readAsOf]]
-    * makes; racing a concurrent compaction can of course stale the
-    * answer — pin snapshots with margin, or pause compaction while
-    * pinned (size `compactEvery` to the horizon, as documented
-    * there). */
+    * Boundary and live ids come from ONE [[pinnedListing]] probe (the
+    * same single-instant capture [[pinnedView]] reads under), so the
+    * advisory window always describes a state the store actually
+    * passed through — a compaction racing the probe turns into a
+    * retry that reports the post-fold window, never a stale boundary
+    * paired with a post-GC listing (a window that existed at no
+    * instant, whose oldest end was already reclaimed). The answer can
+    * still be stale by the time the caller acts on it — pin
+    * snapshots with margin, or pause compaction while pinned (size
+    * `compactEvery` to the horizon, as documented there). */
   def asOfHorizon(
       spark: SparkSession, path: String): Option[(Long, Long)] = {
-    val b = boundary(spark, path)
-    val live = sliceIds(spark, path).filter(_ >= b).toSet
+    val (b, entries) = pinnedListing(spark, path)
+    val live = entries.map(_._1).filter(id => id >= b && id >= 0L).toSet
     var frontier = b
     while (live.contains(frontier)) frontier += 1
     val oldest = math.max(b - 1, 0L)
@@ -422,13 +500,40 @@ object IngestStore extends org.apache.spark.internal.Logging {
     * rewrite compaction performs anyway — nothing shuffles), so
     * parquet row-group min/max stats make downstream static filters
     * on them (the ANN probed-cell pushdown, the BM25 query-term
-    * pushdown) skip whole row groups. */
+    * pushdown) skip whole row groups.
+    *
+    * `purge`: when set, rows matching the predicate are PHYSICALLY
+    * DROPPED from the absorbed base — the erasure completion for
+    * tombstone stores (the index store's `token IS NULL` rows, the
+    * embedding store's null-vector rows): [[latestPerKey]] already
+    * made the tombstone each redacted key's only surviving version,
+    * and the query side filters tombstones anyway, so after the purge
+    * ZERO bytes about the redacted key remain in the base (the
+    * right-to-erasure guarantee logical redaction alone cannot give —
+    * q225 keeps the stale rows physically present until here). Sound
+    * because (a) the predicate must match only rows whose absence is
+    * read-equivalent to their filtered presence (tombstones by
+    * construction), and (b) every still-readable as-of snapshot is
+    * `>= upTo - 1`, at-or-after EVERY absorbed batch — so the
+    * tombstone already wins at each of them and dropping it changes
+    * no readable answer ([[readAsOf]]'s retention bound is what makes
+    * this an equivalence, not an approximation). Requires a supersede
+    * mechanism (`latestPerKey` or `reduce`): purging a tombstone
+    * while the stale versions it supersedes survive would RESURRECT
+    * the redacted rows — refused loudly. Applied after
+    * `latestPerKey`/`reduce`, before `sortBy`; deterministic, so
+    * replayed compactions stay byte-equivalent. */
   def compact(
       spark: SparkSession, path: String, dataSchema: StructType,
       upTo: Long, latestPerKey: Option[String] = None,
       reduce: Option[DataFrame => DataFrame] = None,
-      sortBy: Seq[String] = Nil): Boolean = {
+      sortBy: Seq[String] = Nil,
+      purge: Option[Column] = None): Boolean = {
     require(upTo > 0, s"compaction boundary must be positive, got $upTo")
+    require(purge.isEmpty || latestPerKey.isDefined || reduce.isDefined,
+      s"compact($path): purge without a supersede mechanism " +
+        "(latestPerKey/reduce) would resurrect the rows the purged " +
+        "tombstones supersede")
     val (fs, root) = fsOf(spark, path)
     if (!fs.exists(root)) return false
     val b0 = boundary(spark, path)
@@ -470,9 +575,14 @@ object IngestStore extends org.apache.spark.internal.Logging {
           case None => content
         }
         val merged = reduce.fold(kept)(f => f(kept))
+        // NULL-predicate rows are NOT tombstones (erasure must be
+        // affirmative): a bare `filter(!p)` would drop them too,
+        // because !NULL is NULL and filter discards NULL
+        val purged = purge.fold(merged)(p =>
+          merged.filter(!coalesce(p, lit(false))))
         val clustered =
-          if (sortBy.isEmpty) merged
-          else merged.sortWithinPartitions(sortBy.map(col): _*)
+          if (sortBy.isEmpty) purged
+          else purged.sortWithinPartitions(sortBy.map(col): _*)
         seedBase(spark, path, clustered, upTo) // commits boundary, GCs
         true
       }

@@ -453,6 +453,185 @@ class IngestStoreSpec extends SparkSpec {
     }
   }
 
+  test("pinnedListing / asOfHorizon: a compaction landing BETWEEN the " +
+      "marker read and the re-check turns into a retry that reports " +
+      "the post-fold window — never a stale-boundary/post-GC-listing " +
+      "chimera") {
+    val dir = tmp("graft-pinned-probe")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    (0L to 5L).foreach { b =>
+      Streaming.writeBatch(Seq(100 * b).toDF("v"), dir, "parquet", b)
+    }
+    assert(IngestStore.asOfHorizon(spark, dir) === Some((0L, 5L)))
+    // inject ONE compaction between the probe's listing and its
+    // marker re-check (self-disabling: compact itself probes the
+    // store through pinnedListing and must not re-fire the hook)
+    var fired = false
+    IngestStore.betweenProbesHookForTests = () =>
+      if (!fired) {
+        fired = true
+        IngestStore.compact(spark, dir, schema, upTo = 4L); ()
+      }
+    try {
+      // without the re-check this call would pair boundary 0 with the
+      // post-GC listing {4, 5} — frontier 0, i.e. "no snapshot is
+      // valid", a state that existed at NO instant (a false alarm for
+      // exactly the alerting probe asOfHorizon exists to serve). The
+      // re-check sees the marker move and retries: the answer is the
+      // genuine post-fold window.
+      assert(IngestStore.asOfHorizon(spark, dir) === Some((3L, 5L)))
+      assert(fired)
+    } finally IngestStore.betweenProbesHookForTests = () => ()
+    // and the endpoints it names are actually readable
+    assert(IngestStore.readAsOf(spark, dir, schema, 3L)
+      .collect().map(_.getLong(0)).toSet === Set(0L, 100L, 200L, 300L))
+    assert(IngestStore.readAsOf(spark, dir, schema, 5L)
+      .collect().map(_.getLong(0)).toSet ===
+      Set(0L, 100L, 200L, 300L, 400L, 500L))
+  }
+
+  test("pinnedListing refuses LOUDLY when the boundary moves on every " +
+      "attempt (a store rewritten in a tight loop), instead of " +
+      "spinning or returning a torn pair") {
+    val dir = tmp("graft-pinned-spin")
+    (0L to 2L).foreach { b =>
+      Streaming.writeBatch(Seq(100 * b).toDF("v"), dir, "parquet", b)
+    }
+    var n = 10L
+    IngestStore.betweenProbesHookForTests = () => {
+      // move the marker under the reader on EVERY probe (raw file
+      // write — this is the file protocol under test)
+      val w = new java.io.PrintWriter(s"$dir/_graft_boundary")
+      try w.print(n.toString) finally w.close()
+      n += 1
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IngestStore.asOfHorizon(spark, dir)
+      }
+      assert(e.getMessage.contains("boundary moved"))
+    } finally IngestStore.betweenProbesHookForTests = () => ()
+  }
+
+  test("pinnedView race contract, both halves: a compaction racing the " +
+      "frame's ACTION leaves the old view fully readable (lagging GC) " +
+      "or fails LOUDLY (GC done) — never a silently mixed view") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def seed(dir: String): Unit =
+      (0L to 3L).foreach { b =>
+        Streaming.writeBatch(Seq(100 * b).toDF("v"), dir, "parquet", b)
+      }
+    def cp(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        from.listFiles().foreach(f =>
+          cp(f, new java.io.File(to, f.getName)))
+      } else {
+        java.nio.file.Files.copy(from.toPath, to.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+    // half 1 — lagging GC: capture the view, compact, then RESTORE
+    // the absorbed slice dirs (simulating a fold whose GC has not
+    // reached them yet). The captured frame must read exactly the
+    // pre-fold content: its entries name the old dirs, and its
+    // boundary filter (b=0) ignores the new base.
+    val dirA = tmp("graft-pinned-lag")
+    seed(dirA)
+    val (bA, liveA, frameA) = IngestStore.pinnedView(spark, dirA, schema)
+    assert(bA === 0L && liveA === Seq(0L, 1L, 2L, 3L))
+    val backup = new java.io.File(tmp("graft-pinned-bak"))
+    cp(new java.io.File(dirA), backup)
+    IngestStore.compact(spark, dirA, schema, upTo = 3L)
+    (0L to 2L).foreach { b =>
+      cp(new java.io.File(backup, s"batch_id=$b"),
+        new java.io.File(dirA, s"batch_id=$b"))
+    }
+    assert(frameA.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((0L, 0L), (100L, 1L), (200L, 2L), (300L, 3L)))
+    // half 2 — GC complete: the captured frame references deleted
+    // slice dirs and must fail the action loudly, never return a
+    // mixed or partial view
+    val dirB = tmp("graft-pinned-gcd")
+    seed(dirB)
+    val (bB, _, frameB) = IngestStore.pinnedView(spark, dirB, schema)
+    assert(bB === 0L)
+    IngestStore.compact(spark, dirB, schema, upTo = 3L)
+    assert(storeDirs(dirB).toSet === Set("batch_id=-3", "batch_id=3"))
+    intercept[Exception] { frameB.collect() }
+  }
+
+  test("compact purge: physically drops tombstones AFTER the " +
+      "latest-per-key supersede (a re-ingested key survives, an " +
+      "erased key leaves zero rows), keeps NULL-predicate rows, " +
+      "replays byte-equivalently, and refuses purge without a " +
+      "supersede mechanism") {
+    val dir = tmp("graft-purge")
+    val schema = Seq((0L, Option("x"))).toDF("id", "payload").schema
+    // batch 0: three docs; batch 1: doc 1 redacted (null payload =
+    // the tombstone shape), doc 2 re-ingested with new content;
+    // batch 2: doc 3 redacted then batch 3 RE-INGESTS doc 3 (a
+    // redact-then-re-add — the tombstone is superseded, not latest,
+    // so nothing of doc 3 purges)
+    Streaming.writeBatch(Seq((1L, Option("one")), (2L, Option("two")),
+      (3L, Option("three"))).toDF("id", "payload"), dir, "parquet", 0L)
+    Streaming.writeBatch(Seq((1L, Option.empty[String]),
+      (2L, Option("two v2"))).toDF("id", "payload"), dir, "parquet", 1L)
+    Streaming.writeBatch(Seq((3L, Option.empty[String]))
+      .toDF("id", "payload"), dir, "parquet", 2L)
+    Streaming.writeBatch(Seq((3L, Option("three again")))
+      .toDF("id", "payload"), dir, "parquet", 3L)
+    intercept[IllegalArgumentException] {
+      IngestStore.compact(spark, dir, schema, upTo = 4L,
+        purge = Some(col("payload").isNull))
+    }
+    assert(IngestStore.compact(spark, dir, schema, upTo = 4L,
+      latestPerKey = Some("id"), purge = Some(col("payload").isNull)))
+    // physical check: a raw scan over every file in the store (not
+    // the boundary-aware read) — erasure means the BYTES are gone
+    def raw(): Set[(Long, Option[String])] =
+      spark.read.option("basePath", dir).parquet(dir)
+        .select(col("id"), col("payload"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getString(1)))).toSet
+    assert(raw() === Set((2L, Some("two v2")),
+      (3L, Some("three again"))))
+    // and the boundary-aware read restores TRUE batch ids: doc 1
+    // erased outright, doc 2 its latest version, doc 3 the re-ingest
+    def content(): Set[(Long, Option[String], Long)] =
+      IngestStore.read(spark, dir, schema)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getString(1)),
+          r.getLong(2))).toSet
+    assert(content() === Set((2L, Some("two v2"), 1L),
+      (3L, Some("three again"), 3L)))
+    // replay of the same compaction is a GC no-op with identical bytes
+    assert(!IngestStore.compact(spark, dir, schema, upTo = 4L,
+      latestPerKey = Some("id"), purge = Some(col("payload").isNull)))
+    assert(raw() === Set((2L, Some("two v2")),
+      (3L, Some("three again"))))
+    // NULL-predicate rows are NOT tombstones: a predicate over a
+    // column that is null for a row must KEEP that row (erasure is
+    // affirmative — !NULL would silently drop it)
+    val dir2 = tmp("graft-purge-null")
+    Streaming.writeBatch(Seq((1L, Option("keep me")),
+      (2L, Option.empty[String])).toDF("id", "payload"),
+      dir2, "parquet", 0L)
+    assert(IngestStore.compact(spark, dir2, schema, upTo = 1L,
+      latestPerKey = Some("id"),
+      // NULL for doc 2 (its payload is null), false for doc 1
+      purge = Some(length(col("payload")) > 1000)))
+    val left = spark.read.option("basePath", dir2).parquet(dir2)
+      .collect().map(_.getLong(0)).toSet
+    assert(left === Set(1L, 2L))
+  }
+
   test("compact skips (not wedges) over a coverage hole; resumes when healed") {
     val dir = tmp("graft-hole")
     val schema = Seq((0L, "x")).toDF("id", "text").schema
