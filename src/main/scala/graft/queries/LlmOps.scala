@@ -4510,17 +4510,24 @@ object LlmOps {
           qs, "qid", "qtext", k = 10)
         val qt = qs.select(col("qid"),
           explode(split(col("qtext"), " ")).as("token")).distinct()
-        // consumed 3x below (rare-term df, the overlap join, nDocs)
-        // — materialize the tokenization once, the repo checkpoint rule
+        // lazy on purpose: both consumers (rare-term df, the overlap
+        // join) aggregate the exploded frame straight down with
+        // map-side partials — materializing it (10x the corpus bytes)
+        // measured 2x SLOWER at 10x than re-running the cheap
+        // scan+explode lineage twice
         val posts = TextStats.postings(docs, "doc_id", "text")
           .select(col("doc"), col("token"))
-          .localCheckpoint(true)
-        // the INDEXED doc count (docs with >= 1 token), matching the
-        // oracle's len-based n — counting raw documents rows would
-        // diverge the rare-term cutoff on a corpus with empty/null
-        // texts even though both engines are self-consistent
+        // the rare-term cap's denominator is the RAW corpus row count
+        // — and the oracle's rare CTE counts the same thing (its own
+        // nd CTE, NOT the bm25 model's len-based indexed-doc n), so
+        // the two engines agree by construction even on a corpus with
+        // empty/null texts. Raw count deliberately: it is a
+        // metadata-only scan, where the indexed-doc spelling
+        // (distinct postings docs, or text IS NOT NULL) costs a full
+        // text-column pass per query — both are self-consistent
+        // definitions of a corpus-fraction stop-list cap
         val nDocs = graft.plans.Scalars.of(
-          posts.select(col("doc")).distinct().agg(count(lit(1)).as("n")))
+          docs.agg(count(lit(1)).as("n")))
         val rare = posts.groupBy("token").agg(count(lit(1)).as("df"))
           .filter(col("df") * 20 <= nDocs)
         val overlap = qt
@@ -4541,8 +4548,9 @@ object LlmOps {
       oracle = Some(s"""
         WITH $bm25OracleCtes,
         ra AS (SELECT qid, doc_id, rn FROM rk WHERE rn <= 10),
-        rare AS (SELECT token FROM dfq CROSS JOIN n
-                 WHERE df * 20 <= n.n),
+        nd AS (SELECT count(*) AS n FROM documents),
+        rare AS (SELECT token FROM dfq CROSS JOIN nd
+                 WHERE df * 20 <= nd.n),
         ov AS (SELECT qt.qid, tf.doc_id, count(*) AS ov
                FROM qt JOIN rare USING (token) JOIN tf USING (token)
                GROUP BY 1, 2),
@@ -4562,7 +4570,157 @@ object LlmOps {
                FROM f)
         SELECT qid, CAST(zr AS BIGINT) AS fused_rank, doc_id, rrf_micro
         FROM fz WHERE zr <= 5
-        ORDER BY qid, fused_rank"""))
+        ORDER BY qid, fused_rank""")),
+
+    // Set-overlap retrieval evals in exact integer milli units:
+    // precision@10 / recall@10 of the BM25 run against the q228
+    // graded truth (the known item at rel 3 + its successor doc at
+    // rel 1 — two positives per query, so recall is non-trivially
+    // 0/500/1000 and hits varies with what the run surfaced).
+    "q232_precision_recall_at_k" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.{Eval, TextStats}
+        val docs = Tables(s, dir, "documents")
+        val qs = knownItemQueries(docs)
+        val ranked = TextStats.bm25TopK(docs, "doc_id", "text",
+          qs, "qid", "qtext", k = 10)
+        val truth = qs.select(col("qid"), col("qid").as("doc"),
+            lit(3L).as("rel"))
+          .unionByName(qs.select(col("qid"),
+            (col("qid") + 1).as("doc"), lit(1L).as("rel")))
+        Eval.precisionRecallAtK(ranked, "qid", "doc", "rank",
+            truth, "qid", "doc", "rel", k = 10)
+          .orderBy("qid")
+      },
+      oracle = Some(s"""
+        WITH $bm25OracleCtes,
+        rk10 AS (SELECT qid, doc_id, rn FROM rk WHERE rn <= 10),
+        truth AS (
+          SELECT doc_id AS qid, doc_id AS doc, 3 AS rel
+          FROM documents WHERE doc_id % 101 = 7
+          UNION ALL
+          SELECT doc_id, doc_id + 1, 1
+          FROM documents WHERE doc_id % 101 = 7),
+        posv AS (
+          SELECT qid, doc FROM (
+            SELECT qid, doc, max(rel) AS rel FROM truth
+            WHERE doc IS NOT NULL GROUP BY 1, 2)
+          WHERE rel > 0),
+        nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+                 FROM posv GROUP BY 1),
+        h AS (SELECT p.qid, CAST(count(*) AS BIGINT) AS hits
+              FROM posv p JOIN rk10 r
+                ON p.qid = r.qid AND p.doc = r.doc_id
+              GROUP BY 1)
+        SELECT nrel.qid, n_rel,
+               CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+               CAST(1000 * coalesce(hits, 0) // 10 AS BIGINT)
+                 AS p_milli,
+               CAST(1000 * coalesce(hits, 0) // n_rel AS BIGINT)
+                 AS r_milli
+        FROM nrel LEFT JOIN h USING (qid)
+        ORDER BY qid""")),
+
+    // Average precision@10 (the MAP decomposition) over the same run
+    // and truth, in exact integer micro units — integer division at
+    // each step so both engines sum identical operands.
+    "q233_map_at_k" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.{Eval, TextStats}
+        val docs = Tables(s, dir, "documents")
+        val qs = knownItemQueries(docs)
+        val ranked = TextStats.bm25TopK(docs, "doc_id", "text",
+          qs, "qid", "qtext", k = 10)
+        val truth = qs.select(col("qid"), col("qid").as("doc"),
+            lit(3L).as("rel"))
+          .unionByName(qs.select(col("qid"),
+            (col("qid") + 1).as("doc"), lit(1L).as("rel")))
+        Eval.averagePrecisionAtK(ranked, "qid", "doc", "rank",
+            truth, "qid", "doc", "rel", k = 10)
+          .orderBy("qid")
+      },
+      oracle = Some(s"""
+        WITH $bm25OracleCtes,
+        rk10 AS (SELECT qid, doc_id, rn FROM rk WHERE rn <= 10),
+        truth AS (
+          SELECT doc_id AS qid, doc_id AS doc, 3 AS rel
+          FROM documents WHERE doc_id % 101 = 7
+          UNION ALL
+          SELECT doc_id, doc_id + 1, 1
+          FROM documents WHERE doc_id % 101 = 7),
+        posv AS (
+          SELECT qid, doc FROM (
+            SELECT qid, doc, max(rel) AS rel FROM truth
+            WHERE doc IS NOT NULL GROUP BY 1, 2)
+          WHERE rel > 0),
+        nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+                 FROM posv GROUP BY 1),
+        hit AS (SELECT p.qid, r.rn,
+                       row_number() OVER (PARTITION BY p.qid
+                         ORDER BY r.rn, p.doc) AS i
+                FROM posv p JOIN rk10 r
+                  ON p.qid = r.qid AND p.doc = r.doc_id),
+        ap AS (SELECT qid,
+                      CAST(sum(1000000 * i // rn) AS BIGINT) AS sp,
+                      CAST(count(*) AS BIGINT) AS hits
+               FROM hit GROUP BY 1)
+        SELECT nrel.qid, n_rel,
+               CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+               CAST(coalesce(sp, 0) // least(n_rel, 10) AS BIGINT)
+                 AS ap_micro
+        FROM nrel LEFT JOIN ap USING (qid)
+        ORDER BY qid""")),
+
+    // Redaction-through-compaction parity — the erasure-completion
+    // gate: docs redacted in batch 1 (tombstones), HALF of them
+    // legitimately re-ingested in batch 2, then batch 3 triggers the
+    // compaction whose purge physically drops the still-redacted
+    // docs' tombstones from the base (their stale postings already
+    // superseded away). Retrieval over the compacted+purged store
+    // must equal the batch operator over the post-redaction corpus —
+    // the oracle knows nothing of tombstones, purges, or sidecars
+    // (the q230 pattern for gating a cost/storage-path rework), so a
+    // purge that resurrects a stale version, blocks a re-ingest, or
+    // desyncs the stats sidecar is a WRONG ANSWER here, not a storage
+    // detail. Physical zero-bytes absence is spec-pinned
+    // (StreamingSpec) — not SQL-expressible.
+    "q234_redaction_purge_parity" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-q234-idx").toString
+        val docs = Tables(s, dir, "documents")
+        Streaming.indexIngestBatch(docs, 0L, storeDir,
+          "doc_id", "text", compactEvery = 3)
+        Streaming.indexIngestBatch(
+          docs.filter(col("doc_id") % 17 === 3)
+            .select(col("doc_id"), lit(null).cast("string").as("text")),
+          1L, storeDir, "doc_id", "text", compactEvery = 3)
+        Streaming.indexIngestBatch(
+          docs.filter(col("doc_id") % 34 === 3),
+          2L, storeDir, "doc_id", "text", compactEvery = 3)
+        // batch 3: empty — lands the slice that triggers the
+        // compaction (boundary 3 absorbs batches 0-2) and the stats
+        // sidecar rewrite; the query below is served from the purged
+        // base + that sidecar
+        Streaming.indexIngestBatch(
+          docs.filter(lit(false)), 3L, storeDir,
+          "doc_id", "text", compactEvery = 3)
+        materializeAndClean(
+          Streaming.bm25FromIndex(s, storeDir, knownItemQueries(docs),
+              "qid", "qtext", k = 5, maxDocFreq = None)
+            .select(col("qid"), col("rank"), col("doc").as("doc_id"),
+              col("score"))
+            .orderBy("qid", "rank"),
+          storeDir)
+      },
+      oracle = Some(s"""
+        WITH live AS (SELECT * FROM documents
+                      WHERE doc_id % 17 != 3 OR doc_id % 34 = 3),
+        ${bm25OracleCtesOver("live")}
+        SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
+        FROM rk WHERE rn <= 5
+        ORDER BY qid, rank"""))
   )
 }
 

@@ -1122,7 +1122,12 @@ object Streaming {
     * ends unindexed, exactly like the batch operator on the latest
     * corpus. Redaction is IMMEDIATE at the query surface: the
     * tombstone wins [[latestAtRead]]'s supersede from the moment its
-    * slice commits — compaction only reclaims the storage. */
+    * slice commits — and compaction COMPLETES the erasure physically:
+    * the purge drops the tombstone itself from the absorbed base
+    * (with the stale postings already superseded away), so zero bytes
+    * about the redacted doc survive the next compaction
+    * ([[IngestStore.compact]]'s purge contract; parity q234, physical
+    * absence spec-pinned). */
   def indexIngestBatch(
       batch: DataFrame, batchId: Long, indexPath: String,
       idCol: String, textCol: String, compactEvery: Int = 16): Unit = {
@@ -1131,7 +1136,14 @@ object Streaming {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       IngestStore.compact(spark, indexPath, postingsSchema,
         upTo = batchId, latestPerKey = Some("doc"),
-        sortBy = Seq("token"))
+        sortBy = Seq("token"),
+        // erasure completion: a doc whose latest absorbed version is
+        // the redaction tombstone leaves ZERO bytes in the base (the
+        // tombstone already wins every still-readable as-of snapshot,
+        // so dropping it changes no answer — IngestStore.compact's
+        // purge contract); q234 gates this path against a purge-blind
+        // oracle
+        purge = Some(col("token").isNull))
     // stats sidecar: rewrite whenever the committed marker does not
     // name the current boundary — covers the just-compacted case AND
     // self-heals a crash between the boundary commit and the stats
@@ -1159,6 +1171,55 @@ object Streaming {
     writeBatch(posts.unionByName(tombstones)
       .sortWithinPartitions("token"), indexPath, "parquet",
       batchId)
+  }
+
+  /** Deadline-driven erasure for the retrieval index: force the
+    * compaction (with its tombstone purge) NOW, at the store's
+    * current contiguous frontier, instead of waiting for the next
+    * `compactEvery` cadence batch — the operational answer to "the
+    * redaction is already INGESTED (tombstone committed, logically
+    * invisible since q225's supersede), but its bytes must be gone by
+    * a deadline, not by the next multiple-of-N batch". Exactly the
+    * per-batch compaction [[indexIngestBatch]] runs (latest-per-doc
+    * supersede, token clustering, `token IS NULL` purge) plus the
+    * stats-sidecar rewrite the NEXT batch would otherwise perform, so
+    * the store is indistinguishable from one whose cadence happened
+    * to land here (spec-pinned bit-identical). Returns true iff a
+    * fold committed (false = already compacted to the frontier, or
+    * nothing to absorb — a pending-GC retry either way, harmless).
+    *
+    * Single-writer discipline: call from the ingest process between
+    * batches (or with the stream paused) — the store protocol assumes
+    * ONE writer, and this IS a write. Crash-safe and replayable like
+    * any compaction ([[IngestStore.compact]]'s marker commit). */
+  def indexEraseNow(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Boolean = {
+    val cov = IngestStore.coverage(spark, indexPath,
+      excludeBatch = Long.MinValue)
+    val did = cov.prefix > 0 &&
+      IngestStore.compact(spark, indexPath, postingsSchema,
+        upTo = cov.prefix, latestPerKey = Some("doc"),
+        sortBy = Seq("token"), purge = Some(col("token").isNull))
+    if (did) writeBm25Stats(spark, indexPath)
+    did
+  }
+
+  /** [[indexEraseNow]] for the embedding store: force the compaction
+    * whose purge physically drops null-vector redaction tombstones
+    * (and the superseded vector payloads) at the current contiguous
+    * frontier — same fold [[embIngestBatch]]'s cadence runs
+    * (latest-per-vec, cell clustering, `v IS NULL` purge), same
+    * single-writer discipline, same idempotent return contract. */
+  def embEraseNow(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Boolean = {
+    val cov = IngestStore.coverage(spark, storePath,
+      excludeBatch = Long.MinValue)
+    cov.prefix > 0 &&
+      IngestStore.compact(spark, storePath, embSchema,
+        upTo = cov.prefix, latestPerKey = Some("vec"),
+        sortBy = Seq("cell"), purge = Some(col("v").isNull))
   }
 
   /** BM25 top-k over the accumulated postings store — the query side
@@ -1514,8 +1575,10 @@ object Streaming {
     * [[indexIngestBatch]]'s tombstones: they carry no cell (a null
     * never equi-joins, so they are retrieval-invisible) but DO carry
     * the latest batch id, so compaction's latest-per-vec supersede
-    * drops the redacted vector's old postings. They are excluded from
-    * model training. */
+    * drops the redacted vector's old postings — and its purge then
+    * drops the tombstone row itself, so the erased vector leaves zero
+    * bytes in the base ([[IngestStore.compact]]'s purge contract).
+    * They are excluded from model training. */
   def embIngestBatch(
       batch: DataFrame, batchId: Long, storePath: String,
       idCol: String, vecCol: String,
@@ -1553,7 +1616,13 @@ object Streaming {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       IngestStore.compact(spark, storePath, embSchema,
         upTo = batchId, latestPerKey = Some("vec"),
-        sortBy = Seq("cell"))
+        sortBy = Seq("cell"),
+        // erasure completion, mirroring indexIngestBatch: a vec whose
+        // latest absorbed version is the null-vector redaction leaves
+        // zero bytes in the base (null vectors are retrieval-invisible
+        // at every still-readable snapshot, so the drop changes no
+        // answer)
+        purge = Some(col("v").isNull))
     val assigned = model match {
       case Some(m) => slim
         .withColumn("cell",

@@ -852,11 +852,14 @@ class StreamingSpec extends SparkSpec {
       Streaming.indexIngestBatch(rows.toDF("doc_id", "text"), id,
         idxDir, "doc_id", "text", compactEvery = 2)
     }
-    // post-compaction store: doc 1 carries ONLY its tombstone
+    // post-compaction store: the purge completed the erasure — doc 1
+    // left ZERO physical rows (stale postings superseded, then the
+    // tombstone itself dropped from the base); a raw scan over every
+    // file in the store proves the bytes are gone, not just filtered
     val doc1 = spark.read.option("basePath", idxDir).parquet(idxDir)
       .filter(col("doc") === 1L)
       .select(col("token")).collect().map(r => Option(r.getString(0)))
-    assert(doc1.toSeq === Seq(None))
+    assert(doc1.toSeq === Seq.empty)
     // retrieval: the redacted doc is gone; everything else matches the
     // batch operator over the LATEST corpus (doc 1 now null)
     val latest = Seq((1L, null.asInstanceOf[String]),
@@ -872,6 +875,115 @@ class StreamingSpec extends SparkSpec {
     assert(!rows(fromStore).exists(_._3 == 1L))
     assert(rows(fromStore) === rows(TextStats.bm25TopK(
       latest, "doc_id", "text", qs, "qid", "qtext", 3)))
+  }
+
+  test("indexIngest purge lifecycle: an erased doc can be legitimately " +
+      "RE-INGESTED after its purge (a fresh id, not a resurrection), " +
+      "a second compaction folds it into the base, and the stats " +
+      "sidecar + retrieval agree with the batch operator at every " +
+      "step") {
+    import spark.implicits._
+    import graft.operators.TextStats
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val idxDir = tmp("graft-idx-purge-life")
+    val b0 = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+    val b1 = Seq((1L, null.asInstanceOf[String])) // redact doc 1
+    val b2 = Seq((3L, "epsilon zeta"))  // compaction: purge doc 1
+    val b3 = Seq((1L, "alpha reborn"))  // re-ingest AFTER the purge
+    val b4 = Seq((4L, "eta theta"))     // second compaction folds b3
+    Seq((b0, 0L), (b1, 1L), (b2, 2L), (b3, 3L), (b4, 4L))
+      .foreach { case (rows, id) =>
+        Streaming.indexIngestBatch(rows.toDF("doc_id", "text"), id,
+          idxDir, "doc_id", "text", compactEvery = 2)
+      }
+    assert(IngestStore.boundary(spark, idxDir) === 4L)
+    // the base holds the REBORN version (true batch id 3) and no
+    // tombstone anywhere in the store
+    val raw = spark.read.option("basePath", idxDir).parquet(idxDir)
+    assert(raw.filter(col("token").isNull).count() === 0L)
+    assert(raw.filter(col("doc") === 1L)
+      .select(col("token")).collect().map(_.getString(0)).toSet ===
+      Set("alpha", "reborn"))
+    // retrieval equals the batch operator over the latest corpus
+    val latest = Seq((1L, "alpha reborn"), (2L, "gamma delta"),
+      (3L, "epsilon zeta"), (4L, "eta theta")).toDF("doc_id", "text")
+    val qs = Seq((9L, "alpha"), (8L, "gamma eta")).toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows(Streaming.bm25FromIndex(spark, idxDir, qs,
+      "qid", "qtext", k = 5, maxDocFreq = None)) ===
+      rows(TextStats.bm25TopK(latest, "doc_id", "text",
+        qs, "qid", "qtext", k = 5)))
+  }
+
+  test("indexEraseNow/embEraseNow: deadline-driven erasure folds the " +
+      "store NOW — bit-identical to a cadence compaction landing at " +
+      "the same frontier, stats sidecar covered, replay a no-op, " +
+      "redacted bytes physically gone") {
+    import spark.implicits._
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val b0 = Seq((1L, "secret alpha"), (2L, "beta gamma"))
+    val b1 = Seq((1L, null.asInstanceOf[String])) // redact doc 1
+    val b2 = Seq((3L, "delta epsilon"))
+    // erase-now store: cadence disabled, erasure forced between
+    // batches 1 and 2 (the deadline moment)
+    val nowDir = tmp("graft-erase-now")
+    Streaming.indexIngestBatch(b0.toDF("doc_id", "text"), 0L, nowDir,
+      "doc_id", "text", compactEvery = 0)
+    Streaming.indexIngestBatch(b1.toDF("doc_id", "text"), 1L, nowDir,
+      "doc_id", "text", compactEvery = 0)
+    assert(Streaming.indexEraseNow(spark, nowDir))
+    assert(!Streaming.indexEraseNow(spark, nowDir)) // replay no-op
+    Streaming.indexIngestBatch(b2.toDF("doc_id", "text"), 2L, nowDir,
+      "doc_id", "text", compactEvery = 0)
+    // cadence reference: compactEvery=2 lands the fold at the same
+    // upTo=2 frontier
+    val refDir = tmp("graft-erase-ref")
+    Seq((b0, 0L), (b1, 1L), (b2, 2L)).foreach { case (rows, id) =>
+      Streaming.indexIngestBatch(rows.toDF("doc_id", "text"), id,
+        refDir, "doc_id", "text", compactEvery = 2)
+    }
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("len",
+        org.apache.spark.sql.types.LongType)))
+    def store(dir: String) =
+      IngestStore.read(spark, dir, pSchema).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(IngestStore.boundary(spark, nowDir) === 2L)
+    assert(store(nowDir) === store(refDir))
+    // redacted bytes physically gone; sidecar covers the boundary
+    assert(spark.read.option("basePath", nowDir).parquet(nowDir)
+      .filter(col("doc") === 1L).count() === 0L)
+    assert(scala.io.Source.fromFile(s"$nowDir/_stats_committed")
+      .mkString.trim === "2")
+    // embEraseNow: same contract on the embedding store
+    val embDir = tmp("graft-erase-emb")
+    Streaming.embIngestBatch(Seq((1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0))).toDF("vec_id", "embedding"), 0L, embDir,
+      "vec_id", "embedding", nCells = 2, compactEvery = 0)
+    Streaming.embIngestBatch(
+      Seq((1L, null.asInstanceOf[Seq[Double]]))
+        .toDF("vec_id", "embedding"), 1L, embDir,
+      "vec_id", "embedding", nCells = 2, compactEvery = 0)
+    assert(Streaming.embEraseNow(spark, embDir))
+    assert(!Streaming.embEraseNow(spark, embDir))
+    assert(spark.read.option("basePath", embDir).parquet(embDir)
+      .filter(col("vec") === 1L).count() === 0L)
+    val got = Streaming.annFromStore(spark, embDir,
+        Seq((9L, Seq(1.0, 0.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2, nProbe = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(got === Set(2L))
   }
 
   test("indexIngest: crash AT a compaction batch — restart re-delivers " +
@@ -1055,12 +1167,14 @@ class StreamingSpec extends SparkSpec {
       Streaming.embIngestBatch(rows.toDF("vec_id", "embedding"), id,
         storeDir, "vec_id", "embedding", nCells = 2, compactEvery = 2)
     }
-    // post-compaction: vec 1 carries ONLY its tombstone (null cell)
-    val vec1 = spark.read.option("basePath", storeDir).parquet(storeDir)
-      .filter(col("vec") === 1L)
-      .select(col("cell")).collect()
-      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
-    assert(vec1.toSeq === Seq(None))
+    // post-compaction: the purge completed the erasure — vec 1 (and
+    // the batch-0 tombstone vec 7) left ZERO physical rows; a raw
+    // scan over every file proves the bytes are gone, not filtered
+    val purgedIds = spark.read.option("basePath", storeDir)
+      .parquet(storeDir)
+      .filter(col("vec") === 1L || col("vec") === 7L)
+      .collect()
+    assert(purgedIds.isEmpty)
     // retrieval never surfaces a tombstoned vec
     val got = Streaming.annFromStore(spark, storeDir,
         Seq((9L, Seq(1.0, 0.0))).toDF("vec_id", "embedding"),
