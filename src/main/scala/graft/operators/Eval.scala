@@ -556,6 +556,27 @@ object Eval {
       .filter(col("__rel") > 0)
       .select(col("qid"), col("__doc"))
 
+  /** The k-bounded ranked frame shared by the set-overlap evals, with
+    * [[rrfFuse]]'s 1-based-rank contract enforced IN-PLAN: a NULL or
+    * < 1 rank raises loudly instead of silently skewing the metric (a
+    * 0-based run would keep k+1 docs past the `<= k` cut here, and
+    * NULL out of AP's integer division — the exact silent-divergence
+    * class the rrfFuse guard exists for). Ranks are validated on
+    * EVERY input row, not only the kept ones. The ranked frame must
+    * be a ranking — one row per (qid, doc) — as everywhere in this
+    * file; a doc listed twice would double-count its hit. */
+  private def rankedAtK(
+      op: String, ranked: DataFrame, qidCol: String, docCol: String,
+      rankCol: String, k: Int): DataFrame = {
+    val rk = col(rankCol).cast("long")
+    ranked.select(col(qidCol).as("qid"), col(docCol).as("__doc"),
+      when(rk.isNull || rk < lit(1L), raise_error(concat(
+        lit(s"$op: `$rankCol` must be a 1-based rank, got "),
+        coalesce(col(rankCol).cast("string"), lit("NULL")))))
+        .otherwise(rk).as("__rk"))
+      .filter(col("__rk") <= k)
+  }
+
   /** Precision@k and recall@k over a retrieval run — the set-overlap
     * evals beside the rank-aware [[ndcgAtK]]/[[averagePrecisionAtK]],
     * in exact integer milli units (the rrf_micro discipline, so both
@@ -577,9 +598,8 @@ object Eval {
       tRelCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val pos = positives(truth, tQidCol, tDocCol, tRelCol)
-    val r = ranked.select(col(qidCol).as("qid"), col(docCol).as("__doc"),
-      col(rankCol).cast("long").as("__rk"))
-      .filter(col("__rk") <= k)
+    val r = rankedAtK("precisionRecallAtK", ranked, qidCol, docCol,
+      rankCol, k)
     val nrel = pos.groupBy("qid").agg(count(lit(1)).as("n_rel"))
     val hits = pos.join(r, Seq("qid", "__doc"))
       .groupBy("qid").agg(count(lit(1)).as("hits"))
@@ -613,13 +633,16 @@ object Eval {
       tRelCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val pos = positives(truth, tQidCol, tDocCol, tRelCol)
-    val r = ranked.select(col(qidCol).as("qid"), col(docCol).as("__doc"),
-      col(rankCol).cast("long").as("__rk"))
-      .filter(col("__rk") <= k)
+    val r = rankedAtK("averagePrecisionAtK", ranked, qidCol, docCol,
+      rankCol, k)
     val nrel = pos.groupBy("qid").agg(count(lit(1)).as("n_rel"))
     val prec = pos.join(r, Seq("qid", "__doc"))
+      // cast to long BEFORE the multiply: row_number is 32-bit, and
+      // `1000000 * __i` in int silently wraps past hit index 2147
+      // under non-ANSI arithmetic while the BIGINT oracle stays
+      // correct — the bit-identity discipline forbids the divergence
       .withColumn("__i", row_number().over(Window.partitionBy("qid")
-        .orderBy(col("__rk"), col("__doc"))))
+        .orderBy(col("__rk"), col("__doc"))).cast("long"))
       .select(col("qid"),
         expr("1000000 * `__i` div `__rk`").as("__p"))
     val ap = prec.groupBy("qid")

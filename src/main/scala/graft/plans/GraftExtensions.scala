@@ -47,6 +47,27 @@ object GraftExtensions {
     * surface has no parameter to let the caller pick one. */
   private val uncappedSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Builder for the ranked-vs-truth eval TVFs — nDCG, precision/
+    * recall, AP share one 9-argument shape `(ranked, qidCol, docCol,
+    * rankCol, truth, tQidCol, tDocCol, tRelCol, k)`; one spelling of
+    * the plumbing so a signature change or argument-position fix
+    * cannot drift between them. */
+  private def rankedTruthEvalBuilder(fn: String,
+      op: (org.apache.spark.sql.DataFrame, String, String, String,
+        org.apache.spark.sql.DataFrame, String, String, String, Int)
+        => org.apache.spark.sql.DataFrame)
+      : Seq[Expression] => LogicalPlan =
+    args => {
+      arity(args, 9, fn)
+      val s = SparkSession.active
+      GraftSqlBridge.plan(op(
+        s.table(strLit(args, 0, fn)), strLit(args, 1, fn),
+        strLit(args, 2, fn), strLit(args, 3, fn),
+        s.table(strLit(args, 4, fn)), strLit(args, 5, fn),
+        strLit(args, 6, fn), strLit(args, 7, fn),
+        intLit(args, 8, fn)))
+    }
+
   private def intLit(args: Seq[Expression], pos: Int, fn: String): Int =
     args(pos) match {
       case Literal(v: Int, IntegerType) => v
@@ -224,45 +245,24 @@ object GraftExtensions {
         "graft_ndcg_at_k(ranked, qidCol, docCol, rankCol, truth, " +
           "tQidCol, tDocCol, tRelCol, k) - graded-relevance nDCG@k " +
           "per truth query: (qid, dcg, idcg, ndcg)",
-        args => { arity(args, 9, "graft_ndcg_at_k")
-          val fn = "graft_ndcg_at_k"
-          val s = SparkSession.active
-          GraftSqlBridge.plan(graft.operators.Eval.ndcgAtK(
-            s.table(strLit(args, 0, fn)), strLit(args, 1, fn),
-            strLit(args, 2, fn), strLit(args, 3, fn),
-            s.table(strLit(args, 4, fn)), strLit(args, 5, fn),
-            strLit(args, 6, fn), strLit(args, 7, fn),
-            intLit(args, 8, fn))) }),
+        rankedTruthEvalBuilder("graft_ndcg_at_k",
+          graft.operators.Eval.ndcgAtK)),
       ("graft_precision_recall_at_k",
         "graft_precision_recall_at_k(ranked, qidCol, docCol, rankCol, " +
           "truth, tQidCol, tDocCol, tRelCol, k) - precision/recall@k " +
           "per truth query with >= 1 positive (rel > 0) judgment: " +
           "(qid, n_rel, hits, p_milli, r_milli), exact integer milli " +
           "units",
-        args => { arity(args, 9, "graft_precision_recall_at_k")
-          val fn = "graft_precision_recall_at_k"
-          val s = SparkSession.active
-          GraftSqlBridge.plan(graft.operators.Eval.precisionRecallAtK(
-            s.table(strLit(args, 0, fn)), strLit(args, 1, fn),
-            strLit(args, 2, fn), strLit(args, 3, fn),
-            s.table(strLit(args, 4, fn)), strLit(args, 5, fn),
-            strLit(args, 6, fn), strLit(args, 7, fn),
-            intLit(args, 8, fn))) }),
+        rankedTruthEvalBuilder("graft_precision_recall_at_k",
+          graft.operators.Eval.precisionRecallAtK)),
       ("graft_avg_precision_at_k",
         "graft_avg_precision_at_k(ranked, qidCol, docCol, rankCol, " +
           "truth, tQidCol, tDocCol, tRelCol, k) - average " +
           "precision@k (the MAP decomposition) per truth query with " +
           ">= 1 positive judgment: (qid, n_rel, hits, ap_micro), " +
           "exact integer micro units",
-        args => { arity(args, 9, "graft_avg_precision_at_k")
-          val fn = "graft_avg_precision_at_k"
-          val s = SparkSession.active
-          GraftSqlBridge.plan(graft.operators.Eval.averagePrecisionAtK(
-            s.table(strLit(args, 0, fn)), strLit(args, 1, fn),
-            strLit(args, 2, fn), strLit(args, 3, fn),
-            s.table(strLit(args, 4, fn)), strLit(args, 5, fn),
-            strLit(args, 6, fn), strLit(args, 7, fn),
-            intLit(args, 8, fn))) }),
+        rankedTruthEvalBuilder("graft_avg_precision_at_k",
+          graft.operators.Eval.averagePrecisionAtK)),
       ("graft_rrf_fuse",
         "graft_rrf_fuse(runA, runB, qidCol, docCol, rankCol, k[, " +
           "kRrf[, runC, ...]]) - reciprocal-rank fusion of N >= 2 " +

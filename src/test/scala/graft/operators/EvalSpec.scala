@@ -516,6 +516,30 @@ class EvalSpec extends SparkSpec {
     assert(e2.getMessage.contains("1-based rank"))
   }
 
+  test("precisionRecallAtK / averagePrecisionAtK refuse non-1-based " +
+      "and NULL ranks loudly (a 0-based run would keep k+1 docs past " +
+      "the <=k cut and NULL out of AP's integer division — the " +
+      "rrfFuse guard applied to the set-overlap evals)") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L, 1L)).toDF("qid", "doc", "rel")
+    val zeroBased = Seq((1L, 10L, 0L), (1L, 11L, 1L))
+      .toDF("qid", "doc", "rank")
+    val withNull = Seq((1L, 10L, Some(1L)), (1L, 11L, None))
+      .toDF("qid", "doc", "rank")
+    for (bad <- Seq(zeroBased, withNull)) {
+      val e1 = intercept[Exception] {
+        Eval.precisionRecallAtK(bad, "qid", "doc", "rank",
+          truth, "qid", "doc", "rel", k = 2).collect()
+      }
+      assert(e1.getMessage.contains("1-based rank"))
+      val e2 = intercept[Exception] {
+        Eval.averagePrecisionAtK(bad, "qid", "doc", "rank",
+          truth, "qid", "doc", "rel", k = 2).collect()
+      }
+      assert(e2.getMessage.contains("1-based rank"))
+    }
+  }
+
   test("ndcgAtK judgment hygiene: duplicate (qid, doc) judgments " +
       "collapse to max rel (one dcg term, one ideal position) and " +
       "NULL-doc judgments are dropped, not idcg-inflating") {
