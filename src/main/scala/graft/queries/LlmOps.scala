@@ -4720,6 +4720,53 @@ object LlmOps {
         ${bm25OracleCtesOver("live")}
         SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
         FROM rk WHERE rn <= 5
+        ORDER BY qid, rank""")),
+
+    // Snapshot EXPORT parity — the reproducible-training-set freeze:
+    // the q227 store construction (evens, then odds, then a
+    // redaction of some evens), but instead of querying the source
+    // at asOf=0, the snapshot is EXPORTED to a new independent store
+    // (canonical single base, true batch ids, stats sidecar) and THE
+    // EXPORT is queried with no asOf at all. Must equal the batch
+    // operator over the even-docs corpus — the oracle knows nothing
+    // of stores, exports, or sidecars, so a snapshot that leaks the
+    // later ingest/redaction, double-carries a version into the
+    // supersede-free base read, or desyncs its sidecar is a wrong
+    // answer. (The source keeps serving its own latest view — the
+    // export is what survives the source compacting past the
+    // moment.)
+    "q235_snapshot_export_parity" -> Q(
+      fn = (s, dir) => {
+        import graft.streaming.Streaming
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-q235-src").toString
+        val snapDir = java.nio.file.Files
+          .createTempDirectory("graft-q235-snap").toString
+        val docs = Tables(s, dir, "documents")
+        Streaming.indexIngestBatch(
+          docs.filter(col("doc_id") % 2 === 0), 0L, storeDir,
+          "doc_id", "text", compactEvery = 0)
+        Streaming.indexIngestBatch(
+          docs.filter(col("doc_id") % 2 =!= 0), 1L, storeDir,
+          "doc_id", "text", compactEvery = 0)
+        Streaming.indexIngestBatch(
+          docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 17 === 3)
+            .select(col("doc_id"), lit(null).cast("string").as("text")),
+          2L, storeDir, "doc_id", "text", compactEvery = 0)
+        Streaming.snapshotIndexStore(s, storeDir, snapDir, asOf = 0L)
+        materializeAndClean(
+          Streaming.bm25FromIndex(s, snapDir, knownItemQueries(docs),
+              "qid", "qtext", k = 5, maxDocFreq = None)
+            .select(col("qid"), col("rank"), col("doc").as("doc_id"),
+              col("score"))
+            .orderBy("qid", "rank"),
+          storeDir, snapDir)
+      },
+      oracle = Some(s"""
+        WITH live AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        ${bm25OracleCtesOver("live")}
+        SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
+        FROM rk WHERE rn <= 5
         ORDER BY qid, rank"""))
   )
 }

@@ -564,29 +564,85 @@ object IngestStore extends org.apache.spark.internal.Logging {
       } else {
         val content =
           read(spark, path, dataSchema).filter(col("batch_id") < lit(upTo))
-        val kept = latestPerKey match {
-          case Some(key) =>
-            import org.apache.spark.sql.expressions.Window
-            content
-              .withColumn("__graft_latest", max(col("batch_id"))
-                .over(Window.partitionBy(col(key))))
-              .filter(col("batch_id") === col("__graft_latest"))
-              .drop("__graft_latest")
-          case None => content
-        }
-        val merged = reduce.fold(kept)(f => f(kept))
-        // NULL-predicate rows are NOT tombstones (erasure must be
-        // affirmative): a bare `filter(!p)` would drop them too,
-        // because !NULL is NULL and filter discards NULL
-        val purged = purge.fold(merged)(p =>
-          merged.filter(!coalesce(p, lit(false))))
-        val clustered =
-          if (sortBy.isEmpty) purged
-          else purged.sortWithinPartitions(sortBy.map(col): _*)
-        seedBase(spark, path, clustered, upTo) // commits boundary, GCs
+        seedBase(spark, path,
+          canonicalize(content, latestPerKey, reduce, purge, sortBy),
+          upTo) // commits boundary, GCs
         true
       }
     } else { gc(fs, root, b0); false } // replay/no-op: retry pending GC
+  }
+
+  /** The base-rewrite step shared by [[compact]] and [[snapshotStore]]:
+    * latest-per-key supersede, optional `reduce` merge, tombstone
+    * purge, then write-clustering — one spelling so a snapshot base
+    * and a compacted base can never diverge in canonical form. */
+  private def canonicalize(
+      content: DataFrame, latestPerKey: Option[String],
+      reduce: Option[DataFrame => DataFrame], purge: Option[Column],
+      sortBy: Seq[String]): DataFrame = {
+    val kept = latestPerKey match {
+      case Some(key) =>
+        import org.apache.spark.sql.expressions.Window
+        content
+          .withColumn("__graft_latest", max(col("batch_id"))
+            .over(Window.partitionBy(col(key))))
+          .filter(col("batch_id") === col("__graft_latest"))
+          .drop("__graft_latest")
+      case None => content
+    }
+    val merged = reduce.fold(kept)(f => f(kept))
+    // NULL-predicate rows are NOT tombstones (erasure must be
+    // affirmative): a bare `filter(!p)` would drop them too,
+    // because !NULL is NULL and filter discards NULL
+    val purged = purge.fold(merged)(p =>
+      merged.filter(!coalesce(p, lit(false))))
+    if (sortBy.isEmpty) purged
+    else purged.sortWithinPartitions(sortBy.map(col): _*)
+  }
+
+  /** Freeze the exactly-reconstructible snapshot `asOf` of the store
+    * at `srcPath` into a NEW, independent store at `dstPath` — the
+    * training-set EXPORT: a frozen corpus a training run can cite and
+    * replay while the source keeps ingesting and compacting past the
+    * moment ([[asOfHorizon]] warns when a pinned asOf is about to
+    * erode; this removes the store's own lifecycle from the equation
+    * entirely). The destination is a canonical single-base store with
+    * boundary `asOf + 1`: TRUE batch ids `<= asOf` are preserved
+    * (its own [[asOfHorizon]] is exactly `(asOf, asOf)`), and the
+    * same supersede/purge/clustering [[compact]] applies make it
+    * indistinguishable from a store that ingested batches
+    * `[0, asOf]` and fully compacted — REQUIRED, not cosmetic: a
+    * seeded base must hold one version per key because the
+    * fully-compacted read path skips the supersede window
+    * ([[readAsOf]] itself returns all versions and relies on the
+    * query layer to supersede, which a bare re-seed would break).
+    *
+    * Validity window and refusals are [[readAsOf]]'s
+    * ([[validateAsOf]]); the destination must be EMPTY (a torn
+    * snapshot cannot be resumed — delete it and re-run, the source
+    * never moved: the migrateEmbStore crash contract). The source is
+    * read-only throughout. Store-specific sidecars (BM25 stats,
+    * centroid models) are the wrappers' job —
+    * [[graft.streaming.Streaming.snapshotIndexStore]] /
+    * [[graft.streaming.Streaming.snapshotEmbStore]]. */
+  def snapshotStore(
+      spark: SparkSession, srcPath: String, dstPath: String,
+      dataSchema: StructType, asOf: Long,
+      latestPerKey: Option[String] = None,
+      purge: Option[Column] = None,
+      sortBy: Seq[String] = Nil): Unit = {
+    require(purge.isEmpty || latestPerKey.isDefined,
+      s"snapshotStore($dstPath): purge without latestPerKey would " +
+        "resurrect the rows the purged tombstones supersede")
+    require(
+      sliceIds(spark, dstPath).isEmpty && boundary(spark, dstPath) == 0L,
+      s"snapshotStore: target $dstPath is not empty — a torn " +
+        "snapshot cannot be resumed; delete it and re-run (the " +
+        "source store never moved)")
+    val rows = readAsOf(spark, srcPath, dataSchema, asOf)
+    seedBase(spark, dstPath,
+      canonicalize(rows, latestPerKey, None, purge, sortBy),
+      upTo = asOf + 1)
   }
 
   /** Write `rows` (data columns + a true `batch_id` column, all ids

@@ -1205,6 +1205,51 @@ object Streaming {
     did
   }
 
+  /** Freeze the retrieval index's snapshot `asOf` into a NEW store —
+    * [[IngestStore.snapshotStore]] with the index store's canonical
+    * form (latest-per-doc, tombstone purge, token clustering) plus
+    * the BM25 stats sidecar written over the frozen base, so queries
+    * against the export are sidecar-served from the first read. The
+    * export then answers [[bm25FromIndex]] (no asOf) bit-identically
+    * to `bm25FromIndex(srcPath, ..., asOf = Some(asOf))` — but keeps
+    * answering it after the source compacts past the moment
+    * (reproducible-training-set freeze; spec-pinned). Target must be
+    * empty; torn exports are deleted and re-run (the source is
+    * read-only throughout). */
+  def snapshotIndexStore(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, asOf: Long): Unit = {
+    IngestStore.snapshotStore(spark, srcPath, dstPath, postingsSchema,
+      asOf, latestPerKey = Some("doc"),
+      purge = Some(col("token").isNull), sortBy = Seq("token"))
+    writeBm25Stats(spark, dstPath)
+  }
+
+  /** [[snapshotIndexStore]] for the embedding store: the frozen base
+    * (latest-per-vec, null-vector purge, cell clustering) plus a COPY
+    * of the source's centroid model — a snapshot deliberately
+    * PRESERVES the model (stored cell assignments are
+    * model-dependent; the frozen rows carry the source model's
+    * cells), where [[migrateEmbStore]] deliberately RETRAINS into
+    * fresh assignments. Model lands AFTER the base, so a torn export
+    * is a base without a model — [[annFromStore]] refuses loudly
+    * rather than serving a silently partial snapshot; delete and
+    * re-run. A source still before its first trained batch (no
+    * model, only tombstone slices) snapshots without a model. */
+  def snapshotEmbStore(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, asOf: Long): Unit = {
+    require(readCentroids(spark, dstPath).isEmpty,
+      s"snapshotEmbStore: target $dstPath already carries a centroid " +
+        "model — a torn snapshot cannot be resumed; delete it and " +
+        "re-run")
+    IngestStore.snapshotStore(spark, srcPath, dstPath, embSchema,
+      asOf, latestPerKey = Some("vec"),
+      purge = Some(col("v").isNull), sortBy = Seq("cell"))
+    readCentroids(spark, srcPath)
+      .foreach(m => writeCentroids(spark, dstPath, m))
+  }
+
   /** [[indexEraseNow]] for the embedding store: force the compaction
     * whose purge physically drops null-vector redaction tombstones
     * (and the superseded vector payloads) at the current contiguous

@@ -632,6 +632,40 @@ class IngestStoreSpec extends SparkSpec {
     assert(left === Set(1L, 2L))
   }
 
+  test("snapshotStore: the export is a canonical single-base store " +
+      "with TRUE batch ids and horizon (asOf, asOf); supersede+purge " +
+      "apply (one version per key, tombstones gone); purge without " +
+      "latestPerKey refuses; the source is untouched") {
+    val src = tmp("graft-snapstore-src")
+    val schema = Seq((0L, Option("x"))).toDF("id", "payload").schema
+    Streaming.writeBatch(Seq((1L, Option("one")), (2L, Option("two")))
+      .toDF("id", "payload"), src, "parquet", 0L)
+    Streaming.writeBatch(Seq((1L, Option("one v2")),
+      (3L, Option.empty[String])).toDF("id", "payload"),
+      src, "parquet", 1L)
+    Streaming.writeBatch(Seq((2L, Option("two v3")))
+      .toDF("id", "payload"), src, "parquet", 2L)
+    val dst = tmp("graft-snapstore-dst")
+    intercept[IllegalArgumentException] {
+      IngestStore.snapshotStore(spark, src, dst, schema, asOf = 1L,
+        purge = Some(col("payload").isNull))
+    }
+    IngestStore.snapshotStore(spark, src, dst, schema, asOf = 1L,
+      latestPerKey = Some("id"), purge = Some(col("payload").isNull))
+    // batch 2 excluded; id 1 superseded to its v2 with TRUE batch id
+    // 1; id 3's tombstone purged outright
+    val content = IngestStore.read(spark, dst, schema)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getString(1)),
+        r.getLong(2))).toSet
+    assert(content === Set((1L, Some("one v2"), 1L),
+      (2L, Some("two"), 0L)))
+    assert(IngestStore.asOfHorizon(spark, dst) === Some((1L, 1L)))
+    // the source never moved: all three slices, boundary 0
+    assert(IngestStore.boundary(spark, src) === 0L)
+    assert(IngestStore.sliceIds(spark, src).sorted === Seq(0L, 1L, 2L))
+  }
+
   test("compact skips (not wedges) over a coverage hole; resumes when healed") {
     val dir = tmp("graft-hole")
     val schema = Seq((0L, "x")).toDF("id", "text").schema

@@ -986,6 +986,95 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(2L))
   }
 
+  test("snapshotIndexStore/snapshotEmbStore: the export answers the " +
+      "pinned moment bit-identically, KEEPS answering after the " +
+      "source compacts past it (readAsOf there now refuses), " +
+      "preserves the emb model, purges tombstones, and refuses a " +
+      "non-empty target") {
+    import spark.implicits._
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val src = tmp("graft-snap-src")
+    val b0 = Seq((2L, "alpha beta"), (4L, "gamma delta"))
+    val b1 = Seq((1L, "alpha zeta"), (3L, "beta eta"))
+    val b2 = Seq((2L, null.asInstanceOf[String])) // redact an even
+    Seq((b0, 0L), (b1, 1L), (b2, 2L)).foreach { case (rows, id) =>
+      Streaming.indexIngestBatch(rows.toDF("doc_id", "text"), id,
+        src, "doc_id", "text", compactEvery = 0)
+    }
+    val qs = Seq((9L, "alpha beta"), (8L, "gamma zeta"))
+      .toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val pinned = rows(Streaming.bm25FromIndex(spark, src, qs,
+      "qid", "qtext", k = 5, maxDocFreq = None, asOf = Some(0L)))
+    val snap = tmp("graft-snap-dst")
+    Streaming.snapshotIndexStore(spark, src, snap, asOf = 0L)
+    // the export IS the pinned moment — no asOf needed, sidecar
+    // covers its boundary, horizon collapses to the frozen instant
+    assert(rows(Streaming.bm25FromIndex(spark, snap, qs,
+      "qid", "qtext", k = 5, maxDocFreq = None)) === pinned)
+    assert(IngestStore.asOfHorizon(spark, snap) === Some((0L, 0L)))
+    assert(scala.io.Source.fromFile(s"$snap/_stats_committed")
+      .mkString.trim === "1")
+    // a torn/re-run export refuses a non-empty target
+    val e = intercept[IllegalArgumentException] {
+      Streaming.snapshotIndexStore(spark, src, snap, asOf = 0L)
+    }
+    assert(e.getMessage.contains("not empty"))
+    // source compacts PAST the moment: its own asOf=0 erodes
+    // (readAsOf refuses), the export keeps answering — the point
+    Streaming.indexEraseNow(spark, src)
+    intercept[IllegalArgumentException] {
+      IngestStore.readAsOf(spark, src,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("token",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tf",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("len",
+            org.apache.spark.sql.types.LongType))), 0L).collect()
+    }
+    assert(rows(Streaming.bm25FromIndex(spark, snap, qs,
+      "qid", "qtext", k = 5, maxDocFreq = None)) === pinned)
+
+    // embedding store: model PRESERVED (same cells, same answers),
+    // tombstones purged from the frozen base
+    val esrc = tmp("graft-snap-esrc")
+    Streaming.embIngestBatch(
+      Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+        (7L, null.asInstanceOf[Seq[Double]]))
+        .toDF("vec_id", "embedding"), 0L, esrc,
+      "vec_id", "embedding", nCells = 2, compactEvery = 0)
+    Streaming.embIngestBatch(
+      Seq((3L, Seq(-1.0, 0.2))).toDF("vec_id", "embedding"), 1L, esrc,
+      "vec_id", "embedding", nCells = 2, compactEvery = 0)
+    val vq = Seq((9L, Seq(1.0, 0.1))).toDF("vec_id", "embedding")
+    def ann(dir: String, asOf: Option[Long]) =
+      Streaming.annFromStore(spark, dir, vq, "vec_id", "embedding",
+          k = 3, nProbe = 2, asOf = asOf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val epin = ann(esrc, Some(0L))
+    val esnap = tmp("graft-snap-edst")
+    Streaming.snapshotEmbStore(spark, esrc, esnap, asOf = 0L)
+    assert(ann(esnap, None) === epin)
+    // vec 7's tombstone left zero bytes in the export
+    assert(spark.read.option("basePath", esnap).parquet(esnap)
+      .filter(col("vec") === 7L).count() === 0L)
+    // the model files are a byte-copy in behavior: identical probes
+    // at nProbe=1 (cell routing depends only on the model)
+    assert(Streaming.annFromStore(spark, esnap, vq, "vec_id",
+        "embedding", k = 1, nProbe = 1).collect().map(_.getLong(2))
+      .toSeq ===
+      Streaming.annFromStore(spark, esrc, vq, "vec_id",
+        "embedding", k = 1, nProbe = 1, asOf = Some(0L))
+        .collect().map(_.getLong(2)).toSeq)
+  }
+
   test("indexIngest: crash AT a compaction batch — restart re-delivers " +
       "through the checkpoint and the store converges to the " +
       "uninterrupted run (supersede folded by the compaction)") {
