@@ -1916,6 +1916,37 @@ object LlmOps {
 
   /** q121/q122 live in a second map only to keep [[defs]] under the
     * Scala 2.13 large-literal-method limits as the surface grows. */
+  /** The evens/odds/redaction index-store fixture shared by the
+    * as-of gate (q227) and the snapshot-export gate (q235): batch 0
+    * = even docs, batch 1 = odd docs, batch 2 = a null-text REDACTION
+    * of the 17-residue evens — an asOf=0 view must hide both the
+    * later ingest AND the later redaction while the store physically
+    * holds them. ONE spelling (with its matching oracle corpus
+    * [[evenCorpusOracleSql]]) so the two gates can never drift into
+    * testing different stores. */
+  private def evensOddsRedactionStore(
+      docs: org.apache.spark.sql.DataFrame, storeDir: String): Unit = {
+    import graft.streaming.Streaming
+    Streaming.indexIngestBatch(
+      docs.filter(col("doc_id") % 2 === 0), 0L, storeDir,
+      "doc_id", "text", compactEvery = 0)
+    Streaming.indexIngestBatch(
+      docs.filter(col("doc_id") % 2 =!= 0), 1L, storeDir,
+      "doc_id", "text", compactEvery = 0)
+    Streaming.indexIngestBatch(
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 17 === 3)
+        .select(col("doc_id"), lit(null).cast("string").as("text")),
+      2L, storeDir, "doc_id", "text", compactEvery = 0)
+  }
+
+  /** The oracle over [[evensOddsRedactionStore]]'s asOf=0 corpus. */
+  private val evenCorpusOracleSql: String = s"""
+        WITH live AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        ${bm25OracleCtesOver("live")}
+        SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
+        FROM rk WHERE rn <= 5
+        ORDER BY qid, rank"""
+
   val defs2: Map[String, Q] = Map(
 
     // ------------------------------------------------------------------
@@ -4284,16 +4315,7 @@ object LlmOps {
         val storeDir = java.nio.file.Files
           .createTempDirectory("graft-q227-idx").toString
         val docs = Tables(s, dir, "documents")
-        Streaming.indexIngestBatch(
-          docs.filter(col("doc_id") % 2 === 0), 0L, storeDir,
-          "doc_id", "text", compactEvery = 0)
-        Streaming.indexIngestBatch(
-          docs.filter(col("doc_id") % 2 =!= 0), 1L, storeDir,
-          "doc_id", "text", compactEvery = 0)
-        Streaming.indexIngestBatch(
-          docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 17 === 3)
-            .select(col("doc_id"), lit(null).cast("string").as("text")),
-          2L, storeDir, "doc_id", "text", compactEvery = 0)
+        evensOddsRedactionStore(docs, storeDir)
         materializeAndClean(
           Streaming.bm25FromIndex(s, storeDir, knownItemQueries(docs),
               "qid", "qtext", k = 5, maxDocFreq = None, asOf = Some(0L))
@@ -4302,12 +4324,7 @@ object LlmOps {
             .orderBy("qid", "rank"),
           storeDir)
       },
-      oracle = Some(s"""
-        WITH live AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-        ${bm25OracleCtesOver("live")}
-        SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
-        FROM rk WHERE rn <= 5
-        ORDER BY qid, rank""")),
+      oracle = Some(evenCorpusOracleSql)),
 
     // Graded-relevance retrieval eval: nDCG@10 over q217's retrieval
     // with a two-level synthetic judgment set (the known item at
@@ -4743,16 +4760,7 @@ object LlmOps {
         val snapDir = java.nio.file.Files
           .createTempDirectory("graft-q235-snap").toString
         val docs = Tables(s, dir, "documents")
-        Streaming.indexIngestBatch(
-          docs.filter(col("doc_id") % 2 === 0), 0L, storeDir,
-          "doc_id", "text", compactEvery = 0)
-        Streaming.indexIngestBatch(
-          docs.filter(col("doc_id") % 2 =!= 0), 1L, storeDir,
-          "doc_id", "text", compactEvery = 0)
-        Streaming.indexIngestBatch(
-          docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 17 === 3)
-            .select(col("doc_id"), lit(null).cast("string").as("text")),
-          2L, storeDir, "doc_id", "text", compactEvery = 0)
+        evensOddsRedactionStore(docs, storeDir)
         Streaming.snapshotIndexStore(s, storeDir, snapDir, asOf = 0L)
         materializeAndClean(
           Streaming.bm25FromIndex(s, snapDir, knownItemQueries(docs),
@@ -4762,12 +4770,7 @@ object LlmOps {
             .orderBy("qid", "rank"),
           storeDir, snapDir)
       },
-      oracle = Some(s"""
-        WITH live AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-        ${bm25OracleCtesOver("live")}
-        SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
-        FROM rk WHERE rn <= 5
-        ORDER BY qid, rank"""))
+      oracle = Some(evenCorpusOracleSql))
   )
 }
 

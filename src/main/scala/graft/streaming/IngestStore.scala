@@ -624,16 +624,27 @@ object IngestStore extends org.apache.spark.internal.Logging {
     * read-only throughout. Store-specific sidecars (BM25 stats,
     * centroid models) are the wrappers' job —
     * [[graft.streaming.Streaming.snapshotIndexStore]] /
-    * [[graft.streaming.Streaming.snapshotEmbStore]]. */
+    * [[graft.streaming.Streaming.snapshotEmbStore]].
+    *
+    * Pass the SAME `latestPerKey`/`reduce`/`purge`/`sortBy` hooks the
+    * store's own compaction cadence uses — the identical contract a
+    * direct [[compact]] call carries (the hooks ARE the store's
+    * semantic contract; this API cannot infer them): omitting a
+    * supersede hook the source compacts with seeds a multi-version
+    * base that the fully-compacted read path (which rightly skips the
+    * supersede window) would then double-read. The wrappers above
+    * encode the right hooks for the two query stores. */
   def snapshotStore(
       spark: SparkSession, srcPath: String, dstPath: String,
       dataSchema: StructType, asOf: Long,
       latestPerKey: Option[String] = None,
+      reduce: Option[DataFrame => DataFrame] = None,
       purge: Option[Column] = None,
       sortBy: Seq[String] = Nil): Unit = {
-    require(purge.isEmpty || latestPerKey.isDefined,
-      s"snapshotStore($dstPath): purge without latestPerKey would " +
-        "resurrect the rows the purged tombstones supersede")
+    require(purge.isEmpty || latestPerKey.isDefined || reduce.isDefined,
+      s"snapshotStore($dstPath): purge without a supersede mechanism " +
+        "(latestPerKey/reduce) would resurrect the rows the purged " +
+        "tombstones supersede")
     require(
       sliceIds(spark, dstPath).isEmpty && boundary(spark, dstPath) == 0L,
       s"snapshotStore: target $dstPath is not empty — a torn " +
@@ -641,7 +652,7 @@ object IngestStore extends org.apache.spark.internal.Logging {
         "source store never moved)")
     val rows = readAsOf(spark, srcPath, dataSchema, asOf)
     seedBase(spark, dstPath,
-      canonicalize(rows, latestPerKey, None, purge, sortBy),
+      canonicalize(rows, latestPerKey, reduce, purge, sortBy),
       upTo = asOf + 1)
   }
 

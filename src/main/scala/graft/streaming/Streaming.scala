@@ -1215,13 +1215,28 @@ object Streaming {
     * answering it after the source compacts past the moment
     * (reproducible-training-set freeze; spec-pinned). Target must be
     * empty; torn exports are deleted and re-run (the source is
-    * read-only throughout). */
+    * read-only throughout) — with ONE healable exception: a crash
+    * BETWEEN the base's boundary commit and the stats write leaves a
+    * complete base missing only its sidecar, and unlike a live store
+    * no per-batch marker check ever runs on a static export to heal
+    * it (queries would silently fall back to deriving df/N/avgdl
+    * forever — correct at exactly the cost the export exists to
+    * avoid). A re-run that finds the export's own committed base
+    * (boundary `asOf + 1`, no slices) with a non-covering stats
+    * marker completes the sidecar instead of refusing — the export
+    * content is deterministic, so the healed result equals the
+    * uninterrupted run (spec-pinned). */
   def snapshotIndexStore(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String, asOf: Long): Unit = {
-    IngestStore.snapshotStore(spark, srcPath, dstPath, postingsSchema,
-      asOf, latestPerKey = Some("doc"),
-      purge = Some(col("token").isNull), sortBy = Seq("token"))
+    val tornSidecar =
+      IngestStore.boundary(spark, dstPath) == asOf + 1 &&
+        IngestStore.sliceIds(spark, dstPath).isEmpty &&
+        bm25StatsBoundary(spark, dstPath) != asOf + 1
+    if (!tornSidecar)
+      IngestStore.snapshotStore(spark, srcPath, dstPath, postingsSchema,
+        asOf, latestPerKey = Some("doc"),
+        purge = Some(col("token").isNull), sortBy = Seq("token"))
     writeBm25Stats(spark, dstPath)
   }
 

@@ -1023,6 +1023,33 @@ class StreamingSpec extends SparkSpec {
       Streaming.snapshotIndexStore(spark, src, snap, asOf = 0L)
     }
     assert(e.getMessage.contains("not empty"))
+    // ...EXCEPT the one healable torn state: base committed, stats
+    // sidecar never written (crash between the two) — a re-run
+    // completes the sidecar instead of refusing, and the healed
+    // export serves identically to the uninterrupted one
+    val torn = tmp("graft-snap-torn")
+    IngestStore.snapshotStore(spark, src, torn,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tf",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("len",
+          org.apache.spark.sql.types.LongType))), asOf = 0L,
+      latestPerKey = Some("doc"),
+      purge = Some(col("token").isNull), sortBy = Seq("token"))
+    assert(!new java.io.File(s"$torn/_stats_committed").exists)
+    Streaming.snapshotIndexStore(spark, src, torn, asOf = 0L) // heals
+    assert(scala.io.Source.fromFile(s"$torn/_stats_committed")
+      .mkString.trim === "1")
+    assert(rows(Streaming.bm25FromIndex(spark, torn, qs,
+      "qid", "qtext", k = 5, maxDocFreq = None)) === pinned)
+    // a COMPLETE export (marker covers the boundary) still refuses
+    intercept[IllegalArgumentException] {
+      Streaming.snapshotIndexStore(spark, src, torn, asOf = 0L)
+    }
     // source compacts PAST the moment: its own asOf=0 erodes
     // (readAsOf refuses), the export keeps answering — the point
     Streaming.indexEraseNow(spark, src)
