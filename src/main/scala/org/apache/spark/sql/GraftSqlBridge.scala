@@ -54,4 +54,10 @@ object GraftSqlBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.tableFunctionRegistry.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** Dev-tool hook ([[graft.Profile]]): block until queued listener
+    * events have been delivered, so metrics accumulated by a custom
+    * SparkListener are complete when read right after an action. */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
