@@ -38,13 +38,37 @@ object Graphs {
       minShared: Long = 1L,
       maxLeftDegree: Option[Int] = None): DataFrame = {
     val r = dedupedRel(rel, leftCol, rightCol, maxLeftDegree)
-    val x = r.select(col("l"), col("r").as("a"))
+    val p = explosiveJoinPartitions(rel)
+    // explicit cores-derived partition count on BOTH join inputs (see
+    // [[explosiveJoinPartitions]]): the pair join fans out C(d,2) rows
+    // per left entity from a byte-slim input, exactly the shape AQE's
+    // byte-based coalescing under-parallelizes
+    val x = r.select(col("l"), col("r").as("a")).repartition(p, col("l"))
     val y = r.select(col("l").as("__l"), col("r").as("b"))
+      .repartition(p, col("__l"))
     x.join(y, col("l") === col("__l") && col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Partition count for a CPU-EXPLOSIVE equi-join (guide §2.5/§2.2):
+    * a self-join whose per-key fan-out is quadratic in key frequency
+    * (wedge generation, pair generation) produces orders of magnitude
+    * more CPU per input byte than a plain join, so AQE's byte-based
+    * partition coalescing — correct for byte-bound shuffles — collapses
+    * its few-MB input to one or two partitions and serializes minutes
+    * of join CPU onto one core (measured: q199's wedge join ran as ONE
+    * task, 75 s of a 88 s query). An EXPLICIT numPartitions on the
+    * join-key repartition opts the exchange out of AQE coalescing
+    * (REPARTITION_BY_NUM origin) without adding an exchange — the join
+    * needed the hash distribution anyway. Cores-derived, so it is
+    * cluster-adaptive rather than tuned to any one box; per-key skew
+    * is bounded by the callers' own contracts (degree-ordered
+    * orientation caps wedge keys at O(√m); the hub cap bounds pair
+    * keys). */
+  private def explosiveJoinPartitions(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
 
   /** The shared (l, r)-distinct + hub-cap step of [[coOccurrence]] and
     * [[adamicAdar]]. Columns renamed to (l, r) so self-joins downstream
@@ -96,8 +120,11 @@ object Graphs {
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val deg = e.select(col("u").as("id"))
-      .unionAll(e.select(col("v").as("id")))
+    // explode(array(u, v)) rather than unionAll of two projections:
+    // a union's branches are DISTINCT subtrees after column pruning, so
+    // the upstream distinct would run once PER BRANCH (no exchange
+    // reuse) — explode evaluates the edge set once
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
       .localCheckpoint(true) // consumed 3× (two orientation joins + output)
     // orient along the (degree, id) total order; carry the head's rank
@@ -112,9 +139,16 @@ object Graphs {
         when(uFirst, col("v")).otherwise(col("u")).as("dst"),
         when(uFirst, col("__dv")).otherwise(col("__du")).as("ddeg"))
       .localCheckpoint(true) // consumed 3× (both wedge sides + closure)
+    // the wedge join is the kernel's explosive step — Σ C(outdeg,2)
+    // output rows from an |E|-row input — so both sides carry an
+    // explicit cores-derived partition count ([[explosiveJoinPartitions]]
+    // rationale; measured 75 s single-task → seconds across cores)
+    val p = explosiveJoinPartitions(edges)
     val e1 = dirE.select(col("src"), col("dst").as("y"), col("ddeg").as("__dy"))
+      .repartition(p, col("src"))
     val e2 = dirE.select(col("src").as("__s"), col("dst").as("z"),
       col("ddeg").as("__dz"))
+      .repartition(p, col("__s"))
     val wedge = e1.join(e2,
       col("src") === col("__s") &&
         (col("__dy") < col("__dz") ||
@@ -123,9 +157,14 @@ object Graphs {
       dirE.select(col("src").as("__cs"), col("dst").as("__cd")),
       col("y") === col("__cs") && col("z") === col("__cd"))
       .select(col("src"), col("y"), col("z"))
-    val corners = tri.select(col("src").as("id"))
-      .unionAll(tri.select(col("y").as("id")))
-      .unionAll(tri.select(col("z").as("id")))
+    // ONE evaluation of the wedge+closure pipeline: the previous
+    // unionAll of three per-corner projections made the Union's
+    // branches three distinct subtrees (column pruning differs per
+    // branch, so no exchange reuse applies) and the measured plan ran
+    // the explosive join THREE times — explode(array(...)) counts all
+    // three corners from a single pass
+    val corners = tri
+      .select(explode(array(col("src"), col("y"), col("z"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("__n"))
     deg.join(corners, Seq("id"), "left")
       .select(col("id"), col("degree"),
@@ -173,8 +212,12 @@ object Graphs {
     val r = dedupedRel(rel, leftCol, rightCol, maxLeftDegree)
       .localCheckpoint(true) // consumed 3× (degree agg + both join sides)
     val ldeg = r.groupBy(col("l")).agg(count(lit(1)).as("__ld"))
-    val x = r.select(col("l"), col("r").as("a"))
+    // same explosive pair-join shape as [[coOccurrence]] — explicit
+    // cores-derived partitioning (see [[explosiveJoinPartitions]])
+    val p = explosiveJoinPartitions(rel)
+    val x = r.select(col("l"), col("r").as("a")).repartition(p, col("l"))
     val y = r.select(col("l").as("__l"), col("r").as("b"))
+      .repartition(p, col("__l"))
     x.join(y, col("l") === col("__l") && col("a") < col("b"))
       .join(ldeg, Seq("l"))
       .groupBy(col("a"), col("b"))
