@@ -172,8 +172,13 @@ object Dedup {
   /** Candidate pairs from any (k, id) candidate index: equi-join on the
     * derived key, ordered ids, deduped. */
   private def candidatePairs(candIndex: DataFrame): DataFrame = {
+    // same explosive self-join shape as [[candidatePairsJaccard]] —
+    // explicit cores-derived partitioning (rationale there)
+    val p = candIndex.sparkSession.sparkContext.defaultParallelism
     val a = candIndex.select(col("k"), col("id").as("a_id"))
+      .repartition(p, col("k"))
     val b = candIndex.select(col("k"), col("id").as("b_id"))
+      .repartition(p, col("k"))
     a.join(b, Seq("k"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
@@ -220,10 +225,20 @@ object Dedup {
   private def candidatePairsJaccard(
       prefix: DataFrame, threshold: Double): DataFrame = {
     val ts = math.max(0.0, threshold - 0.001)
+    // explicit cores-derived partitioning on the self-join key: the
+    // candidate join fans out df(k)² rows per prefix key from a
+    // byte-slim input, the explosive-join shape AQE's byte-based
+    // coalescing under-parallelizes (the [[graft.operators.Graphs]]
+    // wedge-join finding: a 75 s single-task join; REPARTITION_BY_NUM
+    // opts out of coalescing without adding an exchange the join did
+    // not already need, and defaultParallelism stays cluster-adaptive)
+    val p = prefix.sparkSession.sparkContext.defaultParallelism
     val a = prefix.select(col("k"), col("id").as("a_id"),
       col("sz").as("a_sz"), col("rn").as("a_rn"))
+      .repartition(p, col("k"))
     val b = prefix.select(col("k"), col("id").as("b_id"),
       col("sz").as("b_sz"), col("rn").as("b_rn"))
+      .repartition(p, col("k"))
     a.join(b, Seq("k"))
       .filter(col("a_id") < col("b_id") &&
         col("a_sz") >= lit(ts) * col("b_sz") &&
@@ -301,8 +316,20 @@ object Dedup {
       if (charLevel && maxDocFreq.isEmpty && maxDocFreqRatio.isEmpty)
         Some(0.15)
       else maxDocFreqRatio
+    // materialized ONCE: the index lineage (tokenize + explode + hash,
+    // the kernel's per-row hot path) is consumed by subtrees with
+    // DIFFERENT partitionings — the df ledger + ranking (hash(k)) and
+    // the verify side's per-doc sets (hash(id)) — so ReuseExchange
+    // cannot share them and the explode re-ran per consumer. The same
+    // measurement that makes the streaming path write its batch index
+    // to parquet before querying it ("measured ~2x on the parity
+    // gate"); here an executor-local checkpoint does the same job
+    // inside one query. |index| = corpus gram rows — the size class
+    // the streaming store already materializes; spills to disk under
+    // MEMORY_AND_DISK at scale.
     val index =
       shingleIndex(df, idCol, textCol, n, partitionCol, charLevel, spread)
+        .localCheckpoint(true)
     // the relative df-cap's corpus count, computed on DOC-level rows
     // (one scan of df, no explode): distinct non-null ids with >= 1
     // shingle — exactly the ids the exploded index contains

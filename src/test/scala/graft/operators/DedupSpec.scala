@@ -352,11 +352,17 @@ class DedupSpec extends SparkSpec {
     // exchange, so its marker pins the flag's plan effect exactly
     def rr(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning")
-    val on = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
-      Some("lang"))
+    // the Jaccard path eagerly checkpoints its index, so the final
+    // plan's leaves hide the scan — pin the flag on the index lineage
+    // (where the spread exchange lives), and pin the END-TO-END plan's
+    // round-robin absence for spread=false below
+    val idxOn = Dedup.shingleIndex(docs, "doc_id", "text", 3, Some("lang"))
+    val idxOff = Dedup.shingleIndex(docs, "doc_id", "text", 3, Some("lang"),
+      spread = false)
+    assert(rr(idxOn), "spread=true must round-robin the scan")
+    assert(!rr(idxOff), "spread=false must not add any round-robin exchange")
     val off = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
       Some("lang"), spread = false)
-    assert(rr(on), "spread=true must round-robin the scan")
     assert(!rr(off), "spread=false must not add any round-robin exchange")
     assert(!rr(Dedup.simhashPairs(docs, "doc_id", "text", spread = false)))
     assert(!rr(Dedup.winnowingPairs(docs, "doc_id", "text", spread = false)))
