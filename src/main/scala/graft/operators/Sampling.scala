@@ -1008,8 +1008,21 @@ object Sampling {
       outCol: String = "ensemble_pr", nBuckets: Int = 32): DataFrame = {
     require(signalCols.nonEmpty, "at least one signal column required")
     val tagged = df.withColumn("__one", lit("")).localCheckpoint(true)
+    // each fold step is ALSO materialized (and its predecessor
+    // released — the PageRank loop discipline): signal k's rank pass
+    // consumes its input three times (boundary sample, bucket tagging,
+    // offset ledger), so an unmaterialized fold re-executes signal
+    // k−1's join lineage ~3× per later signal — measured as 27 serial
+    // single-task jobs on the 3-signal ensemble (q139), pure driver
+    // latency. With per-step leaves the job count is linear in k.
+    def ckRdd(d: DataFrame) =
+      d.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
     val withPrs = signalCols.foldLeft(tagged) { (acc, s) =>
-      scoreRankPerStratum(acc, "__one", s, tieCol, s"__pr_$s", nBuckets)
+      val next = scoreRankPerStratum(acc, "__one", s, tieCol,
+        s"__pr_$s", nBuckets).localCheckpoint(true)
+      ckRdd(acc).foreach(_.unpersist(blocking = false))
+      next
     }
     withPrs
       .withColumn(outCol,
