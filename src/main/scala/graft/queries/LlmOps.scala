@@ -2446,11 +2446,16 @@ object LlmOps {
     "q175_source_mirror_matrix" -> Q(
       fn = (s, dir) => {
         import graft.operators.Graphs
+        // native single-pass shingle kernel, not the HOF
+        // transform/slice spelling (which re-evaluates the full split
+        // per position — O(len²) per doc; the [[graft.functions
+        // .TextFunctions.wordShingles]] scaladoc measurement).
+        // wordShingles is per-doc DISTINCT where the HOF kept
+        // duplicates, but coOccurrence's dedupedRel distincts the
+        // (gram, source) relation anyway — identical pairs, gated.
         val rel = Tables(s, dir, "documents")
-          .select(col("source"), explode(expr(
-            """transform(sequence(0, size(split(`text`, ' ')) - 5),
-                 i -> array_join(slice(split(`text`, ' '), i + 1, 5),
-                                 ' '))""")).as("g"))
+          .select(col("source"),
+            explode(T.wordShingles(col("text"), 5)).as("g"))
         Graphs.coOccurrence(rel, "g", "source",
             minShared = 1L, maxLeftDegree = Some(10))
           .select(col("a").as("s_a"), col("b").as("s_b"),
