@@ -37,10 +37,15 @@ object Profile {
     @volatile var shufRead = 0L
     @volatile var spill = 0L
     val jobStarts = mutable.Map[Int, Long]()
+    val jobSites = mutable.Map[Int, String]()
     val jobWall = mutable.ArrayBuffer[(Int, Long)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1; jobStarts(js.jobId) = js.time }
+        synchronized {
+          jobs += 1; jobStarts(js.jobId) = js.time
+          jobSites(js.jobId) = Option(
+            js.properties.getProperty("callSite.short")).getOrElse("?")
+        }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         synchronized {
           jobStarts.remove(je.jobId).foreach(t0 =>
@@ -82,12 +87,18 @@ object Profile {
       // drain listener events before reading counters
       org.apache.spark.sql.GraftSqlBridge.waitListenerBus(spark)
       val slowest = jobWall.sortBy(-_._2).take(8)
-        .map { case (id, ms) => s"j$id=${ms}ms" }.mkString(" ")
+        .map { case (id, ms) =>
+          s"j$id=${ms}ms[${jobSites.getOrElse(id, "?")}]" }.mkString(" ")
+      val bySite = jobWall.groupBy(j => jobSites.getOrElse(j._1, "?"))
+        .map { case (s, js) => (s, js.size, js.map(_._2).sum) }
+        .toSeq.sortBy(-_._3).take(10)
+        .map { case (s, n, ms) => s"$s n=$n ${ms}ms" }.mkString(" | ")
       println(f"[profile] $name%-38s wall=$wall%7.2fs jobs=$jobs%3d " +
         f"stages=$stages%4d tasks=$tasks%5d taskTime=${taskMs / 1000.0}%8.1fs " +
         f"shufW=${shufWrite / 1e6}%8.1fMB shufR=${shufRead / 1e6}%8.1fMB " +
         f"spill=${spill / 1e6}%6.1fMB")
       println(s"[profile]   slowest jobs: $slowest")
+      println(s"[profile]   by callsite: $bySite")
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()

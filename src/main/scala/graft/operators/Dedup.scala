@@ -725,10 +725,17 @@ object Dedup {
       else maxDocFreqRatio
     val oldOnly = oldDf.join(
       newDf.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+    // both indexes materialized once (the [[ngramJaccardPairs]]
+    // argument): the candidate path consumes them under hash(k), the
+    // verify path under hash(id), so ReuseExchange cannot share the
+    // tokenize+explode lineage between them — and the streaming path's
+    // parquet-backed indexes get exactly this for free
     val ni =
       shingleIndex(newDf, idCol, textCol, n, partitionCol, charLevel, spread)
+        .localCheckpoint(true)
     val oi =
       shingleIndex(oldOnly, idCol, textCol, n, partitionCol, charLevel, spread)
+        .localCheckpoint(true)
     incrementalJaccardPairsIndexed(ni, oi, threshold, maxDocFreq, ratio,
       oldMaxDocFreq = oldMaxDocFreq)
   }
@@ -793,8 +800,14 @@ object Dedup {
           kdf.filter(col("__odf") <= cap).select(col("k")), Seq("k"))
       case None => oi
     }
+    // same explosive-join discipline as [[candidatePairsJaccard]]:
+    // new×old candidate fan-out is df_new(k)·df_old(k) per key from a
+    // byte-slim input — explicit cores-derived partitioning
+    val p = ni.sparkSession.sparkContext.defaultParallelism
     val noCands = oldForCands.select(col("k"), col("id").as("o_id"))
-      .join(newPrefix.select(col("k"), col("id").as("n_id")), Seq("k"))
+      .repartition(p, col("k"))
+      .join(newPrefix.select(col("k"), col("id").as("n_id"))
+        .repartition(p, col("k")), Seq("k"))
       .filter(col("o_id") =!= col("n_id"))
       .select(least(col("o_id"), col("n_id")).as("a_id"),
         greatest(col("o_id"), col("n_id")).as("b_id"))
