@@ -706,8 +706,13 @@ object TextStats {
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // consumed by ledger + two scalars
-    val nTot = graft.plans.Scalars.of(counts.agg(sum(col("c")).as("n")))
-    val vTot = graft.plans.Scalars.of(counts.agg(count(lit(1)).as("v")))
+    // one struct-valued scalar for (Σ tokens, vocab size) — one
+    // subquery job and one ledger pass instead of two (q201 finding)
+    val tots = graft.plans.Scalars.of(
+      counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+        .select(struct(col("n"), col("v")).as("s")))
+    val nTot = tots.getField("n")
+    val vTot = tots.getField("v")
     val w = Window.orderBy(col("c").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val led = counts.groupBy(col("c"))
@@ -1148,9 +1153,15 @@ object TextStats {
       .localCheckpoint(true)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val lens = tf.groupBy("doc").agg(max(col("len")).as("len"))
-    val n = graft.plans.Scalars.of(lens.agg(count(lit(1)).as("n")))
-    val avgdl = graft.plans.Scalars.of(lens.agg(avg(col("len")).as("a")))
-    bm25Score(tf, dfreq, n, avgdl, queries, qidCol, qtextCol,
+    // ONE struct-valued scalar subquery for (N, avgdl) instead of two:
+    // each Scalars.of is its own subquery job and its own pass over
+    // the length ledger — folding them halves that serial latency on
+    // every retrieval query (the q201 quartile-scalar finding)
+    val stats = graft.plans.Scalars.of(
+      lens.agg(count(lit(1)).as("n"), avg(col("len")).as("a"))
+        .select(struct(col("n"), col("a")).as("s")))
+    bm25Score(tf, dfreq, stats.getField("n"), stats.getField("a"),
+      queries, qidCol, qtextCol,
       k, k1Milli, bMilli, maxDocFreq, observeCandidates)
   }
 
