@@ -461,20 +461,39 @@ object Dedup {
         .localCheckpoint(true)
     val kdf = index.groupBy("k").agg(count(lit(1)).as("kdf"))
     val wid = Window.partitionBy("id")
+    // the per-doc length RIDES the prefix index so the banded verify's
+    // length necessary-condition (`|len_a − len_b| <= k` — each edit
+    // changes length by at most 1) prunes INSIDE the key self-join,
+    // before the pair-dedup exchange and before any text bytes attach:
+    // measured at sf0.1, the raw prefix join admits 1.55M distinct
+    // candidate pairs of which only 48k are length-compatible — the
+    // old spelling shipped the 32× fan-in through both text joins just
+    // to length-filter it afterwards. The lens join lands on the
+    // window's existing hash(id) partitioning (no new exchange on the
+    // index side; lens itself is one slim (id, len) shuffle).
+    val lens = df.select(col(idCol).as("id"),
+      length(col(textCol)).as("__len"))
     val pref = index.join(kdf, "k")
       .withColumn("rn",
         row_number().over(wid.orderBy(col("kdf"), col("k"))))
       .filter(col("rn") <= maxDist * q + 1)
       .select("k", "id")
-    val t = df.select(col(idCol).as("id"), col(textCol).as("__t"),
-      length(col(textCol)).as("__len"))
-    val a = t.select(col("id").as("a_id"), col("__t").as("__ta"),
-      col("__len").as("__la"))
-    val b = t.select(col("id").as("b_id"), col("__t").as("__tb"),
-      col("__len").as("__lb"))
-    candidatePairs(pref)
-      .join(a, "a_id").join(b, "b_id")
-      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .join(lens, "id")
+    // explicit cores-derived partitioning on the self-join key — the
+    // [[candidatePairs]] explosive-join rationale
+    val p = pref.sparkSession.sparkContext.defaultParallelism
+    val a = pref.select(col("k"), col("id").as("a_id"),
+      col("__len").as("__la")).repartition(p, col("k"))
+    val b = pref.select(col("k"), col("id").as("b_id"),
+      col("__len").as("__lb")).repartition(p, col("k"))
+    val cands = a.join(b, Seq("k"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select("a_id", "b_id").distinct()
+    val t = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    cands
+      .join(t.select(col("id").as("a_id"), col("__t").as("__ta")), "a_id")
+      .join(t.select(col("id").as("b_id"), col("__t").as("__tb")), "b_id")
       .withColumn("ed", levenshtein(col("__ta"), col("__tb"), maxDist))
       .filter(col("ed") >= 0) // threshold form returns -1 past maxDist
       .select(col("a_id"), col("b_id"), col("ed"))
@@ -800,18 +819,6 @@ object Dedup {
           kdf.filter(col("__odf") <= cap).select(col("k")), Seq("k"))
       case None => oi
     }
-    // same explosive-join discipline as [[candidatePairsJaccard]]:
-    // new×old candidate fan-out is df_new(k)·df_old(k) per key from a
-    // byte-slim input — explicit cores-derived partitioning
-    val p = ni.sparkSession.sparkContext.defaultParallelism
-    val noCands = oldForCands.select(col("k"), col("id").as("o_id"))
-      .repartition(p, col("k"))
-      .join(newPrefix.select(col("k"), col("id").as("n_id"))
-        .repartition(p, col("k")), Seq("k"))
-      .filter(col("o_id") =!= col("n_id"))
-      .select(least(col("o_id"), col("n_id")).as("a_id"),
-        greatest(col("o_id"), col("n_id")).as("b_id"))
-      .distinct()
     val oldVerify =
       if (!restrictOldSide) oi
       else {
@@ -825,6 +832,39 @@ object Dedup {
         }
         oi.join(touchedIds, Seq("id"), "left_semi")
       }
+    // slim (id, size) ledger over the verify-restricted old rows — the
+    // TRUE per-doc shingle counts (all rows of each touched id,
+    // multi-version unions included, exactly [[docSets]]'s sz), so the
+    // lossless PPJoin LENGTH bound (J >= t forces t·max(sz) <= min(sz);
+    // evaluated at t − 0.001, the [[candidatePairsJaccard]] admission
+    // band) prunes new×old candidates INSIDE the key join, before the
+    // pair-dedup exchange and before any per-doc ARRAY attaches in
+    // verification. The old side carries no rn (ranking it would need
+    // the corpus-index pass this path exists to avoid — and a
+    // write-time rank would be stale under a different df order), so
+    // the positional bound stays new×new-only; measured at sf0.1 the
+    // length bound alone drops 25% of the new×old candidate mass
+    // (301k → 227k on the q94 batch shape) for one keyed count over
+    // rows the verify step reads anyway.
+    val szOld = oldVerify.groupBy(col("id"))
+      .agg(count(lit(1)).as("__osz"))
+    val ts = math.max(0.0, threshold - 0.001)
+    // same explosive-join discipline as [[candidatePairsJaccard]]:
+    // new×old candidate fan-out is df_new(k)·df_old(k) per key from a
+    // byte-slim input — explicit cores-derived partitioning
+    val p = ni.sparkSession.sparkContext.defaultParallelism
+    val noCands = oldForCands.select(col("k"), col("id").as("o_id"))
+      .join(szOld.select(col("id").as("o_id"), col("__osz")), "o_id")
+      .repartition(p, col("k"))
+      .join(newPrefix.select(col("k"), col("id").as("n_id"),
+          col("sz").as("__nsz"))
+        .repartition(p, col("k")), Seq("k"))
+      .filter(col("o_id") =!= col("n_id") &&
+        col("__osz").cast("double") >= lit(ts) * col("__nsz") &&
+        col("__nsz").cast("double") >= lit(ts) * col("__osz"))
+      .select(least(col("o_id"), col("n_id")).as("a_id"),
+        greatest(col("o_id"), col("n_id")).as("b_id"))
+      .distinct()
     verifyPairs(nnCands.union(noCands).distinct(),
       ni.union(oldVerify), threshold)
   }

@@ -130,6 +130,35 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty, "fixture should produce at least one pair")
   }
 
+  test("incremental new×old length bound admits the exact boundary " +
+      "pair (J == t with sz_old == sz_new/t)") {
+    // the in-join length filter prunes by t·max(sz) <= min(sz); a pair
+    // sitting EXACTLY on the bound (J = 0.5 via A ⊂ B, |B| = 2|A|)
+    // must survive — the filter is evaluated at t − 0.001 precisely so
+    // the admission band (round(J,3) >= t) can never be clipped
+    import spark.implicits._
+    val newDf = Seq((2L, "a b c")).toDF("doc_id", "text")
+    val oldDf = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val got = Dedup.incrementalJaccardPairs(newDf, oldDf,
+      "doc_id", "text", n = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 0.5)))
+  }
+
+  test("editDistancePairs: in-join length bound admits the exact " +
+      "|len_a − len_b| == maxDist boundary pair") {
+    // the length filter now prunes candidates INSIDE the key join
+    // (before texts attach); a pair at exactly maxDist length
+    // difference is still a legitimate output and must survive
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghij"), (2L, "abcdefghijk")) // ed = 1
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(df, "doc_id", "text",
+      q = 2, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1)))
+  }
+
   test("char-level default df-cap preserves every uncapped true pair") {
     // charLevel with no explicit cap defaults to a RELATIVE df-cap
     // (15% of corpus docs); maxDocFreqRatio = 1.0 disables pruning.
