@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -901,35 +901,110 @@ object Streaming {
     * round-trip compare (long → original type → equal), not merely
     * by null-ness. Refuse the batch loudly instead (the repo-wide
     * refuse-loudly ethos).
-    * Cost: schema-decided O(1) for a non-nullable integral id column
-    * (the common prepIngest-fed shape — no scan at all); otherwise
-    * one batch-sized scan — per-batch, never corpus-proportional. */
+    * This is the standalone PROBE spelling (one batch-sized scan +
+    * limit(1) collect) — kept only for the replay-over-existing-slice
+    * path, where the write's Overwrite would destroy committed bytes
+    * before an in-write guard could refuse. The hot path fuses the
+    * same predicate into the slice write instead ([[guardedLongId]] +
+    * [[rethrowingIdGuard]] — zero extra jobs per batch). */
   private def requireLongIds(
-      batch: DataFrame, idCol: String, op: String): Unit = {
+      batch: DataFrame, idCol: String, op: String): Unit =
+    badIdCondition(batch, idCol).foreach { bad =>
+      batch.filter(bad)
+        .select(col(idCol).cast("string")).limit(1).collect()
+        .headOption.foreach { r =>
+          throw new IllegalArgumentException(
+            idGuardMessage(op, idCol,
+              Option(r.getString(0)).getOrElse("NULL")))
+        }
+    }
+
+  /** The lossless-long-id violation predicate, or None when the SCHEMA
+    * already proves losslessness (non-nullable integral id — the
+    * common prepIngest-fed shape; no scan needed at all). Shared by
+    * the standalone probe ([[requireLongIds]]) and the in-write guard
+    * ([[guardedLongId]]), so the two spellings of "bad id" can never
+    * diverge. */
+  private def badIdCondition(
+      batch: DataFrame, idCol: String): Option[Column] = {
     import org.apache.spark.sql.types._
     val f = batch.schema(idCol)
     val integral = f.dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
-    if (integral && !f.nullable) return
-    val asLong = col(idCol).cast("long")
-    val bad =
-      if (integral) col(idCol).isNull
-      else col(idCol).isNull || asLong.isNull ||
-        asLong.cast(f.dataType) =!= col(idCol)
-    batch.filter(bad)
-      .select(col(idCol).cast("string")).limit(1).collect()
-      .headOption.foreach { r =>
-        throw new IllegalArgumentException(
-          s"$op: id column '$idCol' carries a value that does not " +
-            "cast losslessly to long (e.g. " +
-            s"${Option(r.getString(0)).getOrElse("NULL")}) — a NULL " +
-            "or truncated store key silently merges distinct rows " +
-            "into one phantom document and collides in the " +
-            "latest-per-key supersede; map ids to longs before ingest")
-      }
+    if (integral && !f.nullable) None
+    else if (integral) Some(col(idCol).isNull)
+    else {
+      val asLong = col(idCol).cast("long")
+      Some(col(idCol).isNull || asLong.isNull ||
+        asLong.cast(f.dataType) =!= col(idCol))
+    }
   }
+
+  private def idGuardMessage(
+      op: String, idCol: String, value: String): String =
+    s"$op: id column '$idCol' carries a value that does not " +
+      s"cast losslessly to long (e.g. $value) — a NULL " +
+      "or truncated store key silently merges distinct rows " +
+      "into one phantom document and collides in the " +
+      "latest-per-key supersede; map ids to longs before ingest"
+
+  /** The store-id cast with the lossless check FUSED into it: a bad id
+    * raises DURING whatever action first evaluates the column (for the
+    * ingest batches, the slice write itself), so the per-batch
+    * limit(1) PROBE JOB [[requireLongIds]] costs on every
+    * nullable-or-non-integral batch disappears from the hot path —
+    * zero extra jobs, the check rides the write's own pass (guide:
+    * don't pay a separate pass for what another action already reads).
+    * Callers pair it with [[rethrowingIdGuard]] so the refusal surface
+    * (IllegalArgumentException, offending value in the message) stays
+    * EXACTLY the probe's, and clean up any partial slice so a refused
+    * batch still leaves no readable store mutation. */
+  private def guardedLongId(
+      batch: DataFrame, idCol: String, op: String): Column =
+    badIdCondition(batch, idCol) match {
+      case None => col(idCol).cast("long")
+      case Some(bad) =>
+        val msg = concat(
+          lit(s"$op: id column '$idCol' carries a value that does " +
+            "not cast losslessly to long (e.g. "),
+          coalesce(col(idCol).cast("string"), lit("NULL")),
+          lit(") — a NULL or truncated store key silently merges " +
+            "distinct rows into one phantom document and collides " +
+            "in the latest-per-key supersede; map ids to longs " +
+            "before ingest"))
+        when(bad, raise_error(msg).cast("long"))
+          .otherwise(col(idCol).cast("long"))
+    }
+
+  /** Run `body` (the actions that evaluate a [[guardedLongId]] column)
+    * converting the guard's raised error back to the refusal contract:
+    * IllegalArgumentException carrying OUR message (the spec-pinned
+    * surface), with `cleanup` executed first (delete the partial slice
+    * the failed write may have left, so a refused batch mutates
+    * nothing readable — a crash between failure and cleanup leaves at
+    * most the half-written-slice state every mid-write crash already
+    * can, which the replay protocol owns). Non-guard failures pass
+    * through untouched. */
+  private def rethrowingIdGuard[A](
+      op: String, idCol: String)(cleanup: => Unit)(body: => A): A =
+    try body
+    catch {
+      case e: Throwable =>
+        val marker = s"$op: id column '$idCol'"
+        val guardMsg = Iterator.iterate[Throwable](e)(_.getCause)
+          .takeWhile(_ != null).take(16)
+          .map(t => Option(t.getMessage).getOrElse(""))
+          .find(_.contains(marker))
+        guardMsg match {
+          case Some(m) =>
+            try cleanup catch { case scala.util.control.NonFatal(_) => () }
+            throw new IllegalArgumentException(
+              m.substring(m.indexOf(marker)))
+          case None => throw e
+        }
+    }
 
   /** Measured cap on the live-key probe: at or under this many
     * distinct live keys, [[latestAtRead]] runs its live-key SPLIT
@@ -1132,7 +1207,20 @@ object Streaming {
       batch: DataFrame, batchId: Long, indexPath: String,
       idCol: String, textCol: String, compactEvery: Int = 16): Unit = {
     val spark = batch.sparkSession
-    requireLongIds(batch, idCol, "indexIngest")
+    // the lossless-id check rides the slice write ([[guardedLongId]] —
+    // no per-batch probe job) EXCEPT when this batch id's slice
+    // already exists: the write's Overwrite would delete the committed
+    // slice before the in-write guard could refuse, so a replay over
+    // existing bytes keeps the zero-mutation pre-write probe
+    val slicePath = new org.apache.hadoop.fs.Path(
+      s"$indexPath/batch_id=$batchId")
+    val fs = slicePath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val replayOverExisting = fs.exists(slicePath)
+    if (replayOverExisting) requireLongIds(batch, idCol, "indexIngest")
+    val idExpr =
+      if (replayOverExisting) col(idCol).cast("long")
+      else guardedLongId(batch, idCol, "indexIngest")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       IngestStore.compact(spark, indexPath, postingsSchema,
         upTo = batchId, latestPerKey = Some("doc"),
@@ -1155,8 +1243,7 @@ object Streaming {
     val b0 = IngestStore.boundary(spark, indexPath)
     if (b0 > 0 && bm25StatsBoundary(spark, indexPath) != b0)
       writeBm25Stats(spark, indexPath)
-    val slim = batch.select(col(idCol).cast("long").as("__id"),
-      col(textCol))
+    val slim = batch.select(idExpr.as("__id"), col(textCol))
     val posts = graft.operators.TextStats.postings(
       slim.filter(col(textCol).isNotNull), "__id", textCol)
     val tombstones = slim.filter(col(textCol).isNull)
@@ -1168,9 +1255,13 @@ object Streaming {
     // then let bm25FromIndex's query-term pushdown skip row groups
     // whose token range can't match — the postings analogue of the
     // embedding store's cell clustering
-    writeBatch(posts.unionByName(tombstones)
-      .sortWithinPartitions("token"), indexPath, "parquet",
-      batchId)
+    rethrowingIdGuard("indexIngest", idCol) {
+      fs.delete(slicePath, true)
+    } {
+      writeBatch(posts.unionByName(tombstones)
+        .sortWithinPartitions("token"), indexPath, "parquet",
+        batchId)
+    }
   }
 
   /** Deadline-driven erasure for the retrieval index: force the
@@ -1645,12 +1736,25 @@ object Streaming {
       nCells: Int = 16, seed: Long = 42L, lloydIters: Int = 2,
       compactEvery: Int = 16): Unit = {
     val spark = batch.sparkSession
-    requireLongIds(batch, idCol, "embIngest")
+    // in-write id guard with the replay-over-existing probe fallback —
+    // the indexIngestBatch rationale verbatim
+    val slicePath = new org.apache.hadoop.fs.Path(
+      s"$storePath/batch_id=$batchId")
+    val fs = slicePath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val replayOverExisting = fs.exists(slicePath)
+    if (replayOverExisting) requireLongIds(batch, idCol, "embIngest")
+    val idExpr =
+      if (replayOverExisting) col(idCol).cast("long")
+      else guardedLongId(batch, idCol, "embIngest")
     import graft.functions.{VectorFunctions => V}
     import graft.plans.{DotProduct, SketchExpressions => SK}
-    val slim = batch.select(col(idCol).cast("long").as("vec"),
+    val slim = batch.select(idExpr.as("vec"),
       V.toDouble(col(vecCol)).as("v"))
     val model: Option[Array[Array[Double]]] =
+      // the training collect is slim's first action on the no-model
+      // path — a bad id raises there, before any store write
+      rethrowingIdGuard("embIngest", idCol)(()) {
       readCentroids(spark, storePath).orElse {
         // no committed model. Retraining is only legitimate when the
         // store carries NO model-assigned rows (first vector batch,
@@ -1672,6 +1776,7 @@ object Streaming {
           nCells, seed, lloydIters)
         if (m.isEmpty) None // nothing to train on yet — defer
         else { writeCentroids(spark, storePath, m); Some(m) }
+      }
       }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       IngestStore.compact(spark, storePath, embSchema,
@@ -1699,8 +1804,12 @@ object Streaming {
     // min/max stats on `cell` then make annFromStore's probed-cell
     // IN-filter skip un-probed cells' vector payloads at scan time —
     // a batch-local sort, nothing shuffles
-    writeBatch(assigned.sortWithinPartitions("cell"), storePath,
-      "parquet", batchId)
+    rethrowingIdGuard("embIngest", idCol) {
+      fs.delete(slicePath, true)
+    } {
+      writeBatch(assigned.sortWithinPartitions("cell"), storePath,
+        "parquet", batchId)
+    }
   }
 
   /** Query-frame broadcast caps for [[annFromStore]] — the measured

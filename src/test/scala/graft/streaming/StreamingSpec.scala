@@ -1841,13 +1841,23 @@ class StreamingSpec extends SparkSpec {
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toString
     // a string doc id that parses would be fine; one that doesn't must
-    // refuse the whole batch BEFORE any store mutation
+    // refuse the whole batch and leave NO readable store mutation
+    // (the in-write guard deletes the partial slice it refused)
+    def assertNoSlices(dir: String): Unit = {
+      val d = new java.io.File(dir)
+      val slices = Option(d.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith("batch_id="))
+      assert(slices.isEmpty,
+        s"refused batch left slice dirs: ${slices.mkString(",")}")
+    }
+    val badTextDir = tmp("graft-badid-idx")
     val badText = intercept[IllegalArgumentException] {
       Streaming.indexIngestBatch(
         Seq(("7", "fine"), ("doc-1", "poison")).toDF("doc_id", "text"),
-        0L, tmp("graft-badid-idx"), "doc_id", "text")
+        0L, badTextDir, "doc_id", "text")
     }
     assert(badText.getMessage.contains("doc-1"))
+    assertNoSlices(badTextDir)
     val nullId = intercept[IllegalArgumentException] {
       Streaming.indexIngestBatch(
         Seq((java.lang.Long.valueOf(1L), "a"),
@@ -1856,12 +1866,14 @@ class StreamingSpec extends SparkSpec {
         0L, tmp("graft-nullid-idx"), "doc_id", "text")
     }
     assert(nullId.getMessage.contains("NULL"))
+    val badVecDir = tmp("graft-badid-emb")
     val badVec = intercept[IllegalArgumentException] {
       Streaming.embIngestBatch(
         Seq(("vec-9", Seq(1.0, 0.0))).toDF("vec_id", "embedding"),
-        0L, tmp("graft-badid-emb"), "vec_id", "embedding", nCells = 2)
+        0L, badVecDir, "vec_id", "embedding", nCells = 2)
     }
     assert(badVec.getMessage.contains("vec-9"))
+    assertNoSlices(badVecDir)
     // TRUNCATION is as silent a merge as NULL: double ids 1.2 and 1.7
     // would both land on store key 1 — the round-trip check refuses
     val truncated = intercept[IllegalArgumentException] {
