@@ -916,50 +916,85 @@ object Sampling {
     * property the oracle parity rests on). */
   def scoreRankPerStratum(
       df: DataFrame, stratumCol: String, scoreCol: String, tieCol: String,
-      outCol: String = "score_pr", nBuckets: Int = 32): DataFrame = {
+      outCol: String = "score_pr", nBuckets: Int = 32): DataFrame =
+    scoreRanksFused(df, stratumCol, Seq((scoreCol, outCol)), tieCol,
+      nBuckets)
+
+  /** The kernel behind [[scoreRankPerStratum]] (one signal) and
+    * [[rankEnsemble]] (k signals IN ONE PLAN): every signal's
+    * boundary sketch rides ONE grouped aggregate over the shared
+    * sample, every signal's bucket tag is a projection on the shared
+    * broadcast-joined frame, and the per-signal in-bucket
+    * `row_number` windows + broadcast offset ledgers chain on that
+    * frame — so k signals cost one boundary job, k ledger broadcasts
+    * and one main pass, instead of k SEPARATE three-consumer passes
+    * each needing its own materialization (the fold spelling ran 26
+    * serial jobs for 1.2 s of task work on the 3-signal q139 —
+    * per-fold checkpoints existed ONLY because each step's output fed
+    * the next step's three consumers; fusing removes the
+    * multi-consumption, so the checkpoints go with it). Per-signal
+    * arithmetic is IDENTICAL to the single-signal kernel — windows
+    * add columns, never rows, so chaining signal i's window on a
+    * frame carrying signal j's tags changes nothing. */
+  private def scoreRanksFused(
+      df: DataFrame, stratumCol: String,
+      signals: Seq[(String, String)], tieCol: String,
+      nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be at least 2")
-    requireNumericScore(df, scoreCol)
+    signals.foreach { case (s, _) => requireNumericScore(df, s) }
     import org.apache.spark.sql.expressions.Window
-    val score = col(scoreCol)
+    val sketches = signals.zipWithIndex.map { case ((s, _), i) =>
+      percentile_approx(negate(col(s).cast("double")),
+        boundaryProbs(nBuckets), lit(100)).as(s"__bnds_$i")
+    }
     val bnd = df
       .filter(col(tieCol).isNotNull)
       .filter(pmod(xxhash64(col(tieCol)), lit(16)) === 0)
       .groupBy(col(stratumCol))
-      .agg(percentile_approx(negate(score.cast("double")),
-        boundaryProbs(nBuckets), lit(100)).as("__bnds"))
-      .select(col(stratumCol).as("__bs"), col("__bnds"))
-    val tagged = df
-      .filter(col(tieCol).isNotNull)
-      .join(broadcast(bnd), col(stratumCol) <=> col("__bs"), "left")
-      .withColumn("__o", qualityOrd(score, col(tieCol)))
-      .withColumn("__bucket",
-        when(col("__o").getField("__nf") === 1, lit(nBuckets))
-          .otherwise(when(col("__bnds").isNull, lit(0)).otherwise(
-            size(filter(col("__bnds"),
-              b => b < col("__o").getField("__ns"))))))
-      .drop("__bs", "__bnds")
-    val inBucket = Window.partitionBy(col(stratumCol), col("__bucket"))
-      .orderBy(col("__o"))
-    val byStratum = Window.partitionBy(col(stratumCol))
-      .orderBy(col("__bucket"))
-    val ledger = tagged.groupBy(col(stratumCol), col("__bucket"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__base", coalesce(
-        sum(col("__cnt")).over(
-          byStratum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__n", sum(col("__cnt")).over(byStratum.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col(stratumCol).as("__ls"), col("__bucket").as("__lb"),
-        col("__base"), col("__n"))
-    tagged
-      .withColumn("__rbk", row_number().over(inBucket))
-      .join(broadcast(ledger),
-        col(stratumCol) <=> col("__ls") && col("__bucket") === col("__lb"))
-      .withColumn(outCol, when(col("__n") > lit(1L),
-          (col("__base") + col("__rbk") - 1).cast("double")
-            / (col("__n") - 1))
-        .otherwise(lit(0.0)))
-      .select(df.columns.map(col) :+ col(outCol): _*)
+      .agg(sketches.head, sketches.tail: _*)
+      .select(col(stratumCol).as("__bs") +:
+        signals.indices.map(i => col(s"__bnds_$i")): _*)
+    val tagged = signals.zipWithIndex.foldLeft(
+      df.filter(col(tieCol).isNotNull)
+        .join(broadcast(bnd), col(stratumCol) <=> col("__bs"), "left")) {
+      case (acc, ((s, _), i)) =>
+        acc.withColumn(s"__o_$i", qualityOrd(col(s), col(tieCol)))
+          .withColumn(s"__bucket_$i",
+            when(col(s"__o_$i").getField("__nf") === 1, lit(nBuckets))
+              .otherwise(when(col(s"__bnds_$i").isNull, lit(0)).otherwise(
+                size(filter(col(s"__bnds_$i"),
+                  b => b < col(s"__o_$i").getField("__ns"))))))
+    }.drop("__bs" +: signals.indices.map(i => s"__bnds_$i"): _*)
+    val ranked = signals.zipWithIndex.foldLeft(tagged) {
+      case (acc, ((_, outCol), i)) =>
+        val inBucket = Window
+          .partitionBy(col(stratumCol), col(s"__bucket_$i"))
+          .orderBy(col(s"__o_$i"))
+        val byStratum = Window.partitionBy(col(stratumCol))
+          .orderBy(col(s"__bucket_$i"))
+        val ledger = tagged.groupBy(col(stratumCol), col(s"__bucket_$i"))
+          .agg(count(lit(1)).as("__cnt"))
+          .withColumn("__base", coalesce(
+            sum(col("__cnt")).over(
+              byStratum.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .withColumn("__n", sum(col("__cnt")).over(byStratum.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col(stratumCol).as(s"__ls_$i"),
+            col(s"__bucket_$i").as(s"__lb_$i"),
+            col("__base").as(s"__base_$i"), col("__n").as(s"__n_$i"))
+        acc
+          .withColumn(s"__rbk_$i", row_number().over(inBucket))
+          .join(broadcast(ledger),
+            col(stratumCol) <=> col(s"__ls_$i") &&
+              col(s"__bucket_$i") === col(s"__lb_$i"))
+          .withColumn(outCol, when(col(s"__n_$i") > lit(1L),
+              (col(s"__base_$i") + col(s"__rbk_$i") - 1).cast("double")
+                / (col(s"__n_$i") - 1))
+            .otherwise(lit(0.0)))
+    }
+    ranked.select(
+      df.columns.map(col) ++ signals.map(p => col(p._2)): _*)
   }
 
   /** Multi-signal rank-fusion quality score — the ensemble device for
@@ -1007,24 +1042,16 @@ object Sampling {
       df: DataFrame, signalCols: Seq[String], tieCol: String,
       outCol: String = "ensemble_pr", nBuckets: Int = 32): DataFrame = {
     require(signalCols.nonEmpty, "at least one signal column required")
+    // ONE input materialization: the fused kernel consumes it through
+    // k+2 subtrees (shared boundary sample, the main tagged frame, k
+    // offset ledgers). All k signals rank in ONE plan
+    // ([[scoreRanksFused]]) — the earlier per-signal fold needed a
+    // checkpoint per step purely to stop step k re-executing step
+    // k−1's three-consumer lineage, and those per-step jobs were the
+    // bulk of q139's 26-job serial latency.
     val tagged = df.withColumn("__one", lit("")).localCheckpoint(true)
-    // each fold step is ALSO materialized (and its predecessor
-    // released — the PageRank loop discipline): signal k's rank pass
-    // consumes its input three times (boundary sample, bucket tagging,
-    // offset ledger), so an unmaterialized fold re-executes signal
-    // k−1's join lineage ~3× per later signal — measured as 27 serial
-    // single-task jobs on the 3-signal ensemble (q139), pure driver
-    // latency. With per-step leaves the job count is linear in k.
-    def ckRdd(d: DataFrame) =
-      d.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
-    val withPrs = signalCols.foldLeft(tagged) { (acc, s) =>
-      val next = scoreRankPerStratum(acc, "__one", s, tieCol,
-        s"__pr_$s", nBuckets).localCheckpoint(true)
-      ckRdd(acc).foreach(_.unpersist(blocking = false))
-      next
-    }
-    withPrs
+    scoreRanksFused(tagged, "__one",
+      signalCols.map(s => (s, s"__pr_$s")), tieCol, nBuckets)
       .withColumn(outCol,
         round(signalCols.map(s => col(s"__pr_$s")).reduce(_ + _) /
           signalCols.size, 6))
