@@ -791,7 +791,12 @@ object Dedup {
     * exact). Recall contract matches the batch operators' `maxDocFreq`:
     * a true pair is missed only if EVERY shared new-prefix gram is
     * that hot — boilerplate by definition. None (default) keeps the
-    * lossless behavior the parity gates pin. */
+    * lossless behavior the parity gates pin.
+    *
+    * CONTRACT: `oi` must share no ids with `ni` (both callers
+    * anti-join the new batch's ids out of the old side) — the
+    * new×new and new×old candidate sets are then disjoint, which is
+    * what lets the verify step skip a distinct over their union. */
   private[graft] def incrementalJaccardPairsIndexed(
       ni: DataFrame, oi: DataFrame, threshold: Double,
       maxDocFreq: Option[Int],
@@ -865,7 +870,15 @@ object Dedup {
       .select(least(col("o_id"), col("n_id")).as("a_id"),
         greatest(col("o_id"), col("n_id")).as("b_id"))
       .distinct()
-    verifyPairs(nnCands.union(noCands).distinct(),
+    // NO distinct over the union: the two candidate sets are DISJOINT
+    // by construction — a new×new pair has both ids in `ni`, a new×old
+    // pair has exactly one id in `oi`, and both callers anti-join the
+    // new batch's ids out of `oi` (incrementalJaccardPairs's oldOnly;
+    // ingestDedupBatch's supersede anti-join), so no pair can appear
+    // in both and each set is already internally distinct. The removed
+    // distinct was a full exchange + aggregate over the whole
+    // candidate mass per batch.
+    verifyPairs(nnCands.union(noCands),
       ni.union(oldVerify), threshold)
   }
 
