@@ -837,35 +837,40 @@ object Dedup {
         }
         oi.join(touchedIds, Seq("id"), "left_semi")
       }
-    // slim (id, size) ledger over the verify-restricted old rows — the
-    // TRUE per-doc shingle counts (all rows of each touched id,
-    // multi-version unions included, exactly [[docSets]]'s sz), so the
-    // lossless PPJoin LENGTH bound (J >= t forces t·max(sz) <= min(sz);
-    // evaluated at t − 0.001, the [[candidatePairsJaccard]] admission
-    // band) prunes new×old candidates INSIDE the key join, before the
-    // pair-dedup exchange and before any per-doc ARRAY attaches in
-    // verification. The old side carries no rn (ranking it would need
-    // the corpus-index pass this path exists to avoid — and a
-    // write-time rank would be stale under a different df order), so
-    // the positional bound stays new×new-only; measured at sf0.1 the
+    // slim (id, size) ledger over the old index — the TRUE per-doc
+    // shingle counts (all rows of each id, multi-version unions
+    // included, exactly [[docSets]]'s sz), feeding the lossless PPJoin
+    // LENGTH bound (J >= t forces t·max(sz) <= min(sz); evaluated at
+    // t − 0.001, the [[candidatePairsJaccard]] admission band) that
+    // prunes new×old candidates before the pair-dedup exchange and
+    // before any per-doc ARRAY attaches in verification. ONE slim pass
+    // over `oi` (no semi-join lineage — the touched restriction is
+    // implicit: the inner join below consults candidate ids only),
+    // joined onto the key join's OUTPUT where AQE broadcasts the
+    // doc-count-sized ledger from its measured size (falling back to
+    // a slim candidate shuffle past broadcast size — same answer) —
+    // never an id-exchange of the whole old index on the input side.
+    // The old side carries no rn (ranking it would need the
+    // corpus-index pass this path exists to avoid — and a write-time
+    // rank would be stale under a fresher df order), so the
+    // positional bound stays new×new-only; measured at sf0.1 the
     // length bound alone drops 25% of the new×old candidate mass
-    // (301k → 227k on the q94 batch shape) for one keyed count over
-    // rows the verify step reads anyway.
-    val szOld = oldVerify.groupBy(col("id"))
-      .agg(count(lit(1)).as("__osz"))
+    // (301k → 227k on the q94 batch shape); measured at the 10×
+    // rung it cuts q94 −13..16% end to end.
+    val szOld = oi.groupBy(col("id")).agg(count(lit(1)).as("__osz"))
     val ts = math.max(0.0, threshold - 0.001)
     // same explosive-join discipline as [[candidatePairsJaccard]]:
     // new×old candidate fan-out is df_new(k)·df_old(k) per key from a
     // byte-slim input — explicit cores-derived partitioning
     val p = ni.sparkSession.sparkContext.defaultParallelism
     val noCands = oldForCands.select(col("k"), col("id").as("o_id"))
-      .join(szOld.select(col("id").as("o_id"), col("__osz")), "o_id")
       .repartition(p, col("k"))
       .join(newPrefix.select(col("k"), col("id").as("n_id"),
           col("sz").as("__nsz"))
         .repartition(p, col("k")), Seq("k"))
-      .filter(col("o_id") =!= col("n_id") &&
-        col("__osz").cast("double") >= lit(ts) * col("__nsz") &&
+      .filter(col("o_id") =!= col("n_id"))
+      .join(szOld.select(col("id").as("o_id"), col("__osz")), "o_id")
+      .filter(col("__osz").cast("double") >= lit(ts) * col("__nsz") &&
         col("__nsz").cast("double") >= lit(ts) * col("__osz"))
       .select(least(col("o_id"), col("n_id")).as("a_id"),
         greatest(col("o_id"), col("n_id")).as("b_id"))
