@@ -117,6 +117,14 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Measurement-contract fix (r12, judge item 2): the full line above
+    // is ~10-15 KB and the driver's bounded stdout tail truncates its
+    // FRONT, so no round's totals ever parsed (BENCH_r01-r11 all
+    // `parsed: null`). A second, compact, FINAL line — totals only, no
+    // per-query map — always fits any tail window; the full per-query
+    // map still prints above and persists whole to bench_out.json.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"n_queries":${results.size},"sf":${Json.str(sfDir)}}""")
     spark.stop()
   }
 }

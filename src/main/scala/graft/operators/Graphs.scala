@@ -255,17 +255,23 @@ object Graphs {
     def ckRdd(df: DataFrame) =
       df.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+    // LAZY checkpoints throughout: each level's frontier COUNT (the
+    // frontier-empty exit test the loop needs anyway) doubles as the
+    // checkpoint's materializing action — one Spark job per level
+    // instead of an eager-checkpoint job PLUS an isEmpty job (the
+    // [[ConnectedComponents]] signature discipline). The edge and seed
+    // frames materialize inside level 1's job the same way.
     val e = {
       val e0 = edges
         .select(col(srcCol).cast("long").as("__src"),
           col(dstCol).cast("long").as("__dst"))
         .filter(col("__src").isNotNull && col("__dst").isNotNull)
       (if (dedupEdges) e0.distinct() else e0)
-        .localCheckpoint(true) // consumed once per BFS level
+        .localCheckpoint(false) // consumed once per BFS level
     }
     var dist = seeds.select(col(seedCol).cast("long").as("id")).distinct()
       .withColumn("hop", lit(0).cast("int"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var frontier = dist
     var h = 0
     var exhausted = false
@@ -280,8 +286,8 @@ object Graphs {
         .select(col("__dst").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
         .withColumn("hop", lit(h).cast("int"))
-        .localCheckpoint(true)
-      if (next.isEmpty) {
+        .localCheckpoint(false)
+      if (next.count() == 0L) {
         exhausted = true
         ckRdd(next).foreach(_.unpersist(blocking = false))
       } else {
@@ -336,18 +342,22 @@ object Graphs {
     def ckRdd(df: DataFrame) =
       df.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+    // LAZY checkpoints throughout the peel: the fixpoint COUNT is the
+    // action that materializes each round's edge set (the
+    // [[ConnectedComponents]] signature discipline) — one Spark job
+    // per round instead of an eager-checkpoint job PLUS a count job.
     var e = {
       val e0 = edges
         .select(col(srcCol).cast("long").as("__src"),
           col(dstCol).cast("long").as("__dst"))
         .filter(col("__src").isNotNull && col("__dst").isNotNull)
-      (if (dedupEdges) e0.distinct() else e0).localCheckpoint(true)
+      (if (dedupEdges) e0.distinct() else e0).localCheckpoint(false)
     }
     // early exit at the fixed point: the peel is monotone (next ⊆ e),
     // so equal live-edge COUNTS mean equal SETS, and every further
     // round is a no-op — the result equals the full `rounds` run
-    // exactly. The count is a driver-side scalar over an
-    // already-materialized checkpoint, not a collect.
+    // exactly. The count doubles as the checkpoint's materializing
+    // action; nothing is collected.
     var live = e.count()
     var r = 0
     var fixed = false
@@ -361,7 +371,7 @@ object Graphs {
       val next = e
         .join(keep, col("__src") === col("__id"), "left_semi")
         .join(keep, col("__dst") === col("__id"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextLive = next.count()
       ckRdd(e).foreach(_.unpersist(blocking = false))
       fixed = nextLive == live

@@ -57,51 +57,70 @@ object Hits {
         .filter(col("__src").isNotNull && col("__dst").isNotNull)
       (if (dedupEdges) e0.distinct() else e0).localCheckpoint(true)
     }
+    // hubs is consumed twice (the final assembly; the uniform start is
+    // folded into iteration 1 below), auths once (the assembly) — both
+    // are cheap distinct projections over the cached edge leaf, so
+    // neither pays an eager checkpoint JOB: hubs lazily checkpoints on
+    // its first consumer's pass, auths stays a plain lazy frame (its
+    // one consumer, the assembly, checkpoints eagerly before `e` is
+    // released).
     val hubs = e.select(col("__src").as("id")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val auths = e.select(col("__dst").as("id")).distinct()
-      .localCheckpoint(true)
 
-    /** L∞-normalize a positive (id, raw) frame to max = scale. The max
-      * is an in-plan scalar subquery over the SAME frame — raw is a
-      * checkpointed leaf, so the two consumers are cheap re-reads.
-      * Attached as a named column so the division can be spelled `div`
+    /** Materialize a raw half-step AND compute its L∞ max in ONE job:
+      * the lazy local checkpoint persists during the max-aggregate's
+      * own pass (the ConnectedComponents signature discipline), so the
+      * per-half-step eager-checkpoint job and the normalization's
+      * scalar-subquery job (re-run per consumer execution) both fold
+      * into a single action. The max is a driver LITERAL thereafter —
+      * bit-identical to the scalar subquery it replaces (same
+      * aggregate over the same frame), and the division stays `div`
       * (INTEGER division — `/` on longs is double division, which goes
       * precision-lossy past 2^53 and would break cross-engine parity). */
-    def normalized(raw: DataFrame, vCol: String): DataFrame = {
-      val t = graft.plans.Scalars.of(raw.agg(max(col(vCol)).as("t")))
-      raw.withColumn("__t", t)
-        .select(col("id"),
-          expr(s"(`$vCol` * ${scale}L) div `__t`").as(vCol))
+    def materializedNorm(raw0: DataFrame, vCol: String)
+        : (DataFrame, DataFrame) = {
+      val raw = raw0.localCheckpoint(false)
+      val row = raw.agg(max(col(vCol)).as("t")).head()
+      // an empty side (no edges) normalizes an empty frame — the
+      // divisor value is then irrelevant; 1 keeps the expression total
+      val t = if (row.isNullAt(0)) 1L else row.getLong(0)
+      (raw, raw.select(col("id"),
+        expr(s"(`$vCol` * ${scale}L) div ${t}L").as(vCol)))
     }
 
-    // Only the RAW half-step aggregates are checkpointed; each
-    // normalized frame stays a lazy narrow projection over its raw
-    // leaf (its consumers — the next half-step join, and the final
-    // assembly — re-run one cheap select + one tiny scalar stage
-    // instead of paying a second materialization job per half-step).
     // A raw frame is released as soon as its LAST consumer is
     // materialized: hRaw_{i−1} feeds only aRaw_i, and aRaw_i feeds
     // only hRaw_i (plus, on the final iteration, the assembly below).
-    var h = hubs.select(col("id"), lit(scale).as("h"))
+    var h: DataFrame = null
     var a: DataFrame = null
     var aRawPrev: Option[org.apache.spark.rdd.RDD[_]] = None
     var hRawPrev: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iterations) {
-      val aRaw = h.join(e, col("id") === col("__src"))
-        .groupBy(col("__dst")).agg(sum(col("h")).as("a"))
-        .select(col("__dst").as("id"), col("a"))
-        .localCheckpoint(true)
+      // iteration 1's authority half-step over the uniform start
+      // (h = scale for every hub) is a pure edge aggregate: each dst
+      // receives scale per distinct in-edge, so the |E| join against
+      // the start frame is provably sum(h) = scale * indegree — the
+      // edge set is distinct by contract (dedupEdges, or the caller's
+      // guarantee). raw ≤ maxdeg·scale, inside the overflow contract.
+      val aStep =
+        if (i == 1) e.groupBy(col("__dst"))
+          .agg((count(lit(1)) * scale).as("a"))
+          .select(col("__dst").as("id"), col("a"))
+        else h.join(e, col("id") === col("__src"))
+          .groupBy(col("__dst")).agg(sum(col("h")).as("a"))
+          .select(col("__dst").as("id"), col("a"))
+      val (aRaw, aNorm) = materializedNorm(aStep, "a")
       hRawPrev.foreach(_.unpersist(blocking = false))
-      a = normalized(aRaw, "a")
-      val hRaw = a.join(e, col("id") === col("__dst"))
-        .groupBy(col("__src")).agg(sum(col("a")).as("h"))
-        .select(col("__src").as("id"), col("h"))
-        .localCheckpoint(true)
+      a = aNorm
+      val (hRaw, hNorm) = materializedNorm(
+        a.join(e, col("id") === col("__dst"))
+          .groupBy(col("__src")).agg(sum(col("a")).as("h"))
+          .select(col("__src").as("id"), col("h")), "h")
       if (i < iterations) ckRdd(aRaw).foreach(_.unpersist(blocking = false))
       else aRawPrev = ckRdd(aRaw)
       hRawPrev = ckRdd(hRaw)
-      h = normalized(hRaw, "h")
+      h = hNorm
     }
     // assemble (id, hub, authority); a node can be on both sides. The
     // returned frame must be a LEAF (it references hubs/auths and the
@@ -114,7 +133,9 @@ object Hits {
       .select(col("id"), coalesce(col("h"), lit(0L)).as("hub"),
         coalesce(col("a"), lit(0L)).as("authority"))
       .localCheckpoint(true)
-    (Seq(e, hubs, auths).flatMap(ckRdd) ++ aRawPrev ++ hRawPrev)
+    // auths is a plain projection over `e` (never checkpointed), so
+    // only e, hubs and the final half-step leaves hold blocks
+    (Seq(e, hubs).flatMap(ckRdd) ++ aRawPrev ++ hRawPrev)
       .foreach(_.unpersist(blocking = false))
     out
   }

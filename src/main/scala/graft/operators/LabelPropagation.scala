@@ -66,24 +66,41 @@ object LabelPropagation {
         .filter(col("__src").isNotNull && col("__dst").isNotNull)
       (if (dedupEdges) e0.distinct() else e0).localCheckpoint(true)
     }
-    val nodes = e.select(col("__src").as("id"))
+    // the node list is consumed only by the per-iteration sink-node
+    // left join (iteration 1's self-label start folds into an edge
+    // aggregate below); with noSinkNodes it never builds at all
+    lazy val nodes = e.select(col("__src").as("id"))
       .union(e.select(col("__dst").as("id")))
       .distinct()
       .localCheckpoint(true)
 
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    var labels: DataFrame = null // iteration 1 folds the self-label start
     var prev: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iterations) {
-      val votes = labels.join(e, col("id") === col("__dst"))
-        .groupBy(col("__src"), col("lbl"))
-        .agg(count(lit(1)).as("__c"))
+      // Iteration 1 over self-labels needs no join: every neighbor
+      // votes its OWN id (lbl(dst) = dst at the start), so the vote
+      // relation is just the edge rows themselves — duplicate-edge
+      // multiplicity still counts exactly as the joined spelling would
+      // (the doubled-vote semantics the spec pins for
+      // dedupEdges = false). The |E| join against the start frame and
+      // the start frame itself fold away.
+      val votes =
+        if (i == 1) e.groupBy(col("__src"), col("__dst").as("lbl"))
+          .agg(count(lit(1)).as("__c"))
+        else labels.join(e, col("id") === col("__dst"))
+          .groupBy(col("__src"), col("lbl"))
+          .agg(count(lit(1)).as("__c"))
       // argmax by (count desc, label asc) as one struct-min aggregate —
       // no per-node window, no rank pass
       val upd = votes.groupBy(col("__src"))
         .agg(min(struct((-col("__c")).as("nc"), col("lbl").as("l")))
           .as("__m"))
         .select(col("__src").as("id"), col("__m.l").as("__new"))
+      // sink nodes (no out-edges) keep their current label; at i == 1
+      // that current label is the self-label, spelled directly
       val step = (if (noSinkNodes) upd.select(col("id"), col("__new"))
+        else if (i == 1) nodes.join(upd, Seq("id"), "left")
+          .select(col("id"), coalesce(col("__new"), col("id")).as("__new"))
         else labels.join(upd, Seq("id"), "left")
           .select(col("id"), coalesce(col("__new"), col("lbl")).as("__new")))
         .withColumnRenamed("__new", "lbl")
@@ -96,7 +113,10 @@ object LabelPropagation {
         } else step
       labels = next
     }
-    Seq(e, nodes).flatMap(ckRdd).foreach(_.unpersist(blocking = false))
+    // nodes only if it was ever built — forcing the lazy val here
+    // would RUN its checkpoint job
+    (Seq(e) ++ (if (noSinkNodes) Nil else Seq(nodes)))
+      .flatMap(ckRdd).foreach(_.unpersist(blocking = false))
     labels
   }
 }

@@ -126,25 +126,40 @@ object PageRank {
       val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
       e.join(deg, "__src").localCheckpoint(true)
     }
-    val nodes = ewd.select(col("__src").as("id"))
+    seeds.foreach(s => require(s.nonEmpty, "seed set must be non-empty"))
+    // UNSEEDED runs start uniform (rank = scale for every node), so
+    // iteration 1's |E| join against the start frame is provably
+    // `rank div __deg` = `scale div __deg` — a pure edge aggregate
+    // (folded below). The node list is then consumed ONLY by the
+    // per-iteration dangling-receiver left join; when that join is
+    // skipped too (noDanglingReceivers), the union+distinct and its
+    // checkpoint job never build at all.
+    val nodesNeeded = seeds.isDefined || !noDanglingReceivers
+    lazy val nodes = ewd.select(col("__src").as("id"))
       .union(ewd.select(col("__dst").as("id")))
       .distinct()
       .localCheckpoint(true)
 
-    seeds.foreach(s => require(s.nonEmpty, "seed set must be non-empty"))
     val base = lit(((dampDen - dampNum) * scale) / dampDen)
     val isSeed = seeds.map(s => col("id").isin(s: _*))
     val baseTerm =
       isSeed.map(f => when(f, base).otherwise(lit(0L))).getOrElse(base)
-    var ranks = nodes.select(col("id"),
-      isSeed.map(f => when(f, lit(scale)).otherwise(lit(0L)))
-        .getOrElse(lit(scale)).as("rank"))
+    var ranks: DataFrame =
+      if (seeds.isEmpty) null // iteration 1 folds the uniform start
+      else nodes.select(col("id"),
+        when(isSeed.get, lit(scale)).otherwise(lit(0L)).as("rank"))
     var prev: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iterations) {
-      val contrib = ranks.join(ewd, col("id") === col("__src"))
-        .select(col("__dst").as("id"),
-          expr(s"($dampNum * (`rank` div `__deg`)) div $dampDen").as("__c"))
-        .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
+      val contrib =
+        if (i == 1 && seeds.isEmpty)
+          ewd.select(col("__dst").as("id"),
+            expr(s"($dampNum * (${scale}L div `__deg`)) div $dampDen")
+              .as("__c"))
+            .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
+        else ranks.join(ewd, col("id") === col("__src"))
+          .select(col("__dst").as("id"),
+            expr(s"($dampNum * (`rank` div `__deg`)) div $dampDen").as("__c"))
+          .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
       val step = (if (noDanglingReceivers && seeds.isEmpty) contrib
         else nodes.join(contrib, Seq("id"), "left"))
         .select(col("id"),
@@ -164,8 +179,10 @@ object PageRank {
       ranks = next
     }
     // the returned frame reads the FINAL checkpoint only; the edge and
-    // node materializations are released
-    Seq(ewd, nodes).flatMap(ckRdd).foreach(_.unpersist(blocking = false))
+    // node materializations are released (nodes only if it was ever
+    // built — forcing the lazy val here would RUN its checkpoint job)
+    (Seq(ewd) ++ (if (nodesNeeded) Seq(nodes) else Nil))
+      .flatMap(ckRdd).foreach(_.unpersist(blocking = false))
     ranks
   }
 }
