@@ -993,15 +993,22 @@ object Streaming {
     catch {
       case e: Throwable =>
         val marker = s"$op: id column '$idCol'"
+        // INNERMOST matching message (Spark's outer job-abort message
+        // embeds the task failure plus a multi-KB driver stack trace
+        // AFTER the raise text — the innermost cause carries the raise
+        // text alone), truncated at the first newline so the rethrown
+        // message equals the raise_error text exactly, as the refusal
+        // contract ("EXACTLY the probe's surface") requires
         val guardMsg = Iterator.iterate[Throwable](e)(_.getCause)
           .takeWhile(_ != null).take(16)
           .map(t => Option(t.getMessage).getOrElse(""))
-          .find(_.contains(marker))
+          .filter(_.contains(marker))
+          .foldLeft(Option.empty[String])((_, m) => Some(m))
         guardMsg match {
           case Some(m) =>
             try cleanup catch { case scala.util.control.NonFatal(_) => () }
             throw new IllegalArgumentException(
-              m.substring(m.indexOf(marker)))
+              m.substring(m.indexOf(marker)).takeWhile(_ != '\n'))
           case None => throw e
         }
     }
@@ -1221,7 +1228,14 @@ object Streaming {
     val idExpr =
       if (replayOverExisting) col(idCol).cast("long")
       else guardedLongId(batch, idCol, "indexIngest")
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      // refuse-before-any-store-maintenance: the in-write guard fires
+      // only at the slice write, which would let a bad-id batch
+      // re-trigger this compaction rewrite (and the stats rewrite
+      // below) on every replay attempt. One batch-sized probe,
+      // amortized against the compaction rewrite it gates — never on
+      // the per-batch hot path.
+      if (!replayOverExisting) requireLongIds(batch, idCol, "indexIngest")
       IngestStore.compact(spark, indexPath, postingsSchema,
         upTo = batchId, latestPerKey = Some("doc"),
         sortBy = Seq("token"),
@@ -1232,6 +1246,7 @@ object Streaming {
         // purge contract); q234 gates this path against a purge-blind
         // oracle
         purge = Some(col("token").isNull))
+    }
     // stats sidecar: rewrite whenever the committed marker does not
     // name the current boundary — covers the just-compacted case AND
     // self-heals a crash between the boundary commit and the stats
@@ -1752,11 +1767,20 @@ object Streaming {
     val slim = batch.select(idExpr.as("vec"),
       V.toDouble(col(vecCol)).as("v"))
     val model: Option[Array[Array[Double]]] =
-      // the training collect is slim's first action on the no-model
-      // path — a bad id raises there, before any store write
       rethrowingIdGuard("embIngest", idCol)(()) {
       readCentroids(spark, storePath).orElse {
-        // no committed model. Retraining is only legitimate when the
+        // No committed model: the training collect would be slim's
+        // first action — but it filters v IS NOT NULL, and that filter
+        // pushes BELOW the guarded id projection, so a bad id sitting
+        // only on null-vector (tombstone) rows would never evaluate
+        // the guard during training, the model would train and COMMIT
+        // _centroids, and only the later slice write would refuse —
+        // leaving a readable store mutation behind a refused batch.
+        // Probe ALL rows first (one batch-sized scan, only on the
+        // no-model path — bounded: this branch runs only while no
+        // model exists), so a bad-id batch refuses before any write.
+        requireLongIds(batch, idCol, "embIngest")
+        // Retraining is only legitimate when the
         // store carries NO model-assigned rows (first vector batch,
         // or a replay of it after a pre-marker crash) — assigned
         // slices under a missing model mean the model was LOST, and
@@ -1778,7 +1802,11 @@ object Streaming {
         else { writeCentroids(spark, storePath, m); Some(m) }
       }
       }
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      // refuse-before-any-store-maintenance (the indexIngestBatch
+      // rationale): one batch-sized probe gates the compaction rewrite
+      // so a permanently bad batch cannot re-trigger it per replay
+      if (!replayOverExisting) requireLongIds(batch, idCol, "embIngest")
       IngestStore.compact(spark, storePath, embSchema,
         upTo = batchId, latestPerKey = Some("vec"),
         sortBy = Seq("cell"),
